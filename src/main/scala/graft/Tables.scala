@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver fixture tables (TESTDATA.md) plus shared
+  * cross-engine-deterministic aggregation helpers.
+  *
+  * All fixture reads go through here so path handling and any future
+  * layout decisions (date partitioning, bucketing) live in one place.
+  * At 100 TB the fact tables (`events`, `lineitem`) would be
+  * date-partitioned so the P9-style day filters prune partitions; the
+  * dimensions stay broadcast-sized or bucketed on their keys.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader turns
+    * the raw nanos-long into the µs TimestampType the engine works in
+    * (integer `div` — no double round-trip, values > 2^53 stay exact).
+    * DuckDB reads the same column as TIMESTAMP_NS and truncates to µs
+    * on CAST, so both engines see identical instants.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEvents(table(s, d, "events"))
+
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Decimal type wide enough for every fixture measure (prices < 1e6,
+    * 2 fractional digits) while keeping sum results inside both Spark's
+    * and DuckDB's decimal widening rules.
+    */
+  val Money: DecimalType = DecimalType(18, 6)
+
+  /** Order-independent, cross-engine-deterministic SUM of a double
+    * column: casting to decimal makes the addition exact (associative),
+    * so Spark's parallel partial aggregation and DuckDB's sequential
+    * scan produce bit-identical doubles after the final cast.
+    * Oracle SQL mirror: `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(c.cast(Money)).cast("double")
+
+  /** Deterministic AVG built from the exact decimal sum: one IEEE-754
+    * double division at the end, identical in both engines.
+    * Oracle mirror: `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x)`.
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
+}

@@ -1,0 +1,182 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gated queries for the analytic core (SURVEY.md §2.1 scans,
+  * §2.3 joins, §2.4 aggregations, §2.5 windows, §2.6 set ops). Each entry
+  * has a DuckDB oracle with matching column names and ORDER BY.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3/P1: parquet scan with projection + pushed-down date predicate.
+    // .explain must show ReadSchema limited to 5 columns and PushedFilters.
+    "s3_p1_scan_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_date"))
+        .filter(col("ship_date") < lit("1996-06-01").cast("date"))
+        .withColumn("ship_date", col("ship_date").cast("string"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // J1: fact ⋈ broadcast user dim, row-level enrichment output.
+    "j1_enrich_users" -> ((s, d) =>
+      Enrich.enriched(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("date").cast("string").as("date"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("event_id"))),
+
+    // J2: three-table join chain lineitem ⋈ orders ⋈ broadcast customer,
+    // aggregated to segment/priority revenue.
+    "j2_sales_by_segment" -> ((s, d) =>
+      Enrich.salesEnriched(s, d)
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))))
+            .cast("double").as("revenue"),
+          Tables.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))),
+
+    // A1+A2: the genre_kpis analog — count/countDistinct/sum/avg + ratio.
+    "a1_genre_kpis" -> ((s, d) =>
+      Kpis.genreKpis(Enrich.enriched(s, d))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("event_type"), col("date"))),
+
+    // P9 + A1: single-day scoped variant (PROCESS_DATE semantics).
+    "p9_kpis_one_day" -> ((s, d) => {
+      val day = Tables.events(s, d).select(min(to_date(col("ts"))).cast("string")).head().getString(0)
+      Kpis.genreKpis(Enrich.forDay(Enrich.enriched(s, d), Some(day)))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("event_type"), col("date"))
+    }),
+
+    // A3+W1: top-3 per (group, day) ranking window with rank filter.
+    "a3_w1_top_songs" -> ((s, d) =>
+      Kpis.topPartsPerFlagDay(s, d)
+        .select(col("l_returnflag"), col("date").cast("string").as("date"),
+          col("rank"), col("l_partkey"), col("play_count"))
+        .orderBy(col("l_returnflag"), col("date"), col("rank"))),
+
+    // A4+W2: top-5 per day ranking window.
+    "a4_w2_top_genres" -> ((s, d) =>
+      Kpis.topTypesPerDay(s, d)
+        .select(col("date").cast("string").as("date"), col("rank"),
+          col("event_type"), col("total_plays"))
+        .orderBy(col("date"), col("rank"))),
+
+    // U1 (§2.6): manifest-style distinct union of two key sets.
+    "u1_union_distinct" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").cast("int").as("key"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("key")))
+        .distinct()
+        .orderBy(col("key"))),
+
+    // J3 (§2.3): left-anti incremental discovery — customers with no
+    // purchase events (new-files ≡ all − processed).
+    "j3_anti_join" -> ((s, d) => {
+      val purchased = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      Tables.customer(s, d)
+        .join(purchased, col("c_custkey") === col("user_id"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s3_p1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) < DATE '1996-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "j1_enrich_users" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  CAST(CAST(e.ts AS DATE) AS VARCHAR) AS date, c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    "j2_sales_by_segment" ->
+      """SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "a1_genre_kpis" ->
+      """SELECT e.event_type, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS date,
+        |  COUNT(*) AS listen_count,
+        |  COUNT(DISTINCT e.user_id) AS unique_listeners,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(e.value) AS avg_value,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(DISTINCT e.user_id) AS avg_value_per_user
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "p9_kpis_one_day" ->
+      """SELECT e.event_type, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS date,
+        |  COUNT(*) AS listen_count,
+        |  COUNT(DISTINCT e.user_id) AS unique_listeners,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(e.value) AS avg_value,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(DISTINCT e.user_id) AS avg_value_per_user
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE CAST(e.ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "a3_w1_top_songs" ->
+      """SELECT l_returnflag, CAST(date AS VARCHAR) AS date, rank, l_partkey, play_count FROM (
+        |  SELECT l_returnflag, date, l_partkey, play_count,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag, date
+        |                       ORDER BY play_count DESC, l_partkey ASC) AS rank
+        |  FROM (
+        |    SELECT l_returnflag, CAST(l_shipdate AS DATE) AS date, l_partkey,
+        |      COUNT(*) AS play_count
+        |    FROM lineitem GROUP BY 1, 2, 3
+        |  )
+        |) WHERE rank <= 3
+        |ORDER BY l_returnflag, date, rank""".stripMargin,
+
+    "a4_w2_top_genres" ->
+      """SELECT CAST(date AS VARCHAR) AS date, rank, event_type, total_plays FROM (
+        |  SELECT date, event_type, total_plays,
+        |    ROW_NUMBER() OVER (PARTITION BY date
+        |                       ORDER BY total_plays DESC, event_type ASC) AS rank
+        |  FROM (
+        |    SELECT CAST(ts AS DATE) AS date, event_type, COUNT(*) AS total_plays
+        |    FROM events GROUP BY 1, 2
+        |  )
+        |) WHERE rank <= 5
+        |ORDER BY date, rank""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT DISTINCT key FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS key FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS key FROM supplier
+        |)
+        |ORDER BY key""".stripMargin,
+
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.event_type = 'purchase' AND e.user_id = c_custkey
+        |)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings.embedding`, ArrayType(FloatType) dim 64).
+  *
+  * Two paths, per the standard scale playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a *small query set*
+  *    against the corpus — the query side is broadcast, the corpus is
+  *    scanned once, and the per-group top-k is a ranking window that
+  *    Spark ≥3.5 executes with WindowGroupLimit (only k rows per
+  *    partition survive the shuffle). Cost: O(|Q|·N) dot products,
+  *    embarrassingly parallel over N.
+  *  - [[lshTopK]]: sign-random-projection (SRP) LSH — vectors are
+  *    bucketed by the sign pattern of h fixed pseudo-random hyperplanes;
+  *    search touches only colliding buckets across t tables. Recall is
+  *    tunable via (h, t); the all-pairs product never materializes. An
+  *    IVF variant would swap the hash for a learned coarse quantizer —
+  *    same dataflow shape (bucket join).
+  *
+  * Dot products use the `aggregate`/`zip_with` higher-order functions —
+  * sequential left-to-right folds, so the float→double accumulation
+  * order is deterministic and reproducible across runs and engines.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplane component: a fixed
+    * hash of (table, plane, dim) mapped to [-1, 1). No RNG state — the
+    * same planes exist on every executor with zero coordination.
+    */
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, dim))
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for query vectors `vec_id < nQueries`
+    * (self-match excluded). Query side is broadcast — the corpus never
+    * shuffles for the join; only (nQueries · k) rows pass the window.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("label").as("n_label"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
+  }
+
+  /** SRP-LSH bucket id for one table: h sign bits packed into a long. */
+  private def srpBucket(emb: Column, table: Int, h: Int, dims: Int): Column =
+    (0 until h).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeComponent(table, p, d))): _*)
+      when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via SRP-LSH: candidates = vectors sharing a bucket in any of
+    * `tables` hash tables; exact cosine re-rank inside candidates.
+    */
+  def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+              h: Int = 8, tables: Int = 4, dims: Int = 64): DataFrame = {
+    val withBuckets = emb.select(col("vec_id"), col("embedding"), col("label"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col("embedding"), t, h, dims)): _*)).as(Seq("tbl", "bucket")))
+    val q = withBuckets.filter(col("vec_id") < nQueries)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = withBuckets
+      .select(col("tbl"), col("bucket"), col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("label").as("n_label"))
+    c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("n_label"), col("q_emb"), col("n_emb"))
+      .distinct()
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: top-K highest-cosine pairs
+    * among LSH candidates (top-K instead of a fixed threshold so the
+    * result is non-empty on corpora without true near-dups).
+    */
+  def cosineNearDupPairs(emb: DataFrame, topK: Int = 25,
+                         h: Int = 6, tables: Int = 4, dims: Int = 64): DataFrame = {
+    val withBuckets = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col("embedding"), t, h, dims)): _*)).as(Seq("tbl", "bucket")))
+    val a = withBuckets.select(col("tbl"), col("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = withBuckets.select(col("tbl"), col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+      .distinct()
+      .withColumn("cos", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)))
+      .filter(col("rn") <= topK)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+}

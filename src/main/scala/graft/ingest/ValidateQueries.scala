@@ -1,0 +1,62 @@
+package graft.ingest
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries exercising the validation rules (P5–P8) and the
+  * scalar-function surface (F5–F10, F12, F15) over the driver fixtures.
+  */
+object ValidateQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P5+P6+P7+P8+F6+F7+F8: the whole cleaning rule-set in one pass over
+    // events — a single narrow codegen stage, no shuffle.
+    "p5_p8_validate_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id").cast("string").as("user_id"),          // F6
+          lower(trim(col("event_type"))).as("event_type"),      // F7
+          col("value"),
+          coalesce(col("value").cast("int"), lit(0)).as("value_int"), // F8
+          get_json_object(col("props"), "$.k").cast("int").as("props_k"), // P7 cast-or-null
+          to_date(col("ts")).cast("string").as("date"))          // P8/F1
+        .na.drop(Seq("event_id", "user_id", "date"))            // P5
+        .filter(col("value").between(0.0, 400.0))               // P6
+        .filter(col("props_k").isNotNull)                       // P7 keep parseable
+        .orderBy(col("event_id"))),
+
+    // F9+F10: composite serving-key construction (concat_ws / printf).
+    "f9_f10_key_concat" -> ((s, d) =>
+      Tables.nation(s, d)
+        .select(
+          concat_ws("#", lit("NATION"), col("n_name"), lit("REGION"),
+            col("n_regionkey").cast("string")).as("pk"),
+          format_string("KEY#%03d#%s", col("n_nationkey"), lower(trim(col("n_name")))).as("sk"),
+          regexp_replace(col("n_name"), "A", "_").as("masked"))  // F15
+        .orderBy(col("sk")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p5_p8_validate_events" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS user_id,
+        |  LOWER(TRIM(event_type)) AS event_type, value,
+        |  COALESCE(CAST(FLOOR(value) AS INT), 0) AS value_int,
+        |  CAST(regexp_extract(props, '[0-9]+') AS INT) AS props_k,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS date
+        |FROM events
+        |WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND value BETWEEN 0.0 AND 400.0
+        |  AND regexp_extract(props, '[0-9]+') <> ''
+        |ORDER BY event_id""".stripMargin,
+
+    "f9_f10_key_concat" ->
+      """SELECT
+        |  'NATION#' || n_name || '#REGION#' || CAST(n_regionkey AS VARCHAR) AS pk,
+        |  printf('KEY#%03d#%s', n_nationkey, LOWER(TRIM(n_name))) AS sk,
+        |  regexp_replace(n_name, 'A', '_', 'g') AS masked
+        |FROM nation
+        |ORDER BY sk""".stripMargin
+  )
+}

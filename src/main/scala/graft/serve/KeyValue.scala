@@ -1,0 +1,71 @@
+package graft.serve
+
+import graft.analytics.{Enrich, Kpis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's DynamoDB single-table projection re-expressed as a
+  * sorted `(pk, sk)` relational table (`glue_jobs/dynamodb-ingestion.py`
+  * R1–R3; key schema `README.md:121-129`; query surface
+  * `queries/dynamo_query.txt`).
+  *
+  * The reference reshapes with pandas `iterrows()` (scalar, single
+  * process); here each reshape is a projection/unpivot the optimizer can
+  * pipeline, and the "table" is just a DataFrame that would be written
+  * sorted by (pk, sk) so serving predicates prune parquet row groups.
+  *
+  * Numeric values are stringified through DECIMAL(28,6) so Spark and the
+  * DuckDB oracle render identical text (raw double→string formatting is
+  * not portable across engines).
+  */
+object KeyValue {
+
+  private def dateStr(c: String) = col(c).cast("string")
+
+  /** R1: wide genre-KPI row → 4 (pk, sk, value) metric items
+    * (`dynamodb-ingestion.py:46-79`). Spark-native unpivot via `stack`.
+    */
+  def kpiItems(genreKpis: DataFrame): DataFrame =
+    genreKpis
+      .select(
+        concat_ws("#", lit("GENRE"), col("event_type"), lit("DATE"), dateStr("date")).as("pk"),
+        expr(
+          """stack(4,
+            |  'listen_count',       CAST(listen_count AS STRING),
+            |  'unique_listeners',   CAST(unique_listeners AS STRING),
+            |  'total_value',        CAST(CAST(total_value AS DECIMAL(28,6)) AS STRING),
+            |  'avg_value',          CAST(CAST(avg_value AS DECIMAL(28,6)) AS STRING)
+            |) AS (metric_type, value)""".stripMargin))
+      .select(col("pk"), concat(lit("METRIC#"), col("metric_type")).as("sk"),
+        col("value"), lit("genre_metric").as("record_type"))
+
+  /** R2: top-song rows → items keyed `SONG#<rank>#<id>`
+    * (`dynamodb-ingestion.py:81-106`).
+    */
+  def topSongItems(topSongs: DataFrame): DataFrame =
+    topSongs.select(
+      concat_ws("#", lit("GENRE"), col("l_returnflag"), lit("DATE"), dateStr("date")).as("pk"),
+      format_string("SONG#%d#%d", col("rank"), col("l_partkey")).as("sk"),
+      col("play_count").cast("string").as("value"),
+      lit("top_song").as("record_type"))
+
+  /** R3: top-genre rows → items keyed `GENRE_RANK#<rank>` under a
+    * date-only pk (`dynamodb-ingestion.py:108-131`).
+    */
+  def topGenreItems(topGenres: DataFrame): DataFrame =
+    topGenres.select(
+      concat_ws("#", lit("DATE"), dateStr("date")).as("pk"),
+      format_string("GENRE_RANK#%d", col("rank")).as("sk"),
+      col("event_type").as("value"),
+      lit("top_genre").as("record_type"))
+
+  /** The full serving table: union of all three item families, sorted by
+    * (pk, sk) — the layout that makes §2.10 lookups row-group-prunable.
+    */
+  def servingTable(spark: SparkSession, dir: String): DataFrame = {
+    val kpis = Kpis.genreKpis(Enrich.enriched(spark, dir))
+    kpiItems(kpis)
+      .unionByName(topSongItems(Kpis.topPartsPerFlagDay(spark, dir)))
+      .unionByName(topGenreItems(Kpis.topTypesPerDay(spark, dir)))
+  }
+}

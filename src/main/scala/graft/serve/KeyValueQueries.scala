@@ -1,0 +1,126 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** R1–R3 reshape queries plus the three `queries/dynamo_query.txt` lookup
+  * families (§2.10) as predicates over the serving table: exact pk +
+  * `begins_with(sk)`, exact sk, and `BETWEEN` on sk.
+  */
+object KeyValueQueries {
+
+  // Shared oracle CTE: the serving table rebuilt in ANSI SQL.
+  private val servingCte =
+    """WITH enriched AS (
+      |  SELECT e.event_type, CAST(e.ts AS DATE) AS date, e.user_id, e.value
+      |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |), kpis AS (
+      |  SELECT event_type, date,
+      |    COUNT(*) AS listen_count,
+      |    COUNT(DISTINCT user_id) AS unique_listeners,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value
+      |  FROM enriched GROUP BY 1, 2
+      |), kpi_items AS (
+      |  SELECT 'GENRE#' || event_type || '#DATE#' || CAST(date AS VARCHAR) AS pk,
+      |         'METRIC#' || metric_type AS sk, value, 'genre_metric' AS record_type
+      |  FROM (
+      |    SELECT event_type, date, 'listen_count' AS metric_type,
+      |           CAST(listen_count AS VARCHAR) AS value FROM kpis
+      |    UNION ALL
+      |    SELECT event_type, date, 'unique_listeners',
+      |           CAST(unique_listeners AS VARCHAR) FROM kpis
+      |    UNION ALL
+      |    SELECT event_type, date, 'total_value',
+      |           CAST(CAST(total_value AS DECIMAL(28,6)) AS VARCHAR) FROM kpis
+      |    UNION ALL
+      |    SELECT event_type, date, 'avg_value',
+      |           CAST(CAST(avg_value AS DECIMAL(28,6)) AS VARCHAR) FROM kpis
+      |  )
+      |), song_items AS (
+      |  SELECT 'GENRE#' || l_returnflag || '#DATE#' || CAST(date AS VARCHAR) AS pk,
+      |         printf('SONG#%d#%d', rank, l_partkey) AS sk,
+      |         CAST(play_count AS VARCHAR) AS value, 'top_song' AS record_type
+      |  FROM (
+      |    SELECT l_returnflag, date, l_partkey, play_count,
+      |      ROW_NUMBER() OVER (PARTITION BY l_returnflag, date
+      |                         ORDER BY play_count DESC, l_partkey ASC) AS rank
+      |    FROM (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS date, l_partkey,
+      |            COUNT(*) AS play_count FROM lineitem GROUP BY 1, 2, 3)
+      |  ) WHERE rank <= 3
+      |), genre_items AS (
+      |  SELECT 'DATE#' || CAST(date AS VARCHAR) AS pk,
+      |         printf('GENRE_RANK#%d', rank) AS sk,
+      |         event_type AS value, 'top_genre' AS record_type
+      |  FROM (
+      |    SELECT date, event_type, total_plays,
+      |      ROW_NUMBER() OVER (PARTITION BY date
+      |                         ORDER BY total_plays DESC, event_type ASC) AS rank
+      |    FROM (SELECT CAST(ts AS DATE) AS date, event_type, COUNT(*) AS total_plays
+      |          FROM events GROUP BY 1, 2)
+      |  ) WHERE rank <= 5
+      |), serving AS (
+      |  SELECT * FROM kpi_items
+      |  UNION ALL SELECT * FROM song_items
+      |  UNION ALL SELECT * FROM genre_items
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1: the unpivoted metric items.
+    "r1_unpivot_kpis" -> ((s, d) =>
+      KeyValue.kpiItems(graft.analytics.Kpis.genreKpis(graft.analytics.Enrich.enriched(s, d)))
+        .orderBy(col("pk"), col("sk"))),
+
+    // R2+R3: the two rank-item projections, unioned.
+    "r2_r3_rank_items" -> ((s, d) =>
+      KeyValue.topSongItems(graft.analytics.Kpis.topPartsPerFlagDay(s, d))
+        .unionByName(KeyValue.topGenreItems(graft.analytics.Kpis.topTypesPerDay(s, d)))
+        .orderBy(col("pk"), col("sk"))),
+
+    // §2.10 lookup family 1: pk prefix + exact metric sk
+    // (dynamo_query.txt:3-24).
+    "l1_metric_lookup" -> ((s, d) =>
+      KeyValue.servingTable(s, d)
+        .filter(col("pk").startsWith("GENRE#click#") && col("sk") === "METRIC#listen_count")
+        .orderBy(col("pk"), col("sk"))),
+
+    // Lookup family 2: pk prefix + begins_with(sk, 'SONG#1#') — the
+    // rank-1 song per genre-day (dynamo_query.txt:26-47).
+    "l2_top_song_lookup" -> ((s, d) =>
+      KeyValue.servingTable(s, d)
+        .filter(col("pk").startsWith("GENRE#A#") && col("sk").startsWith("SONG#1#"))
+        .orderBy(col("pk"), col("sk"))),
+
+    // Lookup family 3: exact pk (earliest event day) + sk BETWEEN
+    // (dynamo_query.txt:49-70).
+    "l3_rank_between_lookup" -> ((s, d) => {
+      val day = graft.Tables.events(s, d)
+        .select(min(to_date(col("ts"))).cast("string")).head().getString(0)
+      KeyValue.servingTable(s, d)
+        .filter(col("pk") === s"DATE#$day" &&
+          col("sk").between("GENRE_RANK#1", "GENRE_RANK#3"))
+        .orderBy(col("pk"), col("sk"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r1_unpivot_kpis" ->
+      (servingCte + "\nSELECT * FROM kpi_items ORDER BY pk, sk"),
+    "r2_r3_rank_items" ->
+      (servingCte +
+        "\nSELECT * FROM (SELECT * FROM song_items UNION ALL SELECT * FROM genre_items) ORDER BY pk, sk"),
+    "l1_metric_lookup" ->
+      (servingCte +
+        "\nSELECT * FROM serving WHERE pk LIKE 'GENRE#click#%' AND sk = 'METRIC#listen_count' ORDER BY pk, sk"),
+    "l2_top_song_lookup" ->
+      (servingCte +
+        "\nSELECT * FROM serving WHERE pk LIKE 'GENRE#A#%' AND sk LIKE 'SONG#1#%' ORDER BY pk, sk"),
+    "l3_rank_between_lookup" ->
+      (servingCte +
+        """
+          |SELECT * FROM serving
+          |WHERE pk = 'DATE#' || CAST((SELECT MIN(CAST(ts AS DATE)) FROM events) AS VARCHAR)
+          |  AND sk BETWEEN 'GENRE_RANK#1' AND 'GENRE_RANK#3'
+          |ORDER BY pk, sk""".stripMargin)
+  )
+}

@@ -1,0 +1,77 @@
+package graft.stream
+
+import graft.ingest.Validate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The reference's whole event-driven pipeline (SURVEY.md §2.9, E1) as a
+  * single Structured Streaming job — S3-event→Lambda→Airflow→Glue
+  * collapses into: file source → validate → enrich/aggregate in
+  * `foreachBatch` → sinks.
+  *
+  * What the reference builds by hand, the file source gives natively:
+  *  - S5 directory listing            → source file discovery
+  *  - S6 file-name predicate          → `pathGlobFilter`
+  *  - S7 exactly-once manifest        → checkpoint offset log
+  *  - K4 archive of processed files   → `cleanSource=archive`
+  *  - branching on "no new files"     → empty micro-batch short-circuit
+  *
+  * Scale notes: `maxFilesPerTrigger` bounds micro-batch size; the
+  * per-batch work is the same broadcast-join + partial-agg plan as the
+  * batch path, so throughput scales with executors, and
+  * `Trigger.AvailableNow` gives the reference's scheduled-catch-up
+  * semantics with checkpointed exactly-once progress.
+  */
+object Pipeline {
+
+  /** Reference streams CSV schema (validate.py:212). */
+  val streamsCsvSchema: StructType = StructType(Seq(
+    StructField("user_id", StringType),
+    StructField("track_id", StringType),
+    StructField("listen_time", StringType)))
+
+  /** S1+S5+S6+S7+K4: incremental CSV stream source with archive-on-read. */
+  def streamsSource(spark: SparkSession, inputDir: String, archiveDir: Option[String] = None): DataFrame = {
+    val base = spark.readStream
+      .schema(streamsCsvSchema)
+      .option("header", "true")
+      .option("pathGlobFilter", "*stream*.csv")   // S6 file-name predicate
+      .option("maxFilesPerTrigger", 16)           // bound micro-batch size
+    val withArchive = archiveDir.fold(base)(dir =>
+      base.option("cleanSource", "archive").option("sourceArchiveDir", dir))
+    withArchive.csv(inputDir)
+  }
+
+  /** The full micro-batch: validate (slice 1) → enrich ⋈ dims → daily
+    * KPIs → overwrite per-date outputs. Empty batches short-circuit
+    * (the reference's `decide_workflow` branch).
+    */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+            songs: DataFrame, users: DataFrame,
+            writeBatch: DataFrame => Unit): StreamingQuery =
+    streamsSource(spark, inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val validated = Validate.validateStreams(batch)
+          val enriched = validated
+            .join(broadcast(songs), Seq("track_id"))
+            .join(broadcast(users), Seq("user_id"))
+            .withColumn("date", to_date(col("listen_time")))
+          val kpis = enriched
+            .groupBy(col("track_genre"), col("date"))
+            .agg(count(lit(1)).as("listen_count"),
+              countDistinct(col("user_id")).as("unique_listeners"),
+              sum(col("duration_ms")).as("total_listening_time_ms"),
+              avg(col("duration_ms")).as("avg_listening_time_ms"))
+            .withColumn("avg_listening_time_per_user",
+              col("total_listening_time_ms") / col("unique_listeners"))
+          writeBatch(kpis)
+        }
+      }
+      .start()
+}
