@@ -14,6 +14,8 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 only reads it
       // as a long; graft.Tables.events converts to µs TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // cast-or-null coercion semantics (reference validate.py errors="coerce")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base),                                     // exact dup of 1
+    (3L, base.replace("today", "tomorrow")),        // near dup of 1
+    (4L, "completely different words nothing shared here at all whatsoever truly"),
+    (5L, "spark engines shuffle partitions across the cluster with hash exchange")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exact(docs).orderBy("keep_doc_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 2L) // ids 1,2 collapse
+  }
+
+  test("minhash LSH finds exact and near dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash jaccard estimate: identical docs give jaccard 1.0") {
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
+      .filter(col("a_id") === 1L && col("b_id") === 2L).collect()
+    assert(pairs.length == 1 && pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical texts have distance 0; near-dups small distance") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) <= 16)
+    assert(hamming(sigs(1L), sigs(4L)) > 16)
+  }
+
+  test("simhash pairs via pigeonhole banding match brute-force at threshold") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("shingles: w-grams over tokens, distinct") {
+    val sh = docs.filter(col("doc_id") === 1L)
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.distinct.length == sh.length)
+  }
+}

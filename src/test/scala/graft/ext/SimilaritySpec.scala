@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine: identical vectors → 1, orthogonal → 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f), 0.0),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f), 1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("cos"), col("expected"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("brute-force top-k: k rows per query, cosine non-increasing") {
+    val out = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 5, 4)
+      .orderBy("q_id", "rank").collect()
+    assert(out.length == 5 * 4)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  /** Synthetic clustered corpus: 10 well-separated centroids with small
+    * noise — the regime ANN indexes exist for (the driver's fixture
+    * embeddings are near-uniform random, where top-k is noise and no
+    * sublinear index can beat brute force).
+    */
+  private def clusteredEmbeddings(n: Int = 200, dims: Int = 16) = {
+    val rnd = new scala.util.Random(42)
+    val centroids = Array.fill(10, dims)(rnd.nextGaussian())
+    val rows = (0 until n).map { i =>
+      val c = i % 10
+      val v = centroids(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("LSH ANN recall ≥ 0.6 vs brute force on clustered data") {
+    val emb = clusteredEmbeddings()
+    val exact = Similarity.bruteForceTopK(emb, 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, 10, 5, h = 8, tables = 4, dims = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("near-dup pairs are symmetric-free (a<b) and unique") {
+    val pairs = Similarity.cosineNearDupPairs(Tables.embeddings(spark, sfDir), 20)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("neighbors share the query's label on clustered data") {
+    val emb = clusteredEmbeddings()
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val out = Similarity.bruteForceTopK(emb, 10, 5)
+      .select("q_id", "n_label").as[(Long, Int)].collect()
+    val hits = out.count { case (q, nl) => labels(q) == nl }
+    assert(hits.toDouble / out.length >= 0.9,
+      s"top-k neighbors don't cluster by label: $hits/${out.length}")
+  }
+}
