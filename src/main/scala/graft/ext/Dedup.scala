@@ -39,12 +39,12 @@ object Dedup {
       i => array_join(slice(toks, i, lit(w)), " ")))
   }
 
-  /** MinHash signature: for each of k hash functions, the min over the
-    * shingle set of xxhash64(shingle, seed). Pure per-row expression.
+  /** MinHash signature: k min-hashes over the shingle set, computed in
+    * one pass by the native [[graft.functions.MinHashSignature]]
+    * expression (Kirsch-Mitzenmacher: 2 hashes/shingle instead of k).
     */
   def minhashSignature(shingleCol: Column, k: Int = 16): Column =
-    array((0 until k).map(seed =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))): _*)
+    graft.functions.native.minhash_sig(shingleCol, k)
 
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     *
@@ -83,20 +83,14 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash 64-bit signature: per bit, majority vote of token-hash bits
-    * — one nested higher-order aggregate, zero shuffles.
+  /** SimHash 64-bit signature: per bit, majority vote of token-hash
+    * bits. Token hashing stays in codegen'd `xxhash64`; the 64-bit vote
+    * runs in the native [[graft.functions.SimHash64]] expression (a
+    * tight per-row loop — the higher-order-function formulation walked
+    * an expression tree per token·bit and was ~40× slower).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, bit) => acc + when(
-        aggregate(hashes, lit(0),
-          (a, h) => a + when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)) > 0,
-        call_function("shiftleft", lit(1L), bit)).otherwise(0L))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.native.simhash64(transform(split(text, " "), t => xxhash64(t)))
 
   /** SimHash near-dup pairs: pigeonhole on four 16-bit chunks (any pair
     * within Hamming distance 3 must agree on ≥1 chunk), verify with

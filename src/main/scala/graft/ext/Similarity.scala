@@ -1,11 +1,12 @@
 package graft.ext
 
+import graft.functions.native.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (`embeddings.embedding`, ArrayType(FloatType) dim 64).
+  * (`embeddings.embedding`, ArrayType(FloatType)).
   *
   * Two paths, per the standard scale playbook:
   *  - [[bruteForceTopK]]: exact cosine top-k of a *small query set*
@@ -21,28 +22,24 @@ import org.apache.spark.sql.functions._
   *    IVF variant would swap the hash for a learned coarse quantizer —
   *    same dataflow shape (bucket join).
   *
-  * Dot products use the `aggregate`/`zip_with` higher-order functions —
-  * sequential left-to-right folds, so the float→double accumulation
-  * order is deterministic and reproducible across runs and engines.
+  * Candidate generation and scoring are separated: LSH joins carry only
+  * (id, id) pairs through the distinct, and embeddings are re-attached
+  * afterwards — deduplicating on vector payloads would drag the arrays
+  * through a shuffle for nothing. Cosine itself is the one-pass native
+  * [[graft.functions.CosineSimilarity]] expression.
   */
 object Similarity {
 
-  /** Deterministic pseudo-random unit-ish hyperplane component: a fixed
-    * hash of (table, plane, dim) mapped to [-1, 1). No RNG state — the
-    * same planes exist on every executor with zero coordination.
+  /** Deterministic pseudo-random hyperplane component: a fixed hash of
+    * (table, plane, dim) mapped to [-1, 1). No RNG state — the same
+    * planes exist on every executor with zero coordination.
     */
   private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((table, plane, dim))
-    (h.toDouble / Int.MaxValue.toDouble)
+    h.toDouble / Int.MaxValue.toDouble
   }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
 
   /** Exact top-k neighbors for query vectors `vec_id < nQueries`
     * (self-match excluded). Query side is broadcast — the corpus never
@@ -65,27 +62,36 @@ object Similarity {
   /** SRP-LSH bucket id for one table: h sign bits packed into a long. */
   private def srpBucket(emb: Column, table: Int, h: Int, dims: Int): Column =
     (0 until h).map { p =>
-      val plane = array((0 until dims).map(d => lit(planeComponent(table, p, d))): _*)
-      when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = array((0 until dims).map(d => lit(planeComponent(table, p, d).toFloat)): _*)
+      when(cosine_sim(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN via SRP-LSH: candidates = vectors sharing a bucket in any of
-    * `tables` hash tables; exact cosine re-rank inside candidates.
+  private def withBuckets(emb: DataFrame, h: Int, tables: Int, dims: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col("embedding"), t, h, dims)): _*)).as(Seq("tbl", "bucket")))
+
+  /** ANN via SRP-LSH: candidate ids from bucket collisions in any of
+    * `tables` hash tables; exact cosine re-rank on the deduplicated
+    * candidate pairs only.
     */
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
               h: Int = 8, tables: Int = 4, dims: Int = 64): DataFrame = {
-    val withBuckets = emb.select(col("vec_id"), col("embedding"), col("label"),
-      posexplode(array((0 until tables).map(t =>
-        srpBucket(col("embedding"), t, h, dims)): _*)).as(Seq("tbl", "bucket")))
-    val q = withBuckets.filter(col("vec_id") < nQueries)
-      .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = withBuckets
-      .select(col("tbl"), col("bucket"), col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"), col("label").as("n_label"))
-    c.join(broadcast(q), Seq("tbl", "bucket"))
+    val bucketed = withBuckets(emb, h, tables, dims)
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
+    val c = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("n_id"))
+    val candidates = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), col("n_label"), col("q_emb"), col("n_emb"))
+      .select(col("q_id"), col("n_id"))
       .distinct()
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ne = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("label").as("n_label"))
+    candidates
+      .join(broadcast(qe), Seq("q_id"))
+      .join(ne, Seq("n_id"))
       .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -100,17 +106,19 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, topK: Int = 25,
                          h: Int = 6, tables: Int = 4, dims: Int = 64): DataFrame = {
-    val withBuckets = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        srpBucket(col("embedding"), t, h, dims)): _*)).as(Seq("tbl", "bucket")))
-    val a = withBuckets.select(col("tbl"), col("bucket"),
-      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = withBuckets.select(col("tbl"), col("bucket"),
-      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, Seq("tbl", "bucket"))
+    val bucketed = withBuckets(emb, h, tables, dims)
+      .select(col("tbl"), col("bucket"), col("vec_id"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("b_id"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
+    val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    candidates
+      .join(ea, Seq("a_id"))
+      .join(eb, Seq("b_id"))
       .withColumn("cos", round(cosine(col("a_emb"), col("b_emb")), 6))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)))

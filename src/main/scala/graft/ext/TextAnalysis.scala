@@ -65,12 +65,11 @@ object TextAnalysis {
     df.withColumn("pred_lang", array_max(array(scored: _*)).getField("lang"))
   }
 
-  /** Document fingerprint: min-of-shingle-hashes (winnowing-style, k=8
-    * char-grams) — a compact identity for containment/versioning checks.
+  /** Document fingerprint: min hash over all 8-byte windows of the text
+    * (winnowing-style) via the native [[graft.functions.RollingMinHash]]
+    * expression — one pass over the bytes instead of materializing every
+    * substring.
     */
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("fingerprint",
-      array_min(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - lit(7), lit(1))),
-        i => xxhash64(col(textCol).substr(i, lit(8))))))
+    df.withColumn("fingerprint", graft.functions.native.rolling_min_hash(col(textCol), 8))
 }

@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot paths.
+  *
+  * The composable alternatives (`aggregate`/`zip_with` higher-order
+  * functions) evaluate one expression-tree node per element — fine for
+  * occasional use, ruinous inside an O(N·d) similarity kernel or an
+  * O(tokens·64) sketch. These expressions do the same math as a single
+  * tight JVM loop over the unsafe array data (no per-element boxing or
+  * tree walks), which is what keeps the dedup/ANN operators within
+  * budget at 100 TB. CodegenFallback costs one virtual call per ROW
+  * (not per element), so whole-stage codegen around them survives.
+  */
+
+/** Cosine similarity between two float/double vectors in one pass
+  * (dot and both norms in the same loop). NULL if either side is NULL;
+  * 0.0 for zero-norm inputs.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  private def isDouble(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  private lazy val leftDouble = isDouble(left)
+  private lazy val rightDouble = isDouble(right)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float>/array<double>, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = if (leftDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (rightDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of an array of token hashes: per-bit majority vote in
+  * a single pass (O(tokens·64) primitive ops, no expression-tree walk).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** k-permutation MinHash signature of an array of strings, using the
+  * Kirsch-Mitzenmacher construction (two xxhash64 evaluations per
+  * element, g_i = h1 + i·h2) — one pass over the shingles instead of k.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= 512, s"minhash k out of range: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 77L)
+      var j = 0
+      while (j < k) {
+        val g = h1 + j * h2
+        if (g < mins(j)) mins(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing-style fingerprint: min over xxhash64 of all w-byte
+  * substrings of the input string — single pass over the bytes.
+  */
+case class RollingMinHash(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 0, "window must be positive")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    if (n < w) {
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, n, 42L)
+    } else {
+      var min = Long.MaxValue
+      var i = 0
+      while (i <= n - w) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + i, w, 42L)
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-facing API for the native expressions. */
+object native {
+  private def toCol(e: Expression): Column = bridge.toColumn(e)
+  private def ex(c: Column): Expression = bridge.toExpression(c)
+
+  /** One-pass cosine similarity over float/double array columns. */
+  def cosine_sim(a: Column, b: Column): Column = toCol(CosineSimilarity(ex(a), ex(b)))
+
+  /** 64-bit SimHash of an array<long> of token hashes. */
+  def simhash64(tokenHashes: Column): Column = toCol(SimHash64(ex(tokenHashes)))
+
+  /** k-permutation MinHash signature of an array<string>. */
+  def minhash_sig(shingles: Column, k: Int): Column = toCol(MinHashSignature(ex(shingles), k))
+
+  /** Min xxhash64 over all w-byte windows of a string. */
+  def rolling_min_hash(text: Column, w: Int): Column = toCol(RollingMinHash(ex(text), w))
+}

@@ -68,4 +68,24 @@ object KeyValue {
       .unionByName(topSongItems(Kpis.topPartsPerFlagDay(spark, dir)))
       .unionByName(topGenreItems(Kpis.topTypesPerDay(spark, dir)))
   }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Materialized serving table — the analog of the reference's *loaded*
+    * DynamoDB table (`dynamodb-ingestion.py` runs once per batch; reads
+    * hit the store, not the pipeline). Range-partitioned and sorted by
+    * (pk, sk): at rest this would be a sorted parquet/Delta table whose
+    * row groups prune on pk/sk predicates; in-session it is a persisted
+    * DataFrame so the three lookup families scan the store instead of
+    * re-running enrich+aggregate per query.
+    */
+  def servingTableCached(spark: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir", { _ =>
+      val df = servingTable(spark, dir)
+        .repartitionByRange(4, col("pk"), col("sk"))
+        .sortWithinPartitions(col("pk"), col("sk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly — this is the "load" step
+      df
+    })
 }

@@ -66,28 +66,30 @@ object KeyValueQueries {
       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // R1: the unpivoted metric items.
+    // R1: the unpivoted metric items (served from the materialized
+    // store — one build, many reads, like the reference's DynamoDB).
     "r1_unpivot_kpis" -> ((s, d) =>
-      KeyValue.kpiItems(graft.analytics.Kpis.genreKpis(graft.analytics.Enrich.enriched(s, d)))
+      KeyValue.servingTableCached(s, d)
+        .filter(col("record_type") === "genre_metric")
         .orderBy(col("pk"), col("sk"))),
 
     // R2+R3: the two rank-item projections, unioned.
     "r2_r3_rank_items" -> ((s, d) =>
-      KeyValue.topSongItems(graft.analytics.Kpis.topPartsPerFlagDay(s, d))
-        .unionByName(KeyValue.topGenreItems(graft.analytics.Kpis.topTypesPerDay(s, d)))
+      KeyValue.servingTableCached(s, d)
+        .filter(col("record_type").isin("top_song", "top_genre"))
         .orderBy(col("pk"), col("sk"))),
 
     // §2.10 lookup family 1: pk prefix + exact metric sk
     // (dynamo_query.txt:3-24).
     "l1_metric_lookup" -> ((s, d) =>
-      KeyValue.servingTable(s, d)
+      KeyValue.servingTableCached(s, d)
         .filter(col("pk").startsWith("GENRE#click#") && col("sk") === "METRIC#listen_count")
         .orderBy(col("pk"), col("sk"))),
 
     // Lookup family 2: pk prefix + begins_with(sk, 'SONG#1#') — the
     // rank-1 song per genre-day (dynamo_query.txt:26-47).
     "l2_top_song_lookup" -> ((s, d) =>
-      KeyValue.servingTable(s, d)
+      KeyValue.servingTableCached(s, d)
         .filter(col("pk").startsWith("GENRE#A#") && col("sk").startsWith("SONG#1#"))
         .orderBy(col("pk"), col("sk"))),
 
@@ -96,7 +98,7 @@ object KeyValueQueries {
     "l3_rank_between_lookup" -> ((s, d) => {
       val day = graft.Tables.events(s, d)
         .select(min(to_date(col("ts"))).cast("string")).head().getString(0)
-      KeyValue.servingTable(s, d)
+      KeyValue.servingTableCached(s, d)
         .filter(col("pk") === s"DATE#$day" &&
           col("sk").between("GENRE_RANK#1", "GENRE_RANK#3"))
         .orderBy(col("pk"), col("sk"))
