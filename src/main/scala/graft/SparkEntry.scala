@@ -27,6 +27,7 @@ object SparkEntry {
       ingest.ValidateQueries.queries ++
       serve.KeyValueQueries.queries ++
       ext.ExtQueries.queries ++
+      sources.SourceQueries.queries ++
       stream.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       ingest.ValidateQueries.oracles ++
       serve.KeyValueQueries.oracles ++
       ext.ExtQueries.oracles ++
+      sources.SourceQueries.oracles ++
       stream.StreamQueries.oracles
 }

@@ -77,6 +77,26 @@ object ExtQueries {
         .select(col("doc_id"), col("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // Multimodal: binary media column → batched decode/feature-extract
+    // (mapPartitions, stubbed codec — see Multimodal scaladoc).
+    "mm_decode_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(s, Multimodal.withFakeMedia(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // Multimodal: metadata-only resize (never touches the payload).
+    "mm_resize_meta" -> ((s, d) =>
+      Multimodal.resizeMeta(Multimodal.withFakeMedia(Tables.documents(s, d)), 48)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"))
+        .orderBy(col("doc_id"))),
+
+    // Multimodal: video-style frame sampling (explode into strided slices).
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.withFakeMedia(Tables.documents(s, d)))
+        .select(col("doc_id"), col("frame"), length(col("frame_bytes")).as("frame_len"))
+        .orderBy(col("doc_id"), col("frame"))),
+
     // JSON extraction + aggregation over events.props.
     "json_extract_agg" -> ((s, d) =>
       Tables.events(s, d)

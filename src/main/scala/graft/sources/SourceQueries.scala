@@ -1,0 +1,38 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1: CSV scan coverage — declared-schema read with PERMISSIVE
+  * coercion, exercised as a parquet→csv→parquet round-trip so the DuckDB
+  * oracle (reading the original parquet) checks both the writer and the
+  * reader.
+  */
+object SourceQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_csv_roundtrip" -> ((s, d) => {
+      val tmp = s"/root/repo/target/csv_roundtrip_${math.abs(d.hashCode)}"
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Csv.write(src, tmp)
+      val schema = org.apache.spark.sql.types.StructType(src.schema.fields)
+      Csv.readClean(s, tmp, schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          Tables.dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_csv_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}
