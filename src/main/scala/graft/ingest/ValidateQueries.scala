@@ -27,6 +27,19 @@ object ValidateQueries {
         .filter(col("props_k").isNotNull)                       // P7 keep parseable
         .orderBy(col("event_id"))),
 
+    // A5: data-quality null-indicator counts (validate.py:118) — how
+    // many rows each cleaning rule would drop, in one scan.
+    "a5_quality_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("user_id").isNull, 1).otherwise(0)).as("n_null_user"),
+          sum(when(col("ts").isNull, 1).otherwise(0)).as("n_null_ts"),
+          sum(when(get_json_object(col("props"), "$.k").isNull, 1).otherwise(0))
+            .as("n_bad_props"),
+          sum(when(!col("value").between(0.0, 400.0), 1).otherwise(0))
+            .as("n_out_of_range"))),
+
     // F9+F10: composite serving-key construction (concat_ws / printf).
     "f9_f10_key_concat" -> ((s, d) =>
       Tables.nation(s, d)
@@ -50,6 +63,14 @@ object ValidateQueries {
         |  AND value BETWEEN 0.0 AND 400.0
         |  AND regexp_extract(props, '[0-9]+') <> ''
         |ORDER BY event_id""".stripMargin,
+
+    "a5_quality_counts" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_user,
+        |  SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_null_ts,
+        |  SUM(CASE WHEN regexp_extract(props, '[0-9]+') = '' THEN 1 ELSE 0 END) AS n_bad_props,
+        |  SUM(CASE WHEN value NOT BETWEEN 0.0 AND 400.0 THEN 1 ELSE 0 END) AS n_out_of_range
+        |FROM events""".stripMargin,
 
     "f9_f10_key_concat" ->
       """SELECT
