@@ -1,0 +1,101 @@
+package graft.stream
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Stateful streaming operators beyond the reference's per-batch
+  * recompute (SURVEY.md §2.9 "state: none"): gap-based sessionization
+  * with `flatMapGroupsWithState`, and a watermarked tumbling-window
+  * aggregate — the two building blocks a real-time variant of the
+  * pipeline needs.
+  *
+  * Scale notes: session state is partitioned by user key across the
+  * cluster (RocksDB-backed state store in production configs); the
+  * watermark bounds state size — windows older than the watermark are
+  * finalized and evicted, so state is O(active keys), not O(history).
+  */
+object Sessions {
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Int, duration_sec: Long)
+
+  /** Close a session when `gap` passes with no events from the user.
+    * Emits closed sessions as soon as a later event proves the gap;
+    * the still-open session stays in state (a production config adds
+    * event-time timeout to flush stragglers).
+    */
+  def sessionize(events: Dataset[Event], gap: java.time.Duration): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gap.toMillis
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last > gapMs =>
+                closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+                  s.n, (s.last - s.start) / 1000)
+                cur = Some(SessionState(t, t, 1))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverse.iterator
+      }
+  }
+
+  /** Watermarked tumbling daily window — the streaming form of the
+    * KPI aggregation; append mode emits a window only once its
+    * watermark passes (late data inside the watermark still counts).
+    */
+  def dailyCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"))
+
+  /** Kafka-source seam: the reference's real-time ingestion path
+    * (BASELINE.json spark_approach). The connector isn't loadable in
+    * this offline container, so the source construction is isolated
+    * here and the payload decoding — the only logic — is a pure
+    * transform testable on batch DataFrames with the same
+    * (key binary, value binary) schema Kafka delivers.
+    */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  val streamPayloadSchema: StructType = StructType(Seq(
+    StructField("user_id", StringType),
+    StructField("track_id", StringType),
+    StructField("listen_time", StringType)))
+
+  /** Decode a Kafka-shaped frame (binary key/value) into the streams
+    * schema: JSON payload → columns → validated types.
+    */
+  def parseKafkaPayload(frames: DataFrame): DataFrame =
+    frames
+      .select(from_json(col("value").cast("string"), streamPayloadSchema).as("j"))
+      .select(col("j.user_id"), col("j.track_id"),
+        to_timestamp(col("j.listen_time")).as("listen_time"))
+      .filter(col("user_id").isNotNull && col("track_id").isNotNull &&
+        col("listen_time").isNotNull)
+}

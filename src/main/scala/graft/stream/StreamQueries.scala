@@ -38,6 +38,36 @@ object StreamQueries {
         .start()
       q.awaitTermination()
       s.table(name).orderBy(col("event_type"))
+    }),
+
+    // §2.9 stateful: flatMapGroupsWithState gap-sessionization run as a
+    // single AvailableNow batch over the fixture events. Emitted = every
+    // closed session (all but each user's last); the oracle reproduces
+    // that with lag/cumsum window SQL. Timestamps truncated to seconds
+    // on both sides so ns-vs-µs precision cannot skew the arithmetic.
+    "stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val name = s"stream_sessionize_${counter.incrementAndGet()}"
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val ev = Tables.normalizeEvents(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("event_type"))
+        .as[Sessions.Event]
+      val q = Sessions.sessionize(ev, java.time.Duration.ofMinutes(30))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_sec"),
+          unix_timestamp(col("session_end")).as("end_sec"),
+          col("n_events").cast("long").as("n_events"),
+          col("duration_sec"))
+        .orderBy(col("user_id"), col("start_sec"))
     })
   )
 
@@ -46,6 +76,36 @@ object StreamQueries {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |), agg AS (
+        |  SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    COUNT(*) AS n_events
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  CAST(epoch(session_start) AS BIGINT) AS start_sec,
+        |  CAST(epoch(session_end) AS BIGINT) AS end_sec,
+        |  n_events,
+        |  CAST(epoch(session_end) - epoch(session_start) AS BIGINT) AS duration_sec
+        |FROM agg
+        |WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, start_sec""".stripMargin
   )
 }

@@ -1,0 +1,82 @@
+package graft.stream
+
+import graft.SparkSuite
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class SessionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: gap splits sessions, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessions.Event]
+    val q = Sessions.sessionize(input.toDS(), java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: user 1 has two bursts 2h apart → first session closes
+    input.addData(
+      Sessions.Event(1L, ts("2024-01-01 10:00:00"), "click"),
+      Sessions.Event(1L, ts("2024-01-01 10:10:00"), "view"),
+      Sessions.Event(1L, ts("2024-01-01 12:30:00"), "click"),
+      Sessions.Event(2L, ts("2024-01-01 09:00:00"), "click"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("sessions_out")
+      .as[Sessions.Session].collect().sortBy(_.user_id)
+    assert(afterB1.length == 1)
+    assert(afterB1(0).user_id == 1L && afterB1(0).n_events == 2
+      && afterB1(0).duration_sec == 600)
+
+    // batch 2: far-future events close the open sessions of both users
+    input.addData(
+      Sessions.Event(1L, ts("2024-01-02 08:00:00"), "click"),
+      Sessions.Event(2L, ts("2024-01-02 08:00:00"), "click"))
+    q.processAllAvailable()
+    val afterB2 = spark.table("sessions_out")
+      .as[Sessions.Session].collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(afterB2.length == 3)
+    assert(afterB2.count(_.user_id == 2L) == 1)
+    q.stop()
+  }
+
+  test("watermarked daily window: append emits only finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessions.Event]
+    val q = Sessions.dailyCounts(
+        input.toDS().toDF().withColumnRenamed("ts", "ts"), "0 hours")
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    input.addData(
+      Sessions.Event(1L, ts("2024-01-01 10:00:00"), "click"),
+      Sessions.Event(2L, ts("2024-01-01 11:00:00"), "click"),
+      Sessions.Event(1L, ts("2024-01-01 12:00:00"), "view"))
+    q.processAllAvailable()
+    // day-1 window not final yet (watermark at 12:00 < day boundary)
+    assert(spark.table("daily_out").isEmpty)
+
+    input.addData(Sessions.Event(3L, ts("2024-01-02 06:00:00"), "click"))
+    q.processAllAvailable()
+    input.addData(Sessions.Event(3L, ts("2024-01-03 06:00:00"), "click"))
+    q.processAllAvailable()
+    val rows = spark.table("daily_out").orderBy("day", "event_type").collect()
+    assert(rows.exists(r => r.getLong(2) == 2 && r.getString(1) == "click"))
+    assert(rows.exists(r => r.getLong(2) == 1 && r.getString(1) == "view"))
+    q.stop()
+  }
+
+  test("kafka payload parsing: JSON frames → validated stream rows") {
+    val frames = Seq(
+      """{"user_id":"u1","track_id":"t1","listen_time":"2024-01-01 10:00:00"}""",
+      """{"user_id":"u2","track_id":null,"listen_time":"2024-01-01 10:00:00"}""",
+      "not json at all")
+      .toDF("payload")
+      .selectExpr("CAST(NULL AS BINARY) AS key", "CAST(payload AS BINARY) AS value")
+    val parsed = Sessions.parseKafkaPayload(frames).collect()
+    assert(parsed.length == 1)
+    assert(parsed(0).getString(0) == "u1" && parsed(0).getString(1) == "t1")
+  }
+}
