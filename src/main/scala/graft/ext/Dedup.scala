@@ -46,42 +46,58 @@ object Dedup {
   def minhashSignature(shingleCol: Column, k: Int = 16): Column =
     graft.functions.native.minhash_sig(shingleCol, k)
 
-  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
-    *
-    * @param bands   LSH bands (k/bands rows per band); P(bucket-collide)
-    *                = 1-(1-j^r)^b — 16 hashes in 8 bands of 2 targets
-    *                recall at moderate jaccard.
-    * @param minJaccard exact-Jaccard verification threshold on candidates.
-    * @param maxBucket  skew guard: buckets larger than this are dropped
-    *                   (a bucket of size m yields m² pairs — at 100 TB a
-    *                   degenerate band key would otherwise dominate).
+  /** LSH candidate pairs with band-collision counts. Bucket ids only —
+    * the shingle arrays never enter the explode/shuffle. The collision
+    * count `n_bands` is a monotone estimator of Jaccard (a pair
+    * colliding in more bands has higher j with overwhelming
+    * probability), used to pre-rank before exact verification.
     */
-  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 8,
-                   minJaccard: Double = 0.15, maxBucket: Int = 64): DataFrame = {
+  def candidatePairs(docs: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val r = k / bands
-    val sig = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
-    val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64((lit(b) +: (0 until r).map(i => col("sig")(b * r + i))): _*)): _*))
-        .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    val bucketSizes = banded.groupBy(col("band"), col("bucket")).count()
-      .filter(col("count") <= maxBucket).drop("count")
-    a.join(bucketSizes, Seq("band", "bucket"))
-      .join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .distinct()
+    val banded = docs
+      .select(col("doc_id"), minhashSignature(shingles(col("text")), k).as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64((lit(b) +: (0 until r).map(i => col("sig")(b * r + i))): _*)): _*))
+          .as(Seq("band", "bucket")))
+    // One shuffle: gather each bucket's members, drop oversize buckets
+    // (skew guard — a bucket of m yields m²/2 pairs), and emit the i<j
+    // combinations from the sorted member array in-place. No self-join,
+    // no second pass over the banded rows.
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("m"))
+      .filter(size(col("m")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + lit(2), size(col("m"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
   }
+
+  /** Attach shingle sets to candidate id-pairs and verify exact Jaccard
+    * with the native set-hash expression.
+    */
+  private def verifyJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard",
+        graft.functions.native.jaccard_sim(col("a_sh"), col("b_sh")))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs. Defaults k=32 in 8 bands of 4 rows:
+    * band collision ∝ j⁴, so ~0.1-Jaccard noise pairs (the bulk of any
+    * corpus) almost never become candidates, while j≥0.8 pairs collide
+    * in ≥1 band with p≈0.96. minJaccard 0.35 ≈ the banding's natural
+    * threshold (1/b)^(1/r).
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                   minJaccard: Double = 0.35, maxBucket: Int = 64): DataFrame =
+    verifyJaccard(docs, candidatePairs(docs, k, bands, maxBucket))
+      .filter(col("jaccard") >= minJaccard)
 
   /** SimHash 64-bit signature: per bit, majority vote of token-hash
     * bits. Token hashing stays in codegen'd `xxhash64`; the 64-bit vote
@@ -115,17 +131,21 @@ object Dedup {
       .distinct()
   }
 
-  /** N-gram Jaccard top-K most-similar pairs. For bench-sized inputs the
-    * candidate set comes from LSH banding (above); this variant returns
-    * the K highest-Jaccard candidate pairs so results are non-empty even
-    * on corpora with no true near-dups.
+  /** N-gram Jaccard top-K most-similar pairs. Candidates come from a
+    * lower-selectivity banding (r=2, so moderate-similarity pairs still
+    * surface), are pre-ranked by band-collision count (the free minhash
+    * estimate), and only the best `preRank` get exact verification —
+    * the expensive set comparison never touches the noise tail.
     */
-  def topJaccardPairs(docs: DataFrame, topK: Int = 25): DataFrame = {
-    val pairs = minhashPairs(docs, minJaccard = 0.0)
-    pairs
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("jaccard").desc, col("a_id").asc, col("b_id").asc)))
-      .filter(col("rn") <= topK)
-      .drop("rn")
+  def topJaccardPairs(docs: DataFrame, topK: Int = 25, preRank: Int = 300): DataFrame = {
+    // orderBy+limit plans TakeOrderedAndProject — a distributed top-N
+    // (per-partition heaps + merge), not a one-partition window sort.
+    val ranked = candidatePairs(docs, k = 16, bands = 8, maxBucket = 64)
+      .orderBy(col("n_bands").desc, col("a_id").asc, col("b_id").asc)
+      .limit(preRank)
+      .select(col("a_id"), col("b_id"))
+    verifyJaccard(docs, ranked)
+      .orderBy(col("jaccard").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
   }
 }

@@ -120,9 +120,8 @@ object Similarity {
       .join(ea, Seq("a_id"))
       .join(eb, Seq("b_id"))
       .withColumn("cos", round(cosine(col("a_emb"), col("b_emb")), 6))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)))
-      .filter(col("rn") <= topK)
+      .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 }

@@ -127,6 +127,37 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Exact Jaccard similarity of two string-array sets: |A∩B| / |A∪B|
+  * via one hash set build + one probe pass — replaces the
+  * `array_intersect`/`array_union` pair, which builds four structures
+  * and walks the expression tree per element.
+  */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    var j = 0
+    while (j < b.numElements()) {
+      val s = b.getUTF8String(j)
+      if (seenB.add(s) && setA.contains(s)) inter += 1
+      j += 1
+    }
+    val union = setA.size() + seenB.size() - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Winnowing-style fingerprint: min over xxhash64 of all w-byte
   * substrings of the input string — single pass over the bytes.
   */
@@ -171,4 +202,7 @@ object native {
 
   /** Min xxhash64 over all w-byte windows of a string. */
   def rolling_min_hash(text: Column, w: Int): Column = toCol(RollingMinHash(ex(text), w))
+
+  /** Exact Jaccard similarity of two array<string> sets. */
+  def jaccard_sim(a: Column, b: Column): Column = toCol(JaccardSimilarity(ex(a), ex(b)))
 }
