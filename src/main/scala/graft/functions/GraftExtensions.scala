@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-side registration of the native expressions, two ways:
+  *
+  *  - Cluster deployments: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the injected functions exist in every session of the app).
+  *  - Ad hoc sessions: `graft.functions.registerAll(spark)` adds them to
+  *    the current session's registry.
+  *
+  * After either, `spark.sql("SELECT cosine_sim(a, b) …")` works and the
+  * functions participate in SQL query plans like any built-in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private def one(name: String)(f: Expression => Expression): (String, Seq[Expression] => Expression) =
+    name -> { args =>
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+      f(args.head)
+    }
+
+  private def two(name: String)(f: (Expression, Expression) => Expression): (String, Seq[Expression] => Expression) =
+    name -> { args =>
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+      f(args(0), args(1))
+    }
+
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    two("cosine_sim")(CosineSimilarity(_, _)),
+    one("simhash64")(SimHash64(_)),
+    two("jaccard_sim")(JaccardSimilarity(_, _)),
+    name_minhash,
+    name_rolling)
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def name_minhash: (String, Seq[Expression] => Expression) =
+    "minhash_sig" -> { args =>
+      require(args.length == 2, s"minhash_sig expects (array<string>, k)")
+      MinHashSignature(args.head, intArg(args(1), "minhash_sig k"))
+    }
+
+  private def name_rolling: (String, Seq[Expression] => Expression) =
+    "rolling_min_hash" -> { args =>
+      require(args.length == 2, s"rolling_min_hash expects (string, window)")
+      RollingMinHash(args.head, intArg(args(1), "rolling_min_hash window"))
+    }
+}

@@ -205,4 +205,13 @@ object native {
 
   /** Exact Jaccard similarity of two array<string> sets. */
   def jaccard_sim(a: Column, b: Column): Column = toCol(JaccardSimilarity(ex(a), ex(b)))
+
+  /** Register every native function into this session's SQL registry
+    * (per-session alternative to `spark.sql.extensions`).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftExtensions.registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }
