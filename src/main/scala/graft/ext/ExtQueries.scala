@@ -47,6 +47,11 @@ object ExtQueries {
       Similarity.lshTopK(Tables.embeddings(s, d))
         .orderBy(col("q_id"), col("rank"))),
 
+    // IVF coarse-quantizer ANN (alternate scale path).
+    "sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d))
+        .orderBy(col("q_id"), col("rank"))),
+
     // Token counting per language (whitespace tokenizer).
     "text_token_stats" -> ((s, d) =>
       Tables.documents(s, d)

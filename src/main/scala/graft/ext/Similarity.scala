@@ -100,6 +100,47 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
   }
 
+  /** ANN via IVF (inverted-file index): a coarse quantizer assigns every
+    * vector to its nearest centroid; a query probes only the `nprobe`
+    * nearest cells. Centroids here are a deterministic sample of the
+    * corpus (`vec_id % stride == 0`) — a stand-in for k-means that keeps
+    * the dataflow identical: build = one broadcast-argmin pass over the
+    * corpus, search = per-query cell union, exact re-rank inside.
+    * The index (vec_id → cell) is what a production pipeline would
+    * persist alongside the embeddings, bucketed by cell.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val n = emb.count()
+    val stride = math.max(n / nCells, 1)
+    val centroids = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    // build: assign each vector to its nearest centroid (argmax cosine)
+    def nearestCells(df: DataFrame, vecCol: String, m: Int): DataFrame =
+      df.join(broadcast(centroids))
+        .withColumn("cell_sim", cosine(col(vecCol), col("centroid")))
+        .withColumn("cell_rank", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cell_sim").desc, col("cell_id"))))
+        .filter(col("cell_rank") <= m)
+        .drop("centroid", "cell_sim", "cell_rank")
+    val index = nearestCells(emb, "embedding", 1)
+      .select(col("cell_id"), col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("label").as("n_label"))
+    // search: probe the nprobe nearest cells per query
+    val probes = nearestCells(emb.filter(col("vec_id") < nQueries), "embedding", nprobe)
+      .select(col("cell_id"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    index.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"), col("n_label"))
+      .distinct()
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: top-K highest-cosine pairs
     * among LSH candidates (top-K instead of a fixed threshold so the
     * result is non-empty on corpora without true near-dups).

@@ -1,0 +1,99 @@
+package graft
+
+import graft.analytics.Kpis
+import graft.ext.Dedup
+import graft.ingest.Validate
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3) over scalacheck-generated
+  * inputs, sampled with fixed seeds (no scalatest-plus bridge in the
+  * offline cache, so sampling is explicit — and deterministic, which the
+  * oracle-style assertions prefer anyway).
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i * 1000L)))
+
+  private val eventGen = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      et <- Gen.oneOf("click", "view", "purchase")
+      day <- Gen.oneOf("2024-01-01", "2024-01-02", "2024-01-03")
+      uid <- Gen.choose(1L, 8L)
+      v <- Gen.choose(0, 10000).map(_ / 100.0)
+    } yield (et, day, uid, v))
+  } yield rows
+
+  test("property: Σ per-group listen_count = total rows; uniques ≤ count") {
+    samples(eventGen, 5).foreach { rows =>
+      val df = rows.toDF("event_type", "date", "user_id", "value")
+      val kpis = Kpis.genreKpis(df).collect()
+      assert(kpis.map(_.getLong(2)).sum == rows.size)
+      kpis.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+    }
+  }
+
+  test("property: topK ranks dense from 1, ≤ k per group, non-increasing") {
+    samples(eventGen, 5).foreach { rows =>
+      val counted = rows.toDF("event_type", "date", "user_id", "value")
+        .groupBy($"event_type", $"date").agg(count(lit(1)).as("n"))
+      val top = Kpis.topKPerGroup(counted, Seq($"date"), $"n", Seq($"event_type"), 2)
+      top.collect().groupBy(_.getString(1)).values.foreach { g =>
+        val ranks = g.map(_.getAs[Int]("rank")).sorted.toSeq
+        assert(ranks == (1 to ranks.size) && ranks.size <= 2)
+        val ns = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n"))
+        assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+      }
+    }
+  }
+
+  private val userGen = Gen.nonEmptyListOf(for {
+    id <- Gen.identifier.map(_.take(6))
+    name <- Gen.option(Gen.alphaStr.map(_.take(8)))
+    age <- Gen.oneOf(Gen.choose(-5, 200).map(_.toString), Gen.const("junk"))
+    ts <- Gen.oneOf("2024-01-01 10:00:00", "nope")
+  } yield (id, name.orNull, age, "US", ts))
+
+  test("property: validation idempotent, only removes rows, enforces range") {
+    samples(userGen, 5).foreach { rows =>
+      val raw = rows.toDF("user_id", "user_name", "user_age", "user_country", "created_at")
+      val once = Validate.validateUsers(raw)
+      val twice = Validate.validateUsers(once)
+      assert(once.count() <= raw.count())
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+      assert(once.filter(!$"user_age".between(13, 120)).isEmpty)
+    }
+  }
+
+  private val docGen = Gen.listOfN(12, for {
+    id <- Gen.choose(1L, 1000L)
+    words <- Gen.listOfN(15, Gen.oneOf("spark", "scan", "join", "sort",
+      "hash", "row", "batch", "key")).map(_.mkString(" "))
+  } yield (id, words))
+
+  test("property: minhash finds planted exact duplicate; jaccard ∈ [0,1]") {
+    samples(docGen, 3).foreach { docsList =>
+      val distinctIds = docsList.toMap.toSeq
+      val (dupId, dupText) = distinctIds.head
+      val docs = (distinctIds :+ (dupId + 10000, dupText)).toDF("doc_id", "text")
+      val pairs = Dedup.minhashPairs(docs, minJaccard = 0.99).collect()
+      assert(pairs.exists(r =>
+        r.getLong(0) == math.min(dupId, dupId + 10000) &&
+          r.getLong(1) == math.max(dupId, dupId + 10000)),
+        s"planted duplicate ($dupId, ${dupId + 10000}) not found")
+      pairs.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    }
+  }
+
+  test("property: unpivot row count = 4 × KPI rows") {
+    samples(eventGen, 3).foreach { rows =>
+      val kpis = Kpis.genreKpis(rows.toDF("event_type", "date", "user_id", "value"))
+      assert(serve.KeyValue.kpiItems(kpis).count() == kpis.count() * 4)
+    }
+  }
+}

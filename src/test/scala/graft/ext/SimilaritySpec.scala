@@ -60,6 +60,16 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("IVF ANN recall ≥ 0.6 vs brute force on clustered data") {
+    val emb = clusteredEmbeddings()
+    val exact = Similarity.bruteForceTopK(emb, 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, 10, 5, nCells = 16, nprobe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
   test("neighbors share the query's label on clustered data") {
     val emb = clusteredEmbeddings()
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
