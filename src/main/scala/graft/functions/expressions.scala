@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.bridge
@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * 0.0 for zero-norm inputs.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   private def isDouble(e: Expression) =
@@ -58,6 +58,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Whole-stage codegen: the same loop inlined into the stage's
+    * generated Java — no per-row virtual call, no ArrayData boxing of
+    * the result. Elements read via getDouble/getFloat directly off the
+    * (unsafe) array.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getX = if (leftDouble) s"$a.getDouble(i)" else s"(double) $a.getFloat(i)"
+      val getY = if (rightDouble) s"$b.getDouble(i)" else s"(double) $b.getFloat(i)"
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = $getX;
+         |  double y = $getY;
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+         |${ev.value} = denom == 0.0 ? 0.0 : dot / denom;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -66,8 +88,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * a single pass (O(tokens·64) primitive ops, no expression-tree walk).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |int[] counts = new int[64];
+         |int n = $arr.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  long h = $arr.getLong(i);
+         |  for (int b = 0; b < 64; b++) {
+         |    if (((h >>> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+         |  }
+         |}
+         |long sig = 0L;
+         |for (int b = 0; b < 64; b++) {
+         |  if (counts[b] > 0) sig |= (1L << b);
+         |}
+         |${ev.value} = sig;
+       """.stripMargin
+    })
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
