@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout decisions (SURVEY.md §4): the reference stores its
+  * stream files unpartitioned, so its PROCESS_DATE filter re-reads
+  * everything. At 100 TB the fact table is written date-partitioned so
+  * day-scoped queries prune at the source (`PartitionFilters` in the
+  * scan, zero I/O outside the day).
+  */
+object Layout {
+
+  /** Write a fact frame date-partitioned (dynamic overwrite would keep
+    * reruns idempotent per day at scale).
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, dir: String): Unit =
+    df.withColumn("date", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("date")
+      .parquet(dir)
+
+  def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
+    spark.read.parquet(dir).filter(col("date") === lit(day))
+}
