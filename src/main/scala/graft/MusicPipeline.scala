@@ -2,8 +2,7 @@ package graft
 
 import graft.analytics.Kpis
 import graft.ingest.Validate
-import graft.serve.KeyValue
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The reference pipeline, end to end, on the reference's own schema —
