@@ -52,6 +52,14 @@ def main(out_dir: str, sf_dir: str) -> int:
             n_fail += 1
             continue
         g, w = canon(got), canon(want)
+        # strict dtype parity: the driver's hasher may distinguish
+        # int64 from float64 (DuckDB HUGEINT) or int32 from int64
+        dtd = [f"{c}({g[c].dtype}!={w[c].dtype})" for c in g.columns
+               if c in w.columns and str(g[c].dtype) != str(w[c].dtype)]
+        if dtd:
+            print(f"  DTYPE-DIFF {name}: {' '.join(dtd)}")
+            n_fail += 1
+            continue
         if list(g.columns) != list(w.columns):
             print(f"  COLS-DIFF  {name}: spark={list(g.columns)} duckdb={list(w.columns)}")
             n_fail += 1

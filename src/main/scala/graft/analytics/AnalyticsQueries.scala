@@ -60,13 +60,14 @@ object AnalyticsQueries {
     "a3_w1_top_songs" -> ((s, d) =>
       Kpis.topPartsPerFlagDay(s, d)
         .select(col("l_returnflag"), col("date").cast("string").as("date"),
-          col("rank"), col("l_partkey"), col("play_count"))
+          col("rank").cast("long").as("rank"), col("l_partkey"), col("play_count"))
         .orderBy(col("l_returnflag"), col("date"), col("rank"))),
 
     // A4+W2: top-5 per day ranking window.
     "a4_w2_top_genres" -> ((s, d) =>
       Kpis.topTypesPerDay(s, d)
-        .select(col("date").cast("string").as("date"), col("rank"),
+        .select(col("date").cast("string").as("date"),
+          col("rank").cast("long").as("rank"),
           col("event_type"), col("total_plays"))
         .orderBy(col("date"), col("rank"))),
 

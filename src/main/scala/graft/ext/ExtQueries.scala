@@ -65,7 +65,8 @@ object ExtQueries {
     // Per-document quality features (row-level).
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, d))
-        .select(col("doc_id"), col("n_tokens"), col("n_chars_measured"),
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_chars_measured").cast("long").as("n_chars_measured"),
           col("avg_token_len"), col("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
@@ -122,7 +123,7 @@ object ExtQueries {
 
     "text_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
@@ -141,7 +142,7 @@ object ExtQueries {
 
     "json_extract_agg" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS min_k,
         |  MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type

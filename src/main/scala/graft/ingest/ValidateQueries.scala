@@ -66,10 +66,10 @@ object ValidateQueries {
 
     "a5_quality_counts" ->
       """SELECT COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_user,
-        |  SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_null_ts,
-        |  SUM(CASE WHEN regexp_extract(props, '[0-9]+') = '' THEN 1 ELSE 0 END) AS n_bad_props,
-        |  SUM(CASE WHEN value NOT BETWEEN 0.0 AND 400.0 THEN 1 ELSE 0 END) AS n_out_of_range
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+        |  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts,
+        |  CAST(SUM(CASE WHEN regexp_extract(props, '[0-9]+') = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
+        |  CAST(SUM(CASE WHEN value NOT BETWEEN 0.0 AND 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range
         |FROM events""".stripMargin,
 
     "f9_f10_key_concat" ->
