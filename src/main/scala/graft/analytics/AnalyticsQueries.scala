@@ -71,6 +71,48 @@ object AnalyticsQueries {
           col("event_type"), col("total_plays"))
         .orderBy(col("date"), col("rank"))),
 
+    // Headline: pricing-summary shape (multi-aggregate scan, the
+    // canonical single-pass groupBy) — decimal-exact money math.
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Tables.dsum(col("l_quantity")).as("sum_qty"),
+          Tables.dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+            .cast("double").as("sum_disc_price"),
+          Tables.davg(col("l_quantity")).as("avg_qty"),
+          Tables.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Headline: shipping-priority shape (selective 3-way join + agg +
+    // distributed top-10) — filters push to all three scans, dims
+    // broadcast, TakeOrderedAndProject caps the output.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(to_date(col("o_orderdate")) < lit("1996-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) > lit("1996-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).cast("string").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     // U1 (§2.6): manifest-style distinct union of two key sets.
     "u1_union_distinct" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").cast("int").as("key"))
@@ -163,6 +205,36 @@ object AnalyticsQueries {
         |  )
         |) WHERE rank <= 5
         |ORDER BY date, rank""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |  CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+        |  o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) > DATE '1996-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
 
     "u1_union_distinct" ->
       """SELECT DISTINCT key FROM (
