@@ -30,9 +30,17 @@ def main(out_dir: str, sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # Queries that errored inside Verify (or whose dump is absent) must
+    # fail the gate, not silently disappear from the iteration.
+    failed_path = os.path.join(out_dir, "failed_queries.json")
+    verify_failed = set(json.load(open(failed_path))) if os.path.exists(failed_path) else set()
+    dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(verify_failed | (set(oracle) - dumped)):
+        print(f"  NO-RESULT  {name}: query failed in Verify or dump missing")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
+        if not os.path.isdir(qdir) or name in verify_failed:
             continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \

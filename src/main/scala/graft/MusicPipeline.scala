@@ -35,8 +35,7 @@ object MusicPipeline {
       .join(broadcast(vUsers.select(col("user_id"), col("user_age"),
         col("user_country"))), Seq("user_id"))
       .withColumn("date", to_date(col("listen_time")))
-    val enriched = processDate.fold(enriched0)(d =>
-      enriched0.filter(col("date") === to_date(lit(d), "yyyy-MM-dd")))
+    val enriched = analytics.Enrich.forDay(enriched0, processDate)
 
     // A1/A2: genre KPIs (music-schema measures).
     val genreKpis = enriched

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Prints formatted physical plans for the plan-shape-critical queries so
   * pushdown/broadcast/window-group-limit regressions are visible.
   * Usage: runMain graft.PlanAudit [sfDir] [queryName...]
@@ -13,14 +11,7 @@ object PlanAudit {
       else Seq("s3_p1_scan_project", "j1_enrich_users", "j2_sales_by_segment",
         "a1_genre_kpis", "a3_w1_top_songs", "p9_kpis_one_day", "dedup_minhash_lsh",
         "sim_bruteforce_topk")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n=================== $n ===================")

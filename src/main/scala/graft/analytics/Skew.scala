@@ -34,11 +34,17 @@ object Skew {
       .agg(sum(col("_partial")).as("n_distinct"))
   }
 
-  /** Two-phase salted sum/count for arbitrarily heavy keys. */
+  /** Two-phase salted sum/count for arbitrarily heavy keys. The salt
+    * must come from a row-spreading column (`spreadCol` — a row id or
+    * other high-cardinality field), NOT the measure: a hot key whose
+    * rows share one measure value would otherwise still land in a
+    * single bucket. (saltedCountDistinct is the exception — there the
+    * salt must be value-derived for exactness.)
+    */
   def saltedCounts(df: DataFrame, keys: Seq[String], measure: String,
-                   salts: Int = 16): DataFrame = {
+                   spreadCol: String, salts: Int = 16): DataFrame = {
     val phase1 = df
-      .withColumn("_salt", salt(col(measure), salts))
+      .withColumn("_salt", salt(col(spreadCol), salts))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_n"), sum(col(measure)).as("_s"))
     phase1.groupBy(keys.map(col): _*)

@@ -112,21 +112,27 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming. Join key is (chunk-index, chunk-value)
     * — candidates only, never all-pairs.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 256): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+    // Same one-shuffle bucket pairing + skew cap as the MinHash path: a
+    // degenerate chunk (e.g. many near-empty docs sharing sig chunk 0)
+    // would otherwise emit O(m²) rows from one join key.
+    chunked
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("m"))
+      .filter(size(col("m")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + lit(2), size(col("m"))),
+          y => struct(x.getField("doc_id").as("a_id"), y.getField("doc_id").as("b_id"),
+            x.getField("sig").as("a_sig"), y.getField("sig").as("b_sig")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        bit_count(col("p.a_sig").bitwiseXOR(col("p.b_sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
       .distinct()
   }
 

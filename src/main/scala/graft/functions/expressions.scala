@@ -65,18 +65,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
     */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getX = if (leftDouble) s"$a.getDouble(i)" else s"(double) $a.getFloat(i)"
-      val getY = if (rightDouble) s"$b.getDouble(i)" else s"(double) $b.getFloat(i)"
+      // ctx.freshName for every local: this expression appears many
+      // times in one codegen scope (e.g. 32 SRP hyperplane tests in a
+      // single Project), and fixed names would redeclare when children
+      // are non-nullable (unbraced nullSafeCodeGen body).
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      val getX = if (leftDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY = if (rightDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = $getX;
-         |  double y = $getY;
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $getX;
+         |  double $y = $getY;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-         |${ev.value} = denom == 0.0 ? 0.0 : dot / denom;
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $denom == 0.0 ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 
@@ -93,20 +101,24 @@ case class SimHash64(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val b = ctx.freshName("b"); val b2 = ctx.freshName("b2")
+      val sig = ctx.freshName("sig")
       s"""
-         |int[] counts = new int[64];
-         |int n = $arr.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long h = $arr.getLong(i);
-         |  for (int b = 0; b < 64; b++) {
-         |    if (((h >>> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+         |int[] $counts = new int[64];
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
          |  }
          |}
-         |long sig = 0L;
-         |for (int b = 0; b < 64; b++) {
-         |  if (counts[b] > 0) sig |= (1L << b);
+         |long $sig = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($counts[$b2] > 0) $sig |= (1L << $b2);
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
        """.stripMargin
     })
 

@@ -21,9 +21,10 @@ object Incremental {
   /** S5+S6: discover candidate files under a directory, name-filtered. */
   def discover(spark: SparkSession, dir: String, glob: String = "*.csv"): Dataset[String] = {
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sessionState.newHadoopConf())
     val path = new org.apache.hadoop.fs.Path(dir)
+    // path.getFileSystem, not FileSystem.get: the directory may live on
+    // a different scheme (hdfs://, s3a://) than the default FS.
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val re = ("^" + glob.replace(".", "\\.").replace("*", ".*") + "$").r
     val names =
       if (!fs.exists(path)) Seq.empty[String]
@@ -40,10 +41,16 @@ object Incremental {
       .as[String]
   }
 
-  /** Load the manifest table (empty on first run). */
+  /** Load the manifest table (empty on first run). Existence goes
+    * through the Hadoop FileSystem of the manifest's own scheme — a
+    * java.io.File check would report hdfs://…/s3a://… paths as absent
+    * and silently reprocess everything every run.
+    */
   def manifest(spark: SparkSession, manifestDir: String): Dataset[String] = {
     import spark.implicits._
-    if (new java.io.File(manifestDir).exists())
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
       spark.read.parquet(manifestDir).select("path").as[String]
     else spark.emptyDataset[String]
   }

@@ -69,7 +69,10 @@ object KeyValue {
       .unionByName(topGenreItems(Kpis.topTypesPerDay(spark, dir)))
   }
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Weak keys: entries die with their SparkSession (no identity-hash
+  // collisions, no pinning of plans for stopped sessions).
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   /** Materialized serving table — the analog of the reference's *loaded*
     * DynamoDB table (`dynamodb-ingestion.py` runs once per batch; reads
@@ -79,8 +82,12 @@ object KeyValue {
     * DataFrame so the three lookup families scan the store instead of
     * re-running enrich+aggregate per query.
     */
-  def servingTableCached(spark: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir", { _ =>
+  def servingTableCached(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(dir, { _ =>
       val df = servingTable(spark, dir)
         .repartitionByRange(4, col("pk"), col("sk"))
         .sortWithinPartitions(col("pk"), col("sk"))
@@ -88,4 +95,5 @@ object KeyValue {
       df.count() // materialize eagerly — this is the "load" step
       df
     })
+  }
 }

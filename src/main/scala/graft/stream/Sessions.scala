@@ -46,8 +46,15 @@ object Sessions {
                 closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last),
                   s.n, (s.last - s.start) / 1000)
                 cur = Some(SessionState(t, t, 1))
+              case Some(s) if t < s.start - gapMs =>
+                // cross-batch straggler older than the open session by
+                // more than the gap: its own (already closed) session.
+                closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, 0)
               case Some(s) =>
-                cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                // min() matters for late events that predate the stored
+                // start but fall within the gap — the session extends
+                // backward, not just forward.
+                cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
               case None =>
                 cur = Some(SessionState(t, t, 1))
             }

@@ -7,20 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * surface as Verify/Bench (UTC, nanosAsLong, small shuffle partitions).
   */
 object SparkTest {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // cast-or-null coercion semantics (reference validate.py errors="coerce")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val session: SparkSession = GraftSession.local("4")
 }
 
 abstract class SparkSuite extends AnyFunSuite {

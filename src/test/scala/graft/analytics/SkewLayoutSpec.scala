@@ -23,7 +23,7 @@ class SkewLayoutSpec extends SparkSuite {
     val plain = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("v").as("total"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val salted = Skew.saltedCounts(ev, Seq("event_type"), "v")
+    val salted = Skew.saltedCounts(ev, Seq("event_type"), "v", spreadCol = "event_id")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(salted.keySet == plain.keySet)
     salted.foreach { case (k, (n, t)) =>

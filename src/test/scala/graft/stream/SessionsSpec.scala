@@ -42,6 +42,29 @@ class SessionsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("sessionize: late event within gap extends session start backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessions.Event]
+    val q = Sessions.sessionize(input.toDS(), java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    input.addData(Sessions.Event(1L, ts("2024-01-01 10:00:00"), "click"))
+    q.processAllAvailable()
+    // late event 10 min BEFORE the stored start, still within the gap
+    input.addData(Sessions.Event(1L, ts("2024-01-01 09:50:00"), "view"))
+    q.processAllAvailable()
+    // far-future event closes the (extended) session
+    input.addData(Sessions.Event(1L, ts("2024-01-02 00:00:00"), "click"))
+    q.processAllAvailable()
+    val out = spark.table("sessions_late").as[Sessions.Session].collect()
+    assert(out.length == 1)
+    assert(out(0).session_start == ts("2024-01-01 09:50:00"),
+      s"session must extend backward, got start=${out(0).session_start}")
+    assert(out(0).n_events == 2 && out(0).duration_sec == 600)
+    q.stop()
+  }
+
   test("watermarked daily window: append emits only finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Sessions.Event]
