@@ -29,6 +29,20 @@ object Validate {
     df
   }
 
+  /** F13: the reference's before/after count logging
+    * (`validate.py:62,101,127`) done without extra passes — an
+    * `Observation` rides the existing action and reports row and
+    * null-drop counts as accumulator-style metrics. Call
+    * `observation.get` after the first action on the returned frame.
+    */
+  def observed(df: DataFrame, name: String,
+               criticalCols: Seq[String]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val nullCounters = criticalCols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+    (df.observe(obs, count(lit(1)).as("n_rows"), nullCounters: _*), obs)
+  }
+
   /** P11: empty-result guard (`validate.py:124-125`). */
   def requireNonEmpty(df: DataFrame, what: String): DataFrame = {
     require(!df.isEmpty, s"validation produced 0 rows for $what")

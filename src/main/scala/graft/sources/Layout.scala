@@ -22,4 +22,22 @@ object Layout {
 
   def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
     spark.read.parquet(dir).filter(col("date") === lit(day))
+
+  /** Small-file compaction: rewrite a directory into ~`targetFiles`
+    * files. Streaming ingestion produces one file per micro-batch per
+    * partition; at 100 TB the resulting millions of small files
+    * dominate scan planning time, so periodic compaction (or AQE
+    * coalesced writes) is part of the table's lifecycle. Returns the
+    * new file count.
+    */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Int = {
+    val tmp = dir.stripSuffix("/") + "_compacting"
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -24,6 +24,32 @@ object SourceQueries {
           countDistinct(col("user_id")).as("n_users"),
           Tables.dsum(col("value")).as("total_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // JSON-lines source: schema-declared read (never inference — that
+    // costs a second pass over 100 TB).
+    "s2_json_roundtrip" -> ((s, d) => {
+      val tmp = s"/root/repo/target/json_roundtrip_${math.abs(d.hashCode)}"
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      src.write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ORC source: the second columnar format the engine reads/writes.
+    "s4_orc_roundtrip" -> ((s, d) => {
+      val tmp = s"/root/repo/target/orc_roundtrip_${math.abs(d.hashCode)}"
+      val src = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+      src.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -33,6 +59,18 @@ object SourceQueries {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "s2_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "s4_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
