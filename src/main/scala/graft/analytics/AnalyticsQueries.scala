@@ -113,6 +113,22 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // As-of join: each event enriched with the user's most recent order
+    // at or before the event time (composed union+window — one shuffle,
+    // flat state; oracle uses DuckDB's native ASOF JOIN).
+    "asof_join_orders" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts"))
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").as("ot"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("o_custkey"), col("ot"), col("o_orderkey"))
+      AsOf.join(ev, ord, "user_id", "o_custkey", "ts", "ot", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // U1 (§2.6): manifest-style distinct union of two key sets.
     "u1_union_distinct" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").cast("int").as("key"))
@@ -235,6 +251,20 @@ object AnalyticsQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "asof_join_orders" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate AS ot, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |), e AS (
+        |  SELECT event_id, user_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.ot
+        |ORDER BY e.event_id""".stripMargin,
 
     "u1_union_distinct" ->
       """SELECT DISTINCT key FROM (
