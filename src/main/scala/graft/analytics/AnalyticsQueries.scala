@@ -113,6 +113,43 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // W4: analytic frame — 7-row trailing moving average of daily
+    // revenue per flag (rows-frame windows, the lag/lead family).
+    "w4_moving_avg" -> ((s, d) => {
+      // The frame sum stays DECIMAL so the sliding aggregation is exact
+      // in both engines (double frame-sums are addition-order-dependent
+      // — DuckDB's segment-tree windows would drift in the last bits).
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("date"))
+        .agg(sum(col("l_extendedprice").cast(Tables.Money)).as("revenue_dec"))
+      val frame = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("date"))
+        .rowsBetween(-6, 0)
+      val seq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("date"))
+      daily
+        .withColumn("ma7", round(
+          sum(col("revenue_dec")).over(frame).cast("double") /
+            count(col("revenue_dec")).over(frame), 4))
+        .withColumn("prev_revenue",
+          lag(col("revenue_dec").cast("double"), 1).over(seq))
+        .select(col("l_returnflag"), col("date").cast("string").as("date"),
+          col("revenue_dec").cast("double").as("revenue"),
+          col("ma7"), col("prev_revenue"))
+        .orderBy(col("l_returnflag"), col("date"))
+    }),
+
+    // A6: ROLLUP grouping sets with grouping_id — subtotal/total rows.
+    "a6_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("flag"), col("status"), col("gid"))),
+
     // As-of join: each event enriched with the user's most recent order
     // at or before the event time (composed union+window — one shuffle,
     // flat state; oracle uses DuckDB's native ASOF JOIN).
@@ -251,6 +288,32 @@ object AnalyticsQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "w4_moving_avg" ->
+      """SELECT l_returnflag, CAST(date AS VARCHAR) AS date,
+        |  CAST(revenue_dec AS DOUBLE) AS revenue,
+        |  ROUND(CAST(SUM(revenue_dec) OVER w7 AS DOUBLE)
+        |        / COUNT(revenue_dec) OVER w7, 4) AS ma7,
+        |  LAG(CAST(revenue_dec AS DOUBLE), 1)
+        |    OVER (PARTITION BY l_returnflag ORDER BY date) AS prev_revenue
+        |FROM (
+        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS date,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS revenue_dec
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |WINDOW w7 AS (PARTITION BY l_returnflag ORDER BY date
+        |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_returnflag, date""".stripMargin,
+
+    "a6_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status, gid""".stripMargin,
 
     "asof_join_orders" ->
       """WITH o AS (
