@@ -166,6 +166,40 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // R4: pivot — the inverse of the R1 unpivot (long → wide), explicit
+    // value list so the output schema is static.
+    "r4_pivot_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(to_date(col("ts")).cast("string").as("date"), col("event_type"))
+        .groupBy(col("date"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("date"))),
+
+    // A7: exact percentiles (median / p95) — interpolated, computed on
+    // sorted exact doubles so both engines agree bit-for-bit after
+    // rounding.
+    "a7_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // U2/U3 (§2.6 completeness): intersect and except on key sets.
+    "u2_intersect_except" -> ((s, d) => {
+      val purchasers = Tables.events(s, d)
+        .filter(col("event_type") === "purchase").select(col("user_id"))
+      val clickers = Tables.events(s, d)
+        .filter(col("event_type") === "click").select(col("user_id"))
+      purchasers.intersect(clickers).withColumn("op", lit("both"))
+        .unionByName(purchasers.except(clickers).withColumn("op", lit("purchase_only")))
+        .orderBy(col("op"), col("user_id"))
+    }),
+
     // U1 (§2.6): manifest-style distinct union of two key sets.
     "u1_union_distinct" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").cast("int").as("key"))
@@ -328,6 +362,32 @@ object AnalyticsQueries {
         |FROM e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.ot
         |ORDER BY e.event_id""".stripMargin,
+
+    "r4_pivot_counts" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1
+        |ORDER BY date""".stripMargin,
+
+    "a7_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+        |FROM lineitem GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "u2_intersect_except" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        |SELECT user_id, 'both' AS op FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+        |ORDER BY op, user_id""".stripMargin,
 
     "u1_union_distinct" ->
       """SELECT DISTINCT key FROM (
