@@ -200,6 +200,22 @@ object AnalyticsQueries {
         .orderBy(col("op"), col("user_id"))
     }),
 
+    // Range join: lineitems shipped within 90 days of their order date —
+    // bucketed-interval composition (hash join on (key, bucket), exact
+    // predicate on candidates), aggregated per order.
+    "range_join_ship_window" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(date_trunc("second", col("o_orderdate"))).as("t0"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"),
+          unix_timestamp(date_trunc("second", col("l_shipdate"))).as("st"))
+      RangeJoin.join(ord, li, "o_orderkey", "l_orderkey", "t0", "st", 90L * 86400)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped_90d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // U1 (§2.6): manifest-style distinct union of two key sets.
     "u1_union_distinct" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").cast("int").as("key"))
@@ -388,6 +404,18 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
         |ORDER BY op, user_id""".stripMargin,
+
+    "range_join_ship_window" ->
+      """SELECT o.o_orderkey, COUNT(*) AS n_shipped_90d
+        |FROM orders o
+        |JOIN lineitem l
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND epoch(date_trunc('second', l.l_shipdate))
+        |     >= epoch(date_trunc('second', o.o_orderdate))
+        | AND epoch(date_trunc('second', l.l_shipdate))
+        |     < epoch(date_trunc('second', o.o_orderdate)) + 90 * 86400
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "u1_union_distinct" ->
       """SELECT DISTINCT key FROM (
