@@ -51,7 +51,7 @@ object AsOf {
     }
     carried
       .filter(col("_side") === 1)
-      .select(left.columns.map(col) ++
-        payloadCols.map(c => col(s"_p_$c").as(c)): _*)
+      .select((left.columns.map(col) ++
+        payloadCols.map(c => col(s"_p_$c").as(c))).toSeq: _*)
   }
 }

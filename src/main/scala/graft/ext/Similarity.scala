@@ -35,7 +35,11 @@ object Similarity {
     * planes exist on every executor with zero coordination.
     */
   private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, dim))
+    // murmur-style finalizer over the packed coordinates — stable across
+    // Scala versions (library hash functions may change between releases,
+    // which would silently re-bucket a persisted index).
+    var h = table * 0x9E3779B9 + plane * 0x85EBCA6B + dim * 0xC2B2AE35
+    h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
     h.toDouble / Int.MaxValue.toDouble
   }
 
