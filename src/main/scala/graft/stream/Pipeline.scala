@@ -47,17 +47,30 @@ object Pipeline {
   /** The full micro-batch: validate (slice 1) → enrich ⋈ dims → daily
     * KPIs → overwrite per-date outputs. Empty batches short-circuit
     * (the reference's `decide_workflow` branch).
+    *
+    * @param failOnValidationError the reference's strict mode
+    *   (`validate.py:34` FAIL_ON_VALIDATION_ERROR): when true, a batch
+    *   containing rows the cleaning rules would drop aborts the query
+    *   (checkpoint not advanced — the batch replays after the fix);
+    *   when false (resilient, default) bad rows are dropped and counted.
     */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
             songs: DataFrame, users: DataFrame,
-            writeBatch: DataFrame => Unit): StreamingQuery =
-    streamsSource(spark, inputDir)
+            writeBatch: DataFrame => Unit,
+            failOnValidationError: Boolean = false,
+            archiveDir: Option[String] = None): StreamingQuery =
+    streamsSource(spark, inputDir, archiveDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val validated = Validate.validateStreams(batch)
+          if (failOnValidationError) {
+            val bad = batch.count() - validated.count()
+            if (bad > 0) throw new IllegalStateException(
+              s"strict validation: $bad malformed rows in batch")
+          }
           val enriched = validated
             .join(broadcast(songs), Seq("track_id"))
             .join(broadcast(users), Seq("user_id"))
