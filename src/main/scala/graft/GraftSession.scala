@@ -17,6 +17,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // cast-or-null coercion semantics (reference validate.py errors="coerce")
       .config("spark.sql.ansi.enabled", "false")
+      // runtime bloom-filter pushdown: at scale a selective dim filter
+      // prunes the fact side of a shuffle join before the exchange.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String): SparkSession = {
