@@ -1,0 +1,48 @@
+package graft
+
+/** Guards on the driver contract itself — the failure modes the gate
+  * cannot see: a duplicate query key silently collapses in the Map
+  * (one pack's query shadows another's), a dangling oracle key never
+  * gets compared, a non-identifier name breaks the driver's JSON/paths.
+  */
+class ContractSpec extends SparkSuite {
+
+  private val packs: Seq[(String, Map[String, _])] = Seq(
+    "analytics" -> analytics.AnalyticsQueries.queries,
+    "ingest" -> ingest.ValidateQueries.queries,
+    "serve" -> serve.KeyValueQueries.queries,
+    "ext" -> ext.ExtQueries.queries,
+    "sources" -> sources.SourceQueries.queries,
+    "stream" -> stream.StreamQueries.queries)
+
+  test("no query key collisions across packs") {
+    val all = packs.flatMap { case (pack, qs) => qs.keys.map(_ -> pack) }
+    val dupes = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dupes.isEmpty, s"duplicate query keys: ${dupes.map { case (k, ps) =>
+      s"$k in ${ps.map(_._2).mkString("+")}" }.mkString(", ")}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key names an existing query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
+  }
+
+  test("query names are json/path-safe identifiers") {
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("[a-z][a-z0-9_]*"))
+    assert(bad.isEmpty, s"non-identifier query names: $bad")
+  }
+
+  test("t1 gate: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL contains no tab/CR control chars that stress JSON escaping") {
+    // Verify.scala escapes them correctly, but flat SQL is easier to
+    // diff against the driver's CORRECTNESS report — keep it clean.
+    val offenders = SparkEntry.oracleSql.collect {
+      case (k, sql) if sql.exists(c => c == '\t' || c == '\r') => k
+    }
+    assert(offenders.isEmpty, s"oracle SQL with tab/CR: $offenders")
+  }
+}
