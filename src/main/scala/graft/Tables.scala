@@ -63,4 +63,13 @@ object Tables {
     * Oracle mirror: `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x)`.
     */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Exact discounted-revenue sum: SUM(price · (1 − discount)) in
+    * decimal (2+4 fractional digits are exact), cast to double last.
+    * Oracle mirror: `CAST(SUM(CAST(p AS DECIMAL(12,2)) *
+    * (CAST(1 AS DECIMAL(8,4)) - CAST(d AS DECIMAL(8,4)))) AS DOUBLE)`.
+    */
+  def drevenue(price: Column, discount: Column): Column =
+    sum(price.cast("decimal(12,2)") *
+      (lit(1).cast("decimal(8,4)") - discount.cast("decimal(8,4)"))).cast("double")
 }

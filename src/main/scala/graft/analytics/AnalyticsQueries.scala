@@ -36,9 +36,7 @@ object AnalyticsQueries {
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_items"),
-          sum((col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))))
-            .cast("double").as("revenue"),
+          Tables.drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           Tables.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("c_mktsegment"), col("o_orderpriority"))),
 
@@ -80,9 +78,7 @@ object AnalyticsQueries {
         .agg(
           Tables.dsum(col("l_quantity")).as("sum_qty"),
           Tables.dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
-            .cast("double").as("sum_disc_price"),
+          Tables.drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           Tables.davg(col("l_quantity")).as("avg_qty"),
           Tables.davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -106,9 +102,7 @@ object AnalyticsQueries {
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).cast("string").as("orderdate"),
           col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
-          .cast("double").as("revenue"))
+        .agg(Tables.drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),

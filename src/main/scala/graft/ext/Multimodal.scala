@@ -27,7 +27,6 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
   case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
                       width: Int, height: Int, nFrames: Int)
   case class DecodedRow(doc_id: Long, width: Int, height: Int,

@@ -38,28 +38,16 @@ object GraftExtensions {
       f(args(0), args(1))
     }
 
-  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    two("cosine_sim")(CosineSimilarity(_, _)),
-    one("simhash64")(SimHash64(_)),
-    two("jaccard_sim")(JaccardSimilarity(_, _)),
-    name_minhash,
-    name_rolling)
-
   private def intArg(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
 
-  private def name_minhash: (String, Seq[Expression] => Expression) =
-    "minhash_sig" -> { args =>
-      require(args.length == 2, s"minhash_sig expects (array<string>, k)")
-      MinHashSignature(args.head, intArg(args(1), "minhash_sig k"))
-    }
-
-  private def name_rolling: (String, Seq[Expression] => Expression) =
-    "rolling_min_hash" -> { args =>
-      require(args.length == 2, s"rolling_min_hash expects (string, window)")
-      RollingMinHash(args.head, intArg(args(1), "rolling_min_hash window"))
-    }
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    two("cosine_sim")(CosineSimilarity(_, _)),
+    one("simhash64")(SimHash64(_)),
+    two("jaccard_sim")(JaccardSimilarity(_, _)),
+    two("minhash_sig")((sh, k) => MinHashSignature(sh, intArg(k, "minhash_sig k"))),
+    two("rolling_min_hash")((t, w) => RollingMinHash(t, intArg(w, "rolling_min_hash window"))))
 }
