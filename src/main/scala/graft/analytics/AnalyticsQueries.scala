@@ -107,6 +107,41 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // Headline: local-supplier-revenue shape — the full 6-table star
+    // join (region→nation→{customer,supplier}→orders→lineitem) with the
+    // customer-nation = supplier-nation correlation. All dims broadcast;
+    // Catalyst orders the join tree.
+    "q5_local_supplier" -> ((s, d) => {
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Tables.drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // J4: left-semi join — EXISTS without duplicating or widening rows.
+    "j4_semi_join" -> ((s, d) => {
+      val bigItems = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // W4: analytic frame — 7-row trailing moving average of daily
     // revenue per flag (rows-frame windows, the lag/lead family).
     "w4_moving_avg" -> ((s, d) => {
@@ -332,6 +367,30 @@ object AnalyticsQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o_orderkey AND l.l_quantity >= 45
+        |)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "w4_moving_avg" ->
       """SELECT l_returnflag, CAST(date AS VARCHAR) AS date,
