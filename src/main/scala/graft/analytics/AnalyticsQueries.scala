@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Correctness-gated queries for the analytic core (SURVEY.md §2.1 scans,
@@ -166,6 +166,27 @@ object AnalyticsQueries {
           col("revenue_dec").cast("double").as("revenue"),
           col("ma7"), col("prev_revenue"))
         .orderBy(col("l_returnflag"), col("date"))
+    }),
+
+    // A8: top-K via the custom typed Aggregator — same result set as
+    // the W1 window formulation, computed inside groupBy.agg with
+    // bounded per-mapper state (k rows per group per partial).
+    "a8_topk_aggregator" -> ((s, d) => {
+      val topk = udaf(graft.functions.TopKAggregator(3),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("date"),
+          col("l_partkey"))
+        .agg(count(lit(1)).as("play_count"))
+        .groupBy(col("l_returnflag"), col("date"))
+        .agg(topk(col("play_count"), col("l_partkey")).as("top"))
+        .select(col("l_returnflag"), col("date").cast("string").as("date"),
+          posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("l_returnflag"), col("date"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("entry._2").as("l_partkey"),
+          col("entry._1").as("play_count"))
+        .orderBy(col("l_returnflag"), col("date"), col("rank"))
     }),
 
     // A6: ROLLUP grouping sets with grouping_id — subtotal/total rows.
@@ -407,6 +428,19 @@ object AnalyticsQueries {
         |WINDOW w7 AS (PARTITION BY l_returnflag ORDER BY date
         |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY l_returnflag, date""".stripMargin,
+
+    "a8_topk_aggregator" ->
+      """SELECT l_returnflag, CAST(date AS VARCHAR) AS date, rank, l_partkey, play_count FROM (
+        |  SELECT l_returnflag, date, l_partkey, play_count,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag, date
+        |                       ORDER BY play_count DESC, l_partkey ASC) AS rank
+        |  FROM (
+        |    SELECT l_returnflag, CAST(l_shipdate AS DATE) AS date, l_partkey,
+        |      COUNT(*) AS play_count
+        |    FROM lineitem GROUP BY 1, 2, 3
+        |  )
+        |) WHERE rank <= 3
+        |ORDER BY l_returnflag, date, rank""".stripMargin,
 
     "a6_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
