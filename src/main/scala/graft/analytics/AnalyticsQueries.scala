@@ -46,10 +46,23 @@ object AnalyticsQueries {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("event_type"), col("date"))),
 
-    // P9 + A1: single-day scoped variant (PROCESS_DATE semantics).
+    // A1 at 100 TB: the documented HLL deviation — exact countDistinct
+    // swapped for approx_count_distinct (one shuffle instead of Expand's
+    // two). Rows-only under the gate (HLL estimates are engine-specific);
+    // the ≤10% bound vs the exact variant is asserted in KpiSpec.
+    "a9_kpis_approx" -> ((s, d) =>
+      Kpis.genreKpisApprox(Enrich.enriched(s, d))
+        .select(col("event_type"), col("date").cast("string").as("date"),
+          col("listen_count"), col("unique_listeners"))
+        .orderBy(col("event_type"), col("date"))),
+
+    // P9 + A1: single-day scoped variant (PROCESS_DATE semantics). The
+    // process date (earliest event day) is computed in-plan — a 1-row
+    // aggregate broadcast-joined onto the fact — instead of a driver-side
+    // .head() fetch, so the whole query is one job.
     "p9_kpis_one_day" -> ((s, d) => {
-      val day = Tables.events(s, d).select(min(to_date(col("ts"))).cast("string")).head().getString(0)
-      Kpis.genreKpis(Enrich.forDay(Enrich.enriched(s, d), Some(day)))
+      val minDay = Tables.events(s, d).agg(min(to_date(col("ts"))).as("_process_date"))
+      Kpis.genreKpis(Enrich.forDayOf(Enrich.enriched(s, d), minDay))
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("event_type"), col("date"))
     }),
@@ -250,9 +263,10 @@ object AnalyticsQueries {
         .orderBy(col("op"), col("user_id"))
     }),
 
-    // Range join: lineitems shipped within 90 days of their order date —
-    // bucketed-interval composition (hash join on (key, bucket), exact
-    // predicate on candidates), aggregated per order.
+    // Keyed range join: lineitems shipped within 90 days of their order
+    // date — the equi-key (orderkey) drives a plain hash join; the range
+    // is a residual predicate (bucketing a keyed join would double the
+    // probe rows for zero selectivity).
     "range_join_ship_window" -> ((s, d) => {
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
@@ -260,10 +274,28 @@ object AnalyticsQueries {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"),
           unix_timestamp(date_trunc("second", col("l_shipdate"))).as("st"))
-      RangeJoin.join(ord, li, "o_orderkey", "l_orderkey", "t0", "st", 90L * 86400)
+      RangeJoin.joinKeyed(ord, li, "o_orderkey", "l_orderkey", "t0", "st", 90L * 86400)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_shipped_90d"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Keyless interval join: lineitems shipped within 30 days of each
+    // distinct order *month* — no equi-key exists, so the bucketed
+    // composition is load-bearing (a naive plan is a nested-loop
+    // product over |months| × |lineitem|).
+    "range_join_keyless_interval" -> ((s, d) => {
+      val months = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).as("m"))
+        .distinct()
+        .select(unix_timestamp(col("m")).as("t0"),
+          col("m").cast("date").cast("string").as("month_start"))
+      val li = Tables.lineitem(s, d)
+        .select(unix_timestamp(date_trunc("second", col("l_shipdate"))).as("st"))
+      RangeJoin.joinKeyless(months, li, "t0", "st", 30L * 86400)
+        .groupBy(col("month_start"))
+        .agg(count(lit(1)).as("n_shipped_30d"))
+        .orderBy(col("month_start"))
     }),
 
     // U1 (§2.6): manifest-style distinct union of two key sets.
@@ -501,6 +533,19 @@ object AnalyticsQueries {
         |     >= epoch(date_trunc('second', o.o_orderdate))
         | AND epoch(date_trunc('second', l.l_shipdate))
         |     < epoch(date_trunc('second', o.o_orderdate)) + 90 * 86400
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "range_join_keyless_interval" ->
+      """WITH m AS (
+        |  SELECT DISTINCT epoch(date_trunc('month', o_orderdate)) AS t0,
+        |    CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start
+        |  FROM orders
+        |)
+        |SELECT m.month_start, COUNT(*) AS n_shipped_30d
+        |FROM m JOIN lineitem l
+        |  ON epoch(date_trunc('second', l.l_shipdate)) >= m.t0
+        | AND epoch(date_trunc('second', l.l_shipdate)) < m.t0 + 30 * 86400
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 

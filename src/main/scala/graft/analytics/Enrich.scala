@@ -47,6 +47,15 @@ object Enrich {
   def forDay(df: DataFrame, processDate: Option[String]): DataFrame =
     processDate.fold(df)(d => df.filter(col("date") === to_date(lit(d), "yyyy-MM-dd")))
 
+  /** P9 with the process date computed *in-plan*: `processDay` is a
+    * 1-row/1-column (`_process_date`, date) aggregate that is broadcast
+    * inner-joined onto the fact — the scalar never touches the driver,
+    * so the query stays one job (vs. a `.head()` fetch = job per run).
+    */
+  def forDayOf(df: DataFrame, processDay: DataFrame): DataFrame =
+    df.join(broadcast(processDay), col("date") === col("_process_date"))
+      .drop("_process_date")
+
   /** J2 chain on the second fact path: lineitem ⋈ orders ⋈ customer.
     * orders→customer is dim-sized (broadcast); lineitem→orders is the
     * only shuffle-bearing join and both sides shuffle on o_orderkey —

@@ -136,16 +136,19 @@ object Dedup {
       .distinct()
   }
 
-  /** N-gram Jaccard top-K most-similar pairs. Candidates come from a
-    * lower-selectivity banding (r=2, so moderate-similarity pairs still
-    * surface), are pre-ranked by band-collision count (the free minhash
-    * estimate), and only the best `preRank` get exact verification —
-    * the expensive set comparison never touches the noise tail.
+  /** N-gram Jaccard top-K most-similar pairs. Candidates come from the
+    * r=4 banding (collision ∝ j⁴ — a top-K query only needs the
+    * high-similarity head to collide, and the j² banding drowned the
+    * bucket groupBy in moderate-j noise pairs: ~1000× more candidates
+    * than the 300 the pre-rank keeps), pre-ranked by band-collision
+    * count (the free minhash estimate); only the best `preRank` get
+    * exact verification — the expensive set comparison never touches
+    * the noise tail.
     */
   def topJaccardPairs(docs: DataFrame, topK: Int = 25, preRank: Int = 300): DataFrame = {
     // orderBy+limit plans TakeOrderedAndProject — a distributed top-N
     // (per-partition heaps + merge), not a one-partition window sort.
-    val ranked = candidatePairs(docs, k = 16, bands = 8, maxBucket = 64)
+    val ranked = candidatePairs(docs, k = 32, bands = 8, maxBucket = 64)
       .orderBy(col("n_bands").desc, col("a_id").asc, col("b_id").asc)
       .limit(preRank)
       .select(col("a_id"), col("b_id"))

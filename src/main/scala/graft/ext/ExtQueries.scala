@@ -37,9 +37,11 @@ object ExtQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d))
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))),
 
-    // Exact brute-force cosine top-k (baseline ANN path).
+    // Exact brute-force cosine top-k (baseline ANN path). rank cast to
+    // long to match the oracle's ROW_NUMBER (bigint in DuckDB).
     "sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d))
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("q_id"), col("rank"))),
 
     // SRP-LSH bucketed ANN (scale path).
@@ -84,10 +86,16 @@ object ExtQueries {
         .orderBy(col("doc_id"))),
 
     // Multimodal: binary media column → batched decode/feature-extract
-    // (mapPartitions, stubbed codec — see Multimodal scaladoc).
+    // (mapPartitions, stubbed codec — see Multimodal scaladoc). The
+    // feature vector is projected to a fixed-format CSV string so the
+    // result is sortable/hashable by a generic checker (array cells are
+    // not), without losing any information.
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeFeatures(s, Multimodal.withFakeMedia(Tables.documents(s, d)))
         .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          concat_ws(",", transform(col("features"),
+            f => format_string("%.6f", f))).as("features_csv"))
         .orderBy(col("doc_id"))),
 
     // Multimodal: metadata-only resize (never touches the payload).
@@ -115,6 +123,75 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact ANN baseline is SQL-expressible: cosine in double (matching
+    // the native expression's double accumulation over float inputs),
+    // same round-then-rank order, same tie-break.
+    "sim_bruteforce_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id, e.label AS n_label,
+        |    round(list_inner_product(q.q_emb, CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_inner_product(q.q_emb, q.q_emb))
+        |         * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings e JOIN q ON q.q_id <> e.vec_id
+        |), ranked AS (
+        |  SELECT q_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank,
+        |    n_id, n_label, cos
+        |  FROM scored
+        |)
+        |SELECT q_id, rank, n_id, n_label, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Exact all-pairs top-K Jaccard (feasible at oracle scale). The
+    // Spark side goes through LSH candidates; it matches the exact
+    // answer because the top-K head (j ≥ 0.9 here) collides in the r=4
+    // banding with p ≈ 1 — this oracle is precisely the recall claim.
+    // Same shingling (w=3, distinct), same (double) inter/union math,
+    // same tie-break.
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, jaccard FROM pairs
+        |ORDER BY jaccard DESC, a_id, b_id LIMIT 25""".stripMargin,
+
+    // Language-ID argmax: Spark's array_max over struct(score, lang)
+    // breaks ties toward the lexicographically LAST lang, so the CASE
+    // tests langs in descending lex order with >= comparisons.
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_intersect(string_split(text, ' '), ['der','die','und','das'])) AS s_de,
+        |    len(list_intersect(string_split(text, ' '), ['the','and','of','is'])) AS s_en,
+        |    len(list_intersect(string_split(text, ' '), ['el','la','de','que'])) AS s_es,
+        |    len(list_intersect(string_split(text, ' '), ['le','la','et','les'])) AS s_fr,
+        |    len(list_intersect(string_split(text, ' '), ['的','是','了','在'])) AS s_zh
+        |  FROM documents
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en >= s_de THEN 'en'
+        |      ELSE 'de' END AS pred_lang
+        |  FROM scored
+        |)
+        |SELECT lang, pred_lang, COUNT(*) AS n FROM pred
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies

@@ -106,32 +106,45 @@ object Similarity {
 
   /** ANN via IVF (inverted-file index): a coarse quantizer assigns every
     * vector to its nearest centroid; a query probes only the `nprobe`
-    * nearest cells. Centroids here are a deterministic sample of the
-    * corpus (`vec_id % stride == 0`) — a stand-in for k-means that keeps
-    * the dataflow identical: build = one broadcast-argmin pass over the
-    * corpus, search = per-query cell union, exact re-rank inside.
+    * nearest cells. Centroids here are a deterministic pseudo-random
+    * sample of the corpus (hash-ordered top-nCells) — a stand-in for
+    * k-means that keeps the dataflow identical.
+    *
+    * Scale shape: the quantizer is nCells·dims floats — inherently tiny
+    * (k-means centroids live on the driver between iterations anyway) —
+    * so it is collected once and baked into the plan as literals. Cell
+    * assignment is then a map-side argmax (`array_max` over
+    * `struct(cosine, cell)`): zero shuffle, zero row blowup, vs. the
+    * naive broadcast-nested-loop × nCells + row_number window which
+    * shuffles nCells·N rows to pick a per-row maximum.
     * The index (vec_id → cell) is what a production pipeline would
     * persist alongside the embeddings, bucketed by cell.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
               nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val n = emb.count()
-    val stride = math.max(n / nCells, 1)
-    val centroids = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
-    // build: assign each vector to its nearest centroid (argmax cosine)
-    def nearestCells(df: DataFrame, vecCol: String, m: Int): DataFrame =
-      df.join(broadcast(centroids))
-        .withColumn("cell_sim", cosine(col(vecCol), col("centroid")))
-        .withColumn("cell_rank", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cell_sim").desc, col("cell_id"))))
-        .filter(col("cell_rank") <= m)
-        .drop("centroid", "cell_sim", "cell_rank")
-    val index = nearestCells(emb, "embedding", 1)
+    val centroids: Array[(Long, Array[Float])] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // Map-side m-nearest cells: score all nCells in one array expression,
+    // sort it (nCells elements, per row, in registers — no shuffle), and
+    // keep the top m cell ids. Struct sort orders by (sim, cell) asc, so
+    // reverse gives sim-desc with cell-desc tiebreak — deterministic.
+    def topCells(vecCol: Column, m: Int): Column = {
+      val scored = array(centroids.map { case (cid, vec) =>
+        struct(cosine(vecCol, typedLit(vec)).as("s"), lit(cid).as("c"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, m).getField("c")
+    }
+    val index = emb
+      .withColumn("cell_id", element_at(topCells(col("embedding"), 1), 1))
       .select(col("cell_id"), col("vec_id").as("n_id"),
         col("embedding").as("n_emb"), col("label").as("n_label"))
     // search: probe the nprobe nearest cells per query
-    val probes = nearestCells(emb.filter(col("vec_id") < nQueries), "embedding", nprobe)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .withColumn("cell_id", explode(topCells(col("embedding"), nprobe)))
       .select(col("cell_id"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     index.join(broadcast(probes), Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))

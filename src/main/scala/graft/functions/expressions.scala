@@ -153,9 +153,39 @@ case class SimHash64(child: Expression)
   * element, g_i = h1 + i·h2) — one pass over the shingles instead of k.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && k <= 512, s"minhash k out of range: $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Same loop emitted into the stage's generated Java — the per-row
+    * virtual-call + boxing overhead of CodegenFallback was the dominant
+    * cost of the LSH banding stage (signature is computed once per doc
+    * but k·shingles times per signature).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+      val j = ctx.freshName("j"); val g = ctx.freshName("g")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |  long $h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  long $h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 77L);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $g = $h1 + $j * $h2;
+         |    if ($g < $mins[$j]) $mins[$j] = $g;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -186,8 +216,29 @@ case class MinHashSignature(child: Expression, k: Int)
   * and walks the expression tree per element.
   */
 case class JaccardSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val setA = ctx.freshName("setA"); val seenB = ctx.freshName("seenB")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      // raw HashSet: janino compiles a generics-free Java subset
+      s"""
+         |java.util.HashSet $setA = new java.util.HashSet($a.numElements() * 2);
+         |for (int $i = 0; $i < $a.numElements(); $i++) $setA.add($a.getUTF8String($i));
+         |java.util.HashSet $seenB = new java.util.HashSet($b.numElements() * 2);
+         |int $inter = 0;
+         |for (int $j = 0; $j < $b.numElements(); $j++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $b.getUTF8String($j);
+         |  if ($seenB.add($s) && $setA.contains($s)) $inter++;
+         |}
+         |int $union = $setA.size() + $seenB.size() - $inter;
+         |${ev.value} = $union == 0 ? 1.0 : (double) $inter / $union;
+       """.stripMargin
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -94,13 +94,16 @@ object KeyValueQueries {
         .orderBy(col("pk"), col("sk"))),
 
     // Lookup family 3: exact pk (earliest event day) + sk BETWEEN
-    // (dynamo_query.txt:49-70).
+    // (dynamo_query.txt:49-70). The earliest day is computed in-plan
+    // (1-row aggregate broadcast-joined onto the store) rather than
+    // fetched to the driver with .head() — one job instead of two.
     "l3_rank_between_lookup" -> ((s, d) => {
-      val day = graft.Tables.events(s, d)
-        .select(min(to_date(col("ts"))).cast("string")).head().getString(0)
+      val minPk = graft.Tables.events(s, d)
+        .agg(concat(lit("DATE#"), min(to_date(col("ts"))).cast("string")).as("_pk"))
       KeyValue.servingTableCached(s, d)
-        .filter(col("pk") === s"DATE#$day" &&
-          col("sk").between("GENRE_RANK#1", "GENRE_RANK#3"))
+        .join(broadcast(minPk), col("pk") === col("_pk"))
+        .drop("_pk")
+        .filter(col("sk").between("GENRE_RANK#1", "GENRE_RANK#3"))
         .orderBy(col("pk"), col("sk"))
     })
   )

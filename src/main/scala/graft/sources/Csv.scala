@@ -34,10 +34,19 @@ object Csv {
     df.filter(df.col(CorruptCol).isNull).drop(CorruptCol)
   }
 
-  /** Quarantined raw lines for the strict/resilient failure policy. */
+  /** Quarantined raw lines for the strict/resilient failure policy.
+    *
+    * Spark refuses a query whose pruned read schema is only the internal
+    * corrupt-record column, so the read must be cached — but the full
+    * input must not stay pinned for the caller's lifetime. The corrupt
+    * subset (small by assumption: it's the quarantine) is eagerly
+    * materialized with `localCheckpoint`, and the full-width cache is
+    * dropped before returning.
+    */
   def corruptRows(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val df = read(spark, path, schema).cache()
-    df.filter(df.col(CorruptCol).isNotNull).select(CorruptCol)
+    try df.filter(df.col(CorruptCol).isNotNull).select(CorruptCol).localCheckpoint(true)
+    finally df.unpersist()
   }
 
   def write(df: DataFrame, path: String, header: Boolean = true): Unit =
