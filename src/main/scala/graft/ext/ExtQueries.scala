@@ -146,6 +146,61 @@ object ExtQueries {
         |SELECT q_id, rank, n_id, n_label, cos FROM ranked
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // Exact all-pairs threshold Jaccard. The Spark side goes through
+    // r=4 LSH banding; it matches the exact answer because every pair
+    // over the 0.35 threshold in this corpus is a planted near-dup at
+    // j ≥ 0.9, where band collision is ~certain (borderline-j pairs
+    // with sub-1 recall would be a genuine LSH/exact divergence — the
+    // corpus has none, which is what makes this oracle-able at all).
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, jaccard FROM pairs
+        |WHERE jaccard >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+    // Multimodal metadata stages: the fake-media metadata is portable
+    // integer arithmetic (see Multimodal.withFakeMedia), so the
+    // metadata-only resize and the frame sampler are exactly
+    // reproducible in SQL.
+    "mm_resize_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS INTEGER) AS width,
+        |    CAST((doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS INTEGER) AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(ceil(width * least(1.0, 48 / greatest(width, height))) AS INTEGER) AS out_width,
+        |  CAST(ceil(height * least(1.0, 48 / greatest(width, height))) AS INTEGER) AS out_height
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text || '|' || source)) AS total,
+        |    CAST((doc_id + 2) * 2654435761 % 4294967296 % 8 + 1 AS INTEGER) AS nFrames
+        |  FROM documents
+        |), frames AS (
+        |  SELECT doc_id, total, nFrames,
+        |    CAST(unnest(generate_series(0, nFrames - 1)) AS INTEGER) AS frame,
+        |    greatest(total // nFrames, 1) AS slice_len
+        |  FROM m
+        |)
+        |SELECT doc_id, frame,
+        |  CAST(greatest(least(slice_len, total - (frame * slice_len + 1) + 1), 0)
+        |       AS INTEGER) AS frame_len
+        |FROM frames WHERE frame % 2 = 0
+        |ORDER BY doc_id, frame""".stripMargin,
+
     // Exact all-pairs top-K Jaccard (feasible at oracle scale). The
     // Spark side goes through LSH candidates; it matches the exact
     // answer because the top-K head (j ≥ 0.9 here) collides in the r=4

@@ -34,17 +34,24 @@ object Multimodal {
 
   /** Attach a deterministic synthetic media payload to each document —
     * stands in for reading a real binary column from parquet. Payload
-    * bytes are a keyed hash stream; metadata is derived from doc stats.
+    * bytes are the doc text; metadata is a multiplicative hash of
+    * doc_id (Knuth constant) in plain integer arithmetic, so the
+    * downstream metadata-only stages are reproducible in ANSI SQL and
+    * can be hash-verified by the DuckDB oracle (engine-private hashes
+    * like xxhash64 would make them self-certified only).
     */
+  private def metaHash(k: Int): org.apache.spark.sql.Column =
+    (col("doc_id") + lit(k)) * lit(2654435761L) % lit(4294967296L)
+
   def withFakeMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       // binary payload: text bytes repeated — opaque to the pipeline
       encode(concat_ws("|", col("text"), col("source")), "UTF-8").as("media"),
       lit("fake/rgb8").as("format"),
-      (pmod(xxhash64(col("doc_id")), lit(64)) + lit(32)).cast("int").as("width"),
-      (pmod(xxhash64(col("doc_id"), lit(1)), lit(64)) + lit(32)).cast("int").as("height"),
-      (pmod(xxhash64(col("doc_id"), lit(2)), lit(8)) + lit(1)).cast("int").as("nFrames"))
+      (metaHash(0) % 64 + lit(32)).cast("int").as("width"),
+      (metaHash(1) % 64 + lit(32)).cast("int").as("height"),
+      (metaHash(2) % 8 + lit(1)).cast("int").as("nFrames"))
 
   /** STUB decoder: a real implementation would decode the image/frame
     * here (e.g. via a JNI codec); the fake derives a 16-bin byte
