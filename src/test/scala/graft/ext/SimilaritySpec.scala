@@ -70,6 +70,18 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("IVF plan: cell assignment is map-side — no nested loop, no window exchange") {
+    val plan = Similarity.ivfTopK(clusteredEmbeddings(), 10, 5, nCells = 16, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF assignment must not blow up rows against the centroid set:\n$plan")
+    // the only ranking window allowed is the final top-k re-rank over
+    // candidates — the nCells·N assignment argmax must stay map-side
+    val windows = "RunningWindowFunction|Window\\b".r.findAllIn(plan).size
+    assert(windows <= 1,
+      s"IVF assignment argmax must not need a per-vector ranking window:\n$plan")
+  }
+
   test("neighbors share the query's label on clustered data") {
     val emb = clusteredEmbeddings()
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
