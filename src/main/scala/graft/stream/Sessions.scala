@@ -75,6 +75,20 @@ object Sessions {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("day"), col("event_type"), col("n"))
 
+  /** Exactly-once event dedup for at-least-once sources (the reference's
+    * Kinesis/Kafka delivery can replay): watermarked
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per key and
+    * evicts dedup state once the watermark passes — state is O(events
+    * inside the watermark window), not O(history), which is what makes
+    * streaming dedup feasible at 100 TB/day. Key must include the
+    * event-time column so eviction is safe.
+    */
+  def dedupExactlyOnce(events: DataFrame, keys: Seq[String],
+                       watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Kafka-source seam: the reference's real-time ingestion path
     * (BASELINE.json spark_approach). The connector isn't loadable in
     * this offline container, so the source construction is isolated

@@ -40,6 +40,35 @@ object StreamQueries {
       s.table(name).orderBy(col("event_type"))
     }),
 
+    // §2.9 exactly-once under at-least-once delivery: the stream is
+    // unioned with itself (every event delivered twice) and
+    // dropDuplicatesWithinWatermark must collapse it back — the memory
+    // sink then equals the batch DISTINCT aggregate, which is what the
+    // oracle checks. Only count is aggregated (which duplicate survives
+    // is arbitrary for non-key columns).
+    "stream_dedup_counts" -> ((s, d) => {
+      val name = s"stream_dedup_counts_${counter.incrementAndGet()}"
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src() = Tables.normalizeEvents(
+        s.readStream
+          .schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d))
+      val q = Sessions.dedupExactlyOnce(
+          src().union(src()), Seq("user_id", "ts", "event_type"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
     // in batch mode — Spark supports the same operator on batch Datasets
     // (state starts empty), and a single-batch streaming run provably
@@ -69,6 +98,13 @@ object StreamQueries {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "stream_dedup_counts" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |      FROM events)
+        |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
     "stream_sessionize" ->

@@ -91,6 +91,55 @@ class SessionsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("exactly-once dedup: replayed events collapse, watermark evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessions.Event]
+    val q = Sessions.dedupExactlyOnce(
+        input.toDS().toDF(), Seq("user_id", "ts", "event_type"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // at-least-once delivery: the same two events arrive three times
+    val e1 = Sessions.Event(1L, ts("2024-01-01 10:00:00"), "click")
+    val e2 = Sessions.Event(2L, ts("2024-01-01 10:05:00"), "view")
+    input.addData(e1, e2, e1)
+    q.processAllAvailable()
+    input.addData(e2)
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").count() == 2)
+    q.stop()
+  }
+
+  /** Same stateful operator, RocksDB-backed state store — the 100 TB
+    * config where state exceeds executor heap. Verifies the provider
+    * loads (rocksdbjni is bundled with Spark) and state carries across
+    * batches identically to the default HDFS-backed store.
+    */
+  test("sessionize on RocksDB state store: same cross-batch results") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Sessions.Event]
+      val q = Sessions.sessionize(input.toDS(), java.time.Duration.ofMinutes(30))
+        .writeStream.format("memory").queryName("sessions_rocksdb")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      input.addData(
+        Sessions.Event(1L, ts("2024-01-01 10:00:00"), "click"),
+        Sessions.Event(1L, ts("2024-01-01 10:10:00"), "view"))
+      q.processAllAvailable()
+      input.addData(Sessions.Event(1L, ts("2024-01-01 12:30:00"), "click"))
+      q.processAllAvailable()
+      val out = spark.table("sessions_rocksdb").as[Sessions.Session].collect()
+      assert(out.length == 1 && out(0).n_events == 2 && out(0).duration_sec == 600)
+      q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("kafka payload parsing: JSON frames → validated stream rows") {
     val frames = Seq(
       """{"user_id":"u1","track_id":"t1","listen_time":"2024-01-01 10:00:00"}""",
