@@ -54,6 +54,11 @@ object ExtQueries {
       Similarity.ivfTopK(Tables.embeddings(s, d))
         .orderBy(col("q_id"), col("rank"))),
 
+    // PQ-compressed ANN with asymmetric distance (memory-scale path).
+    "sim_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d))
+        .orderBy(col("q_id"), col("rank"))),
+
     // Token counting per language (whitespace tokenizer).
     "text_token_stats" -> ((s, d) =>
       Tables.documents(s, d)

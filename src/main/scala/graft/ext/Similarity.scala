@@ -158,6 +158,86 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
   }
 
+  /** ANN via product quantization (PQ): the corpus is stored as m
+    * sub-codes (one byte-sized code per subspace) instead of dims
+    * floats — the memory-scale path (dims=64 floats → m=8 codes is a
+    * 32× compression), with search by asymmetric distance computation
+    * (ADC): the query stays exact, the corpus is looked up in a per-
+    * query table of query-subvector · codeword products.
+    *
+    * Scale shape: codebooks (m · codesPerSub · subDims floats) are the
+    * tiny driver-resident artifact (k-means stand-in: hash-ordered
+    * corpus sample, like IVF's quantizer); encoding is a map-side
+    * argmin per subspace (array_max over struct — zero shuffle, like
+    * the IVF assignment); ADC scoring is m literal-array lookups per
+    * (row, query) — map-side; only the per-query top-`rerank`
+    * candidates (WindowGroupLimit) and the exact-cosine rerank touch a
+    * shuffle. The full-precision embedding column is read only by the
+    * rerank join, never by the scan stage — at 100 TB the scan runs on
+    * the codes table alone.
+    */
+  def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+             m: Int = 8, codesPerSub: Int = 16, rerank: Int = 50): DataFrame = {
+    val sample: Array[Array[Float]] = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(codesPerSub)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val subDims = dims / m
+    val codebook: Array[Array[Array[Float]]] =
+      Array.tabulate(m, codesPerSub)((j, c) => sample(c).slice(j * subDims, (j + 1) * subDims))
+    // argmin-L2 encode via argmax(dot - |c|²/2): codeword norms folded in
+    // driver-side so the per-row work is one dot product per codeword
+    val halfNormSq: Array[Array[Double]] =
+      codebook.map(_.map(c => 0.5 * c.map(x => x.toDouble * x).sum))
+
+    def subvec(j: Int) = slice(col("embedding"), j * subDims + 1, subDims)
+    val codeCol = array((0 until m).map { j =>
+      array_max(array((0 until codesPerSub).map { c =>
+        struct(
+          (graft.functions.native.dot_product(subvec(j), typedLit(codebook(j)(c)))
+            - lit(halfNormSq(j)(c))).as("s"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+    val encoded = emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      codeCol.as("codes"))
+
+    // per-query ADC lookup tables, baked in as literal arrays
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val adcPerQuery = queries.map { case (qid, qv) =>
+      val lut: Array[Array[Double]] = Array.tabulate(m, codesPerSub)((j, c) =>
+        codebook(j)(c).zip(qv.slice(j * subDims, (j + 1) * subDims))
+          .map { case (a, b) => a.toDouble * b }.sum)
+      val score = (0 until m).map(j =>
+        element_at(typedLit(lut(j)), col("codes")(j) + lit(1))).reduce(_ + _)
+      struct(lit(qid).as("q_id"), score.as("adc"))
+    }
+    val candidates = encoded
+      .select(col("n_id"), col("n_label"), explode(array(adcPerQuery.toSeq: _*)).as("qa"))
+      .select(col("qa.q_id").as("q_id"), col("n_id"), col("n_label"), col("qa.adc").as("adc"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cand_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)))
+      .filter(col("cand_rank") <= rerank)
+      .select(col("q_id"), col("n_id"), col("n_label"))
+
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ne = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    candidates
+      .join(broadcast(qe), Seq("q_id"))
+      .join(ne, Seq("n_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: top-K highest-cosine pairs
     * among LSH candidates (top-K instead of a fixed threshold so the
     * result is non-empty on corpora without true near-dups).

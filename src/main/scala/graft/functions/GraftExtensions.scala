@@ -46,6 +46,7 @@ object GraftExtensions {
 
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     two("cosine_sim")(CosineSimilarity(_, _)),
+    two("dot_product")(DotProduct(_, _)),
     one("simhash64")(SimHash64(_)),
     two("jaccard_sim")(JaccardSimilarity(_, _)),
     two("minhash_sig")((sh, k) => MinHashSignature(sh, intArg(k, "minhash_sig k"))),

@@ -92,6 +92,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Inner product of two float/double vectors in one pass — the kernel
+  * under PQ encode/ADC scoring, where cosine's norm work is wasted
+  * (codebook norms are precomputed driver-side). NULL if either side is
+  * NULL.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def isDouble(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  private lazy val leftDouble = isDouble(left)
+  private lazy val rightDouble = isDouble(right)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float>/array<double>, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      val x = if (leftDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (rightDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y; i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val getX = if (leftDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY = if (rightDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $getX * $getY;
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 64-bit SimHash of an array of token hashes: per-bit majority vote in
   * a single pass (O(tokens·64) primitive ops, no expression-tree walk).
   */
@@ -297,6 +355,9 @@ object native {
 
   /** One-pass cosine similarity over float/double array columns. */
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSimilarity(ex(a), ex(b)))
+
+  /** One-pass inner product over float/double array columns. */
+  def dot_product(a: Column, b: Column): Column = toCol(DotProduct(ex(a), ex(b)))
 
   /** 64-bit SimHash of an array<long> of token hashes. */
   def simhash64(tokenHashes: Column): Column = toCol(SimHash64(ex(tokenHashes)))

@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("PQ ANN recall ≥ 0.6 vs brute force on clustered data") {
+    val emb = clusteredEmbeddings()
+    val exact = Similarity.bruteForceTopK(emb, 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(emb, 10, 5, m = 8, codesPerSub = 16, rerank = 50)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall too low: $recall")
+  }
+
+  test("PQ plan: encode and ADC scoring are map-side — no nested loop join") {
+    val plan = Similarity.pqTopK(clusteredEmbeddings(), 10, 5, m = 8,
+        codesPerSub = 16, rerank = 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"PQ encode/score must not join against codebooks or queries:\n$plan")
+  }
+
   test("IVF plan: cell assignment is map-side — no nested loop, no window exchange") {
     val plan = Similarity.ivfTopK(clusteredEmbeddings(), 10, 5, nCells = 16, nprobe = 4)
       .queryExecution.executedPlan.toString

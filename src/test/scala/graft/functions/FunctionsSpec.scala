@@ -27,6 +27,25 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(dbl.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("dot_product: exact sums, null-intolerant, mixed float/double") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))), // 32
+      (None, Some(Array(1.0f)))
+    ).toDF("a", "b")
+    val out = df.select(native.dot_product(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(1).isNullAt(0))
+
+    val mixed = Seq((Array(0.5, 0.25), Array(0.5, 0.25))).toDF("a", "b")
+      .select(native.dot_product(col("a"), col("b"))).head()
+    assert(mixed.getDouble(0) == 0.3125)
+
+    // SQL registration path
+    native.registerAll(spark)
+    assert(spark.sql("SELECT dot_product(array(1.0F,2.0F), array(3.0F,4.0F))")
+      .head().getDouble(0) == 11.0)
+  }
+
   test("cosine_sim: type check rejects non-numeric arrays") {
     val df = Seq((Array("x"), Array("y"))).toDF("a", "b")
     val e = intercept[Exception] {
