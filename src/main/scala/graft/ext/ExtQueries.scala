@@ -90,6 +90,30 @@ object ExtQueries {
         .select(col("doc_id"), col("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // Corpus text normalization + PII masking (per-row, shuffle-free).
+    "text_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic hash-mod stratified sampling (a filter, not a sort —
+    // the shape that survives 100 TB and stays reproducible).
+    "doc_sample_stratified" -> ((s, d) =>
+      TextAnalysis.sampleStratified(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 200, "es" -> 100, "zh" -> 50), defaultPermille = 25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Embedding L2-normalization, projected to scalars (norm + first
+    // component) so a generic checker can sort/hash the output.
+    "embed_normalize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(sqrt(graft.functions.native.dot_product(
+            col("embedding"), col("embedding"))), 6).as("norm_before"),
+          round(element_at(Similarity.l2Normalize(col("embedding")), 1), 6).as("c0_after"))
+        .orderBy(col("vec_id"))),
+
     // Multimodal: binary media column → batched decode/feature-extract
     // (mapPartitions, stubbed codec — see Multimodal scaladoc). The
     // feature vector is projected to a fixed-format CSV string so the
@@ -276,6 +300,36 @@ object ExtQueries {
         |    / len(string_split(text, ' ')) AS stopword_ratio
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics; patterns are in the shared RE2/Java subset.
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      lower(regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |        '[0-9]{6,}', '<num>', 'g')),
+        |      '[.,!?;:]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id + 1) * 2654435761 % 4294967296 % 1000 <
+        |  CASE lang WHEN 'en' THEN 200 WHEN 'es' THEN 100 WHEN 'zh' THEN 50
+        |    ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "embed_normalize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  round(sqrt(list_inner_product(emb, emb)), 6) AS norm_before,
+        |  round(emb[1] / sqrt(list_inner_product(emb, emb)), 6) AS c0_after
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "json_extract_agg" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -45,6 +45,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
 
+  /** L2-normalize an embedding column into double precision — standard
+    * preprocessing before vector indexes (unit vectors make inner
+    * product equal cosine, so PQ/IVF can use the cheaper dot kernel).
+    * Zero vectors pass through unscaled. Per-row, shuffle-free.
+    */
+  def l2Normalize(emb: Column): Column = {
+    val norm = sqrt(graft.functions.native.dot_product(emb, emb))
+    when(norm === 0.0, transform(emb, x => x.cast("double")))
+      .otherwise(transform(emb, x => x.cast("double") / norm))
+  }
+
   /** Exact top-k neighbors for query vectors `vec_id < nQueries`
     * (self-match excluded). Query side is broadcast — the corpus never
     * shuffles for the join; only (nQueries · k) rows pass the window.

@@ -72,4 +72,35 @@ object TextAnalysis {
     */
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", graft.functions.native.rolling_min_hash(col(textCol), 8))
+
+  /** Training-corpus text normalization: PII masking (emails, long digit
+    * runs), lowercasing, punctuation stripping, whitespace collapse —
+    * all codegen'd per-row regex/string ops, shuffle-free. Patterns stay
+    * in the portable regex subset (no lookaround) so the same rules run
+    * under Java regex here and RE2-style engines elsewhere.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        lower(regexp_replace(
+          regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+          "[0-9]{6,}", "<num>")),
+        "[.,!?;:]", ""),
+      "\\s+", " "))
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction by
+    * multiplicative hash of the document id — reproducible across runs
+    * and engines (no RNG state), pushes down as a plain filter (no
+    * `orderBy(rand())` global sort, which is how sampling jobs die at
+    * 100 TB), and composes with partition pruning. `rates` maps stratum
+    * value → keep-permille.
+    */
+  def sampleStratified(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Int], defaultPermille: Int = 0): DataFrame = {
+    val bucket = (col(idCol) + lit(1)) * lit(2654435761L) % lit(4294967296L) % lit(1000)
+    val keep = rates.foldLeft(lit(defaultPermille)) { case (acc, (stratum, permille)) =>
+      when(col(stratumCol) === stratum, lit(permille)).otherwise(acc)
+    }
+    df.filter(bucket < keep)
+  }
 }

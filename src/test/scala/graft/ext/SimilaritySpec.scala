@@ -53,6 +53,19 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("l2Normalize: unit norms, direction preserved, zero vector safe") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("n"))
+      .orderBy("vec_id").collect()
+    val v1 = out(0).getSeq[Double](1)
+    assert(math.abs(v1(0) - 0.6) < 1e-12 && math.abs(v1(1) - 0.8) < 1e-12)
+    assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0))
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and unique") {
     val pairs = Similarity.cosineNearDupPairs(Tables.embeddings(spark, sfDir), 20)
       .select("a_id", "b_id").as[(Long, Long)].collect()

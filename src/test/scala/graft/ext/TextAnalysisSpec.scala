@@ -43,4 +43,26 @@ class TextAnalysisSpec extends SparkSuite {
     val toks = df.select(TextAnalysis.bpeishTokens(col("text"))).head().getSeq[String](0)
     assert(toks == Seq("foo", "Bar", "baz", "42", "qux"))
   }
+
+  test("normalize: masks PII, lowercases, strips punctuation, collapses space") {
+    val df = Seq((1L, "Contact Bob.Smith+x@ex-ample.org or  call 1234567890!  NOW")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.normalize(col("text"))).head().getString(0)
+    assert(out == "contact <email> or call <num> now", out)
+  }
+
+  test("stratified sample: deterministic, rate-ordered, zero-rate empty") {
+    val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    def run() = TextAnalysis.sampleStratified(docs, "lang", "doc_id",
+      Map("en" -> 300, "zh" -> 50)).select("doc_id").as[Long].collect().toSet
+    val s1 = run()
+    assert(s1 == run(), "hash sampling must be reproducible")
+    val byLang = TextAnalysis.sampleStratified(docs, "lang", "doc_id",
+      Map("en" -> 300, "zh" -> 50)).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // 1000 docs per stratum: expect ~300 vs ~50, allow generous slack
+    assert(byLang("en") > 2 * byLang("zh"),
+      s"en rate 300‰ must dominate zh 50‰: $byLang")
+    assert(TextAnalysis.sampleStratified(docs, "lang", "doc_id", Map.empty).isEmpty)
+  }
 }
