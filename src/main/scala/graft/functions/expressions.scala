@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.bridge
@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(tokens·64) sketch. These expressions do the same math as a single
   * tight JVM loop over the unsafe array data (no per-element boxing or
   * tree walks), which is what keeps the dedup/ANN operators within
-  * budget at 100 TB. CodegenFallback costs one virtual call per ROW
-  * (not per element), so whole-stage codegen around them survives.
+  * budget at 100 TB. Every expression implements `doGenCode`, so the
+  * loops are emitted directly into whole-stage-generated Java — no
+  * per-row virtual calls anywhere on the hot paths.
   */
 
 /** Cosine similarity between two float/double vectors in one pass
@@ -324,9 +325,29 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   * substrings of the input string — single pass over the bytes.
   */
 case class RollingMinHash(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(w > 0, "window must be positive")
   override def dataType: DataType = LongType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val n = ctx.freshName("n"); val min = ctx.freshName("min")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val hashCls = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+         |int $n = $s.numBytes();
+         |if ($n < $w) {
+         |  ${ev.value} = $hashCls.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $n, 42L);
+         |} else {
+         |  long $min = Long.MAX_VALUE;
+         |  for (int $i = 0; $i <= $n - $w; $i++) {
+         |    long $h = $hashCls.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset() + $i, $w, 42L);
+         |    if ($h < $min) $min = $h;
+         |  }
+         |  ${ev.value} = $min;
+         |}
+       """.stripMargin
+    })
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String]
