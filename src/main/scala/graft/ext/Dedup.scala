@@ -136,6 +136,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * w-gram shingles it shares with a benchmark (eval) set — the overlap
+    * report behind "remove test-set contamination from training data".
+    *
+    * Scale shape: eval sets are thousands of documents, not billions, so
+    * the benchmark shingle set is broadcast; the corpus side explodes to
+    * (doc_id, shingle) and broadcast-joins map-side — the corpus never
+    * shuffles for the membership test, only the (doc_id, 1) hits reach
+    * the count aggregation (partial-agg first).
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame, w: Int = 5): DataFrame = {
+    val bench = benchmark.select(explode(shingles(col("text"), w)).as("sh")).distinct()
+    corpus.select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** N-gram Jaccard top-K most-similar pairs. Candidates come from the
     * r=4 banding (collision ∝ j⁴ — a top-K query only needs the
     * high-similarity head to collide, and the j² banding drowned the

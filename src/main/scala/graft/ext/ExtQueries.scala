@@ -104,6 +104,23 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Context-window chunking (64-token windows every 48).
+    "doc_chunk" -> ((s, d) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, d))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Benchmark decontamination: 5-gram overlap of corpus docs against
+    // the (deterministically chosen) eval subset.
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationReport(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding L2-normalization, projected to scalars (norm + first
     // component) so a generic checker can sort/hash the output.
     "embed_normalize" -> ((s, d) =>
@@ -321,6 +338,36 @@ object ExtQueries {
         |  CASE lang WHEN 'en' THEN 200 WHEN 'es' THEN 100 WHEN 'zh' THEN 50
         |    ELSE 25 END
         |ORDER BY doc_id""".stripMargin,
+
+    "doc_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(generate_series(0, (len(toks) + 47) // 48 - 1)) AS BIGINT)
+        |      AS chunk_idx
+        |  FROM t
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+        |    AS chunk_text,
+        |  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INTEGER)
+        |    AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
+        |  FROM documents
+        |), bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0
+        |)
+        |SELECT s.doc_id, COUNT(*) AS n_overlap
+        |FROM sh s JOIN bench b USING (sh)
+        |WHERE s.doc_id % 10 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "embed_normalize" ->
       """WITH e AS (

@@ -88,6 +88,23 @@ object TextAnalysis {
         "[.,!?;:]", ""),
       "\\s+", " "))
 
+  /** Context-window chunking: split each document into overlapping
+    * token windows (`chunkSize` tokens every `stride`) — the standard
+    * pre-tokenization step for LLM training. One explode per doc (≤
+    * ceil(n/stride) rows), no shuffle; chunk boundaries are pure integer
+    * arithmetic so the operator is exactly reproducible in SQL.
+    */
+  def chunkTokens(df: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+                  textCol: String = "text"): DataFrame =
+    df.withColumn("_toks", split(col(textCol), " "))
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0, (size(_toks) + ${stride - 1}) DIV $stride - 1)")))
+      .withColumn("_chunk", slice(col("_toks"),
+        col("chunk_idx") * lit(stride) + lit(1), lit(chunkSize)))
+      .withColumn("chunk_text", array_join(col("_chunk"), " "))
+      .withColumn("n_chunk_tokens", size(col("_chunk")))
+      .drop("_toks", "_chunk")
+
   /** Deterministic stratified sampling: keep a per-stratum fraction by
     * multiplicative hash of the document id — reproducible across runs
     * and engines (no RNG state), pushes down as a plain filter (no

@@ -50,6 +50,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == "contact <email> or call <num> now", out)
   }
 
+  test("chunking: overlapping windows cover every token, tail truncates") {
+    // 100 tokens, size 64 / stride 48 → chunks at 1..64, 49..100, 97..100
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("chunk_idx", "n_chunk_tokens").as[(Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_._2).toSeq == Seq(64, 52, 4))
+    // single short doc → exactly one chunk with all tokens
+    val one = TextAnalysis.chunkTokens(Seq((2L, "a b c")).toDF("doc_id", "text"))
+      .select("chunk_idx", "n_chunk_tokens").as[(Long, Int)].collect()
+    assert(one.toSeq == Seq((0L, 3)))
+  }
+
+  test("decontamination: flags only docs sharing a w-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains bench 5-gram
+      (2L, "one two three four five six seven")      // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "XX alpha beta gamma delta epsilon YY")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, bench)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 1L) // exactly the shared "alpha..epsilon" 5-gram
+  }
+
   test("stratified sample: deterministic, rate-ordered, zero-rate empty") {
     val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
