@@ -157,6 +157,24 @@ object ExtQueries {
         .select(col("doc_id"), col("frame"), length(col("frame_bytes")).as("frame_len"))
         .orderBy(col("doc_id"), col("frame"))),
 
+    // End-to-end corpus preparation: quality filter → deterministic
+    // sample → normalize → chunk → per-language accounting. The whole
+    // chain is narrow (filters, per-row transforms, one explode) until
+    // the final small aggregate — the shape of a real training-data
+    // prep job at 100 TB.
+    "corpus_prepare" -> ((s, d) => {
+      val quality = TextAnalysis.qualityFeatures(Tables.documents(s, d))
+        .filter(col("n_tokens") >= 30 && col("stopword_ratio") <= 0.5)
+      val sampled = TextAnalysis.sampleStratified(quality, "lang", "doc_id",
+        Map("en" -> 500, "es" -> 500, "fr" -> 500, "de" -> 500, "zh" -> 500))
+      TextAnalysis.chunkTokens(
+          sampled.withColumn("text", TextAnalysis.normalize(col("text"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).cast("long").as("total_chunk_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // JSON extraction + aggregation over events.props.
     "json_extract_agg" -> ((s, d) =>
       Tables.events(s, d)
@@ -377,6 +395,38 @@ object ExtQueries {
         |  round(sqrt(list_inner_product(emb, emb)), 6) AS norm_before,
         |  round(emb[1] / sqrt(list_inner_product(emb, emb)), 6) AS c0_after
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "corpus_prepare" ->
+      """WITH quality AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |    AND CAST(len(list_intersect(string_split(text, ' '),
+        |          ['the','a','of','and','to','in','is','on'])) AS DOUBLE)
+        |        / len(string_split(text, ' ')) <= 0.5
+        |), sampled AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        lower(regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |          '[0-9]{6,}', '<num>', 'g')),
+        |        '[.,!?;:]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM quality
+        |  WHERE (doc_id + 1) * 2654435761 % 4294967296 % 1000 < 500
+        |), c AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM sampled
+        |), chunks AS (
+        |  SELECT lang, toks,
+        |    CAST(unnest(generate_series(0, (len(toks) + 47) // 48 - 1)) AS BIGINT)
+        |      AS chunk_idx
+        |  FROM c
+        |)
+        |SELECT lang, COUNT(*) AS n_chunks,
+        |  CAST(SUM(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])) AS BIGINT)
+        |    AS total_chunk_tokens
+        |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
 
     "json_extract_agg" ->
       """SELECT event_type, COUNT(*) AS n,
