@@ -92,6 +92,38 @@ class PipelineSpec extends SparkSuite {
     assert(batches.size == 1 && batches.head.count() == 1)
   }
 
+  test("streaming KPIs load the serving store through the chunked sink") {
+    import org.apache.spark.sql.functions.col
+    import graft.serve.{FakeKvService, KeyValue, KeyValueSink}
+    val root = Files.createTempDirectory("graft-kvload").toString
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    writeCsv(in, "stream1.csv", Seq(
+      "u1,t1,2024-01-01 10:00:00",
+      "u1,t1,2024-01-01 11:00:00",
+      "u2,t2,2024-01-01 12:00:00"))
+    val (songs, users) = dims
+    FakeKvService.reset()
+    // the reference's full loop: micro-batch KPIs → R1 unpivot →
+    // batched store load (music-streaming-transform.py → dynamodb-
+    // ingestion.py), all inside foreachBatch
+    val q = Pipeline.start(spark, in, ckpt, songs, users, kpis => {
+      val items = KeyValue.kpiItems(kpis.select(
+        col("track_genre").as("event_type"), col("date"),
+        col("listen_count"), col("unique_listeners"),
+        col("total_listening_time_ms").cast("double").as("total_value"),
+        col("avg_listening_time_ms").cast("double").as("avg_value")))
+      KeyValueSink.write(items, () => new FakeKvService.Writer, backoffMs = 0L)
+    })
+    q.awaitTermination()
+    // 2 genres × 1 day × 4 metrics
+    assert(FakeKvService.store.size() == 8, FakeKvService.store.toString)
+    assert(FakeKvService.store.get(
+      ("GENRE#rock#DATE#2024-01-01", "METRIC#listen_count")) == "2")
+    assert(FakeKvService.store.get(
+      ("GENRE#pop#DATE#2024-01-01", "METRIC#unique_listeners")) == "1")
+  }
+
   test("K4: processed source files are archived (cleanSource=archive)") {
     val root = Files.createTempDirectory("graft-arch").toString
     val in = s"$root/in"; val ckpt = s"$root/ckpt"; val arch = s"$root/archive"
