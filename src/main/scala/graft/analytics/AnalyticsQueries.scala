@@ -213,6 +213,39 @@ object AnalyticsQueries {
           col("gid"), col("n"), col("sum_qty"))
         .orderBy(col("flag"), col("status"), col("gid"))),
 
+    // A10: full CUBE grouping sets (rollup's superset — all 2ⁿ margins
+    // in one Expand pass instead of 2ⁿ separate aggregations).
+    "a10_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("flag"), col("status"), col("gid"))),
+
+    // W5: the analytic-function suite over per-flag daily revenue —
+    // navigation (first/lead), distribution (cume_dist), and bucketing
+    // (ntile) in one window pass. Decimal revenue so both engines agree
+    // bit-for-bit; (flag, date) keys are unique so every function is
+    // deterministic.
+    "w5_window_suite" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("date"))
+        .agg(sum(col("l_extendedprice").cast(Tables.Money)).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("date"))
+      daily.select(
+        col("l_returnflag"), col("date").cast("string").as("date"),
+        col("rev").cast("double").as("revenue"),
+        first(col("rev")).over(w).cast("double").as("first_rev"),
+        lead(col("rev"), 1).over(w).cast("double").as("next_rev"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).as("cd"))
+        .orderBy(col("l_returnflag"), col("date"))
+    }),
+
     // As-of join: each event enriched with the user's most recent order
     // at or before the event time (composed union+window — one shuffle,
     // flat state; oracle uses DuckDB's native ASOF JOIN).
@@ -483,6 +516,31 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status, gid""".stripMargin,
+
+    "a10_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status, gid""".stripMargin,
+
+    "w5_window_suite" ->
+      """SELECT l_returnflag, CAST(date AS VARCHAR) AS date,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(FIRST_VALUE(rev) OVER w AS DOUBLE) AS first_rev,
+        |  CAST(LEAD(rev, 1) OVER w AS DOUBLE) AS next_rev,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CUME_DIST() OVER w AS cd
+        |FROM (
+        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS date,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY date)
+        |ORDER BY l_returnflag, date""".stripMargin,
 
     "asof_join_orders" ->
       """WITH o AS (

@@ -50,6 +50,24 @@ object SourceQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Avro source: the row-oriented interchange format (Kafka-ecosystem
+    // payloads land as avro) — written and read back through Spark's
+    // bundled avro data source (addressed by class name: the short
+    // "avro" alias requires the separate spark-avro service
+    // registration, but the format implementation ships in spark-sql);
+    // the aggregate must equal the oracle's over the parquet original.
+    "s5_avro_roundtrip" -> ((s, d) => {
+      val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val tmp = s"/root/repo/target/avro_roundtrip_${math.abs(d.hashCode)}"
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      src.write.mode("overwrite").format(avroFmt).save(tmp)
+      s.read.format(avroFmt).load(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -71,6 +89,12 @@ object SourceQueries {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "s5_avro_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }
