@@ -144,7 +144,7 @@ object Similarity {
     // keep the top m cell ids. Struct sort orders by (sim, cell) asc, so
     // reverse gives sim-desc with cell-desc tiebreak — deterministic.
     def topCells(vecCol: Column, m: Int): Column = {
-      val scored = array(centroids.map { case (cid, vec) =>
+      val scored = array(centroids.toSeq.map { case (cid, vec) =>
         struct(cosine(vecCol, typedLit(vec)).as("s"), lit(cid).as("c"))
       }: _*)
       slice(reverse(array_sort(scored)), 1, m).getField("c")
