@@ -96,4 +96,51 @@ class PropertySpec extends SparkSuite {
       assert(serve.KeyValue.kpiItems(kpis).count() == kpis.count() * 4)
     }
   }
+
+  private val chunkDocGen = for {
+    n <- Gen.choose(1, 300)
+    words <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))
+  } yield words
+
+  test("property: chunking covers all tokens, windows bounded, count exact") {
+    samples(chunkDocGen, 8).zipWithIndex.foreach { case (text, i) =>
+      val n = text.split(" ").length
+      val chunks = ext.TextAnalysis.chunkTokens(
+          Seq((i.toLong, text)).toDF("doc_id", "text"), chunkSize = 64, stride = 48)
+        .select($"chunk_idx", $"n_chunk_tokens").as[(Long, Int)].collect()
+      assert(chunks.length == (n + 47) / 48, s"n=$n chunks=${chunks.length}")
+      assert(chunks.forall(_._2 <= 64))
+      // strided windows cover the token range: last chunk reaches token n
+      val last = chunks.maxBy(_._1)
+      assert(last._1 * 48 + last._2 == n, s"tail must end at n=$n: $last")
+    }
+  }
+
+  test("property: normalize is idempotent and never yields empty from non-empty") {
+    val textGen = Gen.listOfN(20, Gen.oneOf(
+      "Hello", "WORLD.", "a@b.co", "12345678", "x,y;z", "many   spaces"))
+      .map(_.mkString(" "))
+    samples(textGen, 8).zipWithIndex.foreach { case (text, i) =>
+      val df = Seq((i.toLong, text)).toDF("doc_id", "text")
+      val once = df.select(ext.TextAnalysis.normalize($"text")).head().getString(0)
+      val twice = Seq((i.toLong, once)).toDF("doc_id", "text")
+        .select(ext.TextAnalysis.normalize($"text")).head().getString(0)
+      assert(once == twice, s"not idempotent: '$once' vs '$twice'")
+      assert(once.nonEmpty)
+    }
+  }
+
+  test("property: stratified sample is a subset and monotone in rate") {
+    val idsGen = Gen.nonEmptyListOf(Gen.choose(1L, 100000L)).map(_.distinct)
+    samples(idsGen, 5).foreach { ids =>
+      val docs = ids.map((_, "en")).toDF("doc_id", "lang")
+      def sampled(permille: Int) =
+        ext.TextAnalysis.sampleStratified(docs, "lang", "doc_id", Map("en" -> permille))
+          .select($"doc_id").as[Long].collect().toSet
+      val lo = sampled(100); val hi = sampled(600)
+      assert(lo.subsetOf(hi), "raising the rate must only add documents")
+      assert(hi.subsetOf(ids.toSet))
+      assert(sampled(1000) == ids.toSet, "1000‰ must keep everything")
+    }
+  }
 }
