@@ -23,6 +23,39 @@ object Layout {
   def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
     spark.read.parquet(dir).filter(col("date") === lit(day))
 
+  /** Incremental materialized-aggregate maintenance: recompute ONLY the
+    * date partitions a new batch touches and dynamically overwrite them
+    * in the output table — the daily-merge pattern that replaces the
+    * reference's full recompute (`music-streaming-transform.py` reruns
+    * the whole aggregation every day).
+    *
+    * Scale shape: affected dates come from the (small) batch; the fact
+    * re-read is partition-pruned to exactly those dates; dynamic
+    * partition overwrite (`partitionOverwriteMode=dynamic`) swaps only
+    * the rewritten date directories, so the job touches O(batch dates),
+    * not O(history), and reruns are idempotent per day.
+    *
+    * @param aggregate full-day aggregation: day-scoped facts → output
+    *                  rows carrying the `date` partition column
+    */
+  def mergeDaily(spark: SparkSession, factDir: String, outDir: String,
+                 batch: DataFrame, aggregate: DataFrame => DataFrame): Seq[String] = {
+    val affected = batch.select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val facts = spark.read.parquet(factDir)
+        .filter(col("date").isin(affected.map(lit): _*))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try aggregate(facts)
+        .write.mode("overwrite").partitionBy("date").parquet(outDir)
+      finally prev.fold(
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    affected
+  }
+
   /** Small-file compaction: rewrite a directory into ~`targetFiles`
     * files. Streaming ingestion produces one file per micro-batch per
     * partition; at 100 TB the resulting millions of small files
