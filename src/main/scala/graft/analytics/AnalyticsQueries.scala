@@ -285,6 +285,20 @@ object AnalyticsQueries {
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
         .orderBy(col("l_returnflag"))),
 
+    // A7 at 100 TB: exact percentile buffers every value per group;
+    // approx_percentile's bounded sketch (accuracy 10000 ≈ 0.01% rank
+    // error) merges in fixed memory. Rows-only under the gate (sketch
+    // internals are engine-specific); the ≤1% bound vs the exact
+    // variant is asserted in PercentileApproxSpec.
+    "a11_percentiles_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+          expr("approx_percentile(l_quantity, 0.95, 10000)").as("p95_qty"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"))
+        .orderBy(col("l_returnflag"))),
+
     // U2/U3 (§2.6 completeness): intersect and except on key sets.
     "u2_intersect_except" -> ((s, d) => {
       val purchasers = Tables.events(s, d)
