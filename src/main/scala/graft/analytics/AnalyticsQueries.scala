@@ -299,6 +299,24 @@ object AnalyticsQueries {
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"))
         .orderBy(col("l_returnflag"))),
 
+    // A12: the skew-salting path under the gate. Salting changes the
+    // physical shuffle (hot key spread over 16 reducers in phase 1, as
+    // SkewLayoutSpec proves), never the result — so the oracle is the
+    // plain GROUP BY. The distinct count rides the value-derived salt
+    // (exact: a value picks exactly one bucket).
+    "a12_salted_counts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Skew.saltedCounts(ev.withColumn("value_dec", col("value").cast(Tables.Money)),
+          Seq("event_type"), "value_dec", spreadCol = "event_id")
+        .join(
+          Skew.saltedCountDistinct(ev, Seq("event_type"), col("user_id")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("total").cast("double").as("total_value"),
+          col("n_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // U2/U3 (§2.6 completeness): intersect and except on key sets.
     "u2_intersect_except" -> ((s, d) => {
       val purchasers = Tables.events(s, d)
@@ -530,6 +548,13 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status, gid""".stripMargin,
+
+    "a12_salted_counts" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "a10_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
