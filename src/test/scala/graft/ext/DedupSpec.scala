@@ -51,6 +51,16 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("topJaccardPairs: exact dup ranks first at 1.0, unrelated docs absent") {
+    val top = Dedup.topJaccardPairs(docs, topK = 3)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .as[(Long, Long, Double)].collect()
+    assert(top.nonEmpty)
+    assert(top.head == ((1L, 2L, 1.0)), s"exact dup must rank first: ${top.head}")
+    assert(top.forall { case (a, b, _) => a != 4L && b != 4L },
+      "the unrelated doc must never surface in the top pairs")
+  }
+
   test("shingles: w-grams over tokens, distinct") {
     val sh = docs.filter(col("doc_id") === 1L)
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
