@@ -154,6 +154,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** The removal form of [[contaminationReport]]: the corpus with every
+    * document sharing ≥ `minOverlap` benchmark w-grams dropped — one
+    * broadcast membership test plus a left-anti join on the (small)
+    * contaminated-id set.
+    */
+  def removeContaminated(corpus: DataFrame, benchmark: DataFrame,
+                         w: Int = 5, minOverlap: Long = 1L): DataFrame = {
+    val flagged = contaminationReport(corpus, benchmark, w)
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id"))
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** N-gram Jaccard top-K most-similar pairs. Candidates come from the
     * r=4 banding (collision ∝ j⁴ — a top-K query only needs the
     * high-similarity head to collide, and the j² banding drowned the

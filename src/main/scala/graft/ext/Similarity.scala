@@ -45,6 +45,58 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
 
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Deterministic hash-ordered corpus sample for quantizer training —
+    * bounded to `n` vectors so the driver-side fit stays O(n·dims)
+    * regardless of corpus size (the same contract as MLlib's k-means||
+    * init sample).
+    */
+  private def trainingSample(emb: DataFrame, n: Int): Array[Array[Float]] =
+    emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(n)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+  /** Driver-side Lloyd iterations over a bounded sample — the real
+    * coarse-quantizer training loop (cosine assignment, mean update),
+    * fully deterministic: fixed sample order, fixed iteration count,
+    * ties broken toward the lower centroid index. Centroids are the
+    * tiny driver-resident artifact both IVF and PQ bake into their
+    * plans as literals.
+    */
+  private[ext] def kmeans(sample: Array[Array[Float]], k: Int,
+                          iters: Int = 3): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty training sample")
+    var cents = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone)
+    for (_ <- 0 until iters) {
+      val dims = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val s = cosineLocal(v, cents(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < math.min(v.length, dims)) { s(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(x => (x / counts(c)).toFloat))
+    }
+    cents
+  }
+
   /** L2-normalize an embedding column into double precision — standard
     * preprocessing before vector indexes (unit vectors make inner
     * product equal cosine, so PQ/IVF can use the cheaper dot kernel).
@@ -117,9 +169,8 @@ object Similarity {
 
   /** ANN via IVF (inverted-file index): a coarse quantizer assigns every
     * vector to its nearest centroid; a query probes only the `nprobe`
-    * nearest cells. Centroids here are a deterministic pseudo-random
-    * sample of the corpus (hash-ordered top-nCells) — a stand-in for
-    * k-means that keeps the dataflow identical.
+    * nearest cells. The quantizer is trained with [[kmeans]] (Lloyd
+    * iterations over a bounded deterministic sample).
     *
     * Scale shape: the quantizer is nCells·dims floats — inherently tiny
     * (k-means centroids live on the driver between iterations anyway) —
@@ -133,12 +184,9 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
               nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids: Array[(Long, Array[Float])] = emb
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCells)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centroids: Array[(Long, Array[Float])] =
+      kmeans(trainingSample(emb, nCells * 16), nCells)
+        .zipWithIndex.map { case (c, i) => (i.toLong, c) }
     // Map-side m-nearest cells: score all nCells in one array expression,
     // sort it (nCells elements, per row, in registers — no shuffle), and
     // keep the top m cell ids. Struct sort orders by (sim, cell) asc, so
@@ -189,14 +237,15 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
              m: Int = 8, codesPerSub: Int = 16, rerank: Int = 50): DataFrame = {
-    val sample: Array[Array[Float]] = emb.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(codesPerSub)
-      .collect().map(_.getSeq[Float](1).toArray)
+    val sample = trainingSample(emb, codesPerSub * 16)
     val dims = sample.head.length
     require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
     val subDims = dims / m
+    // per-subspace codebooks: k-means over the sample's subvector slices
     val codebook: Array[Array[Array[Float]]] =
-      Array.tabulate(m, codesPerSub)((j, c) => sample(c).slice(j * subDims, (j + 1) * subDims))
+      Array.tabulate(m) { j =>
+        kmeans(sample.map(_.slice(j * subDims, (j + 1) * subDims)), codesPerSub)
+      }
     // argmin-L2 encode via argmax(dot - |c|²/2): codeword norms folded in
     // driver-side so the per-row work is one dot product per codeword
     val halfNormSq: Array[Array[Double]] =
@@ -204,7 +253,7 @@ object Similarity {
 
     def subvec(j: Int) = slice(col("embedding"), j * subDims + 1, subDims)
     val codeCol = array((0 until m).map { j =>
-      array_max(array((0 until codesPerSub).map { c =>
+      array_max(array(codebook(j).indices.map { c =>
         struct(
           (graft.functions.native.dot_product(subvec(j), typedLit(codebook(j)(c)))
             - lit(halfNormSq(j)(c))).as("s"),
@@ -219,9 +268,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val adcPerQuery = queries.map { case (qid, qv) =>
-      val lut: Array[Array[Double]] = Array.tabulate(m, codesPerSub)((j, c) =>
-        codebook(j)(c).zip(qv.slice(j * subDims, (j + 1) * subDims))
-          .map { case (a, b) => a.toDouble * b }.sum)
+      val lut: Array[Array[Double]] = Array.tabulate(m)(j =>
+        Array.tabulate(codebook(j).length)(c =>
+          codebook(j)(c).zip(qv.slice(j * subDims, (j + 1) * subDims))
+            .map { case (a, b) => a.toDouble * b }.sum))
       val score = (0 until m).map(j =>
         element_at(typedLit(lut(j)), col("codes")(j) + lit(1))).reduce(_ + _)
       struct(lit(qid).as("q_id"), score.as("adc"))

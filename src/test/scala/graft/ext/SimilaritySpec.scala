@@ -53,6 +53,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("kmeans: deterministic, separates well-split directions") {
+    // two tight direction bundles; k=2 must put one centroid in each
+    val sample = Array(
+      Array(1.0f, 0.01f), Array(1.0f, -0.01f), Array(0.99f, 0.02f),
+      Array(0.01f, 1.0f), Array(-0.01f, 1.0f), Array(0.02f, 0.99f))
+    val c1 = Similarity.kmeans(sample, 2)
+    val c2 = Similarity.kmeans(sample, 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "must be deterministic")
+    // each bundle's members are closest to a different centroid
+    def nearest(v: Array[Float]) =
+      c1.indices.maxBy(i => c1(i).zip(v).map { case (a, b) => a * b }.sum)
+    assert(sample.take(3).map(nearest).distinct.length == 1)
+    assert(sample.drop(3).map(nearest).distinct.length == 1)
+    assert(nearest(sample(0)) != nearest(sample(3)))
+    // k larger than the sample clamps instead of failing
+    assert(Similarity.kmeans(sample.take(2), 5).length == 2)
+  }
+
   test("l2Normalize: unit norms, direction preserved, zero vector safe") {
     val df = Seq(
       (1L, Array(3.0f, 4.0f)),

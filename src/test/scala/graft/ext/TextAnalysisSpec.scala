@@ -75,6 +75,10 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(out.keySet == Set(1L))
     assert(out(1L) == 1L) // exactly the shared "alpha..epsilon" 5-gram
+
+    val clean = Dedup.removeContaminated(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L), "removal must drop exactly the flagged doc")
   }
 
   test("stratified sample: deterministic, rate-ordered, zero-rate empty") {
