@@ -20,6 +20,9 @@ object GraftSession {
       // runtime bloom-filter pushdown: at scale a selective dim filter
       // prunes the fact side of a shuffle join before the exchange.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // graft's native functions + the as-of join planner strategy,
+      // injected the way a cluster deployment would.
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String): SparkSession = {

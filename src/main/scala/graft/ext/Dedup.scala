@@ -136,20 +136,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct w-gram shingle *hashes*: `xxhash64` over each w-token
+    * slice directly — no joined shingle strings are ever built (the
+    * string form costs O(tokens·w) character copies per row; the hash
+    * form is one codegen'd pass over the token array). Tokens contain no
+    * spaces (they come from a space split), so the token-slice ↔ joined
+    * string correspondence is exact and hashing the slice is equivalent
+    * to hashing the string shingle, modulo 2⁻⁶⁴ collisions.
+    */
+  def shingleHashes(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1))),
+      i => xxhash64(slice(toks, i, lit(w)))))
+  }
+
   /** Benchmark decontamination: count, per corpus document, the distinct
     * w-gram shingles it shares with a benchmark (eval) set — the overlap
     * report behind "remove test-set contamination from training data".
     *
     * Scale shape: eval sets are thousands of documents, not billions, so
     * the benchmark shingle set is broadcast; the corpus side explodes to
-    * (doc_id, shingle) and broadcast-joins map-side — the corpus never
-    * shuffles for the membership test, only the (doc_id, 1) hits reach
-    * the count aggregation (partial-agg first).
+    * (doc_id, shingle_hash) and broadcast-joins map-side — the corpus
+    * never shuffles for the membership test, only the (doc_id, 1) hits
+    * reach the count aggregation (partial-agg first). Only 8-byte
+    * shingle hashes travel through the explode and the broadcast — the
+    * w-word strings themselves are never materialized (see
+    * [[shingleHashes]]), which cuts both the broadcast size and the
+    * exploded-row width by ~an order of magnitude.
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame, w: Int = 5): DataFrame = {
-    val bench = benchmark.select(explode(shingles(col("text"), w)).as("sh")).distinct()
-    corpus.select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
-      .join(broadcast(bench), Seq("sh"))
+    val bench = benchmark.select(explode(shingleHashes(col("text"), w)).as("shh")).distinct()
+    corpus.select(col("doc_id"), explode(shingleHashes(col("text"), w)).as("shh"))
+      .join(broadcast(bench), Seq("shh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
   }

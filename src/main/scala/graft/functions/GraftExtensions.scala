@@ -16,13 +16,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * functions participate in SQL query plans like any built-in.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // Whole-operator extension: the native as-of join's planner strategy
+    // (inert on every plan without an AsOfJoinPlan node).
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

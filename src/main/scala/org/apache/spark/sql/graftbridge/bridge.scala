@@ -1,15 +1,29 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 made these conversions
-  * `private[sql]` (Connect refactor); extension libraries shipping
-  * custom Catalyst expressions use a same-package bridge to lift them
-  * into user-facing Columns. Confined to this one file.
+/** Column ⇄ Expression / plan ⇄ DataFrame bridge. Spark 4 made these
+  * conversions `private[sql]` (Connect refactor); extension libraries
+  * shipping custom Catalyst expressions and logical plans use a
+  * same-package bridge to lift them into user-facing API objects.
+  * Confined to this one file.
   */
 object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) logical plan as a DataFrame — how a library-made
+    * custom operator node (e.g. graft's as-of join) enters the public
+    * Dataset API.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed plan of a DataFrame (to build new plan nodes on top). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
 }
