@@ -186,6 +186,46 @@ object Dedup {
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** Duplicate-group clustering: connected components over a near-dup
+    * pair graph, labeling every member with its component's minimum
+    * doc_id (the canonical survivor). Pregel-style min-label
+    * propagation: each superstep is one shuffle (neighbor-min groupBy +
+    * label join), iterated to fixpoint with a driver-side convergence
+    * count — the standard iterative-graph pattern (the per-superstep
+    * action is a global aggregate, not data collection).
+    *
+    * Rounds needed = graph diameter; near-dup components are small and
+    * dense (dup clusters, not long chains), so this converges in 2–3
+    * supersteps. For adversarial long-chain graphs at 100 TB the same
+    * loop runs the large-star/small-star rewiring (Kiveris et al.,
+    * "Connected Components in MapReduce"), which bounds rounds at
+    * O(log n); `localCheckpoint` per superstep cuts the lineage growth
+    * either way.
+    */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    var lab = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(lab, sym("dst") === lab("id"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_min"))
+      val next = lab.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      lab = next.select(col("id"), col("label"))
+      i += 1
+    }
+    lab.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** N-gram Jaccard top-K most-similar pairs. Candidates come from the
     * r=4 banding (collision ∝ j⁴ — a top-K query only needs the
     * high-similarity head to collide, and the j² banding drowned the

@@ -27,6 +27,12 @@ object ExtQueries {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 16)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Duplicate groups: connected components over the LSH near-dup pair
+    // graph, every member labeled with its component-min doc_id.
+    "dedup_groups" -> ((s, d) =>
+      Dedup.duplicateGroups(Dedup.minhashPairs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // Top-K n-gram-Jaccard pairs among LSH candidates.
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.topJaccardPairs(Tables.documents(s, d))
@@ -58,6 +64,22 @@ object ExtQueries {
     "sim_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d))
         .orderBy(col("q_id"), col("rank"))),
+
+    // Vocabulary with document frequency + idf: the corpus-statistics
+    // pass behind TF-IDF weighting and vocab pruning. Per-doc distinct
+    // terms explode into one groupBy; the doc count joins in-plan as a
+    // broadcast 1-row aggregate (no driver action).
+    "text_vocab_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("term"), col("df"),
+          round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(50)
+    }),
 
     // Token counting per language (whitespace tokenizer).
     "text_token_stats" -> ((s, d) =>
@@ -230,6 +252,45 @@ object ExtQueries {
         |)
         |SELECT a_id, b_id, jaccard FROM pairs
         |WHERE jaccard >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+    // Connected components as a recursive transitive closure over the
+    // exact ≥0.35-Jaccard pair graph (same pair set the LSH path
+    // provably recovers — see the dedup_minhash_lsh oracle note);
+    // component label = min reachable doc_id, exactly the fixpoint the
+    // Spark min-label propagation converges to.
+    "dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b_id AS src, a_id AS dst FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+        |)
+        |SELECT id AS doc_id, MIN(label) AS group_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_tfidf" ->
+      """WITH t AS (
+        |  SELECT unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM t GROUP BY term
+        |)
+        |SELECT term, df,
+        |  round(ln((SELECT COUNT(*) FROM documents) * 1.0 / df), 6) AS idf
+        |FROM df ORDER BY df DESC, term LIMIT 50""".stripMargin,
 
     // Multimodal metadata stages: the fake-media metadata is portable
     // integer arithmetic (see Multimodal.withFakeMedia), so the

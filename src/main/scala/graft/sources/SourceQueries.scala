@@ -52,6 +52,29 @@ object SourceQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Schema evolution: two parquet generations of the same table — v2
+    // adds a column — read together with mergeSchema (the schema union
+    // is computed from file footers; missing columns null-pad). This is
+    // the "pipeline added a field last month" read every long-lived
+    // 100 TB dataset needs; merge cost scales with file count, so at
+    // scale the merged schema is pinned in a table catalog instead of
+    // re-derived per query (mergeSchema is off by default for a reason).
+    "s6_schema_evolution" -> ((s, d) => {
+      val tmp = s"/root/repo/target/schema_evo_${math.abs(d.hashCode)}"
+      val cust = Tables.customer(s, d)
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(coalesce(col("c_mktsegment"), lit("<pre-evolution>"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+        .orderBy(col("segment"))
+    }),
+
     // Avro source: the row-oriented interchange format (Kafka-ecosystem
     // payloads land as avro) — written and read back through Spark's
     // bundled avro data source (addressed by class name: the short
@@ -90,6 +113,18 @@ object SourceQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "s6_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 1
+        |)
+        |SELECT COALESCE(c_mktsegment, '<pre-evolution>') AS segment,
+        |  COUNT(*) AS n, MIN(c_custkey) AS min_key
+        |FROM merged GROUP BY 1 ORDER BY segment""".stripMargin,
 
     "s5_avro_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

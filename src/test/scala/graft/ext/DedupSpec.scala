@@ -61,6 +61,21 @@ class DedupSpec extends SparkSuite {
       "the unrelated doc must never surface in the top pairs")
   }
 
+  test("duplicateGroups: chain components collapse to min id, singletons separate") {
+    // 1-2, 2-3 chain (diameter 2 → needs >1 superstep) plus isolated 5-6.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val groups = Dedup.duplicateGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("duplicateGroups over LSH pairs: dup cluster {1,2,3} labels to 1") {
+    val groups = Dedup.duplicateGroups(Dedup.minhashPairs(docs, minJaccard = 0.5))
+      .as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(!groups.contains(4L), "singleton docs are not in any dup group")
+  }
+
   test("shingles: w-grams over tokens, distinct") {
     val sh = docs.filter(col("doc_id") === 1L)
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
