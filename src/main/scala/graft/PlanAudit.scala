@@ -12,7 +12,8 @@ object PlanAudit {
         "a1_genre_kpis", "a3_w1_top_songs", "p9_kpis_one_day", "dedup_minhash_lsh",
         "sim_bruteforce_topk", "sim_ivf_topk", "sim_pq_topk",
         "range_join_ship_window", "range_join_keyless_interval",
-        "doc_sample_stratified")
+        "doc_sample_stratified", "asof_join_native", "decontaminate",
+        "text_vocab_tfidf")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -69,6 +69,34 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // §2.9 stream-static join: each micro-batch broadcast-enriched
+    // against a static dimension — the streaming mirror of the J1 batch
+    // enrichment (the dim is re-read per batch by Spark; broadcast keeps
+    // the stream side unshuffled, so at 100 TB/day the only stateful
+    // shuffle is the final aggregation).
+    "stream_enrich_counts" -> ((s, d) => {
+      val name = s"stream_enrich_counts_${counter.incrementAndGet()}"
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val q = Tables.normalizeEvents(
+        s.readStream
+          .schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d))
+        .join(dim, col("user_id") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("<unknown>")).as("segment"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("total_value"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("segment"))
+    }),
+
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
     // in batch mode — Spark supports the same operator on batch Datasets
     // (state starts empty), and a single-batch streaming run provably
@@ -106,6 +134,13 @@ object StreamQueries {
         |      FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "stream_enrich_counts" ->
+      """SELECT COALESCE(c.c_mktsegment, '<unknown>') AS segment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
 
     "stream_sessionize" ->
       """WITH ev AS (
