@@ -41,6 +41,7 @@ object Dedup {
   /** MinHash signature: k min-hashes over the shingle set, computed in
     * one pass by the native [[graft.functions.MinHashSignature]]
     * expression (Kirsch-Mitzenmacher: 2 hashes/shingle instead of k).
+    * Works on `array<string>` shingles or `array<long>` shingle hashes.
     */
   def minhashSignature(shingleCol: Column, k: Int = 16): Column =
     graft.functions.native.minhash_sig(shingleCol, k)
@@ -54,7 +55,8 @@ object Dedup {
   def candidatePairs(docs: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val r = k / bands
     val banded = docs
-      .select(col("doc_id"), minhashSignature(shingles(col("text")), k).as("sig"))
+      .select(col("doc_id"),
+        minhashSignature(shingleHashes(col("text"), 3), k).as("sig"))
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64((lit(b) +: (0 until r).map(i => col("sig")(b * r + i))): _*)): _*))
@@ -74,11 +76,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Attach shingle sets to candidate id-pairs and verify exact Jaccard
-    * with the native set-hash expression.
+  /** Attach shingle-hash sets to candidate id-pairs and verify exact
+    * Jaccard with the native set expression. Hashed sets give the same
+    * Jaccard as string sets (modulo 2⁻⁶⁴ collisions) and keep the whole
+    * verification path string-free.
     */
   private def verifyJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))

@@ -207,14 +207,33 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** k-permutation MinHash signature of an array of strings, using the
+/** k-permutation MinHash signature of a shingle array, using the
   * Kirsch-Mitzenmacher construction (two xxhash64 evaluations per
   * element, g_i = h1 + i·h2) — one pass over the shingles instead of k.
+  *
+  * Accepts `array<string>` (shingle text hashed in place) or
+  * `array<long>` (pre-hashed shingles, e.g. [[graft.ext.Dedup.shingleHashes]]
+  * — the form that never materializes shingle strings; the two KM hashes
+  * are then xxhash64 finalizers over the 8-byte value).
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression {
   require(k > 0 && k <= 512, s"minhash k out of range: $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val longInput = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<string> or array<long>, got $other")
+    }
 
   /** Same loop emitted into the stage's generated Java — the per-row
     * virtual-call + boxing overhead of CodegenFallback was the dominant
@@ -227,16 +246,24 @@ case class MinHashSignature(child: Expression, k: Int)
       val i = ctx.freshName("i"); val s = ctx.freshName("s")
       val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
       val j = ctx.freshName("j"); val g = ctx.freshName("g")
+      val hashCls = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val perElement =
+        if (longInput)
+          s"""|  long $s = $arr.getLong($i);
+              |  long $h1 = $hashCls.hashLong($s, 42L);
+              |  long $h2 = $hashCls.hashLong($s, 77L);""".stripMargin
+        else
+          s"""|  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+              |  long $h1 = $hashCls.hashUnsafeBytes(
+              |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+              |  long $h2 = $hashCls.hashUnsafeBytes(
+              |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 77L);""".stripMargin
       s"""
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |int $n = $arr.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
-         |  long $h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |  long $h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 77L);
+         |$perElement
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $g = $h1 + $j * $h2;
          |    if ($g < $mins[$j]) $mins[$j] = $g;
@@ -252,9 +279,16 @@ case class MinHashSignature(child: Expression, k: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 77L)
+      var h1 = 0L; var h2 = 0L
+      if (longInput) {
+        val x = arr.getLong(i)
+        h1 = XXH64.hashLong(x, 42L)
+        h2 = XXH64.hashLong(x, 77L)
+      } else {
+        val s = arr.getUTF8String(i)
+        h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 77L)
+      }
       var j = 0
       while (j < k) {
         val g = h1 + j * h2
@@ -269,14 +303,31 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Exact Jaccard similarity of two string-array sets: |A∩B| / |A∪B|
+/** Exact Jaccard similarity of two set-valued arrays: |A∩B| / |A∪B|
   * via one hash set build + one probe pass — replaces the
   * `array_intersect`/`array_union` pair, which builds four structures
-  * and walks the expression tree per element.
+  * and walks the expression tree per element. Accepts `array<string>`
+  * or `array<long>` (hashed-shingle sets: identical Jaccard modulo
+  * 2⁻⁶⁴ collisions, and the strings never exist).
   */
 case class JaccardSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  private lazy val longInput = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) |
+           (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaccard_sim expects two array<string> or two array<long>, got $l, $r")
+    }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -284,14 +335,22 @@ case class JaccardSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val s = ctx.freshName("s"); val inter = ctx.freshName("inter")
       val union = ctx.freshName("union")
-      // raw HashSet: janino compiles a generics-free Java subset
+      // raw HashSet + explicit boxing: janino compiles a generics-free,
+      // autoboxing-free Java subset
+      val (elemA, elemDecl) =
+        if (longInput)
+          (s"java.lang.Long.valueOf($a.getLong($i))",
+            s"Object $s = java.lang.Long.valueOf($b.getLong($j));")
+        else
+          (s"$a.getUTF8String($i)",
+            s"Object $s = $b.getUTF8String($j);")
       s"""
          |java.util.HashSet $setA = new java.util.HashSet($a.numElements() * 2);
-         |for (int $i = 0; $i < $a.numElements(); $i++) $setA.add($a.getUTF8String($i));
+         |for (int $i = 0; $i < $a.numElements(); $i++) $setA.add($elemA);
          |java.util.HashSet $seenB = new java.util.HashSet($b.numElements() * 2);
          |int $inter = 0;
          |for (int $j = 0; $j < $b.numElements(); $j++) {
-         |  org.apache.spark.unsafe.types.UTF8String $s = $b.getUTF8String($j);
+         |  $elemDecl
          |  if ($seenB.add($s) && $setA.contains($s)) $inter++;
          |}
          |int $union = $setA.size() + $seenB.size() - $inter;
@@ -302,14 +361,16 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    def elem(arr: ArrayData, i: Int): AnyRef =
+      if (longInput) java.lang.Long.valueOf(arr.getLong(i)) else arr.getUTF8String(i)
+    val setA = new java.util.HashSet[AnyRef](a.numElements() * 2)
     var i = 0
-    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
-    val seenB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    while (i < a.numElements()) { setA.add(elem(a, i)); i += 1 }
+    val seenB = new java.util.HashSet[AnyRef](b.numElements() * 2)
     var inter = 0
     var j = 0
     while (j < b.numElements()) {
-      val s = b.getUTF8String(j)
+      val s = elem(b, j)
       if (seenB.add(s) && setA.contains(s)) inter += 1
       j += 1
     }
