@@ -230,6 +230,18 @@ object Dedup {
     lab.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** The removal form of [[duplicateGroups]]: the corpus with every
+    * non-canonical dup-group member dropped (survivor = component-min
+    * doc_id). One left-anti join against the (small) non-canonical id
+    * set — the corpus itself never shuffles.
+    */
+  def applyDedup(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = duplicateGroups(pairs)
+      .filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
+    corpus.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** N-gram Jaccard top-K most-similar pairs. Candidates come from the
     * r=4 banding (collision ∝ j⁴ — a top-K query only needs the
     * high-similarity head to collide, and the j² banding drowned the

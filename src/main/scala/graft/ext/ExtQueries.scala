@@ -33,6 +33,15 @@ object ExtQueries {
       Dedup.duplicateGroups(Dedup.minhashPairs(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // End-to-end dedup application: corpus minus non-canonical dup-group
+    // members (each group keeps its min doc_id).
+    "dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.applyDedup(docs, Dedup.minhashPairs(docs))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Top-K n-gram-Jaccard pairs among LSH candidates.
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.topJaccardPairs(Tables.documents(s, d))
@@ -280,6 +289,33 @@ object ExtQueries {
         |)
         |SELECT id AS doc_id, MIN(label) AS group_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_apply" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b_id AS src, a_id AS dst FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+        |), losers AS (
+        |  SELECT id FROM reach GROUP BY id HAVING id <> MIN(label)
+        |)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |LEFT JOIN losers l ON d.doc_id = l.id
+        |WHERE l.id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_vocab_tfidf" ->
       """WITH t AS (

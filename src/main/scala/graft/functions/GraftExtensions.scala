@@ -24,8 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     // Whole-operator extension: the native as-of join's planner strategy
-    // (inert on every plan without an AsOfJoinPlan node).
+    // and its column-pruning optimizer rule (both inert on every plan
+    // without an AsOfJoinPlan node).
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => new graft.plans.AsOfJoinPruning)
   }
 }
 

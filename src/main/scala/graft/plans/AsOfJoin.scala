@@ -51,6 +51,37 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning through [[AsOfJoinPlan]] — an injected optimizer
+  * `Rule[LogicalPlan]`. Catalyst's own ColumnPruning cannot see through
+  * a node it doesn't know, so without this rule an as-of join reads
+  * every column of both children even when the query projects two. The
+  * rule inserts pruning Projects under the join (keys/times/payload plus
+  * whatever the parent Project references); it runs inside the operator-
+  * optimization fixed point, so built-in ColumnPruning then pushes those
+  * Projects all the way into the scans (`ReadSchema` narrows — at
+  * 100 TB that's the difference between scanning 2 columns and 16).
+  */
+class AsOfJoinPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        j.leftKey.references ++ j.leftTime.references ++
+        j.rightKey.references ++ j.rightTime.references ++
+        AttributeSet(j.payload)
+      val keepL = j.left.output.filter(needed.contains)
+      val keepR = j.right.output.filter(needed.contains)
+      if (keepL.length < j.left.output.length ||
+          keepR.length < j.right.output.length) {
+        p.copy(child = j.copy(
+          left = if (keepL.length < j.left.output.length) Project(keepL, j.left) else j.left,
+          right = if (keepR.length < j.right.output.length) Project(keepR, j.right) else j.right))
+      } else p
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] → [[AsOfJoinExec]]; inert on every other node. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -189,8 +220,12 @@ object NativeAsOf {
     * the deployment path; this covers ad hoc sessions, mirroring
     * `graft.functions.native.registerAll`.)
     */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AsOfJoinPruning]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new AsOfJoinPruning
+  }
 }

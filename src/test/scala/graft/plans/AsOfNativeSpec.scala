@@ -63,6 +63,22 @@ class AsOfNativeSpec extends SparkSuite {
     assert(native.length > 0 && native.sameElements(composed))
   }
 
+  test("AsOfJoinPruning: unused child columns pruned under the join, result unchanged") {
+    import org.apache.spark.sql.functions.lit
+    val q = quotes.withColumn("junk_q", lit("x"))
+    val t = trades.withColumn("junk_t", lit("y"))
+    val df = NativeAsOf.join(t, q, "t_key", "q_key", "t_ts", "q_ts", Seq("price"))
+      .select("trade_id", "price")
+    val j = df.queryExecution.optimizedPlan
+      .collect { case a: AsOfJoinPlan => a }.head
+    assert(j.left.output.map(_.name).toSet == Set("trade_id", "t_key", "t_ts"),
+      s"junk_t must be pruned: ${j.left.output}")
+    assert(j.right.output.map(_.name).toSet == Set("q_key", "q_ts", "price"),
+      s"junk_q must be pruned: ${j.right.output}")
+    val out = df.orderBy("trade_id").collect()
+    assert(out.length == 5 && out(0).getDouble(1) == 100.0 && out(2).isNullAt(1))
+  }
+
   test("native as-of plan: AsOfJoinExec node, one exchange per side, no product join") {
     val df = NativeAsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts", Seq("price"))
     df.count() // materialize so AQE finalizes the plan
