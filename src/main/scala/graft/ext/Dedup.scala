@@ -208,8 +208,12 @@ object Dedup {
     */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // Materialize the (small) edge list once — every superstep joins it,
+    // and without the checkpoint each iteration would recompute the
+    // whole upstream pair-generation pipeline (e.g. LSH banding).
     val sym = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var lab = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
