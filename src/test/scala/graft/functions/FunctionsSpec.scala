@@ -66,6 +66,36 @@ class FunctionsSpec extends SparkSuite {
     assert(out(2).getDouble(0) == 0.0)
   }
 
+  test("jaccard_sim over array<long>: set semantics match the string form") {
+    val df = Seq(
+      (Array(1L, 1L, 2L), Array(2L, 2L, 3L)),        // {1,2},{2,3} → 1/3
+      (Array.empty[Long], Array.empty[Long]),         // ∅ vs ∅ → 1.0
+      (Array(7L), Array.empty[Long])                  // → 0.0
+    ).toDF("a", "b")
+    val out = df.select(native.jaccard_sim(col("a"), col("b"))).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0 / 3) < 1e-12)
+    assert(out(1).getDouble(0) == 1.0)
+    assert(out(2).getDouble(0) == 0.0)
+    // mixed element types are rejected, not silently coerced
+    val bad = Seq((Array("x"), Array(1L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(native.jaccard_sim(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("jaccard_sim"))
+  }
+
+  test("minhash_sig over array<long>: length k, deterministic, monotone") {
+    val df = Seq((Array(10L, 20L), Array(10L, 20L, 30L))).toDF("small", "big")
+    val row = df.select(native.minhash_sig(col("small"), 8).as("s"),
+      native.minhash_sig(col("big"), 8).as("b")).head()
+    val s = row.getSeq[Long](0); val b = row.getSeq[Long](1)
+    assert(s.length == 8 && b.length == 8)
+    assert(s.zip(b).forall { case (x, y) => y <= x })
+    // same input → same signature (pure function of the element values)
+    val again = df.select(native.minhash_sig(col("small"), 8)).head().getSeq[Long](0)
+    assert(again == s)
+  }
+
   test("simhash64: empty token list → 0; single hash reproduces its bits") {
     val df = Seq(
       (1L, Array.empty[Long]),
