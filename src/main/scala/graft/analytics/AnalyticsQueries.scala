@@ -276,7 +276,24 @@ object AnalyticsQueries {
         .agg(max(col("o_orderkey")).as("o_orderkey"))
         .select(col("o_custkey"), col("ot"), col("o_orderkey"))
       graft.plans.NativeAsOf.join(ev, ord, "user_id", "o_custkey", "ts", "ot",
-          Seq("o_orderkey"))
+          Seq("o_orderkey"), hint = "merge")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // The broadcast physical form of the same operator (small dim
+    // history → fact side untouched: no exchange, no sort). Same oracle
+    // again: all three as-of formulations must agree with DuckDB ASOF.
+    "asof_join_broadcast" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts"))
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").as("ot"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("o_custkey"), col("ot"), col("o_orderkey"))
+      graft.plans.NativeAsOf.join(ev, ord, "user_id", "o_custkey", "ts", "ot",
+          Seq("o_orderkey"), hint = "broadcast")
         .select(col("event_id"), col("user_id"), col("o_orderkey"))
         .orderBy(col("event_id"))
     }),
@@ -601,6 +618,20 @@ object AnalyticsQueries {
         |ORDER BY l_returnflag, date""".stripMargin,
 
     "asof_join_orders" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate AS ot, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |), e AS (
+        |  SELECT event_id, user_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.ot
+        |ORDER BY e.event_id""".stripMargin,
+
+    "asof_join_broadcast" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate AS ot, MAX(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY 1, 2

@@ -43,7 +43,9 @@ case class AsOfJoinPlan(
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression,
     payload: Seq[Attribute],
-    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+    left: LogicalPlan, right: LogicalPlan,
+    hint: String = "auto") extends BinaryNode {
+  require(Set("auto", "merge", "broadcast")(hint), s"unknown as-of hint: $hint")
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -82,11 +84,25 @@ class AsOfJoinPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPl
   }
 }
 
-/** Plans [[AsOfJoinPlan]] → [[AsOfJoinExec]]; inert on every other node. */
+/** Plans [[AsOfJoinPlan]] → [[BroadcastAsOfJoinExec]] when the right
+  * side is hinted broadcast or fits under
+  * `spark.sql.autoBroadcastJoinThreshold` (the 100 TB case: the fact
+  * side never shuffles or sorts for a small dimension history), else
+  * the co-partitioned merge [[AsOfJoinExec]]. Inert on every other node.
+  */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, lt, rk, rt, pay, l, r) =>
-      AsOfJoinExec(lk, lt, rk, rt, pay, planLater(l), planLater(r)) :: Nil
+    case j: AsOfJoinPlan =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcastable = j.hint == "broadcast" || (j.hint == "auto" &&
+        threshold > 0 && j.right.stats.sizeInBytes <= threshold)
+      if (broadcastable)
+        BroadcastAsOfJoinExec(j.leftKey, j.leftTime, j.rightKey, j.rightTime,
+          j.payload, planLater(j.left), planLater(j.right)) :: Nil
+      else
+        AsOfJoinExec(j.leftKey, j.leftTime, j.rightKey, j.rightTime,
+          j.payload, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -182,17 +198,118 @@ case class AsOfJoinExec(
   }
 }
 
+/** Broadcast as-of join: the right (dimension-history) side is
+  * broadcast whole (`IdentityBroadcastMode`) and indexed per task as
+  * key → time-sorted payload list; each left row does one hash lookup +
+  * binary search (last entry with `time <= leftTime`). The left side
+  * keeps whatever partitioning it has — no exchange, no sort — which at
+  * 100 TB is the difference between shuffling the fact table and not
+  * touching it. Same semantics as [[AsOfJoinExec]]: inclusive boundary,
+  * NULLs never match, unmatched rows null-padded.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression,
+    payload: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey; val ltm = leftTime
+    val rk = rightKey; val rtm = rightTime
+    val pay = payload
+    val outAttrs = output
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val rktProj = UnsafeProjection.create(Seq(rk, rtm), rOut)
+      val payProj = UnsafeProjection.create(pay, rOut)
+      // Index build is per task — acceptable for a broadcast-sized dim;
+      // a dim too big to index per task is one the strategy should not
+      // have broadcast (threshold/hint decide).
+      val index = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+      bc.value.foreach { rrow =>
+        val kt = rktProj(rrow)
+        if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+          val k = InternalRow.copyValue(kt.get(0, keyType))
+          val t = InternalRow.copyValue(kt.get(1, timeType))
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
+            index.put(k, buf)
+          }
+          buf += ((t, payProj(rrow).copy()))
+        }
+      }
+      val it = index.values().iterator()
+      while (it.hasNext) {
+        val buf = it.next()
+        // Stable sort: equal-time entries keep broadcast order, and the
+        // binary search returns the last of them (same tie behavior as
+        // the merge exec's "last consumed wins").
+        val sorted = buf.sortBy(_._1)(timeOrd)
+        buf.clear(); buf ++= sorted
+      }
+      val lktProj = UnsafeProjection.create(Seq(lk, ltm), lOut)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullPay = new GenericInternalRow(pay.size)
+      val joined = new JoinedRow
+      lIter.map { lrow =>
+        val kt = lktProj(lrow)
+        if (kt.isNullAt(0) || kt.isNullAt(1)) {
+          outProj(joined(lrow, nullPay))
+        } else {
+          val buf = index.get(kt.get(0, keyType))
+          if (buf == null) outProj(joined(lrow, nullPay))
+          else {
+            val ltv = kt.get(1, timeType)
+            // rightmost entry with time <= ltv
+            var lo = 0; var hi = buf.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(buf(mid)._1, ltv) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans < 0) outProj(joined(lrow, nullPay))
+            else outProj(joined(lrow, buf(ans)._2))
+          }
+        }
+      }
+    }
+  }
+}
+
 /** Public API over the native operator. */
 object NativeAsOf {
 
   /** Most-recent-prior join via [[AsOfJoinPlan]]. Mirrors
     * [[graft.analytics.AsOf.join]]'s signature and semantics so the two
     * formulations are drop-in interchangeable (and spec-compared).
+    * `hint`: "auto" (strategy broadcasts under the session threshold),
+    * "merge", or "broadcast".
     */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           payloadCols: Seq[String]): DataFrame = {
+           payloadCols: Seq[String], hint: String = "auto"): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     // Align right key/time types with the left side up front (e.g. DATE
@@ -211,7 +328,7 @@ object NativeAsOf {
       attr(lPlan, leftKey), attr(lPlan, leftTime),
       attr(rPlan, rightKey), attr(rPlan, rightTime),
       payloadCols.map(attr(rPlan, _)),
-      lPlan, rPlan))
+      lPlan, rPlan, hint))
   }
 
   /** Idempotent safety net for sessions built without

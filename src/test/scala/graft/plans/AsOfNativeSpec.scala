@@ -56,7 +56,8 @@ class AsOfNativeSpec extends SparkSuite {
     val ord = graft.Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"), col("o_orderdate").as("ot"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
-    val native = NativeAsOf.join(ev, ord, "user_id", "o_custkey", "ts", "ot", Seq("o_orderkey"))
+    val native = NativeAsOf.join(ev, ord, "user_id", "o_custkey", "ts", "ot",
+        Seq("o_orderkey"), hint = "merge")
       .select("event_id", "o_orderkey").collect().map(_.toString).sorted
     val composed = AsOf.join(ev, ord, "user_id", "o_custkey", "ts", "ot", Seq("o_orderkey"))
       .select("event_id", "o_orderkey").collect().map(_.toString).sorted
@@ -79,8 +80,40 @@ class AsOfNativeSpec extends SparkSuite {
     assert(out.length == 5 && out(0).getDouble(1) == 100.0 && out(2).isNullAt(1))
   }
 
+  test("broadcast as-of: same semantics as merge, zero shuffles, left side untouched") {
+    val df = NativeAsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+      Seq("price"), hint = "broadcast")
+    val out = df.orderBy("trade_id").collect()
+    assert(out(0).getDouble(3) == 100.0)
+    assert(out(1).getDouble(3) == 110.0) // inclusive boundary
+    assert(out(2).isNullAt(3))           // before any quote
+    assert(out(3).getDouble(3) == 200.0) // stale carry
+    assert(out(4).isNullAt(3))           // unknown key
+    df.count()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastAsOfJoin"))
+    val shuffles = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty, s"broadcast as-of must not shuffle either side:\n$plan")
+  }
+
+  test("broadcast as-of matches merge as-of on real tables") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"))
+    val ord = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate").as("ot"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    def run(hint: String) =
+      NativeAsOf.join(ev, ord, "user_id", "o_custkey", "ts", "ot",
+        Seq("o_orderkey"), hint)
+        .select("event_id", "o_orderkey").collect().map(_.toString).sorted
+    assert(run("broadcast").sameElements(run("merge")))
+  }
+
   test("native as-of plan: AsOfJoinExec node, one exchange per side, no product join") {
-    val df = NativeAsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts", Seq("price"))
+    val df = NativeAsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+      Seq("price"), hint = "merge")
     df.count() // materialize so AQE finalizes the plan
     val plan = df.queryExecution.executedPlan
     val s = plan.toString
