@@ -48,6 +48,19 @@ case class AsOfJoinPlan(
   require(Set("auto", "merge", "broadcast")(hint), s"unknown as-of hint: $hint")
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
+  override def maxRows: Option[Long] = left.maxRows
+
+  /** Output cardinality is exactly the left side's (left rows pass
+    * through once, null-padded or enriched) — without this override the
+    * default visitor multiplies the children's sizes, and those
+    * inflated stats stop Catalyst broadcasting anything downstream of
+    * an as-of join. Width ≈ left width + payload, bounded here by 2×.
+    */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes * 2,
+      rowCount = left.stats.rowCount)
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)

@@ -80,6 +80,16 @@ class AsOfNativeSpec extends SparkSuite {
     assert(out.length == 5 && out(0).getDouble(1) == 100.0 && out(2).isNullAt(1))
   }
 
+  test("as-of stats: output sized from the left side, not a child product") {
+    val df = NativeAsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+      Seq("price"), hint = "merge")
+    val j = df.queryExecution.optimizedPlan
+      .collect { case a: AsOfJoinPlan => a }.head
+    assert(j.stats.sizeInBytes == j.left.stats.sizeInBytes * 2,
+      s"expected 2x left, got ${j.stats.sizeInBytes}")
+    assert(j.stats.sizeInBytes < j.left.stats.sizeInBytes * j.right.stats.sizeInBytes)
+  }
+
   test("broadcast as-of: same semantics as merge, zero shuffles, left side untouched") {
     val df = NativeAsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
       Seq("price"), hint = "broadcast")
