@@ -105,10 +105,53 @@ object KeyValueQueries {
         .drop("_pk")
         .filter(col("sk").between("GENRE_RANK#1", "GENRE_RANK#3"))
         .orderBy(col("pk"), col("sk"))
+    }),
+
+    // K5: keyed upsert snapshot — the batch analogue of the reference's
+    // DynamoDB overwrite-by-pk ingestion (dynamodb-ingestion.py
+    // batch_writer: the last write per key wins). A correction batch is
+    // unioned with the base and the latest version per key survives
+    // (one window pass, WindowGroupLimit-capped); at 100 TB this runs
+    // per date-partition via Layout.mergeDaily rather than over the
+    // whole table.
+    "k5_upsert_snapshot" -> ((s, d) => {
+      val base = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(0))
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("version", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+      base.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "k5_upsert_snapshot" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version
+        |  FROM orders
+        |), updates AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice,
+        |    1 AS version
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), merged AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM merged WHERE rn = 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "r1_unpivot_kpis" ->
       (servingCte + "\nSELECT * FROM kpi_items ORDER BY pk, sk"),
     "r2_r3_rank_items" ->
