@@ -234,13 +234,78 @@ object Dedup {
     lab.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the algorithm whose round count is O(log n) regardless
+    * of graph shape, where plain label propagation
+    * ([[duplicateGroups]]) needs diameter rounds. Each half-step is one
+    * shuffle (a per-node min window over the directed edge list):
+    *
+    *  - large-star: every neighbor v > u re-points to m = min(N(u) ∪ u)
+    *  - small-star: every neighbor v ≤ u (and u itself) points to m
+    *
+    * The edge list converges to stars rooted at each component's
+    * minimum; the loop stops when the edge checksum is stable (one
+    * tiny aggregate per round, no data on the driver). Same output
+    * contract as [[duplicateGroups]]: (doc_id, group_id = component
+    * min) for every node of the pair graph.
+    */
+  def starContractionGroups(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Each half-step works on undirected neighborhoods: symmetrize, take
+    // the per-node min m = min(N(u) ∪ {u}) with one window, re-point.
+    // Emitted edges are always (child > parent), a canonical direction.
+    def half(edges: DataFrame, largeStar: Boolean): DataFrame = {
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val withM = sym.withColumn("m",
+        least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+      val repointed =
+        if (largeStar)
+          withM.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          withM.filter(col("v") < col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionByName(withM.select(col("u"), col("m").as("v")))
+      repointed.filter(col("u") =!= col("v")).distinct()
+    }
+    def checksum(edges: DataFrame): (Long, Long) = {
+      val r = edges.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = pairs
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = checksum(edges)
+    var i = 0
+    var stable = false
+    while (!stable && i < maxIter) {
+      edges = half(half(edges, largeStar = true), largeStar = false)
+        .localCheckpoint()
+      val cur = checksum(edges)
+      stable = cur == prev
+      prev = cur
+      i += 1
+    }
+    // Converged stars: every non-root points at its root. Roots appear
+    // only on the v side; they label themselves.
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_anti")
+    edges.select(col("u").as("doc_id"), col("v").as("group_id"))
+      .unionByName(roots.select(col("v").as("doc_id"), col("v").as("group_id")))
+      .distinct()
+  }
+
   /** The removal form of [[duplicateGroups]]: the corpus with every
     * non-canonical dup-group member dropped (survivor = component-min
     * doc_id). One left-anti join against the (small) non-canonical id
-    * set — the corpus itself never shuffles.
+    * set — the corpus itself never shuffles. Components come from the
+    * star-contraction path (so both CC algorithms run under the oracle
+    * gate — `dedup_groups` uses label propagation).
     */
   def applyDedup(corpus: DataFrame, pairs: DataFrame): DataFrame = {
-    val losers = duplicateGroups(pairs)
+    val losers = starContractionGroups(pairs)
       .filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id"))
     corpus.join(losers, Seq("doc_id"), "left_anti")

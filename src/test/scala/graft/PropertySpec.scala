@@ -52,6 +52,42 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  private val graphGen = for {
+    n <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 25L)
+      b <- Gen.choose(1L, 25L)
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.filter { case (a, b) => a != b }.distinct
+
+  /** Driver-side union-find ground truth for component-min labels. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+  }
+
+  test("property: star contraction and label propagation both equal union-find") {
+    samples(graphGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val pairs = edges.toDF("a_id", "b_id")
+      val expect = unionFind(edges)
+      val star = Dedup.starContractionGroups(pairs)
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.duplicateGroups(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(star == expect, s"star contraction diverged on $edges")
+      assert(prop == expect, s"label propagation diverged on $edges")
+    }
+  }
+
   private val userGen = Gen.nonEmptyListOf(for {
     id <- Gen.identifier.map(_.take(6))
     name <- Gen.option(Gen.alphaStr.map(_.take(8)))
