@@ -214,9 +214,11 @@ object Dedup {
     val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // Label checkpoints are lazy: the convergence count is the action
+    // that materializes each superstep (one job per superstep, not two).
     var lab = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -226,7 +228,7 @@ object Dedup {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nbr_min"), col("old"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
       lab = next.select(col("id"), col("label"))
       i += 1
@@ -274,15 +276,18 @@ object Dedup {
       val r = edges.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // Lazy checkpoints: the checksum aggregate is the action that
+    // materializes each round's edges, so a round costs one job, not two
+    // (an eager checkpoint would run its own).
     var edges = pairs
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var prev = checksum(edges)
     var i = 0
     var stable = false
     while (!stable && i < maxIter) {
       edges = half(half(edges, largeStar = true), largeStar = false)
-        .localCheckpoint()
+        .localCheckpoint(false)
       val cur = checksum(edges)
       stable = cur == prev
       prev = cur
