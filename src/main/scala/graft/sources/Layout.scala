@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout decisions (SURVEY.md §4): the reference stores its
@@ -54,6 +54,35 @@ object Layout {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
     }
     affected
+  }
+
+  /** Z-order key for two non-negative integer dimensions: interleave the
+    * low `bits` bits (a in even positions, b in odd). Built from
+    * codegen'd bitwise built-ins — no UDF. Sorting by this key clusters
+    * rows so every data file covers a small *rectangle* of (a, b) space,
+    * which is what lets min/max stats skip files for predicates on
+    * EITHER dimension — a single-column sort only ever skips on its
+    * leading column.
+    */
+  def zorder2(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i).bitwiseOR(
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Write `df` clustered by the Z-order of two dimensions into
+    * `nFiles` range-partitioned, internally sorted files. At 100 TB
+    * this is the layout pass a table gets after ingestion so that
+    * two-dimensional slice queries (user × time, region × day) read a
+    * small fraction of files instead of all of them.
+    */
+  def writeZOrdered(df: DataFrame, dimA: String, dimB: String,
+                    dir: String, nFiles: Int): Unit = {
+    val keyed = df.withColumn("_z", zorder2(col(dimA), col(dimB)))
+    keyed.repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(dir)
   }
 
   /** Small-file compaction: rewrite a directory into ~`targetFiles`
