@@ -53,6 +53,24 @@ object Multimodal {
       (metaHash(1) % 64 + lit(32)).cast("int").as("height"),
       (metaHash(2) % 8 + lit(1)).cast("int").as("nFrames"))
 
+  /** Materialize each row's media payload as an individual `<doc_id>.bin`
+    * file — the on-disk shape a binary ingestion source reads. Local-fs
+    * scaffolding for the `binaryFile`-source query: at scale media files
+    * already sit in object storage and are read in place; nothing writes
+    * them from Spark.
+    */
+  def writeMediaFiles(docs: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.select(col("doc_id"), col("media"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
   /** STUB decoder: a real implementation would decode the image/frame
     * here (e.g. via a JNI codec); the fake derives a 16-bin byte
     * histogram normalized to unit L1 — deterministic, so tests can pin

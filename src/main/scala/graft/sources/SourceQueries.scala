@@ -75,6 +75,24 @@ object SourceQueries {
         .orderBy(col("segment"))
     }),
 
+    // Binary-file source: one file per media object read through the
+    // binaryFile format — the ingestion path for image/audio/video
+    // corpora. Only (path, length) are selected, so the reader never
+    // deserializes payload bytes (binaryFile supports column pruning);
+    // the aggregate must equal the oracle's byte accounting over the
+    // documents the fake media derives from.
+    "s7_binary_source" -> ((s, d) => {
+      val tmp = s"/root/repo/target/binary_src_${math.abs(d.hashCode)}"
+      graft.ext.Multimodal.writeMediaFiles(
+        graft.ext.Multimodal.withFakeMedia(graft.Tables.documents(s, d)), tmp)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(tmp)
+        .select((regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+          .cast("long") % 10).as("bucket"), col("length"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("length")).as("total_bytes"))
+        .orderBy(col("bucket"))
+    }),
+
     // Avro source: the row-oriented interchange format (Kafka-ecosystem
     // payloads land as avro) — written and read back through Spark's
     // bundled avro data source (addressed by class name: the short
@@ -113,6 +131,12 @@ object SourceQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "s7_binary_source" ->
+      """SELECT doc_id % 10 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(octet_length(encode(text || '|' || source))) AS BIGINT)
+        |    AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "s6_schema_evolution" ->
       """WITH merged AS (
