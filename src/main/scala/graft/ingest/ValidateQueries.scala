@@ -40,6 +40,29 @@ object ValidateQueries {
           sum(when(!col("value").between(0.0, 400.0), 1).otherwise(0))
             .as("n_out_of_range"))),
 
+    // Table profiling: per-column non-null/distinct counts in ONE scan
+    // (the pre-flight data-quality pass every pipeline runs on a new
+    // drop). Exact distincts here for the gate; at 100 TB the same
+    // shape runs approx_count_distinct to avoid the 4-way Expand.
+    "profile_documents" -> ((s, d) => {
+      val agg = Tables.documents(s, d).agg(
+        count(col("doc_id")).as("nn_doc_id"),
+        countDistinct(col("doc_id")).as("nd_doc_id"),
+        count(col("lang")).as("nn_lang"),
+        countDistinct(col("lang")).as("nd_lang"),
+        count(col("source")).as("nn_source"),
+        countDistinct(col("source")).as("nd_source"),
+        count(col("text")).as("nn_text"),
+        countDistinct(col("text")).as("nd_text"))
+      agg.select(expr(
+        """stack(4,
+          |'doc_id', nn_doc_id, nd_doc_id,
+          |'lang', nn_lang, nd_lang,
+          |'source', nn_source, nd_source,
+          |'text', nn_text, nd_text) as (col_name, n_nonnull, n_distinct)""".stripMargin))
+        .orderBy(col("col_name"))
+    }),
+
     // F9+F10: composite serving-key construction (concat_ws / printf).
     "f9_f10_key_concat" -> ((s, d) =>
       Tables.nation(s, d)
@@ -71,6 +94,14 @@ object ValidateQueries {
         |  CAST(SUM(CASE WHEN regexp_extract(props, '[0-9]+') = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
         |  CAST(SUM(CASE WHEN value NOT BETWEEN 0.0 AND 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range
         |FROM events""".stripMargin,
+
+    "profile_documents" ->
+      """SELECT 'doc_id' AS col_name, COUNT(doc_id) AS n_nonnull,
+        |  COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+        |UNION ALL SELECT 'lang', COUNT(lang), COUNT(DISTINCT lang) FROM documents
+        |UNION ALL SELECT 'source', COUNT(source), COUNT(DISTINCT source) FROM documents
+        |UNION ALL SELECT 'text', COUNT(text), COUNT(DISTINCT text) FROM documents
+        |ORDER BY col_name""".stripMargin,
 
     "f9_f10_key_concat" ->
       """SELECT
