@@ -97,6 +97,25 @@ object StreamQueries {
       s.table(name).orderBy(col("segment"))
     }),
 
+    // §2.9 sessionization via the BUILT-IN session_window — the
+    // compose-first counterpart of the custom flatMapGroupsWithState
+    // path (stream_sessionize): when gap-window semantics are exactly
+    // what's needed, the native operator gets merge-on-update session
+    // state and watermark eviction for free. Custom state remains for
+    // semantics session_window can't express (per-session custom
+    // payloads, early emission rules).
+    "session_window_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("start_sec"),
+          unix_timestamp(col("w.end")).as("end_sec"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_sec"))),
+
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
     // in batch mode — Spark supports the same operator on batch Datasets
     // (state starts empty), and a single-batch streaming run provably
@@ -141,6 +160,32 @@ object StreamQueries {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // session_window end = last event + gap; no last-session exclusion
+    // (unlike the streaming emission set).
+    "session_window_counts" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  CAST(epoch(MIN(ts)) AS BIGINT) AS start_sec,
+        |  CAST(epoch(MAX(ts)) + 1800 AS BIGINT) AS end_sec,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin,
 
     "stream_sessionize" ->
       """WITH ev AS (
