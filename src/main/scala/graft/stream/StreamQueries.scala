@@ -69,6 +69,35 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // §2.9 event-time tumbling windows through the stream: watermarked
+    // window() aggregation (complete mode so the final table includes
+    // every window — append under AvailableNow would hold back the last
+    // watermark-open window, which is exactly the semantics the
+    // SessionsSpec late-data tests pin).
+    "stream_windowed_counts" -> ((s, d) => {
+      val name = s"stream_windowed_counts_${counter.incrementAndGet()}"
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val q = Tables.normalizeEvents(
+        s.readStream
+          .schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("total_value"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // §2.9 stream-static join: each micro-batch broadcast-enriched
     // against a static dimension — the streaming mirror of the J1 batch
     // enrichment (the dim is re-read per batch by Spark; broadcast keeps
@@ -153,6 +182,14 @@ object StreamQueries {
         |      FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "stream_windowed_counts" ->
+      """SELECT CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |    AS win_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "stream_enrich_counts" ->
       """SELECT COALESCE(c.c_mktsegment, '<unknown>') AS segment,
