@@ -88,6 +88,38 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  private val asofGen = for {
+    nQ <- Gen.choose(0, 30)
+    quotes <- Gen.listOfN(nQ, for {
+      k <- Gen.choose(1L, 8L); t <- Gen.choose(0L, 50L)
+      p <- Gen.choose(1, 999)
+    } yield (k, t, p.toDouble))
+    nT <- Gen.choose(1, 40)
+    trades <- Gen.listOfN(nT, for {
+      k <- Gen.choose(1L, 10L); t <- Gen.choose(0L, 60L)
+    } yield (k, t))
+  } yield (quotes.distinctBy(q => (q._1, q._2)), trades)
+
+  test("property: native as-of (merge and broadcast) equals a driver-side reference") {
+    samples(asofGen, 6).foreach { case (quotes, tradesRaw) =>
+      val trades = tradesRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val qDf = quotes.toDF("q_key", "q_ts", "price")
+      val tDf = trades.toDF("trade_id", "t_key", "t_ts")
+      val expect: Map[Long, Option[Double]] = trades.map { case (id, k, t) =>
+        val c = quotes.filter(q => q._1 == k && q._2 <= t)
+        id -> (if (c.isEmpty) None else Some(c.maxBy(_._2)._3))
+      }.toMap
+      Seq("merge", "broadcast").foreach { h =>
+        val got = graft.plans.NativeAsOf
+          .join(tDf, qDf, "t_key", "q_key", "t_ts", "q_ts", Seq("price"), h)
+          .select("trade_id", "price").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        assert(got == expect, s"$h as-of diverged: quotes=$quotes trades=$trades")
+      }
+    }
+  }
+
   private val userGen = Gen.nonEmptyListOf(for {
     id <- Gen.identifier.map(_.take(6))
     name <- Gen.option(Gen.alphaStr.map(_.take(8)))
