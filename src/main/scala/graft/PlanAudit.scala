@@ -10,7 +10,7 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("s3_p1_scan_project", "j1_enrich_users", "j2_sales_by_segment",
         "a1_genre_kpis", "a3_w1_top_songs", "p9_kpis_one_day", "dedup_minhash_lsh",
-        "sim_bruteforce_topk", "sim_ivf_topk", "sim_pq_topk",
+        "sim_bruteforce_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk",
         "range_join_ship_window", "range_join_keyless_interval",
         "doc_sample_stratified", "asof_join_native", "decontaminate",
         "text_vocab_tfidf")

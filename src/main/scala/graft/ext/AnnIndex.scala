@@ -1,0 +1,274 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes: build once, serve many queries from the stored
+  * index — the production lifecycle [[Similarity]]'s in-memory paths
+  * (`ivfTopK`/`pqTopK`) only sketch. (Reference context: the serving
+  * stores in King-04/Music-Streaming-Data-Pipeline-V2 are load-once /
+  * query-many DynamoDB tables — this is the same shape for vector
+  * search.)
+  *
+  * Layout per index under one directory:
+  *  - `centroids/`   — coarse-quantizer cells `(cell_id, centroid)`;
+  *    tiny (nCells rows), collected at query time and baked into the
+  *    plan as literals.
+  *  - `codebook/`    — PQ codewords `(sub, code, codeword)`; tiny.
+  *  - `assignments/` — the big table, one row per corpus vector,
+  *    **partitioned by `cell_id`** so probing `nprobe` cells is static
+  *    partition pruning: a query with 4 probes reads 4/nCells of the
+  *    index regardless of corpus size. Columns are ids (+ PQ codes for
+  *    IVF-PQ) only — the raw embedding column stays in the corpus table
+  *    and is read exclusively by the exact-cosine rerank join
+  *    ([[Similarity.rerankExact]]) and the bounded query-vector collect.
+  *  - `codes/`       — flat PQ code table `(n_id, n_label, codes)`, 32×
+  *    smaller than the embeddings it stands in for; the ADC scan reads
+  *    only this.
+  *
+  * Probe-cell selection runs driver-side over the collected centroid
+  * table (same bounded-artifact contract as the PQ lookup tables): that
+  * makes the probed cell set a plan-time constant, which is exactly what
+  * turns into `PartitionFilters` on the assignments scan. At 100 TB the
+  * build is one pass over the corpus (map-side argmax assignment, no
+  * shuffle before the partitioned write) and each query reads
+  * nprobe/nCells of the index plus a candidate-bounded rerank.
+  */
+object AnnIndex {
+
+  /** Index root for a fixture dir, keyed by its basename so sf0.01 and
+    * sf0.1 never share an index. Lives under target/ (build artifact).
+    */
+  def defaultRoot(sfDir: String): String =
+    s"target/ann_index/${new java.io.File(sfDir).getName}"
+
+  private def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new Path(table, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Build the IVF index at `dir` unless its committed marker already
+    * exists (load-once/serve-many; rebuild = delete the directory).
+    */
+  def ensureIvf(spark: SparkSession, emb: DataFrame, dir: String,
+                nCells: Int = 16): String = {
+    if (!exists(spark, s"$dir/assignments")) buildIvf(spark, emb, dir, nCells)
+    dir
+  }
+
+  /** One corpus pass: train the coarse quantizer on a bounded sample,
+    * assign every vector to its cell map-side, write `(vec_id, label)`
+    * partitioned by `cell_id`. No shuffle other than the write's own
+    * file layout.
+    */
+  def buildIvf(spark: SparkSession, emb: DataFrame, dir: String,
+               nCells: Int = 16): Unit = {
+    val centroids = Similarity.kmeans(Similarity.trainingSample(emb, nCells * 16), nCells)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    writeCentroids(spark, centroids, s"$dir/centroids")
+    emb.withColumn("cell_id",
+        element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
+      .select(col("vec_id"), col("label"), col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/assignments")
+  }
+
+  /** Serve top-k from the persisted IVF index: probe cells chosen
+    * driver-side (static partition pruning on the assignments scan),
+    * candidates are ids-only until the exact rerank.
+    */
+  def searchIvf(spark: SparkSession, emb: DataFrame, dir: String,
+                nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val centroids = loadCentroids(spark, s"$dir/centroids")
+    val queries = collectQueries(emb, nQueries)
+    // cell_id comes back from the partitioned layout as int — keep the
+    // probe constants int too, so the IN filter lands in PartitionFilters
+    // rather than behind a cast.
+    val probes: Seq[(Int, Long)] = queries.toSeq.flatMap { case (qid, qv) =>
+      nearestCells(centroids, qv, nprobe).map(cid => (cid.toInt, qid))
+    }
+    val allCells = probes.map(_._1).distinct
+    import spark.implicits._
+    val probeDf = probes.toDF("cell_id", "q_id")
+    val index = spark.read.parquet(s"$dir/assignments")
+      .filter(col("cell_id").isin(allCells: _*))
+      .select(col("cell_id"), col("vec_id").as("n_id"), col("label").as("n_label"))
+    val cands = index.join(broadcast(probeDf), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("n_label"))
+      .distinct()
+    Similarity.rerankExact(emb, cands, nQueries, k)
+  }
+
+  // ----------------------------------------------------------------- PQ
+
+  def ensurePq(spark: SparkSession, emb: DataFrame, dir: String,
+               m: Int = 8, codesPerSub: Int = 16): String = {
+    if (!exists(spark, s"$dir/codes")) buildPq(spark, emb, dir, m, codesPerSub)
+    dir
+  }
+
+  /** Train per-subspace codebooks on a bounded sample, encode the whole
+    * corpus map-side, persist the 32×-compressed code table.
+    */
+  def buildPq(spark: SparkSession, emb: DataFrame, dir: String,
+              m: Int = 8, codesPerSub: Int = 16): Unit = {
+    val sample = Similarity.trainingSample(emb, codesPerSub * 16)
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val subDims = dims / m
+    val codebook = Similarity.pqTrain(sample, m, subDims, codesPerSub)
+    writeCodebook(spark, codebook, s"$dir/codebook")
+    emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        Similarity.pqEncodeCol(codebook, subDims, col("embedding")).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Serve top-k from the persisted PQ code table: ADC scan over codes
+    * only, exact rerank on the top-`rerank` candidates.
+    */
+  def searchPq(spark: SparkSession, emb: DataFrame, dir: String,
+               nQueries: Int = 10, k: Int = 5, rerank: Int = 50): DataFrame = {
+    val codebook = loadCodebook(spark, s"$dir/codebook")
+    val subDims = codebook(0)(0).length
+    val encoded = spark.read.parquet(s"$dir/codes")
+    Similarity.pqAdcSearch(encoded, emb, codebook, subDims, nQueries, k, rerank)
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  def ensureIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
+                  nCells: Int = 16, m: Int = 8, codesPerSub: Int = 16): String = {
+    if (!exists(spark, s"$dir/assignments"))
+      buildIvfPq(spark, emb, dir, nCells, m, codesPerSub)
+    dir
+  }
+
+  /** The production composition: coarse cells for pruning, residual PQ
+    * codes for in-cell scoring. Codebooks are trained on residuals
+    * (vector − its cell centroid), so the quantization error is that of
+    * the residual distribution — strictly tighter than flat PQ on the
+    * raw vectors. One corpus pass: map-side cell argmax, in-plan
+    * residual (`zip_with` against the literal centroid matrix), map-side
+    * encode, write partitioned by cell.
+    */
+  def buildIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
+                 nCells: Int = 16, m: Int = 8, codesPerSub: Int = 16): Unit = {
+    val sample = Similarity.trainingSample(emb, math.max(nCells, codesPerSub) * 16)
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val subDims = dims / m
+    val centroids = Similarity.kmeans(sample, nCells)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val resSample = sample.map { v =>
+      val cv = centroids(nearestCells(centroids, v, 1).head.toInt)._2
+      Array.tabulate(v.length)(i => v(i) - cv(i))
+    }
+    val codebook = Similarity.pqTrain(resSample, m, subDims, codesPerSub)
+    writeCentroids(spark, centroids, s"$dir/centroids")
+    writeCodebook(spark, codebook, s"$dir/codebook")
+    val centMat = typedLit(centroids.map(_._2.toSeq).toSeq)
+    val residual = zip_with(col("embedding"),
+      element_at(centMat, (col("cell_id") + 1).cast("int")),
+      (x, c) => (x - c).cast("float"))
+    emb.withColumn("cell_id",
+        element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
+      .withColumn("codes", Similarity.pqEncodeCol(codebook, subDims, residual))
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("codes"), col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/assignments")
+  }
+
+  /** Serve top-k from the persisted IVF-PQ index. Per (query, probed
+    * cell) the ADC score decomposes as q·(centroid + residual) =
+    * q·centroid (a per-cell bias) + Σⱼ lut[j][codeⱼ]; bias and LUT are
+    * driver-computed over the tiny centroid/codebook tables and
+    * broadcast, so the scan touches only the pruned code partitions.
+    */
+  def searchIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
+                  nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
+                  rerank: Int = 50): DataFrame = {
+    val centroids = loadCentroids(spark, s"$dir/centroids")
+    val codebook = loadCodebook(spark, s"$dir/codebook")
+    val m = codebook.length
+    val subDims = codebook(0)(0).length
+    val queries = collectQueries(emb, nQueries)
+    // int cell ids for the same partition-pruning reason as searchIvf
+    val qcells: Seq[(Int, Long, Double, Seq[Seq[Double]])] =
+      queries.toSeq.flatMap { case (qid, qv) =>
+        nearestCells(centroids, qv, nprobe).map { cid =>
+          val cv = centroids(cid.toInt)._2
+          val bias = (0 until math.min(qv.length, cv.length))
+            .map(i => qv(i).toDouble * cv(i)).sum
+          val lut: Seq[Seq[Double]] = (0 until m).map(j =>
+            codebook(j).toSeq.map(cw =>
+              cw.zip(qv.slice(j * subDims, (j + 1) * subDims))
+                .map { case (a, b) => a.toDouble * b }.sum))
+          (cid.toInt, qid, bias, lut)
+        }
+      }
+    val allCells = qcells.map(_._1).distinct
+    import spark.implicits._
+    val qcellDf = qcells.toDF("cell_id", "q_id", "bias", "lut")
+    val codes = spark.read.parquet(s"$dir/assignments")
+      .filter(col("cell_id").isin(allCells: _*))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1), col("codes")(j) + lit(1))).reduce(_ + _)
+    val cands = codes.join(broadcast(qcellDf), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", col("bias") + adc)
+      .withColumn("cand_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)))
+      .filter(col("cand_rank") <= rerank)
+      .select(col("q_id"), col("n_id"), col("n_label"))
+    Similarity.rerankExact(emb, cands, nQueries, k)
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  /** nprobe nearest cells for one vector, driver-side; tie-break matches
+    * [[Similarity.topCellsCol]]: (sim desc, cell_id desc).
+    */
+  private def nearestCells(centroids: Array[(Long, Array[Float])],
+                           v: Array[Float], nprobe: Int): Seq[Long] =
+    centroids.toSeq.map { case (cid, cv) => (Similarity.cosineLocal(v, cv), cid) }
+      .sortBy { case (s, c) => (-s, -c) }.take(nprobe).map(_._2)
+
+  /** Bounded query-vector collect — the same driver-artifact contract as
+    * the PQ lookup tables.
+    */
+  private def collectQueries(emb: DataFrame, nQueries: Int): Array[(Long, Array[Float])] =
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def writeCentroids(spark: SparkSession,
+                             centroids: Array[(Long, Array[Float])],
+                             path: String): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def loadCentroids(spark: SparkSession, path: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(path).orderBy("cell_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def writeCodebook(spark: SparkSession,
+                            codebook: Array[Array[Array[Float]]],
+                            path: String): Unit = {
+    import spark.implicits._
+    codebook.indices.flatMap(j => codebook(j).indices.map(c =>
+        (j, c, codebook(j)(c).toSeq)))
+      .toDF("sub", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def loadCodebook(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(path).orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1).map(_._2.map(_._2))
+}

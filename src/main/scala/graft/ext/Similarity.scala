@@ -45,7 +45,7 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
 
-  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+  private[ext] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
@@ -58,7 +58,7 @@ object Similarity {
     * regardless of corpus size (the same contract as MLlib's k-means||
     * init sample).
     */
-  private def trainingSample(emb: DataFrame, n: Int): Array[Array[Float]] =
+  private[ext] def trainingSample(emb: DataFrame, n: Int): Array[Array[Float]] =
     emb.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(n)
       .collect().map(_.getSeq[Float](1).toArray)
@@ -182,21 +182,45 @@ object Similarity {
     * The index (vec_id → cell) is what a production pipeline would
     * persist alongside the embeddings, bucketed by cell.
     */
+  /** Map-side m-nearest cells: score all nCells in one array expression,
+    * sort it (nCells elements, per row, in registers — no shuffle), and
+    * keep the top m cell ids. Struct sort orders by (sim, cell) asc, so
+    * reverse gives sim-desc with cell-desc tiebreak — deterministic.
+    */
+  private[ext] def topCellsCol(centroids: Array[(Long, Array[Float])],
+                               vecCol: Column, m: Int): Column = {
+    val scored = array(centroids.toSeq.map { case (cid, vec) =>
+      struct(cosine(vecCol, typedLit(vec)).as("s"), lit(cid).as("c"))
+    }: _*)
+    slice(reverse(array_sort(scored)), 1, m).getField("c")
+  }
+
+  /** Exact-cosine rerank of an id-level candidate set `(q_id, n_id,
+    * n_label)`: the only stage that reads the full-precision embedding
+    * column. Query side broadcast; per-query top-k via WindowGroupLimit.
+    */
+  private[ext] def rerankExact(emb: DataFrame, cands: DataFrame,
+                               nQueries: Int, k: Int): DataFrame = {
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ne = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    cands
+      .join(broadcast(qe), Seq("q_id"))
+      .join(ne, Seq("n_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
               nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val centroids: Array[(Long, Array[Float])] =
       kmeans(trainingSample(emb, nCells * 16), nCells)
         .zipWithIndex.map { case (c, i) => (i.toLong, c) }
-    // Map-side m-nearest cells: score all nCells in one array expression,
-    // sort it (nCells elements, per row, in registers — no shuffle), and
-    // keep the top m cell ids. Struct sort orders by (sim, cell) asc, so
-    // reverse gives sim-desc with cell-desc tiebreak — deterministic.
-    def topCells(vecCol: Column, m: Int): Column = {
-      val scored = array(centroids.toSeq.map { case (cid, vec) =>
-        struct(cosine(vecCol, typedLit(vec)).as("s"), lit(cid).as("c"))
-      }: _*)
-      slice(reverse(array_sort(scored)), 1, m).getField("c")
-    }
+    def topCells(vecCol: Column, m: Int): Column = topCellsCol(centroids, vecCol, m)
     val index = emb
       .withColumn("cell_id", element_at(topCells(col("embedding"), 1), 1))
       .select(col("cell_id"), col("vec_id").as("n_id"),
@@ -241,18 +265,29 @@ object Similarity {
     val dims = sample.head.length
     require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
     val subDims = dims / m
-    // per-subspace codebooks: k-means over the sample's subvector slices
-    val codebook: Array[Array[Array[Float]]] =
-      Array.tabulate(m) { j =>
-        kmeans(sample.map(_.slice(j * subDims, (j + 1) * subDims)), codesPerSub)
-      }
-    // argmin-L2 encode via argmax(dot - |c|²/2): codeword norms folded in
-    // driver-side so the per-row work is one dot product per codeword
+    val codebook = pqTrain(sample, m, subDims, codesPerSub)
+    val encoded = emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      pqEncodeCol(codebook, subDims, col("embedding")).as("codes"))
+    pqAdcSearch(encoded, emb, codebook, subDims, nQueries, k, rerank)
+  }
+
+  /** Per-subspace codebooks: k-means over the sample's subvector slices. */
+  private[ext] def pqTrain(sample: Array[Array[Float]], m: Int, subDims: Int,
+                           codesPerSub: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(m) { j =>
+      kmeans(sample.map(_.slice(j * subDims, (j + 1) * subDims)), codesPerSub)
+    }
+
+  /** Map-side PQ encoding: argmin-L2 per subspace via argmax(dot − |c|²/2)
+    * — codeword norms folded in driver-side so the per-row work is one
+    * dot product per codeword. Zero shuffle, zero row blowup.
+    */
+  private[ext] def pqEncodeCol(codebook: Array[Array[Array[Float]]],
+                               subDims: Int, embCol: Column): Column = {
     val halfNormSq: Array[Array[Double]] =
       codebook.map(_.map(c => 0.5 * c.map(x => x.toDouble * x).sum))
-
-    def subvec(j: Int) = slice(col("embedding"), j * subDims + 1, subDims)
-    val codeCol = array((0 until m).map { j =>
+    def subvec(j: Int) = slice(embCol, j * subDims + 1, subDims)
+    array(codebook.indices.map { j =>
       array_max(array(codebook(j).indices.map { c =>
         struct(
           (graft.functions.native.dot_product(subvec(j), typedLit(codebook(j)(c)))
@@ -260,10 +295,18 @@ object Similarity {
           lit(c).as("c"))
       }: _*)).getField("c")
     }: _*)
-    val encoded = emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
-      codeCol.as("codes"))
+  }
 
-    // per-query ADC lookup tables, baked in as literal arrays
+  /** ADC search over an encoded `(n_id, n_label, codes)` table: per-query
+    * lookup tables baked in as literal arrays, top-`rerank` candidates by
+    * approximate score, then exact-cosine rerank. The full-precision
+    * embedding column is read only by the query collect and the rerank
+    * join — never by the codes scan.
+    */
+  private[ext] def pqAdcSearch(encoded: DataFrame, emb: DataFrame,
+                               codebook: Array[Array[Array[Float]]], subDims: Int,
+                               nQueries: Int, k: Int, rerank: Int): DataFrame = {
+    val m = codebook.length
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -284,19 +327,7 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)))
       .filter(col("cand_rank") <= rerank)
       .select(col("q_id"), col("n_id"), col("n_label"))
-
-    val qe = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val ne = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    candidates
-      .join(broadcast(qe), Seq("q_id"))
-      .join(ne, Seq("n_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("n_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
+    rerankExact(emb, candidates, nQueries, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: top-K highest-cosine pairs

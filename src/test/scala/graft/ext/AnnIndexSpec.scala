@@ -1,0 +1,104 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+
+/** Persisted-ANN-index lifecycle: build once, serve from storage, prove
+  * the search plan reads the index table (partition-pruned) and touches
+  * the raw embedding column only at the exact rerank.
+  */
+class AnnIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Same clustered corpus as SimilaritySpec — the regime ANN indexes
+    * exist for.
+    */
+  private def clusteredEmbeddings(n: Int = 200, dims: Int = 16) = {
+    val rnd = new scala.util.Random(42)
+    val centroids = Array.fill(10, dims)(rnd.nextGaussian())
+    val rows = (0 until n).map { i =>
+      val c = i % 10
+      val v = centroids(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  // fresh index dir per test-JVM run; parquet-backed corpus so plan
+  // assertions see real file scans
+  private lazy val base: String = {
+    val d = new java.io.File("target/annspec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(d)
+    d.mkdirs()
+    clusteredEmbeddings().write.mode("overwrite").parquet(s"${d.getPath}/emb")
+    d.getPath
+  }
+  private lazy val emb: DataFrame = spark.read.parquet(s"$base/emb")
+
+  private lazy val exactTopK: Set[(Long, Long)] =
+    Similarity.bruteForceTopK(emb, 10, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+
+  private def recallOf(df: DataFrame): Double = {
+    val approx = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    (exactTopK & approx).size.toDouble / exactTopK.size
+  }
+
+  /** Corpus scans in a search plan = occurrences of the corpus path. */
+  private def corpusScans(df: DataFrame): Int =
+    "annspec/emb".r.findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("persisted IVF: recall ≥ 0.6 and stable across loads") {
+    AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
+    val r1 = AnnIndex.searchIvf(spark, emb, s"$base/ivf").collect().toSeq
+    val r2 = AnnIndex.searchIvf(spark, emb, s"$base/ivf").collect().toSeq
+    assert(r1.toSet == r2.toSet, "two loads of the same index must agree")
+    assert(recallOf(AnnIndex.searchIvf(spark, emb, s"$base/ivf")) >= 0.6)
+  }
+
+  test("IVF search plan: partition-pruned index scan, embeddings read only query-side + rerank") {
+    AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
+    val res = AnnIndex.searchIvf(spark, emb, s"$base/ivf")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell_id"),
+      s"probed cells must prune assignment partitions statically:\n$plan")
+    // exactly two corpus scans: the broadcast query side and the rerank
+    // join — the candidate pipeline never reads the embedding column
+    assert(corpusScans(res) == 2, s"expected 2 corpus scans:\n$plan")
+  }
+
+  test("ensureIvf is load-once: second call does not rebuild") {
+    AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
+    val marker = new java.io.File(s"$base/ivf/assignments/_SUCCESS")
+    val t1 = marker.lastModified()
+    AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
+    assert(marker.lastModified() == t1, "index must not be rebuilt")
+  }
+
+  test("persisted PQ: recall ≥ 0.6, ADC scans codes only") {
+    AnnIndex.ensurePq(spark, emb, s"$base/pq")
+    val res = AnnIndex.searchPq(spark, emb, s"$base/pq")
+    assert(recallOf(res) >= 0.6)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("annspec/pq/codes"), s"must scan the code table:\n$plan")
+    assert(corpusScans(res) == 2, s"expected 2 corpus scans (query + rerank):\n$plan")
+  }
+
+  test("persisted IVF-PQ: recall ≥ plain PQ, pruned + code-only scan") {
+    AnnIndex.ensurePq(spark, emb, s"$base/pq")
+    AnnIndex.ensureIvfPq(spark, emb, s"$base/ivfpq")
+    val pqRecall = recallOf(AnnIndex.searchPq(spark, emb, s"$base/pq"))
+    val res = AnnIndex.searchIvfPq(spark, emb, s"$base/ivfpq")
+    val ivfpqRecall = recallOf(res)
+    assert(ivfpqRecall >= pqRecall,
+      s"residual PQ within cells must not lose recall: ivfpq=$ivfpqRecall pq=$pqRecall")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell_id"),
+      s"probed cells must prune code partitions statically:\n$plan")
+    assert(corpusScans(res) == 2, s"expected 2 corpus scans (query + rerank):\n$plan")
+  }
+}
