@@ -206,18 +206,33 @@ object Dedup {
     * O(log n); `localCheckpoint` per superstep cuts the lineage growth
     * either way.
     */
+  /** Partition count for the iterated CC frames: sized from the edge
+    * count instead of inheriting the session's full shuffle parallelism.
+    * At test scale the label/edge tables are a few thousand rows and a
+    * full-width superstep is pure task overhead; at real scale the count
+    * grows back with the data (~1M edge rows ≈ 16 MB per partition).
+    */
+  private def compactPartitions(rows: Long): Int =
+    math.max(1, math.min(32, (rows >> 20).toInt + 1))
+
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     // Materialize the (small) edge list once — every superstep joins it,
     // and without the checkpoint each iteration would recompute the
     // whole upstream pair-generation pipeline (e.g. LSH banding).
-    val sym = edges.unionByName(
+    val symWide = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // Coalesce the superstep frames to an edge-count-sized width (narrow,
+    // reads the already-materialized checkpoint blocks) so each round's
+    // map stages don't pay 32 tasks to move a few thousand rows.
+    val p = compactPartitions(symWide.count())
+    val sym = symWide.coalesce(p)
     // Label checkpoints are lazy: the convergence count is the action
     // that materializes each superstep (one job per superstep, not two).
     var lab = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
+      .coalesce(p)
       .localCheckpoint(false)
     var changed = 1L
     var i = 0
@@ -228,6 +243,7 @@ object Dedup {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nbr_min"), col("old"))).as("label"))
+        .coalesce(p)
         .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
       lab = next.select(col("id"), col("label"))
@@ -247,10 +263,15 @@ object Dedup {
     *  - small-star: every neighbor v ≤ u (and u itself) points to m
     *
     * The edge list converges to stars rooted at each component's
-    * minimum; the loop stops when the edge checksum is stable (one
-    * tiny aggregate per round, no data on the driver). Same output
-    * contract as [[duplicateGroups]]: (doc_id, group_id = component
-    * min) for every node of the pair graph.
+    * minimum. Convergence detection is two-tier: a cheap per-round
+    * checksum (count + order-independent hash sum; one tiny aggregate,
+    * no data on the driver) triggers an *exact* [[sameEdgeSet]]
+    * confirmation — so a hash-sum collision between different edge sets
+    * (astronomically unlikely, but possible) can never terminate the
+    * loop early with wrong groups; it costs the exact comparison only on
+    * the final (or a colliding) round. Same output contract as
+    * [[duplicateGroups]]: (doc_id, group_id = component min) for every
+    * node of the pair graph.
     */
   def starContractionGroups(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -283,14 +304,20 @@ object Dedup {
       .select(col("a_id").as("u"), col("b_id").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var prev = checksum(edges)
+    var prevEdges = edges
     var i = 0
     var stable = false
     while (!stable && i < maxIter) {
-      edges = half(half(edges, largeStar = true), largeStar = false)
+      val p = compactPartitions(prev._1)
+      edges = half(half(edges.coalesce(p), largeStar = true), largeStar = false)
+        .coalesce(p)
         .localCheckpoint(false)
       val cur = checksum(edges)
-      stable = cur == prev
+      // checksum match is only the trigger — confirm with the exact set
+      // comparison so a colliding-but-different edge set keeps iterating
+      stable = cur == prev && sameEdgeSet(edges, prevEdges)
       prev = cur
+      prevEdges = edges
       i += 1
     }
     // Converged stars: every non-root points at its root. Roots appear
@@ -301,6 +328,15 @@ object Dedup {
       .unionByName(roots.select(col("v").as("doc_id"), col("v").as("group_id")))
       .distinct()
   }
+
+  /** Exact set equality of two distinct-row edge frames — the
+    * convergence confirmation behind [[starContractionGroups]]. Unlike
+    * any count/hash-sum checksum, this cannot be fooled by two different
+    * edge sets with colliding summaries: both `except` directions must
+    * be empty.
+    */
+  private[graft] def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean =
+    a.except(b).isEmpty && b.except(a).isEmpty
 
   /** The removal form of [[duplicateGroups]]: the corpus with every
     * non-canonical dup-group member dropped (survivor = component-min

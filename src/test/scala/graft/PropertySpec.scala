@@ -88,6 +88,20 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("star-contraction convergence check is exact, not checksum-shaped") {
+    // Two edge sets engineered to collide any count + order-independent
+    // additive summary over (u+v): equal sizes, identical element sums —
+    // a convergence test weaker than exact set comparison could conflate
+    // them and stop early with wrong groups. sameEdgeSet must not.
+    val a = Seq((1L, 4L), (2L, 3L)).toDF("u", "v")
+    val b = Seq((1L, 3L), (2L, 4L)).toDF("u", "v")
+    assert(!Dedup.sameEdgeSet(a, b), "different sets with equal count+sum must not compare equal")
+    assert(!Dedup.sameEdgeSet(b, a))
+    // and exact equality holds regardless of row order / partitioning
+    val aShuffled = Seq((2L, 3L), (1L, 4L)).toDF("u", "v").repartition(3)
+    assert(Dedup.sameEdgeSet(a, aShuffled))
+  }
+
   private val asofGen = for {
     nQ <- Gen.choose(0, 30)
     quotes <- Gen.listOfN(nQ, for {
