@@ -32,17 +32,22 @@ object Pipeline {
     StructField("track_id", StringType),
     StructField("listen_time", StringType)))
 
+  /** S1+S5+S6+S7+K4 as a [[SourceConfig]]: incremental CSV file source
+    * with name-glob, micro-batch cap, and archive-on-read. The Kafka
+    * deployment swaps this value for a [[KafkaSourceConfig]] — the
+    * pipeline body never changes.
+    */
+  def streamsFileConfig(inputDir: String, archiveDir: Option[String] = None): FileSourceConfig =
+    FileSourceConfig(inputDir, "csv", streamsCsvSchema,
+      Map(
+        "header" -> "true",
+        "pathGlobFilter" -> "*stream*.csv",   // S6 file-name predicate
+        "maxFilesPerTrigger" -> "16"),        // bound micro-batch size
+      archiveDir)
+
   /** S1+S5+S6+S7+K4: incremental CSV stream source with archive-on-read. */
-  def streamsSource(spark: SparkSession, inputDir: String, archiveDir: Option[String] = None): DataFrame = {
-    val base = spark.readStream
-      .schema(streamsCsvSchema)
-      .option("header", "true")
-      .option("pathGlobFilter", "*stream*.csv")   // S6 file-name predicate
-      .option("maxFilesPerTrigger", 16)           // bound micro-batch size
-    val withArchive = archiveDir.fold(base)(dir =>
-      base.option("cleanSource", "archive").option("sourceArchiveDir", dir))
-    withArchive.csv(inputDir)
-  }
+  def streamsSource(spark: SparkSession, inputDir: String, archiveDir: Option[String] = None): DataFrame =
+    StreamSources.open(spark, streamsFileConfig(inputDir, archiveDir))
 
   /** The full micro-batch: validate (slice 1) → enrich ⋈ dims → daily
     * KPIs → overwrite per-date outputs. Empty batches short-circuit
@@ -59,7 +64,17 @@ object Pipeline {
             writeBatch: DataFrame => Unit,
             failOnValidationError: Boolean = false,
             archiveDir: Option[String] = None): StreamingQuery =
-    streamsSource(spark, inputDir, archiveDir)
+    startFrom(spark, streamsFileConfig(inputDir, archiveDir), checkpointDir,
+      songs, users, writeBatch, failOnValidationError)
+
+  /** [[start]] against any [[SourceConfig]] — file today, Kafka on a
+    * cluster with the connector, MemoryStream in specs.
+    */
+  def startFrom(spark: SparkSession, source: SourceConfig, checkpointDir: String,
+                songs: DataFrame, users: DataFrame,
+                writeBatch: DataFrame => Unit,
+                failOnValidationError: Boolean = false): StreamingQuery =
+    StreamSources.open(spark, source)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -15,18 +15,24 @@ object StreamQueries {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Fixture events as a stream, through the [[StreamSources]] seam (a
+    * file config here; a Kafka config on a cluster with the connector).
+    * Raw on-disk schema (ts as nanos-long under nanosAsLong=true),
+    * normalized inside the stream like the batch path does; the
+    * pathGlobFilter is the S6-style name predicate.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    Tables.normalizeEvents(StreamSources.open(s,
+      FileSourceConfig(d, "parquet", rawSchema,
+        Map("pathGlobFilter" -> "events.parquet"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.9: incremental file-source micro-batching; complete-mode agg.
     "stream_daily_counts" -> ((s, d) => {
       val name = s"stream_daily_counts_${counter.incrementAndGet()}"
-      // Raw on-disk schema (ts as nanos-long under nanosAsLong=true);
-      // normalize inside the stream like the batch path does.
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val q = Tables.normalizeEvents(
-        s.readStream
-          .schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet") // S6-style name filter
-          .parquet(d))
+      val q = eventsStream(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           Tables.dsum(col("value")).as("total_value"))
@@ -48,14 +54,9 @@ object StreamQueries {
     // is arbitrary for non-key columns).
     "stream_dedup_counts" -> ((s, d) => {
       val name = s"stream_dedup_counts_${counter.incrementAndGet()}"
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      def src() = Tables.normalizeEvents(
-        s.readStream
-          .schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d))
       val q = Sessions.dedupExactlyOnce(
-          src().union(src()), Seq("user_id", "ts", "event_type"))
+          eventsStream(s, d).union(eventsStream(s, d)),
+          Seq("user_id", "ts", "event_type"))
         .writeStream
         .format("memory")
         .queryName(name)
@@ -76,12 +77,7 @@ object StreamQueries {
     // SessionsSpec late-data tests pin).
     "stream_windowed_counts" -> ((s, d) => {
       val name = s"stream_windowed_counts_${counter.incrementAndGet()}"
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val q = Tables.normalizeEvents(
-        s.readStream
-          .schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d))
+      val q = eventsStream(s, d)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("total_value"))
@@ -105,14 +101,9 @@ object StreamQueries {
     // shuffle is the final aggregation).
     "stream_enrich_counts" -> ((s, d) => {
       val name = s"stream_enrich_counts_${counter.incrementAndGet()}"
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val dim = broadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
-      val q = Tables.normalizeEvents(
-        s.readStream
-          .schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d))
+      val q = eventsStream(s, d)
         .join(dim, col("user_id") === col("c_custkey"), "left")
         .groupBy(coalesce(col("c_mktsegment"), lit("<unknown>")).as("segment"))
         .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("total_value"))

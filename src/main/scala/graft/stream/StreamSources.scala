@@ -1,0 +1,74 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Where streaming rows come from — the one seam between the engine's
+  * dataflow (validate → enrich → aggregate → sink) and the physical
+  * transport. The published approach for this pipeline family is
+  * Structured Streaming + a Kafka source; the reference deployment
+  * itself is file-arrival-driven (S3 event → pipeline,
+  * /root/reference/dags/etl_pipeline_dag.py:48-63), and this offline
+  * sandbox has no broker — so the engine takes a [[SourceConfig]] and
+  * swapping file ↔ Kafka ↔ test harness is a config change, not a
+  * pipeline-code change.
+  */
+sealed trait SourceConfig
+
+/** Incremental file listing (the reference's S3-arrival shape): format +
+  * schema + reader options (name glob, micro-batch cap, header, …) +
+  * optional archive-on-read.
+  */
+final case class FileSourceConfig(
+    dir: String,
+    format: String,
+    schema: StructType,
+    options: Map[String, String] = Map.empty,
+    archiveDir: Option[String] = None) extends SourceConfig
+
+/** Kafka topic with a JSON payload projected through `valueSchema` — the
+  * standard reader shape (`kafka` format → `value` bytes → `from_json`).
+  * Requires the spark-sql-kafka connector on the cluster classpath; it
+  * is not present in this offline sandbox, so this config is the
+  * deployment seam rather than a locally-testable path — everything
+  * downstream of [[StreamSources.open]] is transport-agnostic either
+  * way (proved by the [[DirectSource]] specs).
+  */
+final case class KafkaSourceConfig(
+    bootstrapServers: String,
+    topic: String,
+    valueSchema: StructType,
+    startingOffsets: String = "earliest",
+    maxOffsetsPerTrigger: Option[Long] = None) extends SourceConfig
+
+/** An already-constructed streaming DataFrame (MemoryStream in tests, or
+  * any custom reader) — the escape hatch that also proves the seam is
+  * source-independent.
+  */
+final case class DirectSource(stream: DataFrame) extends SourceConfig
+
+object StreamSources {
+
+  /** Resolve a [[SourceConfig]] to its streaming DataFrame. */
+  def open(spark: SparkSession, cfg: SourceConfig): DataFrame = cfg match {
+    case f: FileSourceConfig =>
+      val base = spark.readStream.format(f.format).schema(f.schema).options(f.options)
+      val withArchive = f.archiveDir.fold(base)(dir =>
+        base.option("cleanSource", "archive").option("sourceArchiveDir", dir))
+      withArchive.load(f.dir)
+
+    case k: KafkaSourceConfig =>
+      val base = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", k.bootstrapServers)
+        .option("subscribe", k.topic)
+        .option("startingOffsets", k.startingOffsets)
+      val bounded = k.maxOffsetsPerTrigger.fold(base)(n =>
+        base.option("maxOffsetsPerTrigger", n.toString))
+      bounded.load()
+        .select(from_json(col("value").cast("string"), k.valueSchema).as("r"))
+        .select(col("r.*"))
+
+    case DirectSource(stream) => stream
+  }
+}
