@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a ~10× scale point from an existing fixture dir so the
+  * bench can measure a scaling slope without new source data: fact
+  * tables are replicated `factor`× with key-consistent shifts, dims stay
+  * untouched (more transactions over the same customers — the realistic
+  * growth shape). Usage:
+  *   runMain graft.ScaleUp [srcDir] [outDir] [factor]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    def maxOf(table: String, key: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(key))).head().getAs[Number](0).longValue() + 1
+
+    // orders/lineitem: replicate with the orderkey shifted per replica so
+    // the o⋈l join structure is preserved replica-by-replica while keys
+    // stay unique; custkey/suppkey untouched → dims are shared.
+    val okShift = maxOf("orders", "o_orderkey")
+    spark.read.parquet(s"$src/orders.parquet")
+      .select(col("*"), reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * okShift)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .select(col("*"), reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * okShift)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // documents: per-replica token renaming — each replica keeps the
+    // original corpus's internal near-dup structure but never matches
+    // across replicas (shingle sets are disjoint), so dedup work scales
+    // like "factor× more of the same corpus", not a quadratic blowup of
+    // planted duplicates.
+    val docShift = maxOf("documents", "doc_id")
+    spark.read.parquet(s"$src/documents.parquet")
+      .select(col("*"), reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * docShift)
+      .withColumn("text", when(col("rep") === 0, col("text"))
+        .otherwise(array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("~"), col("rep"))), " ")))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // everything else links back to the source fixture
+    Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
+      .foreach { t =>
+        val link = java.nio.file.Paths.get(s"$out/$t.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$src/$t.parquet").toAbsolutePath)
+      }
+    println(s"[scaleup] wrote $out factor=$factor (orderkey shift $okShift, doc shift $docShift)")
+    spark.stop()
+  }
+}

@@ -54,10 +54,16 @@ object Multimodal {
       (metaHash(2) % 8 + lit(1)).cast("int").as("nFrames"))
 
   /** Materialize each row's media payload as an individual `<doc_id>.bin`
-    * file — the on-disk shape a binary ingestion source reads. Local-fs
-    * scaffolding for the `binaryFile`-source query: at scale media files
-    * already sit in object storage and are read in place; nothing writes
-    * them from Spark.
+    * file — the on-disk shape a binary ingestion source reads.
+    *
+    * LOCAL-MODE SCAFFOLDING ONLY: `foreachPartition` writes to a plain
+    * filesystem path, which on a multi-executor cluster would scatter
+    * files across each executor's *local* disk (silently wrong). It
+    * exists solely to stage fixture files for the `s7_binary_source`
+    * test query in this single-JVM sandbox. At scale media files already
+    * sit in shared object storage and are read in place; a job that
+    * genuinely needed to emit per-record files would go through a
+    * committer (task-temp + rename on the shared store), not this.
     */
   def writeMediaFiles(docs: DataFrame, dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
