@@ -44,21 +44,58 @@ object AnnIndex {
   def defaultRoot(sfDir: String): String =
     s"target/ann_index/${new java.io.File(sfDir).getName}"
 
-  private def exists(spark: SparkSession, table: String): Boolean = {
-    val p = new Path(table, "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** Corpus fingerprint: row count + order-independent hash over
+    * (vec_id, embedding) — one narrow scan, no shuffle. Baked into the
+    * index metadata so a regenerated fixture (same path, new vectors)
+    * can never be served stale neighbors from an old index.
+    */
+  private def fingerprint(emb: DataFrame): String = {
+    val r = emb.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding")))).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  private def metaFile(spark: SparkSession, dir: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val p = new Path(dir, "index_meta.txt")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Option[String] = {
+    val (fs, p) = metaFile(spark, dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+      try Option(in.readLine()) finally in.close()
+    }
+  }
+
+  /** Written last, after a successful build — a crashed build leaves no
+    * meta and is rebuilt on the next ensure.
+    */
+  private def writeMeta(spark: SparkSession, dir: String, meta: String): Unit = {
+    val (fs, p) = metaFile(spark, dir)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Build-if-needed: the index is served as long as its metadata line
+    * (build parameters + corpus fingerprint) matches; a parameter change
+    * or a changed corpus triggers a rebuild. The fingerprint check costs
+    * one narrow corpus scan per ensure — amortized over the many
+    * queries a built index serves.
+    */
+  private def ensure(spark: SparkSession, dir: String, meta: String)(build: => Unit): String = {
+    if (!readMeta(spark, dir).contains(meta)) { build; writeMeta(spark, dir, meta) }
+    dir
   }
 
   // ---------------------------------------------------------------- IVF
 
-  /** Build the IVF index at `dir` unless its committed marker already
-    * exists (load-once/serve-many; rebuild = delete the directory).
-    */
   def ensureIvf(spark: SparkSession, emb: DataFrame, dir: String,
-                nCells: Int = 16): String = {
-    if (!exists(spark, s"$dir/assignments")) buildIvf(spark, emb, dir, nCells)
-    dir
-  }
+                nCells: Int = 16): String =
+    ensure(spark, dir, s"ivf nCells=$nCells fp=${fingerprint(emb)}") {
+      buildIvf(spark, emb, dir, nCells)
+    }
 
   /** One corpus pass: train the coarse quantizer on a bounded sample,
     * assign every vector to its cell map-side, write `(vec_id, label)`
@@ -83,7 +120,7 @@ object AnnIndex {
   def searchIvf(spark: SparkSession, emb: DataFrame, dir: String,
                 nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
     val centroids = loadCentroids(spark, s"$dir/centroids")
-    val queries = collectQueries(emb, nQueries)
+    val queries = Similarity.collectQueries(emb, nQueries)
     // cell_id comes back from the partitioned layout as int — keep the
     // probe constants int too, so the IN filter lands in PartitionFilters
     // rather than behind a cast.
@@ -96,20 +133,21 @@ object AnnIndex {
     val index = spark.read.parquet(s"$dir/assignments")
       .filter(col("cell_id").isin(allCells: _*))
       .select(col("cell_id"), col("vec_id").as("n_id"), col("label").as("n_label"))
+    // no distinct needed: each vector lives in exactly one cell partition
+    // and probes has one row per (cell, query), so (q_id, n_id) is unique
     val cands = index.join(broadcast(probeDf), Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("n_label"))
-      .distinct()
     Similarity.rerankExact(emb, cands, nQueries, k)
   }
 
   // ----------------------------------------------------------------- PQ
 
   def ensurePq(spark: SparkSession, emb: DataFrame, dir: String,
-               m: Int = 8, codesPerSub: Int = 16): String = {
-    if (!exists(spark, s"$dir/codes")) buildPq(spark, emb, dir, m, codesPerSub)
-    dir
-  }
+               m: Int = 8, codesPerSub: Int = 16): String =
+    ensure(spark, dir, s"pq m=$m codesPerSub=$codesPerSub fp=${fingerprint(emb)}") {
+      buildPq(spark, emb, dir, m, codesPerSub)
+    }
 
   /** Train per-subspace codebooks on a bounded sample, encode the whole
     * corpus map-side, persist the 32×-compressed code table.
@@ -141,11 +179,11 @@ object AnnIndex {
   // ------------------------------------------------------------- IVF-PQ
 
   def ensureIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
-                  nCells: Int = 16, m: Int = 8, codesPerSub: Int = 16): String = {
-    if (!exists(spark, s"$dir/assignments"))
+                  nCells: Int = 16, m: Int = 8, codesPerSub: Int = 16): String =
+    ensure(spark, dir,
+      s"ivfpq nCells=$nCells m=$m codesPerSub=$codesPerSub fp=${fingerprint(emb)}") {
       buildIvfPq(spark, emb, dir, nCells, m, codesPerSub)
-    dir
-  }
+    }
 
   /** The production composition: coarse cells for pruning, residual PQ
     * codes for in-cell scoring. Codebooks are trained on residuals
@@ -195,7 +233,7 @@ object AnnIndex {
     val codebook = loadCodebook(spark, s"$dir/codebook")
     val m = codebook.length
     val subDims = codebook(0)(0).length
-    val queries = collectQueries(emb, nQueries)
+    val queries = Similarity.collectQueries(emb, nQueries)
     // int cell ids for the same partition-pruning reason as searchIvf
     val qcells: Seq[(Int, Long, Double, Seq[Seq[Double]])] =
       queries.toSeq.flatMap { case (qid, qv) =>
@@ -236,13 +274,6 @@ object AnnIndex {
                            v: Array[Float], nprobe: Int): Seq[Long] =
     centroids.toSeq.map { case (cid, cv) => (Similarity.cosineLocal(v, cv), cid) }
       .sortBy { case (s, c) => (-s, -c) }.take(nprobe).map(_._2)
-
-  /** Bounded query-vector collect — the same driver-artifact contract as
-    * the PQ lookup tables.
-    */
-  private def collectQueries(emb: DataFrame, nQueries: Int): Array[(Long, Array[Float])] =
-    emb.filter(col("vec_id") < nQueries).select(col("vec_id"), col("embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
   private def writeCentroids(spark: SparkSession,
                              centroids: Array[(Long, Array[Float])],

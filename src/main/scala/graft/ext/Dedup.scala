@@ -207,13 +207,16 @@ object Dedup {
     * either way.
     */
   /** Partition count for the iterated CC frames: sized from the edge
-    * count instead of inheriting the session's full shuffle parallelism.
-    * At test scale the label/edge tables are a few thousand rows and a
-    * full-width superstep is pure task overhead; at real scale the count
-    * grows back with the data (~1M edge rows ≈ 16 MB per partition).
+    * count (~1M edge rows ≈ 16 MB per partition) and capped at the
+    * session's configured shuffle parallelism — so test-scale supersteps
+    * don't pay full-width task overhead for a few thousand rows, while a
+    * billion-edge graph on a cluster configured for thousands of shuffle
+    * partitions keeps its full width.
     */
-  private def compactPartitions(rows: Long): Int =
-    math.max(1, math.min(32, (rows >> 20).toInt + 1))
+  private def compactPartitions(rows: Long, df: DataFrame): Int = {
+    val cap = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(1, math.min(cap, (rows >> 20).toInt + 1))
+  }
 
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -226,7 +229,7 @@ object Dedup {
     // Coalesce the superstep frames to an edge-count-sized width (narrow,
     // reads the already-materialized checkpoint blocks) so each round's
     // map stages don't pay 32 tasks to move a few thousand rows.
-    val p = compactPartitions(symWide.count())
+    val p = compactPartitions(symWide.count(), symWide)
     val sym = symWide.coalesce(p)
     // Label checkpoints are lazy: the convergence count is the action
     // that materializes each superstep (one job per superstep, not two).
@@ -308,7 +311,7 @@ object Dedup {
     var i = 0
     var stable = false
     while (!stable && i < maxIter) {
-      val p = compactPartitions(prev._1)
+      val p = compactPartitions(prev._1, edges)
       edges = half(half(edges.coalesce(p), largeStar = true), largeStar = false)
         .coalesce(p)
         .localCheckpoint(false)
@@ -332,11 +335,13 @@ object Dedup {
   /** Exact set equality of two distinct-row edge frames — the
     * convergence confirmation behind [[starContractionGroups]]. Unlike
     * any count/hash-sum checksum, this cannot be fooled by two different
-    * edge sets with colliding summaries: both `except` directions must
-    * be empty.
+    * edge sets with colliding summaries. For distinct-row frames, equal
+    * counts + one empty `except` direction imply equality (A∖B = ∅ with
+    * |A| = |B| ⇒ A = B), so only one distributed set-difference runs;
+    * the counts are cheap on the lazily-checkpointed loop frames.
     */
   private[graft] def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean =
-    a.except(b).isEmpty && b.except(a).isEmpty
+    a.count() == b.count() && a.except(b).isEmpty
 
   /** The removal form of [[duplicateGroups]]: the corpus with every
     * non-canonical dup-group member dropped (survivor = component-min

@@ -195,6 +195,15 @@ object Similarity {
     slice(reverse(array_sort(scored)), 1, m).getField("c")
   }
 
+  /** The bounded query-vector collect (`vec_id < nQueries`) — the one
+    * definition of "the query set", shared by candidate generation and
+    * rerank so the two can never drift apart. Same driver-artifact
+    * contract as the PQ lookup tables.
+    */
+  private[ext] def collectQueries(emb: DataFrame, nQueries: Int): Array[(Long, Array[Float])] =
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
   /** Exact-cosine rerank of an id-level candidate set `(q_id, n_id,
     * n_label)`: the only stage that reads the full-precision embedding
     * column. Query side broadcast; per-query top-k via WindowGroupLimit.
@@ -307,9 +316,7 @@ object Similarity {
                                codebook: Array[Array[Array[Float]]], subDims: Int,
                                nQueries: Int, k: Int, rerank: Int): DataFrame = {
     val m = codebook.length
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = collectQueries(emb, nQueries)
     val adcPerQuery = queries.map { case (qid, qv) =>
       val lut: Array[Array[Double]] = Array.tabulate(m)(j =>
         Array.tabulate(codebook(j).length)(c =>

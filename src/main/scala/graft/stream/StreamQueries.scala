@@ -21,8 +21,14 @@ object StreamQueries {
     * normalized inside the stream like the batch path does; the
     * pathGlobFilter is the S6-style name predicate.
     */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    // footer read once per fixture dir (stream_dedup_counts opens two
+    // source instances of the same path)
+    val rawSchema = schemaCache.getOrElseUpdate(d,
+      s.read.parquet(s"$d/events.parquet").schema)
     Tables.normalizeEvents(StreamSources.open(s,
       FileSourceConfig(d, "parquet", rawSchema,
         Map("pathGlobFilter" -> "events.parquet"))))

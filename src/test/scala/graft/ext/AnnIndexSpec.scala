@@ -79,6 +79,21 @@ class AnnIndexSpec extends SparkSuite {
     assert(marker.lastModified() == t1, "index must not be rebuilt")
   }
 
+  test("ensure rebuilds when parameters or the corpus change") {
+    import org.apache.spark.sql.functions.{col, reverse}
+    AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
+    val marker = new java.io.File(s"$base/ivf/assignments/_SUCCESS")
+    val t1 = marker.lastModified()
+    AnnIndex.ensureIvf(spark, emb, s"$base/ivf", nCells = 8)
+    val t2 = marker.lastModified()
+    assert(t2 != t1, "nCells change must rebuild the index")
+    val perturbed = emb.withColumn("embedding", reverse(col("embedding")))
+    AnnIndex.ensureIvf(spark, perturbed, s"$base/ivf", nCells = 8)
+    assert(marker.lastModified() != t2, "corpus change must rebuild the index")
+    // restore the canonical default index for any later test
+    AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
+  }
+
   test("persisted PQ: recall ≥ 0.6, ADC scans codes only") {
     AnnIndex.ensurePq(spark, emb, s"$base/pq")
     val res = AnnIndex.searchPq(spark, emb, s"$base/pq")
