@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,50 +43,20 @@ object AnnIndex {
   def defaultRoot(sfDir: String): String =
     s"target/ann_index/${new java.io.File(sfDir).getName}"
 
-  /** Corpus fingerprint: row count + order-independent hash over
-    * (vec_id, embedding) — one narrow scan, no shuffle. Baked into the
-    * index metadata so a regenerated fixture (same path, new vectors)
-    * can never be served stale neighbors from an old index.
+  /** Corpus fingerprint over (vec_id, embedding) — see
+    * [[Artifact.fingerprint]]; baked into the index metadata so a
+    * regenerated fixture (same path, new vectors) can never be served
+    * stale neighbors from an old index.
     */
-  private def fingerprint(emb: DataFrame): String = {
-    val r = emb.agg(count(lit(1)),
-      sum(xxhash64(col("vec_id"), col("embedding")))).head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-  }
+  private def fingerprint(emb: DataFrame): String =
+    Artifact.fingerprint(emb, col("vec_id"), col("embedding"))
 
-  private def metaFile(spark: SparkSession, dir: String): (org.apache.hadoop.fs.FileSystem, Path) = {
-    val p = new Path(dir, "index_meta.txt")
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def readMeta(spark: SparkSession, dir: String): Option[String] = {
-    val (fs, p) = metaFile(spark, dir)
-    if (!fs.exists(p)) None
-    else {
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
-      try Option(in.readLine()) finally in.close()
-    }
-  }
-
-  /** Written last, after a successful build — a crashed build leaves no
-    * meta and is rebuilt on the next ensure.
+  /** Build-if-needed via [[Artifact.ensure]]: the index is served as
+    * long as its metadata line (build parameters + corpus fingerprint)
+    * matches; a parameter change or a changed corpus triggers a rebuild.
     */
-  private def writeMeta(spark: SparkSession, dir: String, meta: String): Unit = {
-    val (fs, p) = metaFile(spark, dir)
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Build-if-needed: the index is served as long as its metadata line
-    * (build parameters + corpus fingerprint) matches; a parameter change
-    * or a changed corpus triggers a rebuild. The fingerprint check costs
-    * one narrow corpus scan per ensure — amortized over the many
-    * queries a built index serves.
-    */
-  private def ensure(spark: SparkSession, dir: String, meta: String)(build: => Unit): String = {
-    if (!readMeta(spark, dir).contains(meta)) { build; writeMeta(spark, dir, meta) }
-    dir
-  }
+  private def ensure(spark: SparkSession, dir: String, meta: String)(build: => Unit): String =
+    Artifact.ensure(spark, dir, meta)(build)
 
   // ---------------------------------------------------------------- IVF
 

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-once / serve-many parquet artifacts guarded by a metadata line
+  * (build parameters + input fingerprint). The pattern behind the
+  * persisted ANN indexes ([[AnnIndex]]) and the near-dup pair table
+  * ([[Dedup.ensurePairs]]): a pipeline stage whose output many queries
+  * consume is materialized once, and any parameter or input change
+  * triggers a rebuild — stale artifacts can never be served silently.
+  */
+private[ext] object Artifact {
+
+  /** Artifact root for a fixture dir, keyed by its basename so sf0.01
+    * and sf0.1 never share artifacts. Lives under target/.
+    */
+  def root(sfDir: String): String =
+    s"target/artifacts/${new java.io.File(sfDir).getName}"
+
+  /** Input fingerprint: row count + order-independent hash over the
+    * identifying columns — one narrow scan, no shuffle.
+    */
+  def fingerprint(df: DataFrame, cols: Column*): String = {
+    val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  private def metaFile(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir, "index_meta.txt")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Option[String] = {
+    val (fs, p) = metaFile(spark, dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+      try Option(in.readLine()) finally in.close()
+    }
+  }
+
+  /** Written last, after a successful build — a crashed build leaves no
+    * meta and is rebuilt on the next ensure.
+    */
+  private def writeMeta(spark: SparkSession, dir: String, meta: String): Unit = {
+    val (fs, p) = metaFile(spark, dir)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Build-if-needed: serve as long as the stored metadata line matches
+    * `meta`; rebuild otherwise. The fingerprint inside `meta` costs one
+    * narrow input scan per ensure — amortized over the many queries a
+    * built artifact serves.
+    */
+  def ensure(spark: SparkSession, dir: String, meta: String)(build: => Unit): String = {
+    if (!readMeta(spark, dir).contains(meta)) { build; writeMeta(spark, dir, meta) }
+    dir
+  }
+}

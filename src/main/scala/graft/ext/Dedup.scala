@@ -102,6 +102,28 @@ object Dedup {
     verifyJaccard(docs, candidatePairs(docs, k, bands, maxBucket))
       .filter(col("jaccard") >= minJaccard)
 
+  /** The near-dup pair table as a persisted artifact: built once per
+    * (corpus fingerprint, parameters) and served to every downstream
+    * consumer — grouping, removal, reporting — instead of re-running the
+    * LSH pipeline per query. This is the production shape of a dedup
+    * system at 100 TB: pair discovery is the expensive pass over the
+    * corpus; its output is small (pairs, not documents) and read many
+    * times. Freshness is guarded exactly like the ANN indexes
+    * ([[Artifact.ensure]]): a changed corpus or parameter line rebuilds.
+    */
+  def ensurePairs(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                  dir: String, k: Int = 32, bands: Int = 8,
+                  minJaccard: Double = 0.35, maxBucket: Int = 64): String =
+    Artifact.ensure(spark, dir,
+      s"neardup k=$k bands=$bands minJ=$minJaccard maxBucket=$maxBucket " +
+        s"fp=${Artifact.fingerprint(docs, col("doc_id"), col("text"))}") {
+      minhashPairs(docs, k, bands, minJaccard, maxBucket)
+        .write.mode("overwrite").parquet(s"$dir/pairs")
+    }
+
+  def loadPairs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs")
+
   /** SimHash 64-bit signature: per bit, majority vote of token-hash
     * bits. Token hashing stays in codegen'd `xxhash64`; the 64-bit vote
     * runs in the native [[graft.functions.SimHash64]] expression (a

@@ -28,16 +28,24 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))),
 
     // Duplicate groups: connected components over the LSH near-dup pair
-    // graph, every member labeled with its component-min doc_id.
-    "dedup_groups" -> ((s, d) =>
-      Dedup.duplicateGroups(Dedup.minhashPairs(Tables.documents(s, d)))
-        .orderBy(col("doc_id"))),
+    // graph, every member labeled with its component-min doc_id. The
+    // pair graph is the persisted artifact dedup_minhash_lsh computes
+    // live — built once per corpus (fingerprint-guarded), consumed here
+    // and by dedup_apply.
+    "dedup_groups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Dedup.ensurePairs(s, docs, s"${Artifact.root(d)}/neardup")
+      Dedup.duplicateGroups(Dedup.loadPairs(s, dir))
+        .orderBy(col("doc_id"))
+    }),
 
     // End-to-end dedup application: corpus minus non-canonical dup-group
-    // members (each group keeps its min doc_id).
+    // members (each group keeps its min doc_id), from the same persisted
+    // pair artifact.
     "dedup_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.applyDedup(docs, Dedup.minhashPairs(docs))
+      val dir = Dedup.ensurePairs(s, docs, s"${Artifact.root(d)}/neardup")
+      Dedup.applyDedup(docs, Dedup.loadPairs(s, dir))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),

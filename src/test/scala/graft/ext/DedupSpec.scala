@@ -76,6 +76,31 @@ class DedupSpec extends SparkSuite {
     assert(!groups.contains(4L), "singleton docs are not in any dup group")
   }
 
+  test("persisted pair artifact: equals live pairs, builds once, rebuilds on corpus change") {
+    val dir = "target/dedupspec/neardup"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File("target/dedupspec"))
+
+    Dedup.ensurePairs(spark, docs, dir)
+    val live = Dedup.minhashPairs(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    val stored = Dedup.loadPairs(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stored == live, "persisted pair table must equal the live computation")
+
+    val marker = new java.io.File(s"$dir/pairs/_SUCCESS")
+    val t1 = marker.lastModified()
+    Dedup.ensurePairs(spark, docs, dir)
+    assert(marker.lastModified() == t1, "same corpus + params must not rebuild")
+
+    val perturbed = docs.withColumn("text", concat(col("text"), lit(" changed")))
+    Dedup.ensurePairs(spark, perturbed, dir)
+    assert(marker.lastModified() != t1, "changed corpus must rebuild the pair table")
+  }
+
   test("shingles: w-grams over tokens, distinct") {
     val sh = docs.filter(col("doc_id") === 1L)
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
