@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * consume is materialized once, and any parameter or input change
   * triggers a rebuild — stale artifacts can never be served silently.
   */
-private[ext] object Artifact {
+private[graft] object Artifact {
 
   /** Artifact root for a fixture dir, keyed by its basename so sf0.01
     * and sf0.1 never share artifacts. Lives under target/.
@@ -25,6 +25,26 @@ private[ext] object Artifact {
   def fingerprint(df: DataFrame, cols: Column*): String = {
     val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).head()
     s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** File-level fingerprint over input table paths: a digest of every
+    * file's (name, size, modification time) — zero data scanned. The
+    * right freshness proxy for large immutable source tables, where any
+    * regeneration rewrites files; use [[fingerprint]] (content hash)
+    * when inputs can mutate in place.
+    */
+  def fileFingerprint(spark: SparkSession, paths: String*): String = {
+    val entries = paths.flatMap { dir =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
+        if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+        else Seq(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      if (fs.exists(p)) walk(fs.getFileStatus(p)) else Seq(s"missing:$dir")
+    }
+    // md5-based name-UUID keeps the meta line short and deterministic
+    java.util.UUID.nameUUIDFromBytes(
+      entries.sorted.mkString("|").getBytes("UTF-8")).toString
   }
 
   private def metaFile(spark: SparkSession, dir: String): (FileSystem, Path) = {

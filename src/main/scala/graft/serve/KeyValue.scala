@@ -69,18 +69,40 @@ object KeyValue {
       .unionByName(topGenreItems(Kpis.topTypesPerDay(spark, dir)))
   }
 
+  /** The serving store at rest: the table written range-partitioned and
+    * sorted by (pk, sk) as parquet, fingerprint-guarded like the ANN
+    * indexes and the near-dup pair table ([[graft.ext.Artifact]]) — the
+    * literal analog of the reference's *loaded* DynamoDB table
+    * (`dynamodb-ingestion.py` runs once per batch; reads hit the store).
+    * Sorted files mean the §2.10 lookup predicates prune parquet row
+    * groups on pk/sk min/max. Freshness is a file-level fingerprint of
+    * the three source tables the projections read (events, customer,
+    * lineitem) — no data scanned, rebuild on any file change.
+    */
+  def ensureStore(spark: SparkSession, dir: String): String = {
+    import graft.ext.Artifact
+    val fp = Artifact.fileFingerprint(spark,
+      s"$dir/events.parquet", s"$dir/customer.parquet", s"$dir/lineitem.parquet")
+    val root = s"${Artifact.root(dir)}/serving"
+    Artifact.ensure(spark, root, s"serving v1 fp=$fp") {
+      servingTable(spark, dir)
+        .repartitionByRange(4, col("pk"), col("sk"))
+        .sortWithinPartitions(col("pk"), col("sk"))
+        .write.mode("overwrite").parquet(s"$root/store")
+    }
+    s"$root/store"
+  }
+
   // Weak keys: entries die with their SparkSession (no identity-hash
   // collisions, no pinning of plans for stopped sessions).
   private val cache =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  /** Materialized serving table — the analog of the reference's *loaded*
-    * DynamoDB table (`dynamodb-ingestion.py` runs once per batch; reads
-    * hit the store, not the pipeline). Range-partitioned and sorted by
-    * (pk, sk): at rest this would be a sorted parquet/Delta table whose
-    * row groups prune on pk/sk predicates; in-session it is a persisted
-    * DataFrame so the three lookup families scan the store instead of
-    * re-running enrich+aggregate per query.
+  /** In-session view of the persisted store ([[ensureStore]]): read from
+    * the sorted parquet and memory-persisted, so the lookup families
+    * scan a loaded store instead of re-running enrich+aggregate per
+    * query — and a fresh session pays only the fingerprint check + load,
+    * not the build.
     */
   def servingTableCached(spark: SparkSession, dir: String): DataFrame = {
     val perSession = cache.synchronized {
@@ -88,9 +110,7 @@ object KeyValue {
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }
     perSession.computeIfAbsent(dir, { _ =>
-      val df = servingTable(spark, dir)
-        .repartitionByRange(4, col("pk"), col("sk"))
-        .sortWithinPartitions(col("pk"), col("sk"))
+      val df = spark.read.parquet(ensureStore(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize eagerly — this is the "load" step
       df

@@ -31,6 +31,24 @@ class KeyValueSpec extends SparkSuite {
     assert(genres.schema("value").dataType.typeName == "string")
   }
 
+  test("persisted serving store equals the live projection; load-once per fingerprint") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(graft.ext.Artifact.root(sfDir)))
+    val storePath = KeyValue.ensureStore(spark, sfDir)
+    val live = KeyValue.servingTable(spark, sfDir)
+      .as[(String, String, String, String)].collect().toSet
+    val stored = spark.read.parquet(storePath)
+      .as[(String, String, String, String)].collect().toSet
+    assert(stored == live, "store at rest must equal the live projection")
+    val marker = new java.io.File(s"$storePath/_SUCCESS")
+    val t1 = marker.lastModified()
+    KeyValue.ensureStore(spark, sfDir)
+    assert(marker.lastModified() == t1, "unchanged sources must not rebuild the store")
+  }
+
   test("§2.10: begins_with + between predicates select consistent slices") {
     val serving = KeyValue.servingTable(spark, sfDir).cache()
     try {
