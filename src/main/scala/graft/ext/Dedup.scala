@@ -52,15 +52,24 @@ object Dedup {
     * colliding in more bands has higher j with overwhelming
     * probability), used to pre-rank before exact verification.
     */
-  def candidatePairs(docs: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+  /** Banded LSH buckets `(doc_id, band, bucket)` — the signature stage
+    * shared by in-corpus pair mining ([[candidatePairs]]) and the
+    * persisted band index behind incremental dedup
+    * ([[ensureBandIndex]]/[[incrementalPairs]]).
+    */
+  private[ext] def bandedBuckets(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val banded = docs
+    docs
       .select(col("doc_id"),
         minhashSignature(shingleHashes(col("text"), 3), k).as("sig"))
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64((lit(b) +: (0 until r).map(i => col("sig")(b * r + i))): _*)): _*))
           .as(Seq("band", "bucket")))
+  }
+
+  def candidatePairs(docs: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val banded = bandedBuckets(docs, k, bands)
     // One shuffle: gather each bucket's members, drop oversize buckets
     // (skew guard — a bucket of m yields m²/2 pairs), and emit the i<j
     // combinations from the sorted member array in-place. No self-join,
@@ -123,6 +132,53 @@ object Dedup {
 
   def loadPairs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/pairs")
+
+  /** Persisted LSH band index of a corpus: `(doc_id, band, bucket, m)`
+    * where `m` is the bucket's member count (precomputed at build time
+    * so the skew cap at query time needs no extra aggregation). The
+    * artifact behind incremental dedup: the corpus is signed ONCE; every
+    * subsequent batch is checked against the stored buckets.
+    */
+  def ensureBandIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                      dir: String, k: Int = 32, bands: Int = 8): String =
+    Artifact.ensure(spark, dir,
+      s"bandindex k=$k bands=$bands " +
+        s"fp=${Artifact.fingerprint(corpus, col("doc_id"), col("text"))}") {
+      import org.apache.spark.sql.expressions.Window
+      bandedBuckets(corpus, k, bands)
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bucket"))))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+    }
+
+  /** Incremental near-dup: a new batch checked against the persisted
+    * corpus band index ([[ensureBandIndex]]) — candidate (new, corpus)
+    * pairs from bucket collisions, exact-Jaccard verified. Only the
+    * batch is shingled/signed at query time; the corpus contributes its
+    * stored buckets (skew-capped via the precomputed `m`) and the texts
+    * of matched candidates. This is the dataflow that admits a nightly
+    * batch against a 100 TB indexed corpus: batch-side bands broadcast,
+    * the index scan is the only corpus-wide read, and verification
+    * touches only candidate documents.
+    */
+  def incrementalPairs(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, corpus: DataFrame, bandDir: String,
+                       k: Int = 32, bands: Int = 8,
+                       minJaccard: Double = 0.35, maxBucket: Int = 64): DataFrame = {
+    val index = spark.read.parquet(s"$bandDir/bands")
+      .filter(col("m") <= maxBucket)
+      .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val batchBands = bandedBuckets(batch, k, bands)
+      .select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val candidates = index.join(broadcast(batchBands), Seq("band", "bucket"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val texts = batch.select(col("doc_id"), col("text"))
+      .unionByName(corpus.select(col("doc_id"), col("text")))
+    verifyJaccard(texts, candidates)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id").as("new_id"), col("b_id").as("corpus_id"), col("jaccard"))
+  }
 
   /** SimHash 64-bit signature: per bit, majority vote of token-hash
     * bits. Token hashing stays in codegen'd `xxhash64`; the 64-bit vote

@@ -50,6 +50,18 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup: the %10==0 slice plays "tonight's batch", the
+    // rest is the indexed corpus — batch near-dups found via the
+    // persisted band index without re-signing the corpus.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val dir = Dedup.ensureBandIndex(s, corpus, s"${Artifact.root(d)}/bandindex")
+      Dedup.incrementalPairs(s, batch, corpus, dir)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // Top-K n-gram-Jaccard pairs among LSH candidates.
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.topJaccardPairs(Tables.documents(s, d))
@@ -285,6 +297,25 @@ object ExtQueries {
         |)
         |SELECT a_id, b_id, jaccard FROM pairs
         |WHERE jaccard >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+    // Exact batch-vs-corpus threshold Jaccard. The Spark side goes
+    // through the persisted band index; recall argument identical to
+    // dedup_minhash_lsh (every over-threshold pair in this corpus is a
+    // planted near-dup at j ≥ 0.9, where r=4 band collision is ~certain).
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |)
+        |SELECT new_id, corpus_id, jaccard FROM pairs
+        |WHERE jaccard >= 0.35 ORDER BY new_id, corpus_id""".stripMargin,
 
     // Connected components as a recursive transitive closure over the
     // exact ≥0.35-Jaccard pair graph (same pair set the LSH path

@@ -101,6 +101,28 @@ class DedupSpec extends SparkSuite {
     assert(marker.lastModified() != t1, "changed corpus must rebuild the pair table")
   }
 
+  test("incremental dedup: batch near-dups found via persisted band index, corpus not re-signed") {
+    val dir = "target/dedupspec/bandindex"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    // corpus = docs 1..4; batch = doc 11 ≈ near-dup of doc 1
+    val corpus = docs
+    val batch = docs.filter(col("doc_id") === 1L)
+      .select(lit(11L).as("doc_id"), col("text"))
+    Dedup.ensureBandIndex(spark, corpus, dir)
+    val marker = new java.io.File(s"$dir/bands/_SUCCESS")
+    val t1 = marker.lastModified()
+    val pairs = Dedup.incrementalPairs(spark, batch, corpus, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (n, c, j) => n == 11L && c == 1L && j == 1.0 },
+      s"planted batch duplicate must be found: ${pairs.toSeq}")
+    assert(pairs.forall(_._1 == 11L), "pairs must be batch-vs-corpus only")
+    assert(marker.lastModified() == t1, "query must not rebuild the index")
+  }
+
   test("shingles: w-grams over tokens, distinct") {
     val sh = docs.filter(col("doc_id") === 1L)
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
