@@ -82,6 +82,31 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/assignments")
   }
 
+  /** Append a batch of new vectors to an existing IVF index without a
+    * rebuild: the batch is assigned with the STORED centroids (the
+    * quantizer stays fixed — the standard IVF lifecycle; re-train only
+    * on drift) and written into the partitioned layout in append mode.
+    * The freshness fingerprint is additive (count + hash-sum), so the
+    * stored metadata is updated arithmetically: a later
+    * [[ensureIvf]] over the union corpus matches without scanning the
+    * old data — append is O(batch), independent of index size.
+    */
+  def appendIvf(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
+    val MetaRe = """(ivf nCells=\d+) fp=(-?\d+):(-?\d+)""".r
+    val (prefix, oldCount, oldSum) = Artifact.readMeta(spark, dir) match {
+      case Some(MetaRe(p, c, s)) => (p, c.toLong, s.toLong)
+      case other => throw new IllegalStateException(s"no IVF index at $dir: $other")
+    }
+    val centroids = loadCentroids(spark, s"$dir/centroids")
+    newEmb.withColumn("cell_id",
+        element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
+      .select(col("vec_id"), col("label"), col("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
+    val Array(batchCount, batchSum) = fingerprint(newEmb).split(":").map(_.toLong)
+    Artifact.writeMeta(spark, dir,
+      s"$prefix fp=${oldCount + batchCount}:${oldSum + batchSum}")
+  }
+
   /** Serve top-k from the persisted IVF index: probe cells chosen
     * driver-side (static partition pruning on the assignments scan),
     * candidates are ids-only until the exact rerank.

@@ -52,7 +52,7 @@ private[graft] object Artifact {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def readMeta(spark: SparkSession, dir: String): Option[String] = {
+  def readMeta(spark: SparkSession, dir: String): Option[String] = {
     val (fs, p) = metaFile(spark, dir)
     if (!fs.exists(p)) None
     else {
@@ -64,7 +64,7 @@ private[graft] object Artifact {
   /** Written last, after a successful build — a crashed build leaves no
     * meta and is rebuilt on the next ensure.
     */
-  private def writeMeta(spark: SparkSession, dir: String, meta: String): Unit = {
+  def writeMeta(spark: SparkSession, dir: String, meta: String): Unit = {
     val (fs, p) = metaFile(spark, dir)
     val out = fs.create(p, true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()

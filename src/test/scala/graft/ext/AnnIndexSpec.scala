@@ -94,6 +94,27 @@ class AnnIndexSpec extends SparkSuite {
     AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
   }
 
+  test("appendIvf: batch appended without rebuild, additive fingerprint matches the union") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$base/ivf_append"
+    val embA = emb.filter(col("vec_id") < 150)
+    val embB = emb.filter(col("vec_id") >= 150)
+    AnnIndex.ensureIvf(spark, embA, dir)
+    AnnIndex.appendIvf(spark, embB, dir)
+    // ensure over the UNION corpus must serve, not rebuild: the stored
+    // fingerprint was updated arithmetically (count/hash-sum additive)
+    val centroidMarker = new java.io.File(s"$dir/centroids/_SUCCESS")
+    val t1 = centroidMarker.lastModified()
+    AnnIndex.ensureIvf(spark, emb, dir)
+    assert(centroidMarker.lastModified() == t1,
+      "union ensure must match the appended index without rebuilding")
+    // appended vectors are retrievable: with k=20 on 10-cluster data,
+    // every query's neighborhood includes high-id (appended) members
+    val res = AnnIndex.searchIvf(spark, emb, dir, nQueries = 10, k = 20)
+    assert(res.filter(col("n_id") >= 150).count() > 0,
+      "appended vectors must appear among neighbors")
+  }
+
   test("persisted PQ: recall ≥ 0.6, ADC scans codes only") {
     AnnIndex.ensurePq(spark, emb, s"$base/pq")
     val res = AnnIndex.searchPq(spark, emb, s"$base/pq")
