@@ -92,19 +92,12 @@ object AnnIndex {
     * old data — append is O(batch), independent of index size.
     */
   def appendIvf(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
-    val MetaRe = """(ivf nCells=\d+) fp=(-?\d+):(-?\d+)""".r
-    val (prefix, oldCount, oldSum) = Artifact.readMeta(spark, dir) match {
-      case Some(MetaRe(p, c, s)) => (p, c.toLong, s.toLong)
-      case other => throw new IllegalStateException(s"no IVF index at $dir: $other")
-    }
     val centroids = loadCentroids(spark, s"$dir/centroids")
     newEmb.withColumn("cell_id",
         element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
       .select(col("vec_id"), col("label"), col("cell_id"))
       .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
-    val Array(batchCount, batchSum) = fingerprint(newEmb).split(":").map(_.toLong)
-    Artifact.writeMeta(spark, dir,
-      s"$prefix fp=${oldCount + batchCount}:${oldSum + batchSum}")
+    Artifact.addToFingerprint(spark, dir, "ivf ", fingerprint(newEmb))
   }
 
   /** Serve top-k from the persisted IVF index: probe cells chosen
@@ -154,9 +147,23 @@ object AnnIndex {
     val subDims = dims / m
     val codebook = Similarity.pqTrain(sample, m, subDims, codesPerSub)
     writeCodebook(spark, codebook, s"$dir/codebook")
-    emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
-        Similarity.pqEncodeCol(codebook, subDims, col("embedding")).as("codes"))
+    pqEncoded(emb, codebook, subDims)
       .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  private def pqEncoded(emb: DataFrame, codebook: Array[Array[Array[Float]]],
+                        subDims: Int): DataFrame =
+    emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      Similarity.pqEncodeCol(codebook, subDims, col("embedding")).as("codes"))
+
+  /** PQ counterpart of [[appendIvf]]: encode the batch with the stored
+    * codebook, append to the code table, bump the additive fingerprint.
+    */
+  def appendPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
+    val codebook = loadCodebook(spark, s"$dir/codebook")
+    pqEncoded(newEmb, codebook, codebook(0)(0).length)
+      .write.mode("append").parquet(s"$dir/codes")
+    Artifact.addToFingerprint(spark, dir, "pq ", fingerprint(newEmb))
   }
 
   /** Serve top-k from the persisted PQ code table: ADC scan over codes
@@ -202,6 +209,17 @@ object AnnIndex {
     val codebook = Similarity.pqTrain(resSample, m, subDims, codesPerSub)
     writeCentroids(spark, centroids, s"$dir/centroids")
     writeCodebook(spark, codebook, s"$dir/codebook")
+    ivfPqAssignments(emb, centroids, codebook, subDims)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/assignments")
+  }
+
+  /** Map-side cell argmax + in-plan residual + PQ encode — shared by the
+    * IVF-PQ build and append paths.
+    */
+  private def ivfPqAssignments(emb: DataFrame,
+                               centroids: Array[(Long, Array[Float])],
+                               codebook: Array[Array[Array[Float]]],
+                               subDims: Int): DataFrame = {
     val centMat = typedLit(centroids.map(_._2.toSeq).toSeq)
     val residual = zip_with(col("embedding"),
       element_at(centMat, (col("cell_id") + 1).cast("int")),
@@ -211,7 +229,18 @@ object AnnIndex {
       .withColumn("codes", Similarity.pqEncodeCol(codebook, subDims, residual))
       .select(col("vec_id").as("n_id"), col("label").as("n_label"),
         col("codes"), col("cell_id"))
-      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/assignments")
+  }
+
+  /** IVF-PQ counterpart of [[appendIvf]]: assign + residual-encode the
+    * batch with the stored quantizer and codebook, append into the
+    * partitioned layout, bump the additive fingerprint.
+    */
+  def appendIvfPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
+    val centroids = loadCentroids(spark, s"$dir/centroids")
+    val codebook = loadCodebook(spark, s"$dir/codebook")
+    ivfPqAssignments(newEmb, centroids, codebook, codebook(0)(0).length)
+      .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
+    Artifact.addToFingerprint(spark, dir, "ivfpq ", fingerprint(newEmb))
   }
 
   /** Serve top-k from the persisted IVF-PQ index. Per (query, probed

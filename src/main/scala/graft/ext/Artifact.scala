@@ -70,6 +70,26 @@ private[graft] object Artifact {
     try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 
+  private val FpRe = """(.+) fp=(-?\d+):(-?\d+)""".r
+
+  /** Arithmetic fingerprint update for append-style artifacts: the
+    * content [[fingerprint]] (count + hash-sum) is additive over
+    * disjoint row sets, so appending a batch only needs the batch's own
+    * fingerprint added onto the stored one — no scan of the existing
+    * data. `requirePrefix` guards against bumping the wrong artifact
+    * kind.
+    */
+  def addToFingerprint(spark: SparkSession, dir: String,
+                       requirePrefix: String, batchFp: String): Unit = {
+    val Array(bc, bs) = batchFp.split(":").map(_.toLong)
+    readMeta(spark, dir) match {
+      case Some(FpRe(prefix, c, s)) if prefix.startsWith(requirePrefix) =>
+        writeMeta(spark, dir, s"$prefix fp=${c.toLong + bc}:${s.toLong + bs}")
+      case other =>
+        throw new IllegalStateException(s"no '$requirePrefix' artifact at $dir: $other")
+    }
+  }
+
   /** Build-if-needed: serve as long as the stored metadata line matches
     * `meta`; rebuild otherwise. The fingerprint inside `meta` costs one
     * narrow input scan per ensure — amortized over the many queries a

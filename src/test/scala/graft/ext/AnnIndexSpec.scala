@@ -94,25 +94,53 @@ class AnnIndexSpec extends SparkSuite {
     AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
   }
 
-  test("appendIvf: batch appended without rebuild, additive fingerprint matches the union") {
+  test("append (ivf/pq/ivfpq): batch appended without rebuild, additive fingerprint matches union") {
     import org.apache.spark.sql.functions.col
-    val dir = s"$base/ivf_append"
     val embA = emb.filter(col("vec_id") < 150)
     val embB = emb.filter(col("vec_id") >= 150)
-    AnnIndex.ensureIvf(spark, embA, dir)
-    AnnIndex.appendIvf(spark, embB, dir)
-    // ensure over the UNION corpus must serve, not rebuild: the stored
-    // fingerprint was updated arithmetically (count/hash-sum additive)
-    val centroidMarker = new java.io.File(s"$dir/centroids/_SUCCESS")
-    val t1 = centroidMarker.lastModified()
-    AnnIndex.ensureIvf(spark, emb, dir)
-    assert(centroidMarker.lastModified() == t1,
-      "union ensure must match the appended index without rebuilding")
-    // appended vectors are retrievable: with k=20 on 10-cluster data,
-    // every query's neighborhood includes high-id (appended) members
-    val res = AnnIndex.searchIvf(spark, emb, dir, nQueries = 10, k = 20)
-    assert(res.filter(col("n_id") >= 150).count() > 0,
-      "appended vectors must appear among neighbors")
+    val cases = Seq[(String, String,
+        (org.apache.spark.sql.DataFrame, String) => String,  // ensure
+        (org.apache.spark.sql.DataFrame, String) => Unit,    // append
+        (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame)](  // search
+      ("ivf_append", "centroids",
+        (e, d) => AnnIndex.ensureIvf(spark, e, d),
+        (e, d) => AnnIndex.appendIvf(spark, e, d),
+        (e, d) => AnnIndex.searchIvf(spark, e, d, nQueries = 10, k = 20)),
+      ("pq_append", "codebook",
+        (e, d) => AnnIndex.ensurePq(spark, e, d),
+        (e, d) => AnnIndex.appendPq(spark, e, d),
+        (e, d) => AnnIndex.searchPq(spark, e, d, nQueries = 10, k = 20, rerank = 100)),
+      ("ivfpq_append", "centroids",
+        (e, d) => AnnIndex.ensureIvfPq(spark, e, d),
+        (e, d) => AnnIndex.appendIvfPq(spark, e, d),
+        (e, d) => AnnIndex.searchIvfPq(spark, e, d, nQueries = 10, k = 20, rerank = 100)))
+    cases.foreach { case (name, trainedTable, ensure, append, search) =>
+      val dir = s"$base/$name"
+      ensure(embA, dir)
+      append(embB, dir)
+      // ensure over the UNION corpus must serve, not rebuild: the stored
+      // fingerprint was updated arithmetically (count/hash-sum additive)
+      val marker = new java.io.File(s"$dir/$trainedTable/_SUCCESS")
+      val t1 = marker.lastModified()
+      ensure(emb, dir)
+      assert(marker.lastModified() == t1,
+        s"$name: union ensure must match the appended index without rebuilding")
+      // appended vectors are retrievable: with k=20 on 10-cluster data,
+      // every query's neighborhood includes high-id (appended) members
+      assert(search(emb, dir).filter(col("n_id") >= 150).count() > 0,
+        s"$name: appended vectors must appear among neighbors")
+    }
+  }
+
+  test("nprobe widens recall monotonically; probing every cell equals brute force") {
+    AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
+    val r1 = recallOf(AnnIndex.searchIvf(spark, emb, s"$base/ivf", nprobe = 1))
+    val r4 = recallOf(AnnIndex.searchIvf(spark, emb, s"$base/ivf", nprobe = 4))
+    val r16 = recallOf(AnnIndex.searchIvf(spark, emb, s"$base/ivf", nprobe = 16))
+    assert(r1 <= r4 && r4 <= r16, s"recall must widen with nprobe: $r1 / $r4 / $r16")
+    // all 16 cells probed → candidate set is the whole corpus → the
+    // exact rerank (same scoring + tie-break as bruteForceTopK) is exact
+    assert(r16 == 1.0, s"full probing must equal brute force, got $r16")
   }
 
   test("persisted PQ: recall ≥ 0.6, ADC scans codes only") {
