@@ -173,8 +173,15 @@ object Dedup {
     val candidates = index.join(broadcast(batchBands), Seq("band", "bucket"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+      .localCheckpoint(false)
+    // restrict the corpus text read to candidate documents BEFORE any
+    // shingling: a broadcast semi-join on the (small, batch-bounded)
+    // candidate id set — non-candidates are never shingled
+    val corpusCandTexts = corpus.select(col("doc_id"), col("text"))
+      .join(broadcast(candidates.select(col("b_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
     val texts = batch.select(col("doc_id"), col("text"))
-      .unionByName(corpus.select(col("doc_id"), col("text")))
+      .unionByName(corpusCandTexts)
     verifyJaccard(texts, candidates)
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id").as("new_id"), col("b_id").as("corpus_id"), col("jaccard"))
