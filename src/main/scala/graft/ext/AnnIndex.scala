@@ -128,6 +128,50 @@ object AnnIndex {
     Similarity.rerankExact(emb, cands, nQueries, k)
   }
 
+  // ------------------------------------------------------------ SRP-LSH
+
+  def ensureSrp(spark: SparkSession, emb: DataFrame, dir: String,
+                h: Int = 8, tables: Int = 4, dims: Int = 64): String =
+    ensure(spark, dir, s"srp h=$h tables=$tables dims=$dims fp=${fingerprint(emb)}") {
+      buildSrp(spark, emb, dir, h, tables, dims)
+    }
+
+  /** Persist the SRP-LSH bucket table `(tbl, bucket, vec_id, label)`,
+    * sorted by (tbl, bucket) so bucket probes prune parquet row groups.
+    * The hyperplanes are deterministic ([[Similarity.planeComponent]]
+    * hashing), so query-side bucket hashing — done in-plan over the
+    * bounded query rows — lands in exactly the stored bucket space with
+    * no stored-plane coordination.
+    */
+  def buildSrp(spark: SparkSession, emb: DataFrame, dir: String,
+               h: Int, tables: Int, dims: Int): Unit =
+    Similarity.withBuckets(emb, h, tables, dims)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("tbl"), col("bucket"), col("vec_id"), col("label"))
+      .repartitionByRange(4, col("tbl"), col("bucket"))
+      .sortWithinPartitions(col("tbl"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+
+  /** Serve ANN from the persisted SRP buckets: only the (bounded) query
+    * rows are hashed at query time; the corpus contributes its stored
+    * buckets — it is never re-hashed per query. Collisions in any table
+    * become candidates; exact-cosine rerank as everywhere else.
+    */
+  def searchSrp(spark: SparkSession, emb: DataFrame, dir: String,
+                nQueries: Int = 10, k: Int = 5,
+                h: Int = 8, tables: Int = 4, dims: Int = 64): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/buckets")
+      .select(col("tbl"), col("bucket"), col("vec_id").as("n_id"),
+        col("label").as("n_label"))
+    val q = Similarity.withBuckets(emb.filter(col("vec_id") < nQueries), h, tables, dims)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
+    val cands = stored.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("n_label"))
+      .distinct()
+    Similarity.rerankExact(emb, cands, nQueries, k)
+  }
+
   // ----------------------------------------------------------------- PQ
 
   def ensurePq(spark: SparkSession, emb: DataFrame, dir: String,

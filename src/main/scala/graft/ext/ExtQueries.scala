@@ -79,10 +79,13 @@ object ExtQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("q_id"), col("rank"))),
 
-    // SRP-LSH bucketed ANN (scale path).
-    "sim_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d))
-        .orderBy(col("q_id"), col("rank"))),
+    // SRP-LSH bucketed ANN (scale path), served from the persisted
+    // bucket table — the corpus is SRP-hashed once, not per query.
+    "sim_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = AnnIndex.ensureSrp(s, emb, s"${AnnIndex.defaultRoot(d)}/srp_h8t4")
+      AnnIndex.searchSrp(s, emb, dir).orderBy(col("q_id"), col("rank"))
+    }),
 
     // IVF coarse-quantizer ANN served from the persisted index: built
     // once under target/ann_index (load-once/serve-many), probed cells

@@ -133,7 +133,7 @@ object Similarity {
       when(cosine_sim(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def withBuckets(emb: DataFrame, h: Int, tables: Int, dims: Int): DataFrame =
+  private[ext] def withBuckets(emb: DataFrame, h: Int, tables: Int, dims: Int): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until tables).map(t =>
         srpBucket(col("embedding"), t, h, dims)): _*)).as(Seq("tbl", "bucket")))

@@ -132,6 +132,25 @@ class AnnIndexSpec extends SparkSuite {
     }
   }
 
+  test("persisted SRP-LSH: recall ≥ 0.6, corpus hashed only at build time") {
+    AnnIndex.ensureSrp(spark, emb, s"$base/srp", h = 8, tables = 4, dims = 16)
+    val res = AnnIndex.searchSrp(spark, emb, s"$base/srp", h = 8, tables = 4, dims = 16)
+    assert(recallOf(res) >= 0.6)
+    // matches the in-memory SRP path exactly: same planes, same buckets,
+    // same rerank — persistence must not change the result set
+    val live = Similarity.lshTopK(emb, 10, 5, h = 8, tables = 4, dims = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val stored = res.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(stored == live, "persisted SRP search must equal the live SRP search")
+    // 3 corpus scans: in-plan query bucket-hashing (vec_id-filtered),
+    // the broadcast query side of the rerank (vec_id-filtered), and the
+    // rerank join — i.e. two query-bounded reads + one rerank; the full
+    // corpus is never re-hashed (the stored bucket table replaces it)
+    assert(corpusScans(res) == 3, "corpus reads: 2 query-bounded + rerank only")
+    assert(res.queryExecution.executedPlan.toString.contains("annspec/srp/buckets"),
+      "candidates must come from the stored bucket table")
+  }
+
   test("nprobe widens recall monotonically; probing every cell equals brute force") {
     AnnIndex.ensureIvf(spark, emb, s"$base/ivf")
     val r1 = recallOf(AnnIndex.searchIvf(spark, emb, s"$base/ivf", nprobe = 1))
