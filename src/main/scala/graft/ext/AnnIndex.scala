@@ -43,13 +43,13 @@ object AnnIndex {
   def defaultRoot(sfDir: String): String =
     s"target/ann_index/${new java.io.File(sfDir).getName}"
 
-  /** Corpus fingerprint over (vec_id, embedding) — see
+  /** Corpus fingerprint over (vec_id, embedding, label) — see
     * [[Artifact.fingerprint]]; baked into the index metadata so a
-    * regenerated fixture (same path, new vectors) can never be served
-    * stale neighbors from an old index.
+    * regenerated fixture (same path, new vectors OR new labels — the
+    * indexes persist `label`) can never serve stale rows.
     */
   private def fingerprint(emb: DataFrame): String =
-    Artifact.fingerprint(emb, col("vec_id"), col("embedding"))
+    Artifact.fingerprint(emb, col("vec_id"), col("embedding"), col("label"))
 
   /** Build-if-needed via [[Artifact.ensure]]: the index is served as
     * long as its metadata line (build parameters + corpus fingerprint)
@@ -92,13 +92,30 @@ object AnnIndex {
     * old data — append is O(batch), independent of index size.
     */
   def appendIvf(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
-    val centroids = loadCentroids(spark, s"$dir/centroids")
-    newEmb.withColumn("cell_id",
-        element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
-      .select(col("vec_id"), col("label"), col("cell_id"))
-      .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
-    Artifact.addToFingerprint(spark, dir, "ivf ", fingerprint(newEmb))
+    Artifact.requireKind(spark, dir, "ivf ")   // before any destructive write
+    val fresh = freshRows(newEmb,
+      spark.read.parquet(s"$dir/assignments").select(col("vec_id")))
+    if (!fresh.isEmpty) {
+      val centroids = loadCentroids(spark, s"$dir/centroids")
+      fresh.withColumn("cell_id",
+          element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
+        .select(col("vec_id"), col("label"), col("cell_id"))
+        .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
+      Artifact.addToFingerprint(spark, dir, "ivf ", fingerprint(fresh))
+    }
   }
+
+  /** Idempotent-append guard: drop batch rows whose vec_id is already
+    * indexed (a double-submitted batch must be a no-op — duplicate rows
+    * would both break the searchers' (q_id, n_id)-uniqueness invariant
+    * and desync the additive fingerprint from the true union corpus).
+    * One narrow id-column read of the index; the survivors are
+    * checkpointed because they feed two actions (the write and the
+    * fingerprint).
+    */
+  private def freshRows(newEmb: DataFrame, existingIds: DataFrame): DataFrame =
+    newEmb.join(existingIds.withColumnRenamed(existingIds.columns.head, "vec_id"),
+      Seq("vec_id"), "left_anti").localCheckpoint()
 
   /** Serve top-k from the persisted IVF index: probe cells chosen
     * driver-side (static partition pruning on the assignments scan),
@@ -160,6 +177,9 @@ object AnnIndex {
   def searchSrp(spark: SparkSession, emb: DataFrame, dir: String,
                 nQueries: Int = 10, k: Int = 5,
                 h: Int = 8, tables: Int = 4, dims: Int = 64): DataFrame = {
+    // query-side hashing re-derives the plane family from (h, tables,
+    // dims) — they must match the build's or buckets silently disagree
+    Artifact.requireKind(spark, dir, s"srp h=$h tables=$tables dims=$dims fp=")
     val stored = spark.read.parquet(s"$dir/buckets")
       .select(col("tbl"), col("bucket"), col("vec_id").as("n_id"),
         col("label").as("n_label"))
@@ -204,10 +224,15 @@ object AnnIndex {
     * codebook, append to the code table, bump the additive fingerprint.
     */
   def appendPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
-    val codebook = loadCodebook(spark, s"$dir/codebook")
-    pqEncoded(newEmb, codebook, codebook(0)(0).length)
-      .write.mode("append").parquet(s"$dir/codes")
-    Artifact.addToFingerprint(spark, dir, "pq ", fingerprint(newEmb))
+    Artifact.requireKind(spark, dir, "pq ")
+    val fresh = freshRows(newEmb,
+      spark.read.parquet(s"$dir/codes").select(col("n_id")))
+    if (!fresh.isEmpty) {
+      val codebook = loadCodebook(spark, s"$dir/codebook")
+      pqEncoded(fresh, codebook, codebook(0)(0).length)
+        .write.mode("append").parquet(s"$dir/codes")
+      Artifact.addToFingerprint(spark, dir, "pq ", fingerprint(fresh))
+    }
   }
 
   /** Serve top-k from the persisted PQ code table: ADC scan over codes
@@ -280,11 +305,16 @@ object AnnIndex {
     * partitioned layout, bump the additive fingerprint.
     */
   def appendIvfPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
-    val centroids = loadCentroids(spark, s"$dir/centroids")
-    val codebook = loadCodebook(spark, s"$dir/codebook")
-    ivfPqAssignments(newEmb, centroids, codebook, codebook(0)(0).length)
-      .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
-    Artifact.addToFingerprint(spark, dir, "ivfpq ", fingerprint(newEmb))
+    Artifact.requireKind(spark, dir, "ivfpq ")
+    val fresh = freshRows(newEmb,
+      spark.read.parquet(s"$dir/assignments").select(col("n_id")))
+    if (!fresh.isEmpty) {
+      val centroids = loadCentroids(spark, s"$dir/centroids")
+      val codebook = loadCodebook(spark, s"$dir/codebook")
+      ivfPqAssignments(fresh, centroids, codebook, codebook(0)(0).length)
+        .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
+      Artifact.addToFingerprint(spark, dir, "ivfpq ", fingerprint(fresh))
+    }
   }
 
   /** Serve top-k from the persisted IVF-PQ index. Per (query, probed

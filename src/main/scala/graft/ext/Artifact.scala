@@ -37,9 +37,11 @@ private[graft] object Artifact {
     val entries = paths.flatMap { dir =>
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // entries are keyed by (input path, file name): relocating a file
+      // between fingerprinted inputs must change the digest
       def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
         if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
-        else Seq(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        else Seq(s"$dir/${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       if (fs.exists(p)) walk(fs.getFileStatus(p)) else Seq(s"missing:$dir")
     }
     // md5-based name-UUID keeps the meta line short and deterministic
@@ -71,6 +73,19 @@ private[graft] object Artifact {
   }
 
   private val FpRe = """(.+) fp=(-?\d+):(-?\d+)""".r
+
+  /** Assert the artifact at `dir` exists and is of the expected kind /
+    * parameterization — call BEFORE any destructive append, and from
+    * serve paths whose own parameters must match the build's (a
+    * mismatched serve would silently return near-empty results, which
+    * is exactly what the metadata line exists to prevent).
+    */
+  def requireKind(spark: SparkSession, dir: String, requirePrefix: String): Unit =
+    readMeta(spark, dir) match {
+      case Some(meta) if meta.startsWith(requirePrefix) => ()
+      case other =>
+        throw new IllegalStateException(s"no '$requirePrefix' artifact at $dir: $other")
+    }
 
   /** Arithmetic fingerprint update for append-style artifacts: the
     * content [[fingerprint]] (count + hash-sum) is additive over

@@ -165,24 +165,37 @@ object Dedup {
                        batch: DataFrame, corpus: DataFrame, bandDir: String,
                        k: Int = 32, bands: Int = 8,
                        minJaccard: Double = 0.35, maxBucket: Int = 64): DataFrame = {
+    // batch banding re-derives signatures from (k, bands) — they must
+    // match the stored index's or bucket joins silently miss everything
+    Artifact.requireKind(spark, bandDir, s"bandindex k=$k bands=$bands fp=")
     val index = spark.read.parquet(s"$bandDir/bands")
       .filter(col("m") <= maxBucket)
       .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     val batchBands = bandedBuckets(batch, k, bands)
       .select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    // a_id =!= b_id: a re-ingested batch doc collides with its own
+    // stored copy — that is an exactly-once concern upstream, not a
+    // near-dup pair
     val candidates = index.join(broadcast(batchBands), Seq("band", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
       .localCheckpoint(false)
-    // restrict the corpus text read to candidate documents BEFORE any
-    // shingling: a broadcast semi-join on the (small, batch-bounded)
-    // candidate id set — non-candidates are never shingled
-    val corpusCandTexts = corpus.select(col("doc_id"), col("text"))
+    // each pair side attaches to ITS OWN source (batch text for a_id,
+    // corpus text for b_id) — a doc_id present in both (re-ingestion)
+    // must not fan rows out — and the corpus text read is semi-joined
+    // down to candidate documents BEFORE any shingling
+    val aSets = batch
+      .select(col("doc_id").as("a_id"), shingleHashes(col("text"), 3).as("a_sh"))
+    val bSets = corpus.select(col("doc_id"), col("text"))
       .join(broadcast(candidates.select(col("b_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
-    val texts = batch.select(col("doc_id"), col("text"))
-      .unionByName(corpusCandTexts)
-    verifyJaccard(texts, candidates)
+      .select(col("doc_id").as("b_id"), shingleHashes(col("text"), 3).as("b_sh"))
+    candidates
+      .join(aSets, Seq("a_id"))
+      .join(bSets, Seq("b_id"))
+      .withColumn("jaccard",
+        graft.functions.native.jaccard_sim(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id").as("new_id"), col("b_id").as("corpus_id"), col("jaccard"))
   }

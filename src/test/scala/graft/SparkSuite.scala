@@ -13,4 +13,17 @@ object SparkTest {
 abstract class SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Recursive delete for test artifact dirs. Symlinks are removed as
+    * links (never followed — fixture dirs produced by ScaleUp symlink
+    * shared tables, and cleanup must not reach through them).
+    */
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+  }
 }

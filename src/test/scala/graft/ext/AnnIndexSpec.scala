@@ -28,11 +28,7 @@ class AnnIndexSpec extends SparkSuite {
   // assertions see real file scans
   private lazy val base: String = {
     val d = new java.io.File("target/annspec")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(d)
+    deleteRecursively(d.getPath)
     d.mkdirs()
     clusteredEmbeddings().write.mode("overwrite").parquet(s"${d.getPath}/emb")
     d.getPath
@@ -129,7 +125,26 @@ class AnnIndexSpec extends SparkSuite {
       // every query's neighborhood includes high-id (appended) members
       assert(search(emb, dir).filter(col("n_id") >= 150).count() > 0,
         s"$name: appended vectors must appear among neighbors")
+      // double-submitting the same batch is a no-op: ids already indexed
+      // are dropped, the fingerprint still matches the union corpus
+      append(embB, dir)
+      val t2 = marker.lastModified()
+      ensure(emb, dir)
+      assert(marker.lastModified() == t2,
+        s"$name: re-appending an ingested batch must not desync the fingerprint")
     }
+  }
+
+  test("append refuses the wrong index kind before writing anything") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$base/ivfpq_guard"
+    AnnIndex.ensureIvfPq(spark, emb, dir)
+    val before = new java.io.File(s"$dir/assignments").listFiles().length
+    intercept[IllegalStateException] {
+      AnnIndex.appendIvf(spark, emb.filter(col("vec_id") < 5), dir)
+    }
+    assert(new java.io.File(s"$dir/assignments").listFiles().length == before,
+      "a refused append must not have touched the index files")
   }
 
   test("persisted SRP-LSH: recall ≥ 0.6, corpus hashed only at build time") {

@@ -78,11 +78,7 @@ class DedupSpec extends SparkSuite {
 
   test("persisted pair artifact: equals live pairs, builds once, rebuilds on corpus change") {
     val dir = "target/dedupspec/neardup"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File("target/dedupspec"))
+    deleteRecursively("target/dedupspec")
 
     Dedup.ensurePairs(spark, docs, dir)
     val live = Dedup.minhashPairs(docs)
@@ -103,11 +99,7 @@ class DedupSpec extends SparkSuite {
 
   test("incremental dedup: batch near-dups found via persisted band index, corpus not re-signed") {
     val dir = "target/dedupspec/bandindex"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(dir))
+    deleteRecursively(dir)
     // corpus = docs 1..4; batch = doc 11 ≈ near-dup of doc 1
     val corpus = docs
     val batch = docs.filter(col("doc_id") === 1L)
@@ -121,6 +113,30 @@ class DedupSpec extends SparkSuite {
       s"planted batch duplicate must be found: ${pairs.toSeq}")
     assert(pairs.forall(_._1 == 11L), "pairs must be batch-vs-corpus only")
     assert(marker.lastModified() == t1, "query must not rebuild the index")
+  }
+
+  test("incremental dedup: re-ingested batch yields no self-pairs or fanned rows") {
+    val dir = "target/dedupspec/bandindex2"
+    deleteRecursively(dir)
+    Dedup.ensureBandIndex(spark, docs, dir)
+    // the 'batch' IS part of the corpus — the crash-retry scenario
+    val reIngested = docs.filter(col("doc_id") === 1L)
+    val pairs = Dedup.incrementalPairs(spark, reIngested, docs, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 == p._2), s"no self-pairs: ${pairs.toSeq}")
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length,
+      s"no fanned-out duplicate rows: ${pairs.toSeq}")
+    // doc 1's genuine dup (doc 2) is still reported exactly once
+    assert(pairs.count(p => p._1 == 1L && p._2 == 2L) == 1)
+  }
+
+  test("incremental dedup: mismatched banding parameters fail fast, not silently") {
+    val dir = "target/dedupspec/bandindex3"
+    deleteRecursively(dir)
+    Dedup.ensureBandIndex(spark, docs, dir, k = 16, bands = 4)
+    intercept[IllegalStateException] {
+      Dedup.incrementalPairs(spark, docs.limit(1), docs, dir) // defaults k=32
+    }
   }
 
   test("shingles: w-grams over tokens, distinct") {

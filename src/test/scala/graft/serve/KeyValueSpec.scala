@@ -32,11 +32,7 @@ class KeyValueSpec extends SparkSuite {
   }
 
   test("persisted serving store equals the live projection; load-once per fingerprint") {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(graft.ext.Artifact.root(sfDir)))
+    deleteRecursively(graft.ext.Artifact.root(sfDir))
     val storePath = KeyValue.ensureStore(spark, sfDir)
     val live = KeyValue.servingTable(spark, sfDir)
       .as[(String, String, String, String)].collect().toSet
