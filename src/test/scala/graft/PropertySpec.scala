@@ -172,6 +172,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: incremental dedup finds a planted cross-boundary duplicate") {
+    samples(docGen, 3).zipWithIndex.foreach { case (docsList, i) =>
+      val distinctIds = docsList.toMap.toSeq
+      val (dupId, dupText) = distinctIds.head
+      val corpus = distinctIds.toDF("doc_id", "text")
+      val batch = Seq((dupId + 10000, dupText)).toDF("doc_id", "text")
+      val dir = s"target/propspec/bandindex_$i"
+      deleteRecursively(dir)
+      Dedup.ensureBandIndex(spark, corpus, dir)
+      val pairs = Dedup.incrementalPairs(spark, batch, corpus, dir).collect()
+      assert(pairs.exists(r => r.getLong(0) == dupId + 10000 &&
+          r.getLong(1) == dupId && r.getDouble(2) == 1.0),
+        s"planted batch duplicate of $dupId not found: ${pairs.toSeq}")
+      pairs.foreach { r =>
+        assert(r.getDouble(2) >= 0.35, "reported pairs must clear the threshold")
+        assert(r.getLong(0) >= 10000L, "new_id side must come from the batch")
+      }
+    }
+  }
+
   test("property: unpivot row count = 4 × KPI rows") {
     samples(eventGen, 3).foreach { rows =>
       val kpis = Kpis.genreKpis(rows.toDF("event_type", "date", "user_id", "value"))
