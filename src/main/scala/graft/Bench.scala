@@ -9,6 +9,13 @@ object Bench {
     // sorted order so per-query numbers are comparable across rounds.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+    // Explicit artifact warm phase: cold builds are charged to one
+    // reported build_sec line, not to the first alphabetical consumer.
+    val buildSec =
+      try Warm.ensureAll(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm failed: ${e.getMessage}"); -1.0
+      }
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -27,7 +34,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

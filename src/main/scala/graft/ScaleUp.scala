@@ -56,7 +56,18 @@ object ScaleUp {
     Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
       .foreach { t =>
         val link = java.nio.file.Paths.get(s"$out/$t.parquet")
-        java.nio.file.Files.deleteIfExists(link)
+        // a previous run (or a layout change between replicated and
+        // linked table sets) may have left a real directory here —
+        // deleteIfExists alone would throw DirectoryNotEmptyException
+        if (java.nio.file.Files.isDirectory(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+              Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(link.toFile)
+        } else java.nio.file.Files.deleteIfExists(link)
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(s"$src/$t.parquet").toAbsolutePath)
       }

@@ -9,6 +9,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // Build all persisted artifacts up front (any failure surfaces again
+    // per-query below, where it is recorded properly).
+    try Warm.ensureAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] warm failed: ${e.getMessage}")
+    }
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

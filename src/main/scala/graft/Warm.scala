@@ -1,0 +1,38 @@
+package graft
+
+import graft.ext.{AnnIndex, Artifact, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Explicit artifact warm phase: build every persisted artifact the
+  * query set serves from (near-dup pair table, dedup band index, the
+  * four ANN indexes, the key-value serving store) in one place, so
+  * Bench/Verify per-query numbers measure SERVE cost — not the cold
+  * build of whichever consumer happens to run first alphabetically.
+  * Paths must match the query wiring in [[graft.ext.ExtQueries]] /
+  * [[graft.serve.KeyValue]] exactly; `ensure` makes a second call a
+  * fingerprint check, so warming an already-built fixture is cheap.
+  */
+object Warm {
+
+  /** Build (or freshness-check) all artifacts for a fixture dir; returns
+    * wall seconds spent — reported by Bench as `build_sec` so the
+    * per-query numbers stay honest.
+    */
+  def ensureAll(spark: SparkSession, d: String): Double = {
+    val t0 = System.nanoTime()
+    val docs = Tables.documents(spark, d)
+    Dedup.ensurePairs(spark, docs, s"${Artifact.root(d)}/neardup")
+    Dedup.ensureBandIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      s"${Artifact.root(d)}/bandindex")
+    val emb = Tables.embeddings(spark, d)
+    AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
+    AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")
+    AnnIndex.ensureIvfPq(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivfpq_c16_m8")
+    AnnIndex.ensureSrp(spark, emb, s"${AnnIndex.defaultRoot(d)}/srp_h8t4")
+    // serving store: build AND the load-once memory materialization
+    graft.serve.KeyValue.servingTableCached(spark, d)
+    (System.nanoTime() - t0) / 1e9
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,16 +16,24 @@ import org.apache.spark.sql.functions._
   *    tiny (nCells rows), collected at query time and baked into the
   *    plan as literals.
   *  - `codebook/`    — PQ codewords `(sub, code, codeword)`; tiny.
+  *  - `stats/`       — per-cell build statistics `(cell_id, n,
+  *    mean_qerr)`; tiny. The drift baseline: appends compare their
+  *    batch's occupancy/quantization-error profile against the build's
+  *    ([[ivfDrift]]) so a shifted ingest distribution raises a signal
+  *    instead of silently degrading recall.
   *  - `assignments/` — the big table, one row per corpus vector,
   *    **partitioned by `cell_id`** so probing `nprobe` cells is static
   *    partition pruning: a query with 4 probes reads 4/nCells of the
-  *    index regardless of corpus size. Columns are ids (+ PQ codes for
-  *    IVF-PQ) only — the raw embedding column stays in the corpus table
-  *    and is read exclusively by the exact-cosine rerank join
-  *    ([[Similarity.rerankExact]]) and the bounded query-vector collect.
-  *  - `codes/`       — flat PQ code table `(n_id, n_label, codes)`, 32×
-  *    smaller than the embeddings it stands in for; the ADC scan reads
-  *    only this.
+  *    index regardless of corpus size. Columns are ids + a `row_hash`
+  *    content hash (+ PQ codes for IVF-PQ) only — the raw embedding
+  *    column stays in the corpus table and is read exclusively by the
+  *    exact-cosine rerank join ([[Similarity.rerankExact]]) and the
+  *    bounded query-vector collect. `row_hash` makes the insert-only
+  *    append contract checkable: a resubmitted id with CHANGED content
+  *    fails fast instead of silently serving the stale vector.
+  *  - `codes/`       — flat PQ code table `(n_id, n_label, codes,
+  *    row_hash)`, 32× smaller than the embeddings it stands in for; the
+  *    ADC scan reads only this.
   *
   * Probe-cell selection runs driver-side over the collected centroid
   * table (same bounded-artifact contract as the PQ lookup tables): that
@@ -34,6 +42,12 @@ import org.apache.spark.sql.functions._
   * build is one pass over the corpus (map-side argmax assignment, no
   * shuffle before the partitioned write) and each query reads
   * nprobe/nCells of the index plus a candidate-bounded rerank.
+  *
+  * Append lifecycle: [[appendIvf]]/[[appendPq]]/[[appendIvfPq]] are
+  * O(batch) and crash-atomic (pending marker — see [[Artifact]]);
+  * accumulated per-batch file sets are rewritten into sized files by
+  * [[compact]] without touching content or metadata; quantizer drift is
+  * measured ([[ivfDrift]]) and gated ([[appendIvfOrRebuild]]).
   */
 object AnnIndex {
 
@@ -51,6 +65,12 @@ object AnnIndex {
   private def fingerprint(emb: DataFrame): String =
     Artifact.fingerprint(emb, col("vec_id"), col("embedding"), col("label"))
 
+  /** Per-row content hash persisted in the index — the insert-only
+    * append contract's evidence. Must hash exactly the columns the
+    * corpus [[fingerprint]] hashes (minus the id).
+    */
+  private def rowHash: Column = xxhash64(col("embedding"), col("label"))
+
   /** Build-if-needed via [[Artifact.ensure]]: the index is served as
     * long as its metadata line (build parameters + corpus fingerprint)
     * matches; a parameter change or a changed corpus triggers a rebuild.
@@ -62,60 +82,85 @@ object AnnIndex {
 
   def ensureIvf(spark: SparkSession, emb: DataFrame, dir: String,
                 nCells: Int = 16): String =
-    ensure(spark, dir, s"ivf nCells=$nCells fp=${fingerprint(emb)}") {
+    ensure(spark, dir, s"ivf v2 nCells=$nCells fp=${fingerprint(emb)}") {
       buildIvf(spark, emb, dir, nCells)
     }
 
-  /** One corpus pass: train the coarse quantizer on a bounded sample,
-    * assign every vector to its cell map-side, write `(vec_id, label)`
-    * partitioned by `cell_id`. No shuffle other than the write's own
-    * file layout.
+  /** One corpus pass per output: train the coarse quantizer on a bounded
+    * sample, assign every vector to its cell map-side, write `(vec_id,
+    * label, row_hash)` partitioned by `cell_id`, plus the per-cell build
+    * stats (the drift baseline). No shuffle other than the writes' own
+    * file layout and the tiny stats aggregate.
     */
   def buildIvf(spark: SparkSession, emb: DataFrame, dir: String,
                nCells: Int = 16): Unit = {
     val centroids = Similarity.kmeans(Similarity.trainingSample(emb, nCells * 16), nCells)
       .zipWithIndex.map { case (c, i) => (i.toLong, c) }
     writeCentroids(spark, centroids, s"$dir/centroids")
-    emb.withColumn("cell_id",
-        element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
-      .select(col("vec_id"), col("label"), col("cell_id"))
+    val assigned = emb.withColumn("cell_id",
+      element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
+    assigned
+      .select(col("vec_id"), col("label"), rowHash.as("row_hash"), col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/assignments")
+    writeCellStats(spark, assigned, centroids, s"$dir/stats")
   }
 
   /** Append a batch of new vectors to an existing IVF index without a
     * rebuild: the batch is assigned with the STORED centroids (the
     * quantizer stays fixed — the standard IVF lifecycle; re-train only
-    * on drift) and written into the partitioned layout in append mode.
-    * The freshness fingerprint is additive (count + hash-sum), so the
-    * stored metadata is updated arithmetically: a later
-    * [[ensureIvf]] over the union corpus matches without scanning the
-    * old data — append is O(batch), independent of index size.
+    * on drift, see [[ivfDrift]]) and written into the partitioned layout
+    * in append mode. The freshness fingerprint is additive (count +
+    * hash-sum), so the stored metadata is updated arithmetically: a
+    * later [[ensureIvf]] over the union corpus matches without scanning
+    * the old data — append is O(batch), independent of index size. The
+    * data write and the fingerprint bump run under the pending marker,
+    * so a crash between them forces a rebuild instead of serving the
+    * half-appended index against pre-append metadata.
     */
   def appendIvf(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, "ivf ")   // before any destructive write
     val fresh = freshRows(newEmb,
-      spark.read.parquet(s"$dir/assignments").select(col("vec_id")))
+      spark.read.parquet(s"$dir/assignments").select(col("vec_id"), col("row_hash")))
     if (!fresh.isEmpty) {
       val centroids = loadCentroids(spark, s"$dir/centroids")
+      Artifact.beginMutation(spark, dir)
       fresh.withColumn("cell_id",
           element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
-        .select(col("vec_id"), col("label"), col("cell_id"))
+        .select(col("vec_id"), col("label"), rowHash.as("row_hash"), col("cell_id"))
         .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
       Artifact.addToFingerprint(spark, dir, "ivf ", fingerprint(fresh))
+      Artifact.endMutation(spark, dir)
     }
   }
 
   /** Idempotent-append guard: drop batch rows whose vec_id is already
     * indexed (a double-submitted batch must be a no-op — duplicate rows
     * would both break the searchers' (q_id, n_id)-uniqueness invariant
-    * and desync the additive fingerprint from the true union corpus).
-    * One narrow id-column read of the index; the survivors are
-    * checkpointed because they feed two actions (the write and the
-    * fingerprint).
+    * and desync the additive fingerprint from the true union corpus) —
+    * and FAIL FAST on a resubmitted id whose content changed (append is
+    * insert-only: silently dropping the row would keep serving the
+    * stale vector while the fingerprint still matched — route updates
+    * through a rebuild instead). One narrow (id, hash) read of the
+    * index; the batch-bounded intersection is checkpointed because it
+    * feeds both the change check and the anti-join.
     */
-  private def freshRows(newEmb: DataFrame, existingIds: DataFrame): DataFrame =
-    newEmb.join(existingIds.withColumnRenamed(existingIds.columns.head, "vec_id"),
-      Seq("vec_id"), "left_anti").localCheckpoint()
+  private def freshRows(newEmb: DataFrame, indexed: DataFrame): DataFrame = {
+    val Seq(idName, hashName) = indexed.columns.toSeq
+    val matched = indexed
+      .select(col(idName).as("vec_id"), col(hashName).as("stored_hash"))
+      .join(broadcast(newEmb.select(col("vec_id"), rowHash.as("batch_hash"))),
+        Seq("vec_id"))
+      .localCheckpoint()
+    val changed = matched.filter(col("batch_hash") =!= col("stored_hash"))
+      .select(col("vec_id")).take(5).map(_.getLong(0))
+    if (changed.nonEmpty)
+      throw new IllegalStateException(
+        s"append is insert-only: ids resubmitted with changed content " +
+          s"(${changed.mkString(", ")}${if (changed.length == 5) ", …" else ""}) — " +
+          "rebuild the index over the corrected corpus")
+    newEmb.join(broadcast(matched.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+  }
 
   /** Serve top-k from the persisted IVF index: probe cells chosen
     * driver-side (static partition pruning on the assignments scan),
@@ -143,6 +188,91 @@ object AnnIndex {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("n_label"))
     Similarity.rerankExact(emb, cands, nQueries, k)
+  }
+
+  // -------------------------------------------------------------- drift
+
+  /** Build-vs-batch quantizer fit: `occupancyTv` is the total-variation
+    * distance between the two cell-occupancy distributions; `qerrRatio`
+    * the batch's mean quantization error (1 − cosine to the assigned
+    * centroid) over the build's. Both computed from bounded artifacts
+    * (nCells rows each side).
+    */
+  final case class DriftStats(buildN: Long, batchN: Long,
+                              buildQerr: Double, batchQerr: Double,
+                              occupancyTv: Double) {
+    def qerrRatio: Double =
+      if (buildQerr <= 0.0) { if (batchQerr <= 0.0) 1.0 else Double.PositiveInfinity }
+      else batchQerr / buildQerr
+    def drifted(maxQerrRatio: Double = 1.5, maxOccupancyTv: Double = 0.5): Boolean =
+      qerrRatio > maxQerrRatio || occupancyTv > maxOccupancyTv
+  }
+
+  /** Per-cell `(cell_id, n, mean_qerr)` for an assigned frame — written
+    * at build time as the drift baseline, recomputed per batch by
+    * [[ivfDrift]]. One tiny aggregate (nCells rows).
+    */
+  private def cellStats(assigned: DataFrame,
+                        centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val centMat = typedLit(centroids.map(_._2.toSeq).toSeq)
+    assigned
+      .withColumn("qerr", lit(1.0) - Similarity.cosine(col("embedding"),
+        element_at(centMat, (col("cell_id") + 1).cast("int"))))
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n"), avg(col("qerr")).as("mean_qerr"))
+  }
+
+  private def writeCellStats(spark: SparkSession, assigned: DataFrame,
+                             centroids: Array[(Long, Array[Float])],
+                             path: String): Unit =
+    cellStats(assigned, centroids)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Measure a batch's drift against the stored quantizer of an IVF or
+    * IVF-PQ index: assign the batch with the STORED centroids, compare
+    * its occupancy/quantization-error profile to the build's persisted
+    * `stats/`. The signal that makes "re-train only on drift" actionable
+    * — an appended batch from a shifted distribution degrades recall
+    * with no other symptom.
+    */
+  def ivfDrift(spark: SparkSession, batch: DataFrame, dir: String): DriftStats = {
+    Artifact.requireKind(spark, dir, "ivf")   // "ivf v2 …" or "ivfpq v2 …"
+    val centroids = loadCentroids(spark, s"$dir/centroids")
+    val assigned = batch.withColumn("cell_id",
+      element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
+    def toMap(df: DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val build = toMap(spark.read.parquet(s"$dir/stats"))
+    val batchStats = toMap(cellStats(assigned, centroids))
+    val buildN = build.values.map(_._1).sum
+    val batchN = batchStats.values.map(_._1).sum
+    def meanQerr(m: Map[Long, (Long, Double)], total: Long): Double =
+      if (total == 0) 0.0
+      else m.values.map { case (n, q) => n * q }.sum / total
+    val cells = centroids.map(_._1)
+    val tv = 0.5 * cells.map { c =>
+      val p = if (buildN == 0) 0.0 else build.get(c).fold(0.0)(_._1.toDouble / buildN)
+      val q = if (batchN == 0) 0.0 else batchStats.get(c).fold(0.0)(_._1.toDouble / batchN)
+      math.abs(p - q)
+    }.sum
+    DriftStats(buildN, batchN, meanQerr(build, buildN), meanQerr(batchStats, batchN), tv)
+  }
+
+  /** The drift-gated append: measure the batch first; within thresholds
+    * append with the fixed quantizer, beyond them rebuild over the union
+    * corpus (re-training centroids on the shifted distribution). Returns
+    * the measured stats either way so callers can log/alert.
+    */
+  def appendIvfOrRebuild(spark: SparkSession, newEmb: DataFrame,
+                         unionEmb: DataFrame, dir: String, nCells: Int = 16,
+                         maxQerrRatio: Double = 1.5,
+                         maxOccupancyTv: Double = 0.5): DriftStats = {
+    val stats = ivfDrift(spark, newEmb, dir)
+    if (stats.drifted(maxQerrRatio, maxOccupancyTv))
+      ensureIvf(spark, unionEmb, dir, nCells)  // union fp ≠ stored → rebuild
+    else
+      appendIvf(spark, newEmb, dir)
+    stats
   }
 
   // ------------------------------------------------------------ SRP-LSH
@@ -196,7 +326,7 @@ object AnnIndex {
 
   def ensurePq(spark: SparkSession, emb: DataFrame, dir: String,
                m: Int = 8, codesPerSub: Int = 16): String =
-    ensure(spark, dir, s"pq m=$m codesPerSub=$codesPerSub fp=${fingerprint(emb)}") {
+    ensure(spark, dir, s"pq v2 m=$m codesPerSub=$codesPerSub fp=${fingerprint(emb)}") {
       buildPq(spark, emb, dir, m, codesPerSub)
     }
 
@@ -218,20 +348,24 @@ object AnnIndex {
   private def pqEncoded(emb: DataFrame, codebook: Array[Array[Array[Float]]],
                         subDims: Int): DataFrame =
     emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
-      Similarity.pqEncodeCol(codebook, subDims, col("embedding")).as("codes"))
+      Similarity.pqEncodeCol(codebook, subDims, col("embedding")).as("codes"),
+      rowHash.as("row_hash"))
 
   /** PQ counterpart of [[appendIvf]]: encode the batch with the stored
-    * codebook, append to the code table, bump the additive fingerprint.
+    * codebook, append to the code table, bump the additive fingerprint —
+    * same insert-only check and pending-marker atomicity.
     */
   def appendPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, "pq ")
     val fresh = freshRows(newEmb,
-      spark.read.parquet(s"$dir/codes").select(col("n_id")))
+      spark.read.parquet(s"$dir/codes").select(col("n_id"), col("row_hash")))
     if (!fresh.isEmpty) {
       val codebook = loadCodebook(spark, s"$dir/codebook")
+      Artifact.beginMutation(spark, dir)
       pqEncoded(fresh, codebook, codebook(0)(0).length)
         .write.mode("append").parquet(s"$dir/codes")
       Artifact.addToFingerprint(spark, dir, "pq ", fingerprint(fresh))
+      Artifact.endMutation(spark, dir)
     }
   }
 
@@ -251,7 +385,7 @@ object AnnIndex {
   def ensureIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
                   nCells: Int = 16, m: Int = 8, codesPerSub: Int = 16): String =
     ensure(spark, dir,
-      s"ivfpq nCells=$nCells m=$m codesPerSub=$codesPerSub fp=${fingerprint(emb)}") {
+      s"ivfpq v2 nCells=$nCells m=$m codesPerSub=$codesPerSub fp=${fingerprint(emb)}") {
       buildIvfPq(spark, emb, dir, nCells, m, codesPerSub)
     }
 
@@ -259,9 +393,10 @@ object AnnIndex {
     * codes for in-cell scoring. Codebooks are trained on residuals
     * (vector − its cell centroid), so the quantization error is that of
     * the residual distribution — strictly tighter than flat PQ on the
-    * raw vectors. One corpus pass: map-side cell argmax, in-plan
-    * residual (`zip_with` against the literal centroid matrix), map-side
-    * encode, write partitioned by cell.
+    * raw vectors. One corpus pass per output: map-side cell argmax,
+    * in-plan residual (`zip_with` against the literal centroid matrix),
+    * map-side encode, write partitioned by cell; plus the per-cell
+    * build stats (drift baseline, shared with [[ivfDrift]]).
     */
   def buildIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
                  nCells: Int = 16, m: Int = 8, codesPerSub: Int = 16): Unit = {
@@ -280,6 +415,10 @@ object AnnIndex {
     writeCodebook(spark, codebook, s"$dir/codebook")
     ivfPqAssignments(emb, centroids, codebook, subDims)
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/assignments")
+    writeCellStats(spark,
+      emb.withColumn("cell_id",
+        element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1)),
+      centroids, s"$dir/stats")
   }
 
   /** Map-side cell argmax + in-plan residual + PQ encode — shared by the
@@ -297,23 +436,26 @@ object AnnIndex {
         element_at(Similarity.topCellsCol(centroids, col("embedding"), 1), 1))
       .withColumn("codes", Similarity.pqEncodeCol(codebook, subDims, residual))
       .select(col("vec_id").as("n_id"), col("label").as("n_label"),
-        col("codes"), col("cell_id"))
+        col("codes"), rowHash.as("row_hash"), col("cell_id"))
   }
 
   /** IVF-PQ counterpart of [[appendIvf]]: assign + residual-encode the
     * batch with the stored quantizer and codebook, append into the
-    * partitioned layout, bump the additive fingerprint.
+    * partitioned layout, bump the additive fingerprint — same
+    * insert-only check and pending-marker atomicity.
     */
   def appendIvfPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, "ivfpq ")
     val fresh = freshRows(newEmb,
-      spark.read.parquet(s"$dir/assignments").select(col("n_id")))
+      spark.read.parquet(s"$dir/assignments").select(col("n_id"), col("row_hash")))
     if (!fresh.isEmpty) {
       val centroids = loadCentroids(spark, s"$dir/centroids")
       val codebook = loadCodebook(spark, s"$dir/codebook")
+      Artifact.beginMutation(spark, dir)
       ivfPqAssignments(fresh, centroids, codebook, codebook(0)(0).length)
         .write.mode("append").partitionBy("cell_id").parquet(s"$dir/assignments")
       Artifact.addToFingerprint(spark, dir, "ivfpq ", fingerprint(fresh))
+      Artifact.endMutation(spark, dir)
     }
   }
 
@@ -361,6 +503,27 @@ object AnnIndex {
       .select(col("q_id"), col("n_id"), col("n_label"))
     Similarity.rerankExact(emb, cands, nQueries, k)
   }
+
+  // --------------------------------------------------------- compaction
+
+  /** Rewrite the index's big table into sized files after a run of
+    * appends — content and metadata unchanged, search results
+    * byte-identical (see [[Artifact.compactParquet]]). Dispatches on the
+    * stored kind: partitioned layouts keep one file per cell; the flat
+    * PQ code table is re-sized; SRP buckets keep their (tbl, bucket)
+    * sorted layout. Returns (parquet files before, after).
+    */
+  def compact(spark: SparkSession, dir: String): (Int, Int) =
+    Artifact.readMeta(spark, dir) match {
+      case Some(m) if m.startsWith("ivfpq ") || m.startsWith("ivf ") =>
+        Artifact.compactParquet(spark, dir, "assignments", partitionCols = Seq("cell_id"))
+      case Some(m) if m.startsWith("pq ") =>
+        Artifact.compactParquet(spark, dir, "codes")
+      case Some(m) if m.startsWith("srp ") =>
+        Artifact.compactParquet(spark, dir, "buckets", sortCols = Seq("tbl", "bucket"))
+      case other =>
+        throw new IllegalStateException(s"no compactable index at $dir: $other")
+    }
 
   // ------------------------------------------------------------ helpers
 

@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * ([[Dedup.ensurePairs]]): a pipeline stage whose output many queries
   * consume is materialized once, and any parameter or input change
   * triggers a rebuild — stale artifacts can never be served silently.
+  *
+  * Mutation safety: appends and compactions run under a *pending marker*
+  * ([[beginMutation]]/[[endMutation]]) written before the first
+  * destructive file operation and cleared only after the metadata is
+  * consistent again. A crash mid-mutation leaves the marker on disk;
+  * [[ensure]] treats a marked artifact as stale (rebuild) and
+  * [[requireKind]] refuses to serve or append to it — a half-finished
+  * append can never be served against pre-append metadata.
   */
 private[graft] object Artifact {
 
@@ -20,7 +28,9 @@ private[graft] object Artifact {
     s"target/artifacts/${new java.io.File(sfDir).getName}"
 
   /** Input fingerprint: row count + order-independent hash over the
-    * identifying columns — one narrow scan, no shuffle.
+    * identifying columns — one narrow scan, no shuffle. NOTE: the
+    * hash-sum is additive (exploited by the append paths) but thereby
+    * collision-weakened — a freshness guard, never a correctness check.
     */
   def fingerprint(df: DataFrame, cols: Column*): String = {
     val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).head()
@@ -28,31 +38,42 @@ private[graft] object Artifact {
   }
 
   /** File-level fingerprint over input table paths: a digest of every
-    * file's (name, size, modification time) — zero data scanned. The
-    * right freshness proxy for large immutable source tables, where any
-    * regeneration rewrites files; use [[fingerprint]] (content hash)
-    * when inputs can mutate in place.
+    * file's (path relative to its input root, size, modification time) —
+    * zero data scanned. The right freshness proxy for large immutable
+    * source tables, where any regeneration rewrites files; use
+    * [[fingerprint]] (content hash) when inputs can mutate in place.
     */
   def fileFingerprint(spark: SparkSession, paths: String*): String = {
     val entries = paths.flatMap { dir =>
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // entries are keyed by (input path, file name): relocating a file
-      // between fingerprinted inputs must change the digest
-      def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
-        if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
-        else Seq(s"$dir/${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      if (fs.exists(p)) walk(fs.getFileStatus(p)) else Seq(s"missing:$dir")
+      if (!fs.exists(p)) Seq(s"missing:$dir")
+      else {
+        // keys carry the FULL path relative to the fingerprinted root
+        // (not the bare file name): moving a file between nested subdirs
+        // of the same input — or between inputs — must change the digest
+        val rootStr = fs.getFileStatus(p).getPath.toString
+        def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
+          if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+          else {
+            val rel = s.getPath.toString.stripPrefix(rootStr)
+            Seq(s"$dir$rel:${s.getLen}:${s.getModificationTime}")
+          }
+        walk(fs.getFileStatus(p))
+      }
     }
     // md5-based name-UUID keeps the meta line short and deterministic
     java.util.UUID.nameUUIDFromBytes(
       entries.sorted.mkString("|").getBytes("UTF-8")).toString
   }
 
-  private def metaFile(spark: SparkSession, dir: String): (FileSystem, Path) = {
-    val p = new Path(dir, "index_meta.txt")
+  private def fsPath(spark: SparkSession, dir: String, name: String): (FileSystem, Path) = {
+    val p = new Path(dir, name)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
+
+  private def metaFile(spark: SparkSession, dir: String): (FileSystem, Path) =
+    fsPath(spark, dir, "index_meta.txt")
 
   def readMeta(spark: SparkSession, dir: String): Option[String] = {
     val (fs, p) = metaFile(spark, dir)
@@ -72,20 +93,55 @@ private[graft] object Artifact {
     try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 
+  // ------------------------------------------------- mutation marker
+
+  private def pendingFile(spark: SparkSession, dir: String): (FileSystem, Path) =
+    fsPath(spark, dir, "mutation_pending")
+
+  /** True iff a mutation (append/compaction) started but never
+    * finished — the artifact's data may not match its metadata line.
+    */
+  def hasPendingMutation(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = pendingFile(spark, dir)
+    fs.exists(p)
+  }
+
+  /** Mark the artifact as mid-mutation BEFORE the first destructive file
+    * operation of an append or compaction. Until [[endMutation]], the
+    * artifact is neither served ([[requireKind]] throws) nor trusted by
+    * [[ensure]] (which rebuilds) — so a crash between a data append and
+    * its fingerprint bump forces a rebuild instead of silently serving
+    * appended rows under pre-append metadata.
+    */
+  def beginMutation(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = pendingFile(spark, dir)
+    fs.create(p, true).close()
+  }
+
+  def endMutation(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = pendingFile(spark, dir)
+    fs.delete(p, false)
+  }
+
   private val FpRe = """(.+) fp=(-?\d+):(-?\d+)""".r
 
-  /** Assert the artifact at `dir` exists and is of the expected kind /
-    * parameterization — call BEFORE any destructive append, and from
-    * serve paths whose own parameters must match the build's (a
-    * mismatched serve would silently return near-empty results, which
-    * is exactly what the metadata line exists to prevent).
+  /** Assert the artifact at `dir` exists, finished its last mutation,
+    * and is of the expected kind / parameterization — call BEFORE any
+    * destructive append, and from serve paths whose own parameters must
+    * match the build's (a mismatched serve would silently return
+    * near-empty results, which is exactly what the metadata line exists
+    * to prevent).
     */
-  def requireKind(spark: SparkSession, dir: String, requirePrefix: String): Unit =
+  def requireKind(spark: SparkSession, dir: String, requirePrefix: String): Unit = {
+    if (hasPendingMutation(spark, dir))
+      throw new IllegalStateException(
+        s"artifact at $dir has an unfinished append/compaction — re-ensure to rebuild")
     readMeta(spark, dir) match {
       case Some(meta) if meta.startsWith(requirePrefix) => ()
       case other =>
         throw new IllegalStateException(s"no '$requirePrefix' artifact at $dir: $other")
     }
+  }
 
   /** Arithmetic fingerprint update for append-style artifacts: the
     * content [[fingerprint]] (count + hash-sum) is additive over
@@ -106,12 +162,69 @@ private[graft] object Artifact {
   }
 
   /** Build-if-needed: serve as long as the stored metadata line matches
-    * `meta`; rebuild otherwise. The fingerprint inside `meta` costs one
-    * narrow input scan per ensure — amortized over the many queries a
-    * built artifact serves.
+    * `meta` and no mutation was left unfinished; rebuild otherwise. The
+    * fingerprint inside `meta` costs one narrow input scan per ensure —
+    * amortized over the many queries a built artifact serves.
     */
   def ensure(spark: SparkSession, dir: String, meta: String)(build: => Unit): String = {
-    if (!readMeta(spark, dir).contains(meta)) { build; writeMeta(spark, dir, meta) }
+    if (hasPendingMutation(spark, dir) || !readMeta(spark, dir).contains(meta)) {
+      build
+      endMutation(spark, dir)
+      writeMeta(spark, dir, meta)
+    }
     dir
+  }
+
+  /** Rewrite one data subdirectory of a built artifact into sized files
+    * — the maintenance pass behind the append lifecycle (each appended
+    * batch leaves its own file set; a nightly pipeline degrades into a
+    * small-files problem without compaction). Content and the metadata
+    * line are unchanged: `partitionCols` keep the partitioned directory
+    * layout (one file per partition value), `sortCols` keep a
+    * range-partitioned sorted layout, and an optional `merge` transform
+    * may rewrite rows ONLY into a consumer-equivalent form (e.g. summing
+    * per-bucket size deltas). The new file set is written fully before
+    * the swap, and the swap runs under the pending marker — a crash
+    * mid-swap forces a rebuild instead of serving a half-compacted
+    * layout. Returns (parquet files before, after).
+    */
+  def compactParquet(spark: SparkSession, dir: String, sub: String,
+                     partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
+                     merge: DataFrame => DataFrame = identity,
+                     targetBytes: Long = 128L << 20): (Int, Int) = {
+    val metaBefore = readMeta(spark, dir)
+    require(metaBefore.isDefined, s"no artifact at $dir to compact")
+    val (fs, dataPath) = fsPath(spark, dir, sub)
+    def parquetFiles(p: Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetFiles(dataPath)
+    val bytes = fs.getContentSummary(dataPath).getLength
+    val nOut = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val df = merge(spark.read.parquet(dataPath.toString))
+    val (_, tmp) = fsPath(spark, dir, s"$sub.compacting")
+    fs.delete(tmp, true)
+    val writer =
+      if (partitionCols.nonEmpty)
+        // hash on the partition columns: each partition value lands in
+        // exactly one task → one file per partition directory
+        df.repartition(nOut, partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*).write
+      else df.repartition(nOut).write
+    writer.mode("overwrite").parquet(tmp.toString)
+    beginMutation(spark, dir)
+    fs.delete(dataPath, true)
+    if (!fs.rename(tmp, dataPath))
+      throw new IllegalStateException(s"compaction rename failed: $tmp -> $dataPath")
+    endMutation(spark, dir)
+    assert(readMeta(spark, dir) == metaBefore,
+      "compaction must not touch the metadata line")
+    (before, parquetFiles(dataPath))
   }
 }

@@ -88,7 +88,9 @@ object Dedup {
   /** Attach shingle-hash sets to candidate id-pairs and verify exact
     * Jaccard with the native set expression. Hashed sets give the same
     * Jaccard as string sets (modulo 2⁻⁶⁴ collisions) and keep the whole
-    * verification path string-free.
+    * verification path string-free. Every input column is preserved
+    * (plus `jaccard`), so callers can carry the band-collision count
+    * through verification.
     */
   private def verifyJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
@@ -97,7 +99,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard",
         graft.functions.native.jaccard_sim(col("a_sh"), col("b_sh")))
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .select(candidates.columns.map(col) :+ col("jaccard"): _*)
   }
 
   /** MinHash + LSH near-dup pairs. Defaults k=32 in 8 bands of 4 rows:
@@ -110,6 +112,7 @@ object Dedup {
                    minJaccard: Double = 0.35, maxBucket: Int = 64): DataFrame =
     verifyJaccard(docs, candidatePairs(docs, k, bands, maxBucket))
       .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
 
   /** The near-dup pair table as a persisted artifact: built once per
     * (corpus fingerprint, parameters) and served to every downstream
@@ -119,47 +122,138 @@ object Dedup {
     * corpus; its output is small (pairs, not documents) and read many
     * times. Freshness is guarded exactly like the ANN indexes
     * ([[Artifact.ensure]]): a changed corpus or parameter line rebuilds.
+    *
+    * Stored rows are `(a_id, b_id, n_bands, jaccard)` for EVERY
+    * band-colliding candidate — no similarity threshold is baked into
+    * the artifact. Thresholding moves to read time ([[loadPairs]]), so
+    * one build serves every downstream minJaccard AND the top-K query
+    * ([[topJaccardPairsStored]]), which needs the sub-threshold tail.
     */
   def ensurePairs(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                   dir: String, k: Int = 32, bands: Int = 8,
-                  minJaccard: Double = 0.35, maxBucket: Int = 64): String =
+                  maxBucket: Int = 64): String =
     Artifact.ensure(spark, dir,
-      s"neardup k=$k bands=$bands minJ=$minJaccard maxBucket=$maxBucket " +
+      s"neardup v2 k=$k bands=$bands maxBucket=$maxBucket " +
         s"fp=${Artifact.fingerprint(docs, col("doc_id"), col("text"))}") {
-      minhashPairs(docs, k, bands, minJaccard, maxBucket)
+      verifyJaccard(docs, candidatePairs(docs, k, bands, maxBucket))
         .write.mode("overwrite").parquet(s"$dir/pairs")
     }
 
-  def loadPairs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  /** Read the persisted pair table at the given similarity threshold —
+    * equals [[minhashPairs]] at the same parameters.
+    */
+  def loadPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                minJaccard: Double = 0.35): DataFrame =
     spark.read.parquet(s"$dir/pairs")
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
 
-  /** Persisted LSH band index of a corpus: `(doc_id, band, bucket, m)`
-    * where `m` is the bucket's member count (precomputed at build time
-    * so the skew cap at query time needs no extra aggregation). The
-    * artifact behind incremental dedup: the corpus is signed ONCE; every
-    * subsequent batch is checked against the stored buckets.
+  /** [[topJaccardPairs]] served from the persisted pair artifact: the
+    * stored table already carries every band-colliding candidate with
+    * its exact Jaccard, so the top-K is one TakeOrderedAndProject over
+    * the (small) pair table — no LSH pass, no re-verification. Recall is
+    * at least the live path's (which pre-ranks candidates by `n_bands`
+    * and verifies only the best `preRank`; the artifact verified them
+    * all at build time).
+    */
+  def topJaccardPairsStored(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, topK: Int = 25): DataFrame = {
+    Artifact.requireKind(spark, dir, "neardup v2 ")
+    spark.read.parquet(s"$dir/pairs")
+      .orderBy(col("jaccard").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Compact the pair artifact's file set (content/metadata unchanged). */
+  def compactPairs(spark: org.apache.spark.sql.SparkSession, dir: String): (Int, Int) = {
+    Artifact.requireKind(spark, dir, "neardup v2 ")
+    Artifact.compactParquet(spark, dir, "pairs")
+  }
+
+  /** Persisted LSH band index of a corpus, two tables:
+    *  - `bands/` — `(doc_id, band, bucket)`, append-only: the signed
+    *    corpus.
+    *  - `sizes/` — `(band, bucket, m)` member-count rows, possibly
+    *    several per bucket (the build's base counts plus one delta row
+    *    set per appended batch); consumers aggregate `sum(m)`. Keeping
+    *    sizes as additive deltas is what makes [[appendBandIndex]]
+    *    O(batch): an append never rewrites existing rows, and
+    *    [[compactBandIndex]] merges the deltas back to one row per
+    *    bucket whenever housekeeping runs.
+    * The artifact behind incremental dedup: the corpus is signed ONCE;
+    * every subsequent batch is checked against the stored buckets.
     */
   def ensureBandIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                       dir: String, k: Int = 32, bands: Int = 8): String =
     Artifact.ensure(spark, dir,
-      s"bandindex k=$k bands=$bands " +
+      s"bandindex v2 k=$k bands=$bands " +
         s"fp=${Artifact.fingerprint(corpus, col("doc_id"), col("text"))}") {
-      import org.apache.spark.sql.expressions.Window
       bandedBuckets(corpus, k, bands)
-        .withColumn("m", count(lit(1)).over(
-          Window.partitionBy(col("band"), col("bucket"))))
         .write.mode("overwrite").parquet(s"$dir/bands")
+      // sizes from the just-written bands — ids only, the corpus text is
+      // not re-signed for the second output
+      spark.read.parquet(s"$dir/bands")
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("m"))
+        .write.mode("overwrite").parquet(s"$dir/sizes")
     }
+
+  /** Fold an accepted batch into the stored band index in O(batch) — the
+    * [[AnnIndex.appendIvf]] analog: append the batch's band rows, append
+    * per-bucket size deltas for the touched buckets (existing rows are
+    * never rewritten), bump the additive corpus fingerprint so a later
+    * [[ensureBandIndex]] over the union corpus serves without a rebuild.
+    * Idempotent: batch docs already indexed are dropped (a
+    * double-submitted batch is a no-op). Crash-atomic under the pending
+    * marker like the ANN appends.
+    */
+  def appendBandIndex(spark: org.apache.spark.sql.SparkSession,
+                      batch: DataFrame, dir: String,
+                      k: Int = 32, bands: Int = 8): Unit = {
+    Artifact.requireKind(spark, dir, s"bandindex v2 k=$k bands=$bands fp=")
+    // idempotency: one narrow id read of the index, semi-joined down to
+    // the (batch-bounded) already-indexed set before the distinct
+    val already = spark.read.parquet(s"$dir/bands").select(col("doc_id"))
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .distinct().localCheckpoint()
+    val fresh = batch.join(broadcast(already), Seq("doc_id"), "left_anti")
+      .localCheckpoint()  // feeds the banding and the fingerprint
+    if (!fresh.isEmpty) {
+      val banded = bandedBuckets(fresh, k, bands).localCheckpoint() // 2 writes
+      Artifact.beginMutation(spark, dir)
+      banded.write.mode("append").parquet(s"$dir/bands")
+      banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("m"))
+        .write.mode("append").parquet(s"$dir/sizes")
+      Artifact.addToFingerprint(spark, dir, "bandindex v2 ",
+        Artifact.fingerprint(fresh, col("doc_id"), col("text")))
+      Artifact.endMutation(spark, dir)
+    }
+  }
+
+  /** Compact the band index after a run of appends: bands files re-sized,
+    * size deltas merged back to one row per bucket (`sum(m)` — the exact
+    * aggregate consumers compute, so results are unchanged). Metadata
+    * untouched.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): (Int, Int) = {
+    Artifact.requireKind(spark, dir, "bandindex v2 ")
+    val (b0, b1) = Artifact.compactParquet(spark, dir, "bands")
+    val (s0, s1) = Artifact.compactParquet(spark, dir, "sizes",
+      merge = _.groupBy(col("band"), col("bucket")).agg(sum(col("m")).as("m")))
+    (b0 + s0, b1 + s1)
+  }
 
   /** Incremental near-dup: a new batch checked against the persisted
     * corpus band index ([[ensureBandIndex]]) — candidate (new, corpus)
     * pairs from bucket collisions, exact-Jaccard verified. Only the
     * batch is shingled/signed at query time; the corpus contributes its
-    * stored buckets (skew-capped via the precomputed `m`) and the texts
-    * of matched candidates. This is the dataflow that admits a nightly
-    * batch against a 100 TB indexed corpus: batch-side bands broadcast,
-    * the index scan is the only corpus-wide read, and verification
-    * touches only candidate documents.
+    * stored buckets (skew-capped via the `sizes` table, aggregated only
+    * for the buckets the batch touches) and the texts of matched
+    * candidates. This is the dataflow that admits a nightly batch
+    * against a 100 TB indexed corpus: batch-side bands broadcast, the
+    * index scan is the only corpus-wide read, and verification touches
+    * only candidate documents.
     */
   def incrementalPairs(spark: org.apache.spark.sql.SparkSession,
                        batch: DataFrame, corpus: DataFrame, bandDir: String,
@@ -167,16 +261,27 @@ object Dedup {
                        minJaccard: Double = 0.35, maxBucket: Int = 64): DataFrame = {
     // batch banding re-derives signatures from (k, bands) — they must
     // match the stored index's or bucket joins silently miss everything
-    Artifact.requireKind(spark, bandDir, s"bandindex k=$k bands=$bands fp=")
-    val index = spark.read.parquet(s"$bandDir/bands")
-      .filter(col("m") <= maxBucket)
-      .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    Artifact.requireKind(spark, bandDir, s"bandindex v2 k=$k bands=$bands fp=")
     val batchBands = bandedBuckets(batch, k, bands)
       .select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .localCheckpoint()  // feeds the touched-bucket set and the join
+    // per-bucket total size = sum of build base + append deltas, computed
+    // only for buckets the batch touches (broadcast semi-join keeps the
+    // sizes scan shuffle-free; the aggregate runs on batch-bounded rows)
+    val okBuckets = spark.read.parquet(s"$bandDir/sizes")
+      .join(broadcast(batchBands.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket")).agg(sum(col("m")).as("m"))
+      .filter(col("m") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val index = spark.read.parquet(s"$bandDir/bands")
+      .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val probe = batchBands
+      .join(okBuckets, Seq("band", "bucket"), "left_semi")
     // a_id =!= b_id: a re-ingested batch doc collides with its own
     // stored copy — that is an exactly-once concern upstream, not a
     // near-dup pair
-    val candidates = index.join(broadcast(batchBands), Seq("band", "bucket"))
+    val candidates = index.join(broadcast(probe), Seq("band", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()

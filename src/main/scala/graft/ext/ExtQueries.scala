@@ -62,10 +62,15 @@ object ExtQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
-    // Top-K n-gram-Jaccard pairs among LSH candidates.
-    "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.topJaccardPairs(Tables.documents(s, d))
-        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))),
+    // Top-K n-gram-Jaccard pairs among LSH candidates, served from the
+    // persisted pair artifact (every candidate carries its exact
+    // jaccard at rest — the top-K is one TakeOrderedAndProject).
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Dedup.ensurePairs(s, docs, s"${Artifact.root(d)}/neardup")
+      Dedup.topJaccardPairsStored(s, dir)
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+    }),
 
     // Embedding-cosine near-dup pairs.
     "dedup_embed_cosine" -> ((s, d) =>

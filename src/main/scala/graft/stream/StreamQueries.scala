@@ -22,12 +22,14 @@ object StreamQueries {
     * pathGlobFilter is the S6-style name predicate.
     */
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     // footer read once per fixture dir (stream_dedup_counts opens two
-    // source instances of the same path)
-    val rawSchema = schemaCache.getOrElseUpdate(d,
+    // source instances of the same path); keyed by (dir, mtime) so a
+    // fixture regenerated within one JVM doesn't serve a stale schema
+    val src = new java.io.File(s"$d/events.parquet")
+    val rawSchema = schemaCache.getOrElseUpdate((d, src.lastModified),
       s.read.parquet(s"$d/events.parquet").schema)
     Tables.normalizeEvents(StreamSources.open(s,
       FileSourceConfig(d, "parquet", rawSchema,

@@ -50,6 +50,28 @@ final case class DirectSource(stream: DataFrame) extends SourceConfig
 
 object StreamSources {
 
+  /** The reader options a [[KafkaSourceConfig]] resolves to — factored
+    * out of [[open]] so the wiring is assertable offline (the connector
+    * jar is absent here, so `open` on a Kafka config can only be
+    * exercised up to source resolution; a typo in THIS map would
+    * otherwise sleep until deployment).
+    */
+  def kafkaReaderOptions(k: KafkaSourceConfig): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> k.bootstrapServers,
+      "subscribe" -> k.topic,
+      "startingOffsets" -> k.startingOffsets) ++
+      k.maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
+  /** The Kafka value projection: JSON payload bytes → typed columns.
+    * Shared with [[open]] and testable on any batch/stream frame with a
+    * `value` column.
+    */
+  private[stream] def projectJsonValue(df: DataFrame,
+                                       valueSchema: StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"), valueSchema).as("r"))
+      .select(col("r.*"))
+
   /** Resolve a [[SourceConfig]] to its streaming DataFrame. */
   def open(spark: SparkSession, cfg: SourceConfig): DataFrame = cfg match {
     case f: FileSourceConfig =>
@@ -59,15 +81,9 @@ object StreamSources {
       withArchive.load(f.dir)
 
     case k: KafkaSourceConfig =>
-      val base = spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", k.bootstrapServers)
-        .option("subscribe", k.topic)
-        .option("startingOffsets", k.startingOffsets)
-      val bounded = k.maxOffsetsPerTrigger.fold(base)(n =>
-        base.option("maxOffsetsPerTrigger", n.toString))
-      bounded.load()
-        .select(from_json(col("value").cast("string"), k.valueSchema).as("r"))
-        .select(col("r.*"))
+      projectJsonValue(
+        spark.readStream.format("kafka").options(kafkaReaderOptions(k)).load(),
+        k.valueSchema)
 
     case DirectSource(stream) => stream
   }

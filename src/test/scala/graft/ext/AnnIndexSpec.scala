@@ -177,6 +177,111 @@ class AnnIndexSpec extends SparkSuite {
     assert(r16 == 1.0, s"full probing must equal brute force, got $r16")
   }
 
+  test("append is insert-only: a resubmitted id with changed content fails fast") {
+    import org.apache.spark.sql.functions.{col, reverse}
+    val dir = s"$base/ivf_insertonly"
+    AnnIndex.ensureIvf(spark, emb.filter(col("vec_id") < 150), dir)
+    val metaBefore = Artifact.readMeta(spark, dir)
+    val rowsBefore = spark.read.parquet(s"$dir/assignments").count()
+    // same id 100, different embedding — the stale-serve scenario
+    val changed = emb.filter(col("vec_id") === 100)
+      .withColumn("embedding", reverse(col("embedding")))
+    val e = intercept[IllegalStateException] {
+      AnnIndex.appendIvf(spark, changed, dir)
+    }
+    assert(e.getMessage.contains("insert-only"), e.getMessage)
+    assert(Artifact.readMeta(spark, dir) == metaBefore,
+      "a refused append must not touch the metadata")
+    assert(spark.read.parquet(s"$dir/assignments").count() == rowsBefore,
+      "a refused append must not have written index rows")
+    assert(!Artifact.hasPendingMutation(spark, dir),
+      "the failure happens before the mutation marker — nothing to roll back")
+  }
+
+  test("crash mid-append forces a rebuild instead of serving stale metadata") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$base/ivf_crash"
+    AnnIndex.ensureIvf(spark, emb.filter(col("vec_id") < 150), dir)
+    // simulate a crash between the data append and the fingerprint bump:
+    // the pending marker is on disk, the meta still matches the old corpus
+    Artifact.beginMutation(spark, dir)
+    intercept[IllegalStateException] {
+      AnnIndex.appendIvf(spark, emb.filter(col("vec_id") >= 150), dir)
+    }
+    val marker = new java.io.File(s"$dir/assignments/_SUCCESS")
+    val t1 = marker.lastModified()
+    AnnIndex.ensureIvf(spark, emb.filter(col("vec_id") < 150), dir)
+    assert(marker.lastModified() != t1,
+      "ensure over a pending-marked index must rebuild even with matching meta")
+    assert(!Artifact.hasPendingMutation(spark, dir))
+  }
+
+  test("compact: appended file sets shrink, meta verbatim, search results identical") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$base/ivf_manyappends"
+    AnnIndex.ensureIvf(spark, emb.filter(col("vec_id") < 100), dir)
+    (100 until 200 by 20).foreach { lo =>
+      AnnIndex.appendIvf(spark,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 20), dir)
+    }
+    val metaBefore = Artifact.readMeta(spark, dir)
+    val resBefore = AnnIndex.searchIvf(spark, emb, dir).collect().toSet
+    val (f0, f1) = AnnIndex.compact(spark, dir)
+    assert(f1 < f0, s"file count must drop: $f0 -> $f1")
+    assert(Artifact.readMeta(spark, dir) == metaBefore,
+      "compaction must preserve the metadata line verbatim")
+    assert(AnnIndex.searchIvf(spark, emb, dir).collect().toSet == resBefore,
+      "search results must be identical pre/post compaction")
+    // the additive fingerprint still matches the union corpus
+    val marker = new java.io.File(s"$dir/centroids/_SUCCESS")
+    val t1 = marker.lastModified()
+    AnnIndex.ensureIvf(spark, emb, dir)
+    assert(marker.lastModified() == t1, "union ensure must still serve after compact")
+
+    // flat (non-partitioned) layout: PQ codes
+    val pqDir = s"$base/pq_manyappends"
+    AnnIndex.ensurePq(spark, emb.filter(col("vec_id") < 100), pqDir)
+    (100 until 200 by 20).foreach { lo =>
+      AnnIndex.appendPq(spark,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 20), pqDir)
+    }
+    val pqBefore = AnnIndex.searchPq(spark, emb, pqDir).collect().toSet
+    val (p0, p1) = AnnIndex.compact(spark, pqDir)
+    assert(p1 < p0, s"pq file count must drop: $p0 -> $p1")
+    assert(AnnIndex.searchPq(spark, emb, pqDir).collect().toSet == pqBefore)
+  }
+
+  test("drift: in-distribution batch stays quiet, shifted batch trips and rebuilds") {
+    import org.apache.spark.sql.functions.{col, transform => arrTransform}
+    val dir = s"$base/ivf_drift"
+    deleteRecursively(dir)
+    AnnIndex.ensureIvf(spark, emb, dir)
+    // in-distribution: the same vectors under new ids
+    val inDist = emb.withColumn("vec_id", col("vec_id") + 1000)
+    val quiet = AnnIndex.ivfDrift(spark, inDist, dir)
+    assert(!quiet.drifted(), s"in-distribution batch must not trip: $quiet")
+    // shifted: negated vectors sit far from every stored centroid
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 2000)
+      .withColumn("embedding", arrTransform(col("embedding"), x => -x))
+    val loud = AnnIndex.ivfDrift(spark, shifted, dir)
+    assert(loud.drifted(), s"shifted batch must trip the drift gate: $loud")
+    assert(loud.qerrRatio > quiet.qerrRatio)
+
+    // gated append: quiet batch appends (quantizer untouched), loud batch
+    // rebuilds over the union (quantizer re-trained, fp = union corpus)
+    val centMarker = new java.io.File(s"$dir/centroids/_SUCCESS")
+    val t1 = centMarker.lastModified()
+    AnnIndex.appendIvfOrRebuild(spark, inDist, emb.unionByName(inDist), dir)
+    assert(centMarker.lastModified() == t1, "in-distribution batch must append")
+    val union2 = emb.unionByName(inDist).unionByName(shifted)
+    AnnIndex.appendIvfOrRebuild(spark, shifted, union2, dir)
+    assert(centMarker.lastModified() != t1, "drifted batch must re-train the quantizer")
+    val t2 = centMarker.lastModified()
+    AnnIndex.ensureIvf(spark, union2, dir)
+    assert(centMarker.lastModified() == t2,
+      "post-rebuild metadata must match the union corpus")
+  }
+
   test("persisted PQ: recall ≥ 0.6, ADC scans codes only") {
     AnnIndex.ensurePq(spark, emb, s"$base/pq")
     val res = AnnIndex.searchPq(spark, emb, s"$base/pq")
@@ -194,6 +299,10 @@ class AnnIndexSpec extends SparkSuite {
     val ivfpqRecall = recallOf(res)
     assert(ivfpqRecall >= pqRecall,
       s"residual PQ within cells must not lose recall: ivfpq=$ivfpqRecall pq=$pqRecall")
+    // absolute floor, pinned: the relative bound alone would let a
+    // quantizer regression hide behind both variants degrading together
+    assert(ivfpqRecall >= 0.8,
+      s"ivfpq recall at defaults (nprobe=4) must stay ≥ 0.8, got $ivfpqRecall")
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell_id"),
       s"probed cells must prune code partitions statically:\n$plan")

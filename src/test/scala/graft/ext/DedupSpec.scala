@@ -86,6 +86,9 @@ class DedupSpec extends SparkSuite {
     val stored = Dedup.loadPairs(spark, dir)
       .as[(Long, Long, Double)].collect().toSet
     assert(stored == live, "persisted pair table must equal the live computation")
+    // the artifact keeps every candidate with its band-collision count —
+    // thresholding happens at read time
+    assert(spark.read.parquet(s"$dir/pairs").columns.contains("n_bands"))
 
     val marker = new java.io.File(s"$dir/pairs/_SUCCESS")
     val t1 = marker.lastModified()
@@ -95,6 +98,84 @@ class DedupSpec extends SparkSuite {
     val perturbed = docs.withColumn("text", concat(col("text"), lit(" changed")))
     Dedup.ensurePairs(spark, perturbed, dir)
     assert(marker.lastModified() != t1, "changed corpus must rebuild the pair table")
+  }
+
+  test("topJaccardPairsStored serves the live top-K from the pair artifact") {
+    val dir = "target/dedupspec/neardup_topk"
+    deleteRecursively(dir)
+    Dedup.ensurePairs(spark, docs, dir)
+    val marker = new java.io.File(s"$dir/pairs/_SUCCESS")
+    val t1 = marker.lastModified()
+    val stored = Dedup.topJaccardPairsStored(spark, dir, topK = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val live = Dedup.topJaccardPairs(docs, topK = 3)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(stored == live, s"stored top-K must equal the live path: $stored vs $live")
+    assert(marker.lastModified() == t1, "serving must not rebuild the artifact")
+  }
+
+  test("band-index append: O(batch) fold equals a fresh full build") {
+    val dirApp = "target/dedupspec/bandappend"
+    val dirFresh = "target/dedupspec/bandfresh"
+    deleteRecursively(dirApp); deleteRecursively(dirFresh)
+    val corpusA = docs.filter(col("doc_id") =!= 3L)          // 1,2,4,5
+    val batch1 = docs.filter(col("doc_id") === 3L)           // near-dup of 1
+    val union = docs
+    // tonight's query batch: a fresh copy of the base text
+    val batch2 = docs.filter(col("doc_id") === 1L)
+      .select(lit(21L).as("doc_id"), col("text"))
+
+    Dedup.ensureBandIndex(spark, corpusA, dirApp)
+    Dedup.appendBandIndex(spark, batch1, dirApp)
+    // the appended index must answer exactly like a fresh build over A∪B1
+    Dedup.ensureBandIndex(spark, union, dirFresh)
+    val viaAppend = Dedup.incrementalPairs(spark, batch2, union, dirApp)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaFresh = Dedup.incrementalPairs(spark, batch2, union, dirFresh)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaAppend == viaFresh,
+      s"appended index must equal fresh build: $viaAppend vs $viaFresh")
+    assert(viaAppend.exists(p => p._1 == 21L && p._2 == 1L && p._3 == 1.0),
+      s"the planted duplicate must be found: $viaAppend")
+    assert(viaAppend.exists(p => p._1 == 21L && p._2 == 3L),
+      "near-dups from the APPENDED batch must be found too")
+
+    // additive fingerprint: ensure over the union corpus serves, no rebuild
+    val marker = new java.io.File(s"$dirApp/bands/_SUCCESS")
+    val t1 = marker.lastModified()
+    Dedup.ensureBandIndex(spark, union, dirApp)
+    assert(marker.lastModified() == t1,
+      "union ensure must match the appended index without rebuilding")
+    // double-submitting the batch is a no-op
+    Dedup.appendBandIndex(spark, batch1, dirApp)
+    val t2 = marker.lastModified()
+    Dedup.ensureBandIndex(spark, union, dirApp)
+    assert(marker.lastModified() == t2,
+      "re-appending an ingested batch must not desync the fingerprint")
+  }
+
+  test("band-index compaction: size deltas merge, answers unchanged, meta verbatim") {
+    val dir = "target/dedupspec/bandcompact"
+    deleteRecursively(dir)
+    Dedup.ensureBandIndex(spark, docs.filter(col("doc_id") <= 2L), dir)
+    Dedup.appendBandIndex(spark, docs.filter(col("doc_id") === 3L), dir)
+    Dedup.appendBandIndex(spark, docs.filter(col("doc_id") > 3L), dir)
+    val batch = docs.filter(col("doc_id") === 1L)
+      .select(lit(31L).as("doc_id"), col("text"))
+    val before = Dedup.incrementalPairs(spark, batch, docs, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val metaBefore = Artifact.readMeta(spark, dir)
+    val (f0, f1) = Dedup.compactBandIndex(spark, dir)
+    assert(f1 < f0, s"file count must drop: $f0 -> $f1")
+    assert(Artifact.readMeta(spark, dir) == metaBefore)
+    // deltas merged to one row per bucket
+    val sizes = spark.read.parquet(s"$dir/sizes")
+    assert(sizes.groupBy("band", "bucket").count().filter(col("count") > 1).isEmpty,
+      "post-compaction sizes must have one row per bucket")
+    val after = Dedup.incrementalPairs(spark, batch, docs, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before, "compaction must not change answers")
   }
 
   test("incremental dedup: batch near-dups found via persisted band index, corpus not re-signed") {
