@@ -192,6 +192,10 @@ private[graft] object Artifact {
                      partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
                      merge: DataFrame => DataFrame = identity,
                      targetBytes: Long = 128L << 20): (Int, Int) = {
+    if (hasPendingMutation(spark, dir))
+      throw new IllegalStateException(
+        s"artifact at $dir has an unfinished append — compacting would bake " +
+          "the inconsistency in and clear the marker; re-ensure first")
     val metaBefore = readMeta(spark, dir)
     require(metaBefore.isDefined, s"no artifact at $dir to compact")
     val (fs, dataPath) = fsPath(spark, dir, sub)

@@ -47,6 +47,11 @@ class ArtifactSpec extends SparkSuite {
     intercept[IllegalStateException] {
       Artifact.requireKind(spark, dir, "toy ")
     }
+    // compaction must refuse too — it would bake the half-append in and
+    // clear the marker, reopening the stale-serve window
+    intercept[IllegalStateException] {
+      Artifact.compactParquet(spark, dir, "data")
+    }
     Artifact.ensure(spark, dir, "toy v1 fp=0:0")(build())
     assert(marker.lastModified() != t1,
       "a pending mutation must force a rebuild even when the meta matches")
