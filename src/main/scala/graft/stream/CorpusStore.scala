@@ -1,0 +1,101 @@
+package graft.stream
+
+import graft.ext.Artifact
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The source-of-truth store shared by the ingest roots
+  * ([[IncrementalIngest]], [[VectorIngest]]): accepted rows live under
+  * `<root>/corpus/batch=<fp>/`, one partition directory per ingested
+  * batch, each COMMITTED BY RENAME from a fully-written staging path —
+  * the atomic step that makes the crash model tractable (a crashed batch
+  * leaves no partial corpus data, only an ignored staging directory, so
+  * recovery can always rebuild derived state from the committed
+  * directories alone).
+  */
+private[stream] object CorpusStore {
+
+  private def corpusPath(root: String) = s"$root/corpus"
+  private def stagingPath(root: String) = s"$root/corpus.staging"
+
+  def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed rows, projected to the store's data columns (the `batch`
+    * partition label is bookkeeping, not data).
+    */
+  def read(spark: SparkSession, root: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(corpusPath(root)).select(cols.map(col): _*)
+
+  /** Write the seed batch of a fresh root (build path — no staging
+    * needed: the root has no metadata line yet, so a crash here is
+    * rebuilt by init).
+    */
+  def writeSeed(spark: SparkSession, root: String, seed: DataFrame): Unit =
+    seed.write.parquet(s"${corpusPath(root)}/batch=seed")
+
+  /** Stage a batch's files fully — called BEFORE the mutation marker
+    * goes up; nothing is committed yet.
+    */
+  def stage(spark: SparkSession, root: String, accepted: DataFrame): Unit = {
+    val f = fs(spark, root)
+    f.delete(new Path(stagingPath(root)), true)
+    accepted.write.parquet(stagingPath(root))
+  }
+
+  /** Atomically commit the staged batch under its fingerprint label. */
+  def commitStaged(spark: SparkSession, root: String, fp: String): Unit = {
+    val f = fs(spark, root)
+    val committed = new Path(s"${corpusPath(root)}/batch=${fp.replace(':', '_')}")
+    if (!f.rename(new Path(stagingPath(root)), committed))
+      throw new IllegalStateException(
+        s"corpus batch commit failed: ${stagingPath(root)} -> $committed")
+  }
+
+  /** Drop any leftover staging directory (recovery path). */
+  def discardStaging(spark: SparkSession, root: String): Unit =
+    fs(spark, root).delete(new Path(stagingPath(root)), true)
+
+  def parquetFiles(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) 0
+    else {
+      val it = f.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+  }
+
+  def corpusFileCount(spark: SparkSession, root: String): Int =
+    parquetFiles(spark, corpusPath(root))
+
+  /** Rewrite all committed batch directories into one sized
+    * `batch=compacted` set — the store is a plain union, so merging
+    * partitions is consumer-invisible. Staged fully, swapped under the
+    * root's pending marker; the metadata line must be untouched (content
+    * is identical). Returns (files before, after).
+    */
+  def compact(spark: SparkSession, root: String, cols: Seq[String],
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    val metaBefore = Artifact.readMeta(spark, root)
+    val f = fs(spark, root)
+    val before = corpusFileCount(spark, root)
+    val bytes = f.getContentSummary(new Path(corpusPath(root))).getLength
+    val nOut = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val compacting = new Path(s"$root/corpus.compacting")
+    f.delete(compacting, true)
+    read(spark, root, cols).repartition(nOut)
+      .write.parquet(s"$compacting/batch=compacted")
+    Artifact.beginMutation(spark, root)
+    f.delete(new Path(corpusPath(root)), true)
+    if (!f.rename(compacting, new Path(corpusPath(root))))
+      throw new IllegalStateException("corpus compaction rename failed")
+    Artifact.endMutation(spark, root)
+    assert(Artifact.readMeta(spark, root) == metaBefore,
+      "corpus compaction must not touch the metadata line")
+    (before, corpusFileCount(spark, root))
+  }
+}
