@@ -64,10 +64,17 @@ object Kpis {
 
   /** A3+W1: top-3 parts by play count per (returnflag, ship-day) — the
     * `top_songs` analog (`music-streaming-transform.py:121-130`).
+    * `days` scopes the computation to the given days (the aggregation
+    * and window are per-day, so a day-sliced run equals the same days of
+    * a full run — the property the incremental serving store relies on);
+    * the filter sits directly on the scan, so a date-partitioned
+    * lineitem prunes at the source.
     */
-  def topPartsPerFlagDay(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val counted = Tables.lineitem(spark, dir)
+  def topPartsPerFlagDay(spark: SparkSession, dir: String, k: Int = 3,
+                         days: Option[Seq[String]] = None): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), to_date(col("l_shipdate")).as("date"), col("l_partkey"))
+    val counted = days.fold(base)(ds => base.filter(col("date").cast("string").isin(ds: _*)))
       .groupBy(col("l_returnflag"), col("date"), col("l_partkey"))
       .agg(count(lit(1)).as("play_count"))
     topKPerGroup(counted,
@@ -76,11 +83,14 @@ object Kpis {
   }
 
   /** A4+W2: top-5 event types per day — the `top_genres` analog
-    * (`music-streaming-transform.py:145-153`).
+    * (`music-streaming-transform.py:145-153`). `days` as in
+    * [[topPartsPerFlagDay]].
     */
-  def topTypesPerDay(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val counted = Tables.events(spark, dir)
+  def topTypesPerDay(spark: SparkSession, dir: String, k: Int = 5,
+                     days: Option[Seq[String]] = None): DataFrame = {
+    val base = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("date"), col("event_type"))
+    val counted = days.fold(base)(ds => base.filter(col("date").cast("string").isin(ds: _*)))
       .groupBy(col("date"), col("event_type"))
       .agg(count(lit(1)).as("total_plays"))
     topKPerGroup(counted,

@@ -158,6 +158,17 @@ object ExtQueries {
           col("avg_token_len"), col("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition filters: distinct-token ratio, top
+    // token/bigram fractions, threshold pass — per-row equal-run scans
+    // over sorted token arrays, never an explode+groupBy shuffle.
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionFeatures(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("distinct_token_ratio"),
+          col("top_token_count"), col("top_token_fraction"),
+          col("top_bigram_count"), col("top_bigram_fraction"),
+          col("repetition_pass"))
+        .orderBy(col("doc_id"))),
+
     // Language-ID heuristic vs labeled lang: confusion counts.
     "text_langid" -> ((s, d) =>
       TextAnalysis.withPredictedLang(Tables.documents(s, d))
@@ -500,6 +511,41 @@ object ExtQueries {
         |       ['the','a','of','and','to','in','is','on'])) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS stopword_ratio
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Per-doc token/bigram modes via unnest+GROUP BY (SQL's natural
+    // formulation; the Spark side stays row-local, but counts agree).
+    // Thresholds mirror TextAnalysis.repetitionFeatures defaults.
+    "text_repetition" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM s) GROUP BY 1, 2
+        |), td AS (
+        |  SELECT doc_id, count(DISTINCT tok) AS nd, max(c) AS topc FROM tc GROUP BY 1
+        |), bc AS (
+        |  SELECT doc_id, bg, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |          generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |        FROM s) GROUP BY 1, 2
+        |), bd AS (
+        |  SELECT doc_id, max(c) AS topb FROM bc GROUP BY 1
+        |)
+        |SELECT s.doc_id,
+        |  len(t) AS n_tokens,
+        |  CAST(td.nd AS DOUBLE) / len(t) AS distinct_token_ratio,
+        |  td.topc AS top_token_count,
+        |  CAST(td.topc AS DOUBLE) / len(t) AS top_token_fraction,
+        |  coalesce(bd.topb, 0) AS top_bigram_count,
+        |  CASE WHEN len(t) > 1
+        |       THEN CAST(bd.topb AS DOUBLE) / (len(t) - 1) ELSE 0.0 END
+        |    AS top_bigram_fraction,
+        |  CAST(CAST(td.nd AS DOUBLE) / len(t) >= 0.40
+        |   AND CAST(td.topc AS DOUBLE) / len(t) <= 0.12
+        |   AND (len(t) = 1 OR CAST(bd.topb AS DOUBLE) / (len(t) - 1) <= 0.08)
+        |   AS INTEGER) AS repetition_pass
+        |FROM s JOIN td USING (doc_id) LEFT JOIN bd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // DuckDB regexp_replace needs the 'g' flag to match Spark's

@@ -41,6 +41,62 @@ object TextAnalysis {
           greatest(length(t), lit(1)))
   }
 
+  /** Adjacent-token bigrams of a token array (`n-1` entries; empty for
+    * single-token docs).
+    */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+
+  /** Count of the most frequent element of a SORTED string array — the
+    * longest equal-run, computed in one `aggregate` pass per row (no
+    * explode, no shuffle: every token of a document is already in its
+    * row, so a per-doc mode never needs to leave the row).
+    */
+  private def maxRunCount(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals (Rae et al., "Scaling Language
+    * Models", table A1's repetition filters re-expressed over
+    * whitespace tokens): distinct-token ratio, most-frequent-token
+    * fraction, most-frequent-bigram fraction, plus the pass/fail of a
+    * documented threshold rule. All per-row expressions — the mode of a
+    * document's tokens comes from an equal-run scan of the sorted token
+    * array, not an explode+groupBy (which would shuffle corpus-sized
+    * (doc, token) rows for a per-doc statistic).
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String = "text",
+                         minDistinctRatio: Double = 0.40,
+                         maxTopTokenFraction: Double = 0.12,
+                         maxTopBigramFraction: Double = 0.08): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bg = bigramsOf(toks)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("distinct_token_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks))
+      .withColumn("top_token_count", maxRunCount(array_sort(toks)))
+      .withColumn("top_token_fraction",
+        col("top_token_count").cast("double") / col("n_tokens"))
+      .withColumn("top_bigram_count",
+        when(size(bg) > 0, maxRunCount(array_sort(bg))).otherwise(lit(0L)))
+      .withColumn("top_bigram_fraction",
+        when(size(bg) > 0, col("top_bigram_count").cast("double") / size(bg))
+          .otherwise(lit(0.0)))
+      .withColumn("repetition_pass",
+        (col("distinct_token_ratio") >= minDistinctRatio &&
+          col("top_token_fraction") <= maxTopTokenFraction &&
+          col("top_bigram_fraction") <= maxTopBigramFraction).cast("int"))
+  }
+
   /** Language-ID by stopword/character evidence: score each candidate
     * language by hits of its marker tokens, pick the argmax (ties →
     * lexicographic, deterministic). A real system would use character

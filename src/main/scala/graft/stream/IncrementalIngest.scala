@@ -73,19 +73,28 @@ object IncrementalIngest {
   def corpus(spark: SparkSession, root: String): DataFrame =
     CorpusStore.read(spark, root, Seq("doc_id", "text"))
 
-  /** Seed an ingest root (idempotent: an existing root with matching
-    * parameters — including one that has since absorbed batches — is
-    * left untouched; this is a stateful store, not a derived artifact,
-    * so re-running init must never wipe ingested state). The seed
-    * corpus may be the reference corpus to protect against, or any
-    * non-empty starting set.
+  /** Seed an ingest root. Idempotent on an existing root with matching
+    * parameters — including one that has since absorbed batches: this
+    * is a stateful store, not a derived artifact, so re-running init
+    * must never wipe ingested state. For the same reason a root with
+    * DIFFERENT parameters fails fast (changing k/bands invalidates
+    * every stored signature — that is a deliberate destroy-and-reseed,
+    * not something init may do silently), and a root left mid-mutation
+    * is directed to [[recover]] rather than re-seeded over.
     */
   def init(spark: SparkSession, seed: DataFrame, root: String,
            k: Int = 32, bands: Int = 8): String = {
     val existing = Artifact.readMeta(spark, root)
     val paramPrefix = s"${kindPrefix}k=$k bands=$bands fp="
-    if (Artifact.hasPendingMutation(spark, root) ||
-        !existing.exists(_.startsWith(paramPrefix))) {
+    if (existing.exists(_.startsWith(kindPrefix))) {
+      if (Artifact.hasPendingMutation(spark, root))
+        throw new IllegalStateException(
+          s"ingest root at $root was left mid-mutation — run recover() first")
+      if (!existing.exists(_.startsWith(paramPrefix)))
+        throw new IllegalStateException(
+          s"ingest root at $root exists with different parameters " +
+            s"(${existing.get}) — delete it explicitly to re-seed with k=$k bands=$bands")
+    } else {
       val s = seed.select(col("doc_id"), col("text"))
       require(!s.isEmpty, "ingest seed must be non-empty (it anchors the corpus schema)")
       CorpusStore.fs(spark, root).delete(new Path(root), true)

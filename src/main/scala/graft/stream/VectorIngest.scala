@@ -54,15 +54,24 @@ object VectorIngest {
   def corpus(spark: SparkSession, root: String): DataFrame =
     CorpusStore.read(spark, root, cols)
 
-  /** Seed a vector ingest root (idempotent on an absorbed root, like
-    * [[IncrementalIngest.init]] — a stateful store, never wiped by
-    * re-running init with the same parameters).
+  /** Seed a vector ingest root (same contract as
+    * [[IncrementalIngest.init]]: idempotent on an absorbed root with
+    * matching parameters, fail-fast on a parameter mismatch or a root
+    * left mid-mutation — a stateful store is never wiped silently).
     */
   def init(spark: SparkSession, seed: DataFrame, root: String,
            nCells: Int = 16): String = {
+    val existing = Artifact.readMeta(spark, root)
     val paramPrefix = s"${kindPrefix}nCells=$nCells fp="
-    if (Artifact.hasPendingMutation(spark, root) ||
-        !Artifact.readMeta(spark, root).exists(_.startsWith(paramPrefix))) {
+    if (existing.exists(_.startsWith(kindPrefix))) {
+      if (Artifact.hasPendingMutation(spark, root))
+        throw new IllegalStateException(
+          s"vector ingest root at $root was left mid-mutation — run recover() first")
+      if (!existing.exists(_.startsWith(paramPrefix)))
+        throw new IllegalStateException(
+          s"vector ingest root at $root exists with different parameters " +
+            s"(${existing.get}) — delete it explicitly to re-seed with nCells=$nCells")
+    } else {
       val s = seed.select(cols.map(col): _*)
       require(!s.isEmpty, "vector ingest seed must be non-empty")
       CorpusStore.fs(spark, root).delete(new Path(root), true)

@@ -96,4 +96,23 @@ class TextAnalysisSpec extends SparkSuite {
       s"en rate 300‰ must dominate zh 50‰: $byLang")
     assert(TextAnalysis.sampleStratified(docs, "lang", "doc_id", Map.empty).isEmpty)
   }
+
+  test("repetition features: hand-computed modes, edge cases, threshold rule") {
+    val docs = Seq(
+      (1L, "a b a b a c"),       // 6 toks, 3 distinct; top tok 'a'×3; top bigram 'a b'×2 of 5
+      (2L, "x x x x"),           // degenerate repetition: fails the rule
+      (3L, "one two three four five six seven eight nine ten"), // all distinct: passes
+      (4L, "solo")               // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(docs)
+      .select("doc_id", "n_tokens", "distinct_token_ratio", "top_token_count",
+        "top_bigram_count", "top_bigram_fraction", "repetition_pass")
+      .as[(Long, Long, Double, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 6L, 0.5, 3L, 2L, 0.4, 0)))
+    assert(out(2L) == ((2L, 4L, 0.25, 4L, 3L, 1.0, 0)))
+    assert(out(3L) == ((3L, 10L, 1.0, 1L, 1L, 1.0 / 9, 0)))
+    assert(out(4L) == ((4L, 1L, 1.0, 1L, 0L, 0.0, 0)),
+      "a single-token doc has no bigrams but its top token IS the doc (fraction 1.0): fails")
+  }
 }

@@ -50,6 +50,20 @@ class IncrementalIngestSpec extends SparkSuite {
     assert(Artifact.readMeta(spark, root) == metaAfter,
       "re-init with same params must be a no-op on an absorbed root")
     assert(corpusIds().contains(14L))
+    // changed parameters would invalidate every stored signature: init
+    // must fail fast, never silently wipe an absorbed store
+    val e = intercept[IllegalStateException] {
+      IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root, k = 16, bands = 4)
+    }
+    assert(e.getMessage.contains("different parameters"))
+    assert(corpusIds().contains(14L), "failed init must leave the store untouched")
+    // a root left mid-mutation is directed to recover(), not re-seeded over
+    Artifact.beginMutation(spark, root)
+    val e2 = intercept[IllegalStateException] {
+      IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
+    }
+    assert(e2.getMessage.contains("recover"))
+    Artifact.endMutation(spark, root)
   }
 
   test("batch admission: near-dups rejected vs corpus and within batch, stats account for every row") {
