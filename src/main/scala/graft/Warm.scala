@@ -33,6 +33,10 @@ object Warm {
     AnnIndex.ensureSrp(spark, emb, s"${AnnIndex.defaultRoot(d)}/srp_h8t4")
     // serving store: build AND the load-once memory materialization
     graft.serve.KeyValue.servingTableCached(spark, d)
+    // incremental day-partitioned store (l1_metric_lookup_daily):
+    // build AND the load-once materialization (the day layout's many
+    // partition directories make per-query listing the dominant cost)
+    graft.serve.KeyValue.dailyStoreCached(spark, d)
     (System.nanoTime() - t0) / 1e9
   }
 }

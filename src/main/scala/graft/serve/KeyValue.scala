@@ -215,10 +215,32 @@ object KeyValue {
     spark.read.parquet(ensureStoreDaily(spark, dir))
       .select(col("pk"), col("sk"), col("value"), col("record_type"))
 
+  /** [[loadDailyStore]] with load-once semantics per session, like
+    * [[servingTableCached]]: the freshness check (two narrow per-day
+    * fingerprint scans) and the partition-directory listing run once,
+    * not per query — the day layout means MANY directories, and
+    * re-listing them per lookup would dominate serve cost.
+    */
+  def dailyStoreCached(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"daily:$dir") {
+      val df = loadDailyStore(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
   // Weak keys: entries die with their SparkSession (no identity-hash
   // collisions, no pinning of plans for stopped sessions).
   private val cache =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def cached(spark: SparkSession, key: String)(load: => DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(key, _ => load)
+  }
 
   /** In-session view of the persisted store ([[ensureStore]]): read from
     * the sorted parquet and memory-persisted, so the lookup families
@@ -226,16 +248,11 @@ object KeyValue {
     * query — and a fresh session pays only the fingerprint check + load,
     * not the build.
     */
-  def servingTableCached(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = cache.synchronized {
-      cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    }
-    perSession.computeIfAbsent(dir, { _ =>
+  def servingTableCached(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir) {
       val df = spark.read.parquet(ensureStore(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize eagerly — this is the "load" step
       df
-    })
-  }
+    }
 }

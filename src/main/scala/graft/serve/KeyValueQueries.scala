@@ -86,6 +86,16 @@ object KeyValueQueries {
         .filter(col("pk").startsWith("GENRE#click#") && col("sk") === "METRIC#listen_count")
         .orderBy(col("pk"), col("sk"))),
 
+    // Family 1 served from the INCREMENTAL day-partitioned store
+    // (KeyValue.ensureStoreDaily) — same oracle as l1: the O(changed
+    // days) refresh lifecycle must be content-identical to the full
+    // build, and this keeps that claim under the hash gate, not just
+    // the spec.
+    "l1_metric_lookup_daily" -> ((s, d) =>
+      KeyValue.dailyStoreCached(s, d)
+        .filter(col("pk").startsWith("GENRE#click#") && col("sk") === "METRIC#listen_count")
+        .orderBy(col("pk"), col("sk"))),
+
     // Lookup family 2: pk prefix + begins_with(sk, 'SONG#1#') — the
     // rank-1 song per genre-day (dynamo_query.txt:26-47).
     "l2_top_song_lookup" -> ((s, d) =>
@@ -158,6 +168,9 @@ object KeyValueQueries {
       (servingCte +
         "\nSELECT * FROM (SELECT * FROM song_items UNION ALL SELECT * FROM genre_items) ORDER BY pk, sk"),
     "l1_metric_lookup" ->
+      (servingCte +
+        "\nSELECT * FROM serving WHERE pk LIKE 'GENRE#click#%' AND sk = 'METRIC#listen_count' ORDER BY pk, sk"),
+    "l1_metric_lookup_daily" ->
       (servingCte +
         "\nSELECT * FROM serving WHERE pk LIKE 'GENRE#click#%' AND sk = 'METRIC#listen_count' ORDER BY pk, sk"),
     "l2_top_song_lookup" ->
