@@ -74,9 +74,13 @@ private[stream] object CorpusStore {
 
   /** Rewrite all committed batch directories into one sized
     * `batch=compacted` set — the store is a plain union, so merging
-    * partitions is consumer-invisible. Staged fully, swapped under the
-    * root's pending marker; the metadata line must be untouched (content
-    * is identical). Returns (files before, after).
+    * partitions is consumer-invisible. Staged fully, then swapped by
+    * two renames under the root's pending marker: the live corpus moves
+    * ASIDE (`corpus.old`) before the compacted set moves in, so the
+    * source of truth exists on disk at every instant of the swap —
+    * a crash at any point is undone or completed by [[recoverLayout]].
+    * The metadata line must be untouched (content is identical).
+    * Returns (files before, after).
     */
   def compact(spark: SparkSession, root: String, cols: Seq[String],
               targetBytes: Long = 128L << 20): (Int, Int) = {
@@ -85,17 +89,43 @@ private[stream] object CorpusStore {
     val before = corpusFileCount(spark, root)
     val bytes = f.getContentSummary(new Path(corpusPath(root))).getLength
     val nOut = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val corpus = new Path(corpusPath(root))
     val compacting = new Path(s"$root/corpus.compacting")
+    val old = new Path(s"$root/corpus.old")
     f.delete(compacting, true)
+    f.delete(old, true)
     read(spark, root, cols).repartition(nOut)
       .write.parquet(s"$compacting/batch=compacted")
     Artifact.beginMutation(spark, root)
-    f.delete(new Path(corpusPath(root)), true)
-    if (!f.rename(compacting, new Path(corpusPath(root))))
-      throw new IllegalStateException("corpus compaction rename failed")
+    if (!f.rename(corpus, old) || !f.rename(compacting, corpus))
+      throw new IllegalStateException("corpus compaction swap failed mid-way — " +
+        "the pending marker is set; recoverLayout restores the store")
+    f.delete(old, true)
     Artifact.endMutation(spark, root)
     assert(Artifact.readMeta(spark, root) == metaBefore,
       "corpus compaction must not touch the metadata line")
     (before, corpusFileCount(spark, root))
+  }
+
+  /** Restore the corpus directory layout after a crash (recovery path,
+    * called before any read of the store): a swap that stopped between
+    * its two renames is rolled back (`corpus.old` → `corpus`), one that
+    * stopped before its cleanup keeps the already-complete new corpus
+    * and drops the old copy; staging and compacting leftovers are
+    * discarded. After this, `corpus/` is guaranteed to hold the full
+    * committed content.
+    */
+  def recoverLayout(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val corpus = new Path(corpusPath(root))
+    val old = new Path(s"$root/corpus.old")
+    if (!f.exists(corpus) && f.exists(old)) {
+      if (!f.rename(old, corpus))
+        throw new IllegalStateException(s"could not restore $old to $corpus")
+    } else if (f.exists(old)) {
+      f.delete(old, true)  // new corpus complete; old copy is surplus
+    }
+    f.delete(new Path(s"$root/corpus.compacting"), true)
+    discardStaging(spark, root)
   }
 }

@@ -189,7 +189,7 @@ object IncrementalIngest {
     */
   def recover(spark: SparkSession, root: String): Unit = {
     val (k, bands) = params(spark, root)
-    CorpusStore.discardStaging(spark, root)
+    CorpusStore.recoverLayout(spark, root)
     val c = corpus(spark, root).localCheckpoint()
     Dedup.ensureBandIndex(spark, c, indexPath(root), k, bands)
     Artifact.writeMeta(spark, root,

@@ -140,7 +140,7 @@ object VectorIngest {
     */
   def recover(spark: SparkSession, root: String): Unit = {
     val nCells = nCellsOf(spark, root)
-    CorpusStore.discardStaging(spark, root)
+    CorpusStore.recoverLayout(spark, root)
     val c = corpus(spark, root).localCheckpoint()
     AnnIndex.ensureIvf(spark, c, indexPath(root), nCells)
     Artifact.writeMeta(spark, root, s"${kindPrefix}nCells=$nCells fp=${fp(c)}")

@@ -158,6 +158,24 @@ class IncrementalIngestSpec extends SparkSuite {
     assert(s.accepted == 0)
   }
 
+  test("crash between compaction's renames: corpus aside in corpus.old, recover() restores it") {
+    freshRoot()
+    IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
+    IncrementalIngest.ingestBatch(spark, batch1.toDF("doc_id", "text"), root)
+    val expected = corpusIds()
+    // simulate the worst compaction crash window: live corpus renamed
+    // aside, compacted set not yet moved in, marker still up
+    val fs = new java.io.File(root)
+    assert(new java.io.File(fs, "corpus").renameTo(new java.io.File(fs, "corpus.old")))
+    Artifact.beginMutation(spark, root)
+    intercept[IllegalStateException] {
+      IncrementalIngest.ingestBatch(spark, batch2.toDF("doc_id", "text"), root)
+    }
+    IncrementalIngest.recover(spark, root)
+    assert(corpusIds() == expected, "the swap must roll back with no data loss")
+    assert(IncrementalIngest.ingestBatch(spark, batch2.toDF("doc_id", "text"), root).accepted == 1)
+  }
+
   test("streamed ingestion through a checkpoint equals the batch path, replay included") {
     freshRoot()
     IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
