@@ -33,6 +33,8 @@ object Warm {
     AnnIndex.ensureSrp(spark, emb, s"${AnnIndex.defaultRoot(d)}/srp_h8t4")
     // serving store: build AND the load-once memory materialization
     graft.serve.KeyValue.servingTableCached(spark, d)
+    // co-located bucketed fact tables (j5_bucketed_join)
+    graft.analytics.Bucketed.ensureTables(spark, d)
     // incremental day-partitioned store (l1_metric_lookup_daily):
     // build AND the load-once materialization (the day layout's many
     // partition directories make per-query listing the dominant cost)
