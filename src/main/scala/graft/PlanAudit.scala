@@ -13,7 +13,8 @@ object PlanAudit {
         "sim_bruteforce_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk",
         "range_join_ship_window", "range_join_keyless_interval",
         "doc_sample_stratified", "asof_join_native", "decontaminate",
-        "text_vocab_tfidf")
+        "text_vocab_tfidf", "j5_bucketed_join", "l1_metric_lookup_daily",
+        "text_repetition")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
