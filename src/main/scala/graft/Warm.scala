@@ -22,7 +22,8 @@ object Warm {
   def ensureAll(spark: SparkSession, d: String): Double = {
     val t0 = System.nanoTime()
     val docs = Tables.documents(spark, d)
-    Dedup.ensurePairs(spark, docs, s"${Artifact.root(d)}/neardup")
+    val pairDir = Dedup.ensurePairs(spark, docs, s"${Artifact.root(d)}/neardup")
+    Dedup.ensureGroups(spark, pairDir, s"${Artifact.root(d)}/dupgroups")
     Dedup.ensureBandIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
       s"${Artifact.root(d)}/bandindex")

@@ -171,6 +171,45 @@ object Dedup {
     Artifact.compactParquet(spark, dir, "pairs")
   }
 
+  /** Duplicate groups as a persisted artifact derived from the pair
+    * table: star-contraction connected components run ONCE per (pair
+    * artifact content, threshold) and the `(doc_id, group_id)` labels
+    * are served to every consumer — the iterative graph algorithm is a
+    * build step, not a per-query cost (it was the most expensive warm
+    * query left once the pair table itself was persisted). Freshness
+    * keys on the pair artifact's own metadata line, so a corpus or
+    * parameter change that rebuilds the pairs transitively rebuilds the
+    * groups.
+    */
+  def ensureGroups(spark: org.apache.spark.sql.SparkSession, pairDir: String,
+                   dir: String, minJaccard: Double = 0.35): String = {
+    Artifact.requireKind(spark, pairDir, "neardup v2 ")
+    val srcMeta = Artifact.readMeta(spark, pairDir).get
+    Artifact.ensure(spark, dir, s"dupgroups v1 minJaccard=$minJaccard src={$srcMeta}") {
+      starContractionGroups(loadPairs(spark, pairDir, minJaccard))
+        .write.mode("overwrite").parquet(s"$dir/groups")
+    }
+  }
+
+  /** Read the persisted group labels — equals
+    * [[starContractionGroups]] over [[loadPairs]] at build parameters.
+    */
+  def loadGroups(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    Artifact.requireKind(spark, dir, "dupgroups v1 ")
+    spark.read.parquet(s"$dir/groups")
+  }
+
+  /** [[applyDedup]] served from the persisted group artifact: one
+    * anti-join of the corpus against the stored non-canonical ids.
+    */
+  def applyDedupStored(spark: org.apache.spark.sql.SparkSession,
+                       corpus: DataFrame, groupsDir: String): DataFrame = {
+    val losers = loadGroups(spark, groupsDir)
+      .filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
+    corpus.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Persisted LSH band index of a corpus, two tables:
     *  - `bands/` — `(doc_id, band, bucket)`, append-only: the signed
     *    corpus.

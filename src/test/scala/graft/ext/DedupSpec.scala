@@ -100,6 +100,33 @@ class DedupSpec extends SparkSuite {
     assert(marker.lastModified() != t1, "changed corpus must rebuild the pair table")
   }
 
+  test("persisted group artifact: equals live star contraction, rebuilds transitively") {
+    val pairDir = "target/dedupspec/groups_pairs"
+    val gDir = "target/dedupspec/groups"
+    deleteRecursively(pairDir); deleteRecursively(gDir)
+    Dedup.ensurePairs(spark, docs, pairDir)
+    Dedup.ensureGroups(spark, pairDir, gDir)
+    val live = Dedup.starContractionGroups(Dedup.loadPairs(spark, pairDir))
+      .as[(Long, Long)].collect().toSet
+    assert(Dedup.loadGroups(spark, gDir).as[(Long, Long)].collect().toSet == live,
+      "stored groups must equal the live star contraction")
+    // applyDedupStored equals the live applyDedup
+    val liveApply = Dedup.applyDedup(docs, Dedup.loadPairs(spark, pairDir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(Dedup.applyDedupStored(spark, docs, gDir)
+      .select("doc_id").as[Long].collect().toSet == liveApply)
+    // same pair content → no rebuild; pair rebuild → group rebuild
+    val marker = new java.io.File(s"$gDir/groups/_SUCCESS")
+    val t1 = marker.lastModified()
+    Dedup.ensureGroups(spark, pairDir, gDir)
+    assert(marker.lastModified() == t1, "unchanged pair table must not rebuild groups")
+    val perturbed = docs.withColumn("text", concat(col("text"), lit(" changed")))
+    Dedup.ensurePairs(spark, perturbed, pairDir)
+    Dedup.ensureGroups(spark, pairDir, gDir)
+    assert(marker.lastModified() != t1,
+      "a rebuilt pair table must transitively rebuild the groups")
+  }
+
   test("topJaccardPairsStored serves the live top-K from the pair artifact") {
     val dir = "target/dedupspec/neardup_topk"
     deleteRecursively(dir)
