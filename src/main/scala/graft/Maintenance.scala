@@ -1,0 +1,61 @@
+package graft
+
+import graft.ext.{AnnIndex, Artifact, Dedup}
+import org.apache.spark.sql.SparkSession
+
+/** One housekeeping entry point for every persisted artifact of a
+  * fixture — the nightly-maintenance counterpart of [[Warm.ensureAll]]
+  * (which builds them): compact each artifact's appended/fragmented
+  * file sets back into sized files. Content, metadata lines, and query
+  * results are unchanged by construction (each family's compactor
+  * asserts its own invariants); artifacts that do not exist yet are
+  * skipped, not created.
+  *
+  * Returns one (artifact, filesBefore, filesAfter) row per compacted
+  * artifact, for logging/alerting.
+  */
+object Maintenance {
+
+  def compactAll(spark: SparkSession, d: String): Seq[(String, Int, Int)] = {
+    val results = Seq.newBuilder[(String, Int, Int)]
+    def has(dir: String, prefix: String): Boolean =
+      Artifact.readMeta(spark, dir).exists(_.startsWith(prefix)) &&
+        !Artifact.hasPendingMutation(spark, dir)
+    def run(name: String, dir: String, prefix: String)(f: => (Int, Int)): Unit =
+      if (has(dir, prefix)) { val (b, a) = f; results += ((name, b, a)) }
+
+    val root = Artifact.root(d)
+    run("neardup", s"$root/neardup", "neardup v2 ") {
+      Dedup.compactPairs(spark, s"$root/neardup")
+    }
+    run("dupgroups", s"$root/dupgroups", "dupgroups v1 ") {
+      Artifact.compactParquet(spark, s"$root/dupgroups", "groups")
+    }
+    run("bandindex", s"$root/bandindex", "bandindex v2 ") {
+      Dedup.compactBandIndex(spark, s"$root/bandindex")
+    }
+    run("serving", s"$root/serving", "serving v1 ") {
+      Artifact.compactParquet(spark, s"$root/serving", "store",
+        sortCols = Seq("pk", "sk"))
+    }
+    val ann = AnnIndex.defaultRoot(d)
+    Seq("ivf_c16" -> "ivf ", "pq_m8" -> "pq ",
+        "ivfpq_c16_m8" -> "ivfpq ", "srp_h8t4" -> "srp ").foreach {
+      case (sub, prefix) =>
+        run(sub, s"$ann/$sub", prefix)(AnnIndex.compact(spark, s"$ann/$sub"))
+    }
+    results.result()
+  }
+
+  /** CLI: `runMain graft.Maintenance [sfDir]` — compact everything and
+    * print one line per artifact.
+    */
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    compactAll(spark, d).foreach { case (n, b, a) =>
+      println(s"[maintenance] $n: $b -> $a parquet files")
+    }
+    spark.stop()
+  }
+}
