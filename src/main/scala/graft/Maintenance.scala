@@ -38,6 +38,8 @@ object Maintenance {
       Artifact.compactParquet(spark, s"$root/serving", "store",
         sortCols = Seq("pk", "sk"))
     }
+    // serving_daily is NOT swept: dynamic partition overwrite leaves one
+    // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)
     Seq("ivf_c16" -> "ivf ", "pq_m8" -> "pq ",
         "ivfpq_c16_m8" -> "ivfpq ", "srp_h8t4" -> "srp ").foreach {
