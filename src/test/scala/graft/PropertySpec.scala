@@ -232,6 +232,32 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: repetition features equal brute-force modes on random token streams") {
+    import graft.ext.TextAnalysis
+    val textGen = for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "eee"))
+    } yield toks.mkString(" ")
+    val texts = samples(textGen, 60)
+    val out = TextAnalysis.repetitionFeatures(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "distinct_token_ratio", "top_token_count", "top_bigram_count")
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ").toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val (_, n, dr, tc, bc) = out(i.toLong)
+      assert(n == toks.size)
+      assert(math.abs(dr - toks.distinct.size.toDouble / toks.size) < 1e-12)
+      assert(tc == toks.groupBy(identity).values.map(_.size).max,
+        s"top token count must equal the brute-force mode for: $t")
+      val expectedBc = if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      assert(bc == expectedBc, s"top bigram count must equal brute force for: $t")
+    }
+  }
+
   test("property: stratified sample is a subset and monotone in rate") {
     val idsGen = Gen.nonEmptyListOf(Gen.choose(1L, 100000L)).map(_.distinct)
     samples(idsGen, 5).foreach { ids =>
