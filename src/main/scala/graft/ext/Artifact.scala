@@ -151,11 +151,24 @@ private[graft] object Artifact {
     * kind.
     */
   def addToFingerprint(spark: SparkSession, dir: String,
-                       requirePrefix: String, batchFp: String): Unit = {
-    val Array(bc, bs) = batchFp.split(":").map(_.toLong)
+                       requirePrefix: String, batchFp: String): Unit =
+    adjustFingerprint(spark, dir, requirePrefix, batchFp, 1L)
+
+  /** The removal mirror of [[addToFingerprint]]: additivity works both
+    * ways, so deleting a known row set subtracts its fingerprint — the
+    * stored line ends up equal to a fresh [[fingerprint]] over the
+    * remaining content, and `ensure` keeps serving without a rescan.
+    */
+  def subtractFromFingerprint(spark: SparkSession, dir: String,
+                              requirePrefix: String, removedFp: String): Unit =
+    adjustFingerprint(spark, dir, requirePrefix, removedFp, -1L)
+
+  private def adjustFingerprint(spark: SparkSession, dir: String,
+                                requirePrefix: String, fp: String, sign: Long): Unit = {
+    val Array(bc, bs) = fp.split(":").map(_.toLong)
     readMeta(spark, dir) match {
       case Some(FpRe(prefix, c, s)) if prefix.startsWith(requirePrefix) =>
-        writeMeta(spark, dir, s"$prefix fp=${c.toLong + bc}:${s.toLong + bs}")
+        writeMeta(spark, dir, s"$prefix fp=${c.toLong + sign * bc}:${s.toLong + sign * bs}")
       case other =>
         throw new IllegalStateException(s"no '$requirePrefix' artifact at $dir: $other")
     }

@@ -235,7 +235,84 @@ object Dedup {
       spark.read.parquet(s"$dir/bands")
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("m"))
         .write.mode("overwrite").parquet(s"$dir/sizes")
+      // a fresh build has nothing logically deleted
+      tombstoneFs(spark, dir)._1.delete(tombstoneFs(spark, dir)._2, true)
     }
+
+  // ------------------------------------------------ logical deletion
+
+  private def tombstoneFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Logically-deleted doc ids of a band index (empty frame when none).
+    * Consumers mask the bands table with an anti-join against this set;
+    * the set stays bounded because [[compactBandIndex]] drops the
+    * masked rows physically and clears it.
+    */
+  private[graft] def loadTombstones(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): DataFrame = {
+    val (fs, p) = tombstoneFs(spark, dir)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  private def hasTombstones(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Boolean = {
+    val (fs, p) = tombstoneFs(spark, dir)
+    fs.exists(p)
+  }
+
+  /** Mask a frame's `doc_id`s against the index's tombstones — a no-op
+    * plan (no join, no broadcast) in the common nothing-deleted case.
+    */
+  private def maskTombstones(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, df: DataFrame): DataFrame =
+    if (!hasTombstones(spark, dir)) df
+    else df.join(broadcast(loadTombstones(spark, dir)), Seq("doc_id"), "left_anti")
+
+  /** Delete documents from the stored band index in O(removed) — the
+    * right-to-be-forgotten operation a training corpus needs, without
+    * rewriting a corpus-sized bands table:
+    *  - the removed docs' band rows are MASKED via a tombstone id set
+    *    (every reader anti-joins it; bounded until compaction),
+    *  - their per-bucket counts are corrected with NEGATIVE size deltas
+    *    (the sizes table is already a sum-at-read ledger, so removal is
+    *    just more deltas — recomputed from the docs' texts, which is
+    *    deterministic and avoids scanning the index),
+    *  - the stored corpus fingerprint is adjusted arithmetically
+    *    ([[Artifact.subtractFromFingerprint]]), so a later ensure over
+    *    the shrunken corpus SERVES instead of rebuilding.
+    * Physical cleanup happens at [[compactBandIndex]]. Caller owns the
+    * mutation marker (as with [[appendBandIndex]]'s callers).
+    */
+  def removeFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          removedDocs: DataFrame, dir: String,
+                          k: Int = 32, bands: Int = 8): Unit = {
+    Artifact.requireKind(spark, dir, s"bandindex v2 k=$k bands=$bands fp=")
+    val (fs, p) = tombstoneFs(spark, dir)
+    val removed = removedDocs.select(col("doc_id"), col("text")).localCheckpoint()
+    if (!removed.isEmpty) {
+      Artifact.beginMutation(spark, dir)
+      bandedBuckets(removed, k, bands)
+        .groupBy(col("band"), col("bucket")).agg((-count(lit(1))).as("m"))
+        .write.mode("append").parquet(s"$dir/sizes")
+      val union = loadTombstones(spark, dir)
+        .unionByName(removed.select(col("doc_id"))).distinct().localCheckpoint()
+      // tombstones are tiny (bounded by removals since the last
+      // compaction): rewrite wholesale via a staging swap
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/tombstones.next")
+      fs.delete(tmp, true)
+      union.coalesce(1).write.parquet(tmp.toString)
+      fs.delete(p, true)
+      if (!fs.rename(tmp, p))
+        throw new IllegalStateException(s"tombstone swap failed at $dir")
+      Artifact.subtractFromFingerprint(spark, dir, "bandindex v2 ",
+        Artifact.fingerprint(removed, col("doc_id"), col("text")))
+      Artifact.endMutation(spark, dir)
+    }
+  }
 
   /** Fold an accepted batch into the stored band index in O(batch) — the
     * [[AnnIndex.appendIvf]] analog: append the batch's band rows, append
@@ -251,9 +328,12 @@ object Dedup {
                       k: Int = 32, bands: Int = 8): Unit = {
     Artifact.requireKind(spark, dir, s"bandindex v2 k=$k bands=$bands fp=")
     // idempotency: one narrow id read of the index, semi-joined down to
-    // the (batch-bounded) already-indexed set before the distinct
-    val already = spark.read.parquet(s"$dir/bands").select(col("doc_id"))
-      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    // the (batch-bounded) already-indexed set before the distinct.
+    // Tombstoned ids do NOT count as indexed — a removed document must
+    // be re-insertable ([[removeFromBandIndex]]).
+    val already = maskTombstones(spark, dir,
+        spark.read.parquet(s"$dir/bands").select(col("doc_id"))
+          .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
       .distinct().localCheckpoint()
     val fresh = batch.join(broadcast(already), Seq("doc_id"), "left_anti")
       .localCheckpoint()  // feeds the banding and the fingerprint
@@ -263,6 +343,23 @@ object Dedup {
       banded.write.mode("append").parquet(s"$dir/bands")
       banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("m"))
         .write.mode("append").parquet(s"$dir/sizes")
+      // a re-inserted id stops being a tombstone (its old masked rows
+      // may coexist with the new ones until compaction dedups — the
+      // sizes ledger nets out and candidate emission is distinct)
+      if (hasTombstones(spark, dir)) {
+        val tombstones = loadTombstones(spark, dir).localCheckpoint()
+        val cleared = tombstones.join(broadcast(fresh.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        if (cleared.count() != tombstones.count()) {
+          val (fs, p) = tombstoneFs(spark, dir)
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/tombstones.next")
+          fs.delete(tmp, true)
+          cleared.coalesce(1).write.parquet(tmp.toString)
+          fs.delete(p, true)
+          if (!fs.rename(tmp, p))
+            throw new IllegalStateException(s"tombstone swap failed at $dir")
+        }
+      }
       Artifact.addToFingerprint(spark, dir, "bandindex v2 ",
         Artifact.fingerprint(fresh, col("doc_id"), col("text")))
       Artifact.endMutation(spark, dir)
@@ -277,7 +374,21 @@ object Dedup {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): (Int, Int) = {
     Artifact.requireKind(spark, dir, "bandindex v2 ")
-    val (b0, b1) = Artifact.compactParquet(spark, dir, "bands")
+    // physical cleanup of logical deletes: masked rows dropped (and
+    // re-insert duplicates collapsed — consumer-equivalent, candidates
+    // are distinct and the sizes ledger is authoritative), then the
+    // tombstone set is cleared. A crash between the two leaves a
+    // tombstone set that masks nothing — harmless. With no tombstones
+    // the bands rewrite stays a pure re-size (no join, no distinct).
+    val bandsMerge: DataFrame => DataFrame =
+      if (!hasTombstones(spark, dir)) identity
+      else {
+        val tombstones = loadTombstones(spark, dir).localCheckpoint()
+        _.join(broadcast(tombstones), Seq("doc_id"), "left_anti").distinct()
+      }
+    val (b0, b1) = Artifact.compactParquet(spark, dir, "bands", merge = bandsMerge)
+    val (fs, p) = tombstoneFs(spark, dir)
+    fs.delete(p, true)
     val (s0, s1) = Artifact.compactParquet(spark, dir, "sizes",
       merge = _.groupBy(col("band"), col("bucket")).agg(sum(col("m")).as("m")))
     (b0 + s0, b1 + s1)
@@ -313,7 +424,10 @@ object Dedup {
       .groupBy(col("band"), col("bucket")).agg(sum(col("m")).as("m"))
       .filter(col("m") <= maxBucket)
       .select(col("band"), col("bucket"))
-    val index = spark.read.parquet(s"$bandDir/bands")
+    // logically-deleted docs are masked out (bounded set, broadcast, and
+    // a plan no-op when nothing was ever deleted; physically dropped at
+    // the next compactBandIndex)
+    val index = maskTombstones(spark, bandDir, spark.read.parquet(s"$bandDir/bands"))
       .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     val probe = batchBands
       .join(okBuckets, Seq("band", "bucket"), "left_semi")

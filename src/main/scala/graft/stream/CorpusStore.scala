@@ -28,6 +28,14 @@ private[stream] object CorpusStore {
   def read(spark: SparkSession, root: String, cols: Seq[String]): DataFrame =
     spark.read.parquet(corpusPath(root)).select(cols.map(col): _*)
 
+  /** Committed rows WITH the `batch` partition label — for operations
+    * that need to locate which batch directories hold given rows
+    * (deletion rewrites only the touched directories).
+    */
+  def readWithBatch(spark: SparkSession, root: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(corpusPath(root))
+      .select((cols :+ "batch").map(col): _*)
+
   /** Write the seed batch of a fresh root (build path — no staging
     * needed: the root has no metadata line yet, so a crash here is
     * rebuilt by init).
@@ -56,6 +64,31 @@ private[stream] object CorpusStore {
   /** Drop any leftover staging directory (recovery path). */
   def discardStaging(spark: SparkSession, root: String): Unit =
     fs(spark, root).delete(new Path(stagingPath(root)), true)
+
+  /** Replace one committed batch directory's rows (deletion path) —
+    * loss-free at every instant: the remaining rows are written fully
+    * OUTSIDE the corpus first, the old directory moves aside under a
+    * name that remembers its origin (`corpus.old-<batch>`), the new one
+    * moves in, then the aside copy is dropped. [[recoverLayout]] undoes
+    * or completes an interrupted swap from the aside name. An empty
+    * `remaining` deletes the directory outright (all rows removed).
+    */
+  def rewriteBatchDir(spark: SparkSession, root: String, batch: String,
+                      remaining: DataFrame): Unit = {
+    val f = fs(spark, root)
+    val dir = new Path(s"${corpusPath(root)}/batch=$batch")
+    val aside = new Path(s"$root/corpus.old-$batch")
+    val rewrite = new Path(s"$root/corpus.rewrite")
+    f.delete(rewrite, true)
+    f.delete(aside, true)
+    val n = remaining.count()
+    if (n > 0) remaining.write.parquet(rewrite.toString)
+    if (!f.rename(dir, aside))
+      throw new IllegalStateException(s"could not move $dir aside")
+    if (n > 0 && !f.rename(rewrite, dir))
+      throw new IllegalStateException(s"could not commit rewritten $dir")
+    f.delete(aside, true)
+  }
 
   def parquetFiles(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
@@ -125,6 +158,22 @@ private[stream] object CorpusStore {
     } else if (f.exists(old)) {
       f.delete(old, true)  // new corpus complete; old copy is surplus
     }
+    // per-batch-dir rewrite swaps (deletion path): an aside copy whose
+    // target directory is missing is restored (swap undone — the
+    // deletion replays); one whose target exists is surplus
+    if (f.exists(new Path(root))) {
+      f.listStatus(new Path(root)).foreach { s =>
+        val name = s.getPath.getName
+        if (name.startsWith("corpus.old-")) {
+          val target = new Path(s"${corpusPath(root)}/batch=${name.stripPrefix("corpus.old-")}")
+          if (!f.exists(target)) {
+            if (!f.rename(s.getPath, target))
+              throw new IllegalStateException(s"could not restore ${s.getPath} to $target")
+          } else f.delete(s.getPath, true)
+        }
+      }
+    }
+    f.delete(new Path(s"$root/corpus.rewrite"), true)
     f.delete(new Path(s"$root/corpus.compacting"), true)
     discardStaging(spark, root)
   }

@@ -179,6 +179,46 @@ object IncrementalIngest {
       freshCount - afterCorpusCount, afterCorpusCount - acceptedCount, acceptedCount)
   }
 
+  /** Delete documents from the ingest root — the right-to-be-forgotten
+    * operation a training corpus owes its sources — in O(removed), not
+    * O(corpus): only the corpus batch directories that contain removed
+    * ids are rewritten (loss-free swap, [[CorpusStore.rewriteBatchDir]]),
+    * the band index masks the removed docs via tombstones + negative
+    * size deltas ([[graft.ext.Dedup.removeFromBandIndex]] — physical
+    * cleanup at the next [[maintain]]), and both fingerprints are
+    * adjusted arithmetically so later ensures SERVE the shrunken corpus
+    * instead of rebuilding. After removal the ids are free again: a
+    * near-dup of a removed doc is no longer rejected, and the id itself
+    * is re-ingestable. A crash mid-removal recovers like any other
+    * mutation ([[recover]]) and the removal replays. Returns the number
+    * of documents actually removed.
+    */
+  def removeDocs(spark: SparkSession, root: String, ids: DataFrame): Long = {
+    Artifact.requireKind(spark, root, kindPrefix)
+    val (k, bands) = params(spark, root)
+    val idsDf = ids.select(col("doc_id")).distinct().localCheckpoint()
+    val removed = CorpusStore.readWithBatch(spark, root, Seq("doc_id", "text"))
+      .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val n = removed.count()
+    if (n == 0L) return 0L
+    Artifact.beginMutation(spark, root)
+    Dedup.removeFromBandIndex(spark,
+      removed.select(col("doc_id"), col("text")), indexPath(root), k, bands)
+    val touched = removed.select(col("batch")).distinct()
+      .collect().map(_.getString(0))  // bounded: one entry per touched dir
+    touched.foreach { b =>
+      val remaining = spark.read
+        .parquet(s"$root/corpus/batch=$b")
+        .join(broadcast(idsDf), Seq("doc_id"), "left_anti")
+      CorpusStore.rewriteBatchDir(spark, root, b, remaining)
+    }
+    Artifact.subtractFromFingerprint(spark, root, kindPrefix,
+      Artifact.fingerprint(removed, col("doc_id"), col("text")))
+    Artifact.endMutation(spark, root)
+    n
+  }
+
   /** Rebuild derived state from the source of truth after a crash left
     * the root mid-mutation: the corpus store's committed batch
     * directories are authoritative (staging is discarded), the band

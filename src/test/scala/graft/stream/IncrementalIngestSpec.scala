@@ -158,6 +158,47 @@ class IncrementalIngestSpec extends SparkSuite {
     assert(s.accepted == 0)
   }
 
+  test("removeDocs: doc gone from corpus + index, near-dups of it admitted again, id re-ingestable") {
+    freshRoot()
+    IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
+    IncrementalIngest.ingestBatch(spark, batch1.toDF("doc_id", "text"), root)  // accepts 12, 14
+    assert(IncrementalIngest.removeDocs(spark, root, Seq(12L, 999L).toDF("doc_id")) == 1L,
+      "only ids actually in the corpus count as removed")
+    assert(corpusIds() == Set(1L, 2L, 3L, 14L))
+    // fingerprints were adjusted arithmetically: both the root line and
+    // the band index line equal a fresh fingerprint over what remains
+    val c = IncrementalIngest.corpus(spark, root).localCheckpoint()
+    val fp = Artifact.fingerprint(c, col("doc_id"), col("text"))
+    assert(Artifact.readMeta(spark, root).contains(s"ingest v1 k=32 bands=8 fp=$fp"))
+    assert(Artifact.readMeta(spark, s"$root/bandindex")
+      .contains(s"bandindex v2 k=32 bands=8 fp=$fp"))
+    // 21 is a near-dup of the REMOVED 12 — it must now be admitted
+    val s = IncrementalIngest.ingestBatch(spark, batch2.toDF("doc_id", "text"), root)
+    assert(s.rejectedVsCorpus == 0 && s.accepted == 2, s"near-dup of a removed doc must pass: $s")
+    assert(corpusIds() == Set(1L, 2L, 3L, 14L, 21L, 22L))
+    // and the removed id itself is free again
+    val s2 = IncrementalIngest.ingestBatch(spark,
+      Seq((12L, "entirely new content for a recycled identifier slot")).toDF("doc_id", "text"), root)
+    assert(s2.accepted == 1)
+  }
+
+  test("removeDocs + maintain: tombstones compacted away physically, behavior unchanged") {
+    freshRoot()
+    IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
+    IncrementalIngest.ingestBatch(spark, batch1.toDF("doc_id", "text"), root)
+    IncrementalIngest.removeDocs(spark, root, Seq(12L).toDF("doc_id"))
+    assert(Dedup.loadTombstones(spark, s"$root/bandindex").count() == 1)
+    IncrementalIngest.maintain(spark, root, maxFiles = 1)
+    assert(Dedup.loadTombstones(spark, s"$root/bandindex").count() == 0,
+      "compaction must drop masked rows and clear the tombstone set")
+    assert(spark.read.parquet(s"$root/bandindex/bands")
+      .filter(col("doc_id") === 12L).isEmpty,
+      "removed doc's band rows must be physically gone after compaction")
+    // post-compaction admission still equals pre-compaction semantics
+    val s = IncrementalIngest.ingestBatch(spark, batch2.toDF("doc_id", "text"), root)
+    assert(s.rejectedVsCorpus == 0 && s.accepted == 2)
+  }
+
   test("crash between compaction's renames: corpus aside in corpus.old, recover() restores it") {
     freshRoot()
     IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
