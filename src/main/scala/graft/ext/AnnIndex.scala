@@ -74,9 +74,15 @@ object AnnIndex {
   /** Build-if-needed via [[Artifact.ensure]]: the index is served as
     * long as its metadata line (build parameters + corpus fingerprint)
     * matches; a parameter change or a changed corpus triggers a rebuild.
+    * A fresh build has nothing logically deleted — any tombstone set
+    * from the previous generation is cleared.
     */
   private def ensure(spark: SparkSession, dir: String, meta: String)(build: => Unit): String =
-    Artifact.ensure(spark, dir, meta)(build)
+    Artifact.ensure(spark, dir, meta) {
+      build
+      val p = tombstonePath(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
 
   // ---------------------------------------------------------------- IVF
 
@@ -119,7 +125,7 @@ object AnnIndex {
     */
   def appendIvf(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, "ivf ")   // before any destructive write
-    val fresh = freshRows(newEmb,
+    val fresh = freshRows(spark, dir, newEmb,
       spark.read.parquet(s"$dir/assignments").select(col("vec_id"), col("row_hash")))
     if (!fresh.isEmpty) {
       val centroids = loadCentroids(spark, s"$dir/centroids")
@@ -133,6 +139,63 @@ object AnnIndex {
     }
   }
 
+  // ------------------------------------------------ logical deletion
+
+  private def tombstonePath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+
+  private def hasTombstones(spark: SparkSession, dir: String): Boolean = {
+    val p = tombstonePath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[graft] def loadTombstones(spark: SparkSession, dir: String): DataFrame =
+    if (hasTombstones(spark, dir)) spark.read.parquet(tombstonePath(dir).toString)
+    else spark.range(0).select(col("id").as("vec_id"))
+
+  /** Mask a frame against the index's tombstones — a plan no-op in the
+    * common nothing-deleted case.
+    */
+  private def maskIds(spark: SparkSession, dir: String, df: DataFrame,
+                      idCol: String): DataFrame =
+    if (!hasTombstones(spark, dir)) df
+    else df.join(broadcast(loadTombstones(spark, dir).select(col("vec_id").as(idCol))),
+      Seq(idCol), "left_anti")
+
+  /** Delete vectors from a persisted index in O(removed): the ids are
+    * masked via a tombstone set (every serve path anti-joins it), and
+    * the stored corpus fingerprint is adjusted arithmetically so a
+    * later ensure over the shrunken corpus SERVES. Physical cleanup
+    * happens at [[compact]], which drops the masked rows and clears the
+    * set. Until then, re-inserting a removed id is REFUSED (the append
+    * guard fails fast): unmasked old rows would duplicate the id and
+    * break the searchers' (q_id, n_id)-uniqueness — delete → compact →
+    * re-insert is the supported order. Works for every index kind (the
+    * mask applies to assignments/codes/buckets alike). `removed` must
+    * carry (vec_id, embedding, label) — the removed CONTENT, for the
+    * fingerprint subtraction.
+    */
+  def removeVecs(spark: SparkSession, removed: DataFrame, dir: String): Unit = {
+    Artifact.requireKind(spark, dir, "")   // any built, non-pending index
+    val r = removed.select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint()
+    if (!r.isEmpty) {
+      Artifact.beginMutation(spark, dir)
+      val union = loadTombstones(spark, dir)
+        .unionByName(r.select(col("vec_id"))).distinct().localCheckpoint()
+      val fs = tombstonePath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/tombstones.next")
+      fs.delete(tmp, true)
+      union.coalesce(1).write.parquet(tmp.toString)
+      fs.delete(tombstonePath(dir), true)
+      if (!fs.rename(tmp, tombstonePath(dir)))
+        throw new IllegalStateException(s"tombstone swap failed at $dir")
+      // meta prefix up to " fp=" is preserved by the arithmetic update;
+      // kind-specific prefixes were validated by requireKind above
+      Artifact.subtractFromFingerprint(spark, dir, "", fingerprint(r))
+      Artifact.endMutation(spark, dir)
+    }
+  }
+
   /** Idempotent-append guard: drop batch rows whose vec_id is already
     * indexed (a double-submitted batch must be a no-op — duplicate rows
     * would both break the searchers' (q_id, n_id)-uniqueness invariant
@@ -140,12 +203,24 @@ object AnnIndex {
     * and FAIL FAST on a resubmitted id whose content changed (append is
     * insert-only: silently dropping the row would keep serving the
     * stale vector while the fingerprint still matched — route updates
-    * through a rebuild instead). One narrow (id, hash) read of the
-    * index; the batch-bounded intersection is checkpointed because it
-    * feeds both the change check and the anti-join.
+    * through a rebuild instead) or whose id is tombstoned (old masked
+    * rows would unmask as duplicates; compact first, then re-insert).
+    * One narrow (id, hash) read of the index; the batch-bounded
+    * intersection is checkpointed because it feeds both the change
+    * check and the anti-join.
     */
-  private def freshRows(newEmb: DataFrame, indexed: DataFrame): DataFrame = {
+  private def freshRows(spark: SparkSession, dir: String,
+                        newEmb: DataFrame, indexed: DataFrame): DataFrame = {
     val Seq(idName, hashName) = indexed.columns.toSeq
+    if (hasTombstones(spark, dir)) {
+      val reinserted = loadTombstones(spark, dir)
+        .join(broadcast(newEmb.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+        .take(5).map(_.getLong(0))
+      if (reinserted.nonEmpty)
+        throw new IllegalStateException(
+          s"ids ${reinserted.mkString(", ")} were removed from this index — " +
+            "compact it to drop the masked rows before re-inserting them")
+    }
     val matched = indexed
       .select(col(idName).as("vec_id"), col(hashName).as("stored_hash"))
       .join(broadcast(newEmb.select(col("vec_id"), rowHash.as("batch_hash"))),
@@ -179,8 +254,8 @@ object AnnIndex {
     val allCells = probes.map(_._1).distinct
     import spark.implicits._
     val probeDf = probes.toDF("cell_id", "q_id")
-    val index = spark.read.parquet(s"$dir/assignments")
-      .filter(col("cell_id").isin(allCells: _*))
+    val index = maskIds(spark, dir, spark.read.parquet(s"$dir/assignments")
+        .filter(col("cell_id").isin(allCells: _*)), "vec_id")
       .select(col("cell_id"), col("vec_id").as("n_id"), col("label").as("n_label"))
     // no distinct needed: each vector lives in exactly one cell partition
     // and probes has one row per (cell, query), so (q_id, n_id) is unique
@@ -310,7 +385,7 @@ object AnnIndex {
     // query-side hashing re-derives the plane family from (h, tables,
     // dims) — they must match the build's or buckets silently disagree
     Artifact.requireKind(spark, dir, s"srp h=$h tables=$tables dims=$dims fp=")
-    val stored = spark.read.parquet(s"$dir/buckets")
+    val stored = maskIds(spark, dir, spark.read.parquet(s"$dir/buckets"), "vec_id")
       .select(col("tbl"), col("bucket"), col("vec_id").as("n_id"),
         col("label").as("n_label"))
     val q = Similarity.withBuckets(emb.filter(col("vec_id") < nQueries), h, tables, dims)
@@ -357,7 +432,7 @@ object AnnIndex {
     */
   def appendPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, "pq ")
-    val fresh = freshRows(newEmb,
+    val fresh = freshRows(spark, dir, newEmb,
       spark.read.parquet(s"$dir/codes").select(col("n_id"), col("row_hash")))
     if (!fresh.isEmpty) {
       val codebook = loadCodebook(spark, s"$dir/codebook")
@@ -376,7 +451,7 @@ object AnnIndex {
                nQueries: Int = 10, k: Int = 5, rerank: Int = 50): DataFrame = {
     val codebook = loadCodebook(spark, s"$dir/codebook")
     val subDims = codebook(0)(0).length
-    val encoded = spark.read.parquet(s"$dir/codes")
+    val encoded = maskIds(spark, dir, spark.read.parquet(s"$dir/codes"), "n_id")
     Similarity.pqAdcSearch(encoded, emb, codebook, subDims, nQueries, k, rerank)
   }
 
@@ -446,7 +521,7 @@ object AnnIndex {
     */
   def appendIvfPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, "ivfpq ")
-    val fresh = freshRows(newEmb,
+    val fresh = freshRows(spark, dir, newEmb,
       spark.read.parquet(s"$dir/assignments").select(col("n_id"), col("row_hash")))
     if (!fresh.isEmpty) {
       val centroids = loadCentroids(spark, s"$dir/centroids")
@@ -490,8 +565,8 @@ object AnnIndex {
     val allCells = qcells.map(_._1).distinct
     import spark.implicits._
     val qcellDf = qcells.toDF("cell_id", "q_id", "bias", "lut")
-    val codes = spark.read.parquet(s"$dir/assignments")
-      .filter(col("cell_id").isin(allCells: _*))
+    val codes = maskIds(spark, dir, spark.read.parquet(s"$dir/assignments")
+      .filter(col("cell_id").isin(allCells: _*)), "n_id")
     val adc = (0 until m).map(j =>
       element_at(element_at(col("lut"), j + 1), col("codes")(j) + lit(1))).reduce(_ + _)
     val cands = codes.join(broadcast(qcellDf), Seq("cell_id"))
@@ -513,17 +588,37 @@ object AnnIndex {
     * PQ code table is re-sized; SRP buckets keep their (tbl, bucket)
     * sorted layout. Returns (parquet files before, after).
     */
-  def compact(spark: SparkSession, dir: String): (Int, Int) =
-    Artifact.readMeta(spark, dir) match {
+  def compact(spark: SparkSession, dir: String): (Int, Int) = {
+    // physical cleanup of logical deletes ([[removeVecs]]): masked rows
+    // are dropped during the rewrite, then the tombstone set is cleared
+    // (a crash between the two leaves tombstones that mask nothing —
+    // harmless). With no tombstones the rewrite is a pure re-size.
+    val (mask, idCol): (Boolean, String) = Artifact.readMeta(spark, dir) match {
+      case Some(m) if m.startsWith("ivfpq ") || m.startsWith("pq ") => (hasTombstones(spark, dir), "n_id")
+      case _ => (hasTombstones(spark, dir), "vec_id")
+    }
+    def merged: DataFrame => DataFrame =
+      if (!mask) identity
+      else {
+        val t = loadTombstones(spark, dir).localCheckpoint()
+        df => df.join(broadcast(t.select(col("vec_id").as(idCol))), Seq(idCol), "left_anti")
+      }
+    val out = Artifact.readMeta(spark, dir) match {
       case Some(m) if m.startsWith("ivfpq ") || m.startsWith("ivf ") =>
-        Artifact.compactParquet(spark, dir, "assignments", partitionCols = Seq("cell_id"))
+        Artifact.compactParquet(spark, dir, "assignments",
+          partitionCols = Seq("cell_id"), merge = merged)
       case Some(m) if m.startsWith("pq ") =>
-        Artifact.compactParquet(spark, dir, "codes")
+        Artifact.compactParquet(spark, dir, "codes", merge = merged)
       case Some(m) if m.startsWith("srp ") =>
-        Artifact.compactParquet(spark, dir, "buckets", sortCols = Seq("tbl", "bucket"))
+        Artifact.compactParquet(spark, dir, "buckets",
+          sortCols = Seq("tbl", "bucket"), merge = merged)
       case other =>
         throw new IllegalStateException(s"no compactable index at $dir: $other")
     }
+    val p = tombstonePath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
 
   // ------------------------------------------------------------ helpers
 

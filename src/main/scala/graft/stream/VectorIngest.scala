@@ -120,6 +120,17 @@ object VectorIngest {
     if (freshCount == 0L)
       return VectorIngestStats(batchRows, replayed, conflicting, 0L, None, rebuilt = false)
 
+    // refuse re-insertion of tombstoned (removed-but-not-yet-compacted)
+    // ids BEFORE any mutation starts, so the expected refusal leaves the
+    // root clean; the index's own append guard is the backstop
+    val tombstoned = AnnIndex.loadTombstones(spark, indexPath(root))
+      .join(broadcast(fresh.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .take(5).map(_.getLong(0))
+    if (tombstoned.nonEmpty)
+      throw new IllegalStateException(
+        s"ids ${tombstoned.mkString(", ")} were removed from this root — " +
+          "run maintain() to compact the index before re-inserting them")
+
     val batchFp = fp(fresh)
     CorpusStore.stage(spark, root, fresh)
     Artifact.beginMutation(spark, root)
@@ -131,6 +142,38 @@ object VectorIngest {
     Artifact.addToFingerprint(spark, root, kindPrefix, batchFp)
     Artifact.endMutation(spark, root)
     VectorIngestStats(batchRows, replayed, conflicting, freshCount, Some(drift), rebuilt)
+  }
+
+  /** Delete vectors from the ingest root — the
+    * [[IncrementalIngest.removeDocs]] analog: only corpus batch
+    * directories containing removed ids are rewritten (loss-free swap),
+    * the IVF index masks the ids via tombstones
+    * ([[graft.ext.AnnIndex.removeVecs]] — physically dropped at the
+    * next [[maintain]], and re-inserting a removed id is refused until
+    * then), and both fingerprints are adjusted arithmetically so later
+    * ensures serve the shrunken corpus. Returns the number of vectors
+    * removed.
+    */
+  def removeVecs(spark: SparkSession, root: String, ids: DataFrame): Long = {
+    Artifact.requireKind(spark, root, kindPrefix)
+    val idsDf = ids.select(col("vec_id")).distinct().localCheckpoint()
+    val removed = CorpusStore.readWithBatch(spark, root, cols)
+      .join(broadcast(idsDf), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val n = removed.count()
+    if (n == 0L) return 0L
+    Artifact.beginMutation(spark, root)
+    AnnIndex.removeVecs(spark, removed.select(cols.map(col): _*), indexPath(root))
+    val touched = removed.select(col("batch")).distinct()
+      .collect().map(_.getString(0))
+    touched.foreach { b =>
+      val remaining = spark.read.parquet(s"$root/corpus/batch=$b")
+        .join(broadcast(idsDf), Seq("vec_id"), "left_anti")
+      CorpusStore.rewriteBatchDir(spark, root, b, remaining)
+    }
+    Artifact.subtractFromFingerprint(spark, root, kindPrefix, fp(removed))
+    Artifact.endMutation(spark, root)
+    n
   }
 
   /** Rebuild derived state from the corpus store after a crash left the

@@ -96,6 +96,37 @@ class VectorIngestSpec extends SparkSuite {
     assert(corpusIds() == (0L until 200L).toSet)
   }
 
+  test("removeVecs: vector gone from corpus and serves, re-insert gated on compaction") {
+    freshRoot()
+    VectorIngest.init(spark, clustered(0 until 150), root)
+    VectorIngest.ingestBatch(spark, clustered(0 until 200).filter(col("vec_id") >= 150), root)
+    assert(VectorIngest.removeVecs(spark, root, Seq(150L, 9999L).toDF("vec_id")) == 1L)
+    assert(!corpusIds().contains(150L))
+    // fingerprint lines equal a fresh fingerprint over what remains
+    val c = VectorIngest.corpus(spark, root).localCheckpoint()
+    val freshFp = Artifact.fingerprint(c, col("vec_id"), col("embedding"), col("label"))
+    assert(Artifact.readMeta(spark, root).contains(s"vecingest v1 nCells=16 fp=$freshFp"))
+    assert(Artifact.readMeta(spark, s"$root/ivf").contains(s"ivf v2 nCells=16 fp=$freshFp"))
+    // the removed vector never surfaces from the masked index, even
+    // probing every cell (its cluster siblings share its cell)
+    val res = AnnIndex.searchIvf(spark, c, s"$root/ivf", nQueries = 10, k = 50, nprobe = 16)
+    assert(res.filter(col("n_id") === 150L).isEmpty, "removed vector must not serve")
+    // re-inserting the removed id before compaction is refused loudly
+    val e = intercept[IllegalStateException] {
+      VectorIngest.ingestBatch(spark, clustered(150 until 151), root)
+    }
+    assert(e.getMessage.contains("compact"))
+    // the refusal happened before any mutation: the root stays clean
+    assert(!Artifact.hasPendingMutation(spark, root))
+    // compaction drops the masked rows physically; then the id is free
+    VectorIngest.maintain(spark, root, maxFiles = 0)
+    assert(spark.read.parquet(s"$root/ivf/assignments")
+      .filter(col("vec_id") === 150L).isEmpty,
+      "removed vector's index rows must be physically gone after compaction")
+    val s = VectorIngest.ingestBatch(spark, clustered(150 until 151), root)
+    assert(s.accepted == 1)
+  }
+
   test("streamed vector ingestion: checkpointed batches fold in, maintain compacts") {
     freshRoot()
     VectorIngest.init(spark, clustered(0 until 100), root)
