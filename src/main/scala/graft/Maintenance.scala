@@ -31,7 +31,7 @@ object Maintenance {
     run("dupgroups", s"$root/dupgroups", "dupgroups v1 ") {
       Artifact.compactParquet(spark, s"$root/dupgroups", "groups")
     }
-    run("bandindex", s"$root/bandindex", "bandindex v2 ") {
+    run("bandindex", s"$root/bandindex", "bandindex v3 ") {
       Dedup.compactBandIndex(spark, s"$root/bandindex")
     }
     run("serving", s"$root/serving", "serving v1 ") {

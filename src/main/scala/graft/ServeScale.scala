@@ -19,7 +19,8 @@ object ServeScale {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
     // fixture copy: events rewritten (it will be mutated), the rest linked
-    new scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
+    // (Fs.deleteTree removes links as links — never through to the source)
+    Fs.deleteTree(work)
     new java.io.File(work).mkdirs()
     Tables.table(spark, src, "events")
       .repartition(4).write.parquet(s"$work/events.parquet")
@@ -29,7 +30,7 @@ object ServeScale {
         java.nio.file.Paths.get(s"$src/$t.parquet").toAbsolutePath)
     }
     val root = s"target/artifacts/${new java.io.File(work).getName}/serving_daily"
-    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    Fs.deleteTree(root)
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -44,7 +45,7 @@ object ServeScale {
       .withColumn("value", col("value") + 1.0)
     ev.unionByName(one).repartition(4)
       .write.mode("overwrite").parquet(s"$work/events.parquet.new")
-    new scala.reflect.io.Directory(new java.io.File(s"$work/events.parquet")).deleteRecursively()
+    Fs.deleteTree(s"$work/events.parquet")
     new java.io.File(s"$work/events.parquet.new").renameTo(new java.io.File(s"$work/events.parquet"))
     val refreshSec = timed(graft.serve.KeyValue.ensureStoreDaily(spark, work))
 

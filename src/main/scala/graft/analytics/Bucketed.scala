@@ -54,6 +54,11 @@ object Bucketed {
       val warehouse = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"))
       val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // marker up BEFORE the first destructive op: on a persistent
+      // metastore a crash between the two saveAsTable calls must read as
+      // mid-mutation (the hasPendingMutation clause above), not as a
+      // servable pair of tables
+      Artifact.beginMutation(spark, root)
       Seq(liName, ordName).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)

@@ -211,11 +211,16 @@ object Dedup {
   }
 
   /** Persisted LSH band index of a corpus, two tables:
-    *  - `bands/` — `(doc_id, band, bucket)`, append-only: the signed
-    *    corpus.
+    *  - `bands/` — `(doc_id, band, bucket, gen)`, append-only: the
+    *    signed corpus. `gen` is an insert generation (0 at build, then
+    *    one per append — see `genct.txt`): deletion tombstones mask only
+    *    generations OLDER than the removal, so re-inserting a removed id
+    *    with new text can never unmask the old text's band rows
+    *    (the LSM-style sequence-number rule).
     *  - `sizes/` — `(band, bucket, m)` member-count rows, possibly
     *    several per bucket (the build's base counts plus one delta row
-    *    set per appended batch); consumers aggregate `sum(m)`. Keeping
+    *    set per appended batch, negative deltas per removal); consumers
+    *    aggregate `sum(m)` — always the LIVE member count. Keeping
     *    sizes as additive deltas is what makes [[appendBandIndex]]
     *    O(batch): an append never rewrites existing rows, and
     *    [[compactBandIndex]] merges the deltas back to one row per
@@ -226,9 +231,9 @@ object Dedup {
   def ensureBandIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                       dir: String, k: Int = 32, bands: Int = 8): String =
     Artifact.ensure(spark, dir,
-      s"bandindex v2 k=$k bands=$bands " +
+      s"bandindex v3 k=$k bands=$bands " +
         s"fp=${Artifact.fingerprint(corpus, col("doc_id"), col("text"))}") {
-      bandedBuckets(corpus, k, bands)
+      bandedBuckets(corpus, k, bands).withColumn("gen", lit(0L))
         .write.mode("overwrite").parquet(s"$dir/bands")
       // sizes from the just-written bands — ids only, the corpus text is
       // not re-signed for the second output
@@ -237,7 +242,36 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$dir/sizes")
       // a fresh build has nothing logically deleted
       tombstoneFs(spark, dir)._1.delete(tombstoneFs(spark, dir)._2, true)
+      writeNextGen(spark, dir, 1L)
     }
+
+  // ------------------------------------------------ insert generations
+
+  private def genFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/genct.txt")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The generation the NEXT append will stamp its rows with. Every
+    * stored row's gen is strictly below it — which is exactly what makes
+    * `tgen = readNextGen()` at removal time mask all rows that exist and
+    * none that are inserted later.
+    */
+  private def readNextGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val (fs, p) = genFs(spark, dir)
+    if (!fs.exists(p)) 1L
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+      try in.readLine().trim.toLong finally in.close()
+    }
+  }
+
+  private def writeNextGen(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, g: Long): Unit = {
+    val (fs, p) = genFs(spark, dir)
+    val out = fs.create(p, true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   // ------------------------------------------------ logical deletion
 
@@ -246,7 +280,10 @@ object Dedup {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Logically-deleted doc ids of a band index (empty frame when none).
+  /** Logically-deleted `(doc_id, tgen)` rows of a band index (empty
+    * frame when none): a tombstone masks the doc's band rows with
+    * `gen < tgen` — its state as of the removal — and nothing inserted
+    * after.
     * Consumers mask the bands table with an anti-join against this set;
     * the set stays bounded because [[compactBandIndex]] drops the
     * masked rows physically and clears it.
@@ -255,7 +292,7 @@ object Dedup {
                                     dir: String): DataFrame = {
     val (fs, p) = tombstoneFs(spark, dir)
     if (fs.exists(p)) spark.read.parquet(p.toString)
-    else spark.range(0).select(col("id").as("doc_id"))
+    else spark.range(0).select(col("id").as("doc_id"), col("id").as("tgen"))
   }
 
   private def hasTombstones(spark: org.apache.spark.sql.SparkSession,
@@ -264,19 +301,25 @@ object Dedup {
     fs.exists(p)
   }
 
-  /** Mask a frame's `doc_id`s against the index's tombstones — a no-op
-    * plan (no join, no broadcast) in the common nothing-deleted case.
+  /** Mask a band frame (must carry `doc_id` and `gen`) against the
+    * index's tombstones: rows with `gen < tgen` — written before their
+    * doc's removal — are dropped; rows re-inserted after it survive. A
+    * no-op plan (no join, no broadcast) in the common
+    * nothing-deleted case.
     */
   private def maskTombstones(spark: org.apache.spark.sql.SparkSession,
                              dir: String, df: DataFrame): DataFrame =
     if (!hasTombstones(spark, dir)) df
-    else df.join(broadcast(loadTombstones(spark, dir)), Seq("doc_id"), "left_anti")
+    else df.join(broadcast(loadTombstones(spark, dir)), Seq("doc_id"), "left")
+      .filter(col("tgen").isNull || col("gen") >= col("tgen"))
+      .drop("tgen")
 
   /** Delete documents from the stored band index in O(removed) — the
     * right-to-be-forgotten operation a training corpus needs, without
     * rewriting a corpus-sized bands table:
-    *  - the removed docs' band rows are MASKED via a tombstone id set
-    *    (every reader anti-joins it; bounded until compaction),
+    *  - the removed docs' band rows are MASKED via a `(doc_id, tgen)`
+    *    tombstone set (every reader drops the doc's generations below
+    *    tgen; bounded until compaction),
     *  - their per-bucket counts are corrected with NEGATIVE size deltas
     *    (the sizes table is already a sum-at-read ledger, so removal is
     *    just more deltas — recomputed from the docs' texts, which is
@@ -290,7 +333,7 @@ object Dedup {
   def removeFromBandIndex(spark: org.apache.spark.sql.SparkSession,
                           removedDocs: DataFrame, dir: String,
                           k: Int = 32, bands: Int = 8): Unit = {
-    Artifact.requireKind(spark, dir, s"bandindex v2 k=$k bands=$bands fp=")
+    Artifact.requireKind(spark, dir, s"bandindex v3 k=$k bands=$bands fp=")
     val (fs, p) = tombstoneFs(spark, dir)
     val removed = removedDocs.select(col("doc_id"), col("text")).localCheckpoint()
     if (!removed.isEmpty) {
@@ -298,8 +341,16 @@ object Dedup {
       bandedBuckets(removed, k, bands)
         .groupBy(col("band"), col("bucket")).agg((-count(lit(1))).as("m"))
         .write.mode("append").parquet(s"$dir/sizes")
+      // tgen = the next-insert generation: every row currently stored is
+      // older (gen < tgen) and gets masked; a later re-insert of the id
+      // (gen >= tgen) stays live — so the tombstone never has to be
+      // cleared early, and the old text's rows stay masked until
+      // compaction drops them physically
+      val tgen = readNextGen(spark, dir)
       val union = loadTombstones(spark, dir)
-        .unionByName(removed.select(col("doc_id"))).distinct().localCheckpoint()
+        .unionByName(removed.select(col("doc_id"), lit(tgen).as("tgen")))
+        .groupBy(col("doc_id")).agg(max(col("tgen")).as("tgen"))
+        .localCheckpoint()
       // tombstones are tiny (bounded by removals since the last
       // compaction): rewrite wholesale via a staging swap
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/tombstones.next")
@@ -308,7 +359,7 @@ object Dedup {
       fs.delete(p, true)
       if (!fs.rename(tmp, p))
         throw new IllegalStateException(s"tombstone swap failed at $dir")
-      Artifact.subtractFromFingerprint(spark, dir, "bandindex v2 ",
+      Artifact.subtractFromFingerprint(spark, dir, "bandindex v3 ",
         Artifact.fingerprint(removed, col("doc_id"), col("text")))
       Artifact.endMutation(spark, dir)
     }
@@ -326,41 +377,29 @@ object Dedup {
   def appendBandIndex(spark: org.apache.spark.sql.SparkSession,
                       batch: DataFrame, dir: String,
                       k: Int = 32, bands: Int = 8): Unit = {
-    Artifact.requireKind(spark, dir, s"bandindex v2 k=$k bands=$bands fp=")
-    // idempotency: one narrow id read of the index, semi-joined down to
-    // the (batch-bounded) already-indexed set before the distinct.
-    // Tombstoned ids do NOT count as indexed — a removed document must
-    // be re-insertable ([[removeFromBandIndex]]).
+    Artifact.requireKind(spark, dir, s"bandindex v3 k=$k bands=$bands fp=")
+    // idempotency: one narrow (id, gen) read of the index, semi-joined
+    // down to the (batch-bounded) already-indexed set before the
+    // distinct. Only LIVE rows count as indexed — a removed document
+    // must be re-insertable ([[removeFromBandIndex]]); its new rows get
+    // a generation at or above its tombstone's, so they serve while the
+    // old text's rows stay masked until compaction.
     val already = maskTombstones(spark, dir,
-        spark.read.parquet(s"$dir/bands").select(col("doc_id"))
+        spark.read.parquet(s"$dir/bands").select(col("doc_id"), col("gen"))
           .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
-      .distinct().localCheckpoint()
+      .select(col("doc_id")).distinct().localCheckpoint()
     val fresh = batch.join(broadcast(already), Seq("doc_id"), "left_anti")
       .localCheckpoint()  // feeds the banding and the fingerprint
     if (!fresh.isEmpty) {
-      val banded = bandedBuckets(fresh, k, bands).localCheckpoint() // 2 writes
+      val gen = readNextGen(spark, dir)
+      val banded = bandedBuckets(fresh, k, bands)
+        .withColumn("gen", lit(gen)).localCheckpoint() // 2 writes
       Artifact.beginMutation(spark, dir)
       banded.write.mode("append").parquet(s"$dir/bands")
       banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("m"))
         .write.mode("append").parquet(s"$dir/sizes")
-      // a re-inserted id stops being a tombstone (its old masked rows
-      // may coexist with the new ones until compaction dedups — the
-      // sizes ledger nets out and candidate emission is distinct)
-      if (hasTombstones(spark, dir)) {
-        val tombstones = loadTombstones(spark, dir).localCheckpoint()
-        val cleared = tombstones.join(broadcast(fresh.select(col("doc_id"))),
-          Seq("doc_id"), "left_anti").localCheckpoint()
-        if (cleared.count() != tombstones.count()) {
-          val (fs, p) = tombstoneFs(spark, dir)
-          val tmp = new org.apache.hadoop.fs.Path(s"$dir/tombstones.next")
-          fs.delete(tmp, true)
-          cleared.coalesce(1).write.parquet(tmp.toString)
-          fs.delete(p, true)
-          if (!fs.rename(tmp, p))
-            throw new IllegalStateException(s"tombstone swap failed at $dir")
-        }
-      }
-      Artifact.addToFingerprint(spark, dir, "bandindex v2 ",
+      writeNextGen(spark, dir, gen + 1L)
+      Artifact.addToFingerprint(spark, dir, "bandindex v3 ",
         Artifact.fingerprint(fresh, col("doc_id"), col("text")))
       Artifact.endMutation(spark, dir)
     }
@@ -373,18 +412,21 @@ object Dedup {
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): (Int, Int) = {
-    Artifact.requireKind(spark, dir, "bandindex v2 ")
-    // physical cleanup of logical deletes: masked rows dropped (and
-    // re-insert duplicates collapsed — consumer-equivalent, candidates
-    // are distinct and the sizes ledger is authoritative), then the
-    // tombstone set is cleared. A crash between the two leaves a
-    // tombstone set that masks nothing — harmless. With no tombstones
-    // the bands rewrite stays a pure re-size (no join, no distinct).
+    Artifact.requireKind(spark, dir, "bandindex v3 ")
+    // physical cleanup of logical deletes: masked rows (gen below their
+    // doc's tombstone — removed text, including any superseded by a
+    // re-insert) are dropped, then the tombstone set is cleared. A crash
+    // between the two leaves a tombstone set that masks nothing —
+    // harmless (tgen only ever masks generations that existed at
+    // removal; everything retained is at or above it). With no
+    // tombstones the bands rewrite stays a pure re-size (no join).
     val bandsMerge: DataFrame => DataFrame =
       if (!hasTombstones(spark, dir)) identity
       else {
         val tombstones = loadTombstones(spark, dir).localCheckpoint()
-        _.join(broadcast(tombstones), Seq("doc_id"), "left_anti").distinct()
+        _.join(broadcast(tombstones), Seq("doc_id"), "left")
+          .filter(col("tgen").isNull || col("gen") >= col("tgen"))
+          .drop("tgen")
       }
     val (b0, b1) = Artifact.compactParquet(spark, dir, "bands", merge = bandsMerge)
     val (fs, p) = tombstoneFs(spark, dir)
@@ -411,7 +453,7 @@ object Dedup {
                        minJaccard: Double = 0.35, maxBucket: Int = 64): DataFrame = {
     // batch banding re-derives signatures from (k, bands) — they must
     // match the stored index's or bucket joins silently miss everything
-    Artifact.requireKind(spark, bandDir, s"bandindex v2 k=$k bands=$bands fp=")
+    Artifact.requireKind(spark, bandDir, s"bandindex v3 k=$k bands=$bands fp=")
     val batchBands = bandedBuckets(batch, k, bands)
       .select(col("band"), col("bucket"), col("doc_id").as("a_id"))
       .localCheckpoint()  // feeds the touched-bucket set and the join

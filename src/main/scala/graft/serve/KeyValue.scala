@@ -165,15 +165,13 @@ object KeyValue {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
 
-    def writeDays(days: Seq[String], overwriteAll: Boolean): Unit = {
-      val writer = servingTableForDays(spark, dir, days)
+    def writeAllDays(days: Seq[String]): Unit =
+      servingTableForDays(spark, dir, days)
         .withColumn("d", dayOf(col("pk")))
         .repartition(col("d"))
         .sortWithinPartitions(col("d"), col("pk"), col("sk"))
         .write.partitionBy("d")
-      (if (overwriteAll) writer else writer.option("partitionOverwriteMode", "dynamic"))
         .mode("overwrite").parquet(storePath)
-    }
     def writeDayMeta(): Unit =
       spark.createDataFrame(current.toSeq.map { case (d, (a, b, c2, e)) => (d, a, b, c2, e) })
         .toDF("d", "ev_n", "ev_h", "li_n", "li_h")
@@ -182,7 +180,7 @@ object KeyValue {
     if (Artifact.hasPendingMutation(spark, root) ||
         !Artifact.readMeta(spark, root).contains(metaLine)) {
       // full (re)build: dimension changed, first build, or crashed refresh
-      writeDays(current.keys.toSeq.sorted, overwriteAll = true)
+      writeAllDays(current.keys.toSeq.sorted)
       writeDayMeta()
       Artifact.endMutation(spark, root)
       Artifact.writeMeta(spark, root, metaLine)
@@ -194,11 +192,28 @@ object KeyValue {
       val removed = (stored.keySet -- current.keySet).toSeq.sorted
       if (changed.nonEmpty || removed.nonEmpty) {
         Artifact.beginMutation(spark, root)
-        if (changed.nonEmpty) writeDays(changed, overwriteAll = false)
-        if (removed.nonEmpty) {
+        // A changed day whose recomputed output is EMPTY (e.g. every
+        // event of the day drops out of the enrichment join) writes no
+        // partition under dynamic overwrite — its stale directory must be
+        // deleted explicitly or the old items serve forever. One
+        // materialization of the (changed-days-only) output feeds both
+        // the write and the written-day set.
+        val emptied = if (changed.isEmpty) Nil else {
+          val out = servingTableForDays(spark, dir, changed)
+            .withColumn("d", dayOf(col("pk"))).localCheckpoint()
+          out.repartition(col("d"))
+            .sortWithinPartitions(col("d"), col("pk"), col("sk"))
+            .write.partitionBy("d").option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(storePath)
+          val written = out.select(col("d")).distinct()
+            .collect().map(_.getString(0)).toSet
+          changed.filterNot(written)
+        }
+        val stale = removed ++ emptied.filter(stored.contains)
+        if (stale.nonEmpty) {
           val p = new org.apache.hadoop.fs.Path(storePath)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          removed.foreach(d =>
+          stale.foreach(d =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/d=$d"), true))
         }
         writeDayMeta()

@@ -18,12 +18,5 @@ abstract class SparkSuite extends AnyFunSuite {
     * links (never followed — fixture dirs produced by ScaleUp symlink
     * shared tables, and cleanup must not reach through them).
     */
-  def deleteRecursively(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
-        Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(path))
-  }
+  def deleteRecursively(path: String): Unit = Fs.deleteTree(path)
 }

@@ -238,6 +238,66 @@ class DedupSpec extends SparkSuite {
     assert(pairs.count(p => p._1 == 1L && p._2 == 2L) == 1)
   }
 
+  test("band-index id recycle: remove, re-insert DIFFERENT text — old rows stay masked") {
+    val dir = "target/dedupspec/bandrecycle"
+    val dirFresh = "target/dedupspec/bandrecycle_fresh"
+    deleteRecursively(dir); deleteRecursively(dirFresh)
+    Dedup.ensureBandIndex(spark, docs, dir)
+    // remove doc 1, then recycle its id with unrelated text — allowed
+    // (the corpus no longer has the id), and the scenario where a bare
+    // id-tombstone would unmask the OLD text's band rows
+    Dedup.removeFromBandIndex(spark, docs.filter(col("doc_id") === 1L), dir)
+    val recycled = Seq((1L, "recycled identifier carrying entirely unrelated replacement content now"))
+      .toDF("doc_id", "text")
+    Dedup.appendBandIndex(spark, recycled, dir)
+    val corpusNow = docs.filter(col("doc_id") =!= 1L).unionByName(recycled)
+
+    def probe(text: org.apache.spark.sql.DataFrame, d: String) =
+      Dedup.incrementalPairs(spark, text, corpusNow, d)
+        .as[(Long, Long, Double)].collect().toSet
+    val probeOld = docs.filter(col("doc_id") === 1L)
+      .select(lit(41L).as("doc_id"), col("text"))
+    val probeNew = recycled.select(lit(42L).as("doc_id"), col("text"))
+
+    val oldPairs = probe(probeOld, dir)
+    assert(!oldPairs.exists(_._2 == 1L),
+      s"the OLD text's band rows must stay masked after the id recycle: $oldPairs")
+    assert(oldPairs.exists(p => p._2 == 2L && p._3 == 1.0),
+      s"genuine near-dups of the old text are unaffected: $oldPairs")
+    val newPairs = probe(probeNew, dir)
+    assert(newPairs.exists(p => p._2 == 1L && p._3 == 1.0),
+      s"the recycled id serves its NEW text: $newPairs")
+
+    // the mutated index answers exactly like a fresh build over the
+    // current corpus, and its fingerprint line matches (ensure serves)
+    Dedup.ensureBandIndex(spark, corpusNow, dirFresh)
+    assert(probe(probeOld, dirFresh) == oldPairs && probe(probeNew, dirFresh) == newPairs,
+      "recycled index must equal a fresh build over the current corpus")
+    val marker = new java.io.File(s"$dir/bands/_SUCCESS")
+    val t1 = marker.lastModified()
+    Dedup.ensureBandIndex(spark, corpusNow, dir)
+    assert(marker.lastModified() == t1, "ensure over the current corpus must serve, not rebuild")
+
+    // the sizes ledger counts LIVE rows exactly — the fresh build over
+    // the same corpus is the ground truth — before and after the
+    // compaction that drops the superseded generation physically
+    def liveLedger(d: String) = spark.read.parquet(s"$d/sizes")
+      .groupBy("band", "bucket").agg(sum("m").as("n")).filter(col("n") =!= 0L)
+      .as[(Int, Long, Long)].collect().toSet
+    val groundTruth = spark.read.parquet(s"$dirFresh/bands")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(liveLedger(dir) == groundTruth,
+      "sizes ledger must equal a live recount after remove + recycle")
+    Dedup.compactBandIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/bands").filter(col("doc_id") === 1L)
+      .select("gen").distinct().count() == 1,
+      "compaction must drop the old text's generation physically")
+    assert(liveLedger(dir) == groundTruth &&
+      probe(probeOld, dir) == oldPairs && probe(probeNew, dir) == newPairs,
+      "compaction must change neither the ledger nor any answer")
+  }
+
   test("incremental dedup: mismatched banding parameters fail fast, not silently") {
     val dir = "target/dedupspec/bandindex3"
     deleteRecursively(dir)

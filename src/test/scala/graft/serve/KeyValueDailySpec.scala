@@ -21,10 +21,14 @@ class KeyValueDailySpec extends SparkSuite {
     * customer freshness is file-level (mtime), so an incidental rewrite
     * of it would legitimately force a full store rebuild.
     */
-  private def writeEvents(extraDay2: Boolean = false, dropDay3: Boolean = false): Unit = {
+  private def writeEvents(extraDay2: Boolean = false, dropDay3: Boolean = false,
+                          orphanDay3: Boolean = false): Unit = {
     val base = for {
       day <- 1 to (if (dropDay3) 2 else 3); h <- 1 to 4
-    } yield (if (h % 2 == 0) "click" else "play", ts(day, h), (h % 2) + 1L, h * 1.5)
+      // orphanDay3 re-points day 3 at a user that doesn't exist — the
+      // enrichment inner join then drops the whole day
+    } yield (if (h % 2 == 0) "click" else "play", ts(day, h),
+      if (orphanDay3 && day == 3) 99L else (h % 2) + 1L, h * 1.5)
     val events = base ++ (if (extraDay2) Seq(("click", ts(2, 9), 1L, 9.0)) else Nil)
     events.toDF("event_type", "ts", "user_id", "value")
       .repartition(1).write.mode("overwrite").parquet(s"$fixture/events.parquet")
@@ -87,6 +91,37 @@ class KeyValueDailySpec extends SparkSuite {
     writeCustomer(rename = true)
     KeyValue.ensureStoreDaily(spark, fixture)
     assert(partMtime(1) != t1, "a dimension change invalidates all days")
+    assert(storeRows() == fullRebuildRows())
+  }
+
+  /** The near-empty-day refresh: day 3's events all re-point to an
+    * unknown user (the enrichment inner join drops every kpi item) and
+    * its lineitems vanish (no top-song items) — the refreshed day must
+    * shed those families' stale items, not serve them forever. A day in
+    * the fingerprint set can't currently recompute to FULLY empty
+    * (top-genre items need no join), so the `emptied`-day deletion in
+    * `ensureStoreDaily` is the guard for when an item-family change
+    * breaks that invariant; this pins the reachable part.
+    */
+  test("daily store: refreshed day sheds item families that recomputed to empty") {
+    deleteRecursively(fixture); deleteRecursively(root)
+    writeFixture()
+    KeyValue.ensureStoreDaily(spark, fixture)
+    val t1 = partMtime(1)
+    val before = storeRows().filter(_._1.endsWith("2024-03-03"))
+    assert(before.exists(_._4 == "genre_metric") && before.exists(_._4 == "top_song"))
+    writeEvents(orphanDay3 = true); writeLineitem(dropDay3 = true)
+    KeyValue.ensureStoreDaily(spark, fixture)
+    val after = storeRows().filter(_._1.endsWith("2024-03-03"))
+    assert(!after.exists(r => r._4 == "genre_metric" || r._4 == "top_song"),
+      s"stale kpi/top-song items must be gone: $after")
+    assert(after.exists(_._4 == "top_genre"), "the surviving family is served")
+    assert(partMtime(1) == t1, "untouched days must not be rewritten")
+    assert(storeRows() == fullRebuildRows())
+    // and the refresh converged: re-ensure rewrites nothing
+    val t3 = partMtime(3)
+    KeyValue.ensureStoreDaily(spark, fixture)
+    assert(partMtime(1) == t1 && partMtime(3) == t3)
     assert(storeRows() == fullRebuildRows())
   }
 

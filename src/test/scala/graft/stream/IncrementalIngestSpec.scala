@@ -107,7 +107,7 @@ class IncrementalIngestSpec extends SparkSuite {
     IncrementalIngest.ingestBatch(spark, batch1.toDF("doc_id", "text"), root)
     IncrementalIngest.ingestBatch(spark, batch2.toDF("doc_id", "text"), root)
     val c = IncrementalIngest.corpus(spark, root)
-    val expected = s"bandindex v2 k=32 bands=8 " +
+    val expected = s"bandindex v3 k=32 bands=8 " +
       s"fp=${Artifact.fingerprint(c, col("doc_id"), col("text"))}"
     assert(Artifact.readMeta(spark, s"$root/bandindex").contains(expected),
       "appends must leave the index metadata equal to a fresh full build's")
@@ -171,7 +171,7 @@ class IncrementalIngestSpec extends SparkSuite {
     val fp = Artifact.fingerprint(c, col("doc_id"), col("text"))
     assert(Artifact.readMeta(spark, root).contains(s"ingest v1 k=32 bands=8 fp=$fp"))
     assert(Artifact.readMeta(spark, s"$root/bandindex")
-      .contains(s"bandindex v2 k=32 bands=8 fp=$fp"))
+      .contains(s"bandindex v3 k=32 bands=8 fp=$fp"))
     // 21 is a near-dup of the REMOVED 12 — it must now be admitted
     val s = IncrementalIngest.ingestBatch(spark, batch2.toDF("doc_id", "text"), root)
     assert(s.rejectedVsCorpus == 0 && s.accepted == 2, s"near-dup of a removed doc must pass: $s")
