@@ -27,6 +27,7 @@ object Warm {
     Dedup.ensureBandIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
       s"${Artifact.root(d)}/bandindex")
+    graft.ext.TrainingSet.writeShards(spark, docs, s"${Artifact.root(d)}/shards")
     val emb = Tables.embeddings(spark, d)
     AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
     AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")

@@ -270,6 +270,32 @@ object ExtQueries {
         .orderBy(col("lang"))
     }),
 
+    // Training-set assembly (TrainingSet): token-budget packing via a
+    // per-shard prefix sum — NO global sort; the window partitions are
+    // corpus/nShards.
+    "train_pack" -> ((s, d) =>
+      TrainingSet.pack(Tables.documents(s, d), budget = 512L, nShards = 8)
+        .orderBy(col("doc_id"))),
+
+    // Domain re-weighting to a target mixture: deterministic
+    // replicate/downsample per language (bounded in-row explode).
+    "train_mixture" -> ((s, d) =>
+      TrainingSet.mixture(Tables.documents(s, d),
+          Map("en" -> 0.5, "fr" -> 2.0, "de" -> 1.25, "es" -> 1.0, "zh" -> 3.5))
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))),
+
+    // Sharded JSONL export: the manifest served FROM THE WRITTEN
+    // ARTIFACT, so the oracle checks the whole export path (assignment,
+    // write, manifest) against an independent recount.
+    "train_shard_manifest" -> ((s, d) => {
+      val dir = TrainingSet.writeShards(s, Tables.documents(s, d),
+        s"${Artifact.root(d)}/shards")
+      TrainingSet.shardManifest(s, dir)
+        .select(col("shard"), col("n_docs"), col("n_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     // JSON extraction + aggregation over events.props.
     "json_extract_agg" -> ((s, d) =>
       Tables.events(s, d)
@@ -642,6 +668,53 @@ object ExtQueries {
         |  CAST(SUM(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])) AS BIGINT)
         |    AS total_chunk_tokens
         |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The pack/mixture/export family is pure integer arithmetic over
+    // (doc_id, whitespace token count) — fully portable, so the oracle
+    // re-derives every assignment independently.
+    "train_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS shard,
+        |    (doc_id * 40503) % 65521 AS sk
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(FLOOR(token_offset / 512) AS BIGINT) AS bin,
+        |  n_tokens, token_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "train_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 2.0
+        |      WHEN 'de' THEN 1.25 WHEN 'es' THEN 1.0 WHEN 'zh' THEN 3.5
+        |      ELSE 1.0 END AS DOUBLE) AS wt,
+        |    (doc_id * 40503) % 65521 AS sk
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, lang,
+        |    CAST(FLOOR(wt) AS BIGINT)
+        |      + CASE WHEN sk < CAST(FLOOR((wt - FLOOR(wt)) * 65521) AS BIGINT)
+        |             THEN 1 ELSE 0 END AS n_copies
+        |  FROM w
+        |)
+        |SELECT n.doc_id, n.lang, CAST(c.copy AS BIGINT) AS copy
+        |FROM n JOIN (SELECT unnest(range(1, 5)) AS copy) c ON c.copy <= n.n_copies
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    "train_shard_manifest" ->
+      """SELECT doc_id % 8 AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "json_extract_agg" ->
       """SELECT event_type, COUNT(*) AS n,

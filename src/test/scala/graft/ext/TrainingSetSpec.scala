@@ -1,0 +1,114 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The training-set assembly layer: packing, mixture, and sharded
+  * export must be exactly reproducible (pure functions of the corpus),
+  * and every stored artifact must agree with an independent recount.
+  */
+class TrainingSetSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+
+  private def key(id: Long): Long = (id * 40503L) % 65521L
+
+  test("pack: offsets are exact per-shard prefix sums in shuffle order, bins cut at the budget") {
+    val budget = 256L
+    val rows = TrainingSet.pack(docs, budget = budget, nShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, shard, bin, n, off) => (id, shard, bin, n, off) }
+    val base = docs.select(col("doc_id"), TrainingSet.tokenCount(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.length == base.size, "every document is packed exactly once")
+    // recompute the assignment independently
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      var off = 0L
+      members.sortBy(m => (key(m._1), m._1)).foreach { case (id, sh, bin, n, o) =>
+        assert(id % 4 == shard && sh == shard)
+        assert(n == base(id), s"token count mismatch for doc $id")
+        assert(o == off, s"doc $id offset: got $o, prefix sum says $off")
+        assert(bin == off / budget, s"doc $id bin: got $bin for offset $off")
+        off += n
+      }
+    }
+    // a bin never holds more than budget + one straddling document
+    val maxDoc = base.values.max
+    val binTokens = rows.groupBy(r => (r._2, r._3)).values.map(_.map(_._4).sum)
+    assert(binTokens.forall(_ <= budget + maxDoc),
+      s"bins must not exceed budget + one document (${budget + maxDoc})")
+  }
+
+  test("mixture: per-document copy counts are the exact deterministic weight function") {
+    val weights = Map("en" -> 0.5, "fr" -> 2.0, "de" -> 1.25, "es" -> 1.0, "zh" -> 3.5)
+    val out = TrainingSet.mixture(docs, weights)
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("n"), max(col("copy")).as("mx"))
+      .as[(Long, String, Long, Long)].collect()
+    val langs = docs.select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    def expected(id: Long, lang: String): Long = {
+      val w = weights(lang)
+      val frac = w - math.floor(w)
+      math.floor(w).toLong + (if (key(id) < math.floor(frac * 65521.0).toLong) 1L else 0L)
+    }
+    out.foreach { case (id, lang, n, mx) =>
+      assert(n == expected(id, lang), s"doc $id ($lang): $n copies, expected ${expected(id, lang)}")
+      assert(mx == n, "copies are numbered 1..n")
+    }
+    // zero-copy docs (downsampled out) are absent, not present-with-0
+    val kept = out.map(_._1).toSet
+    langs.foreach { case (id, lang) =>
+      assert(kept.contains(id) == (expected(id, lang) >= 1L))
+    }
+    // the realized mixture hits the target fraction at the key grid's
+    // resolution: en (w=0.5) keeps the sub-threshold half of its keys
+    val en = langs.filter(_._2 == "en").keys
+    assert(en.count(id => kept.contains(id)) == en.count(id => key(id) < 32760L))
+  }
+
+  test("writeShards: manifest equals recount, shards partition the corpus in shuffle order, rebuild no-op") {
+    val dir = "target/trainspec/shards"
+    deleteRecursively(dir)
+    TrainingSet.writeShards(spark, docs, dir, nShards = 4)
+
+    val manifest = TrainingSet.shardManifest(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(manifest.map(_._1).toSeq == (0L until 4L), "one manifest row per shard")
+    assert(manifest.map(_._2).sum == docs.count(), "manifest doc counts cover the corpus")
+    val recount = docs
+      .groupBy(pmod(col("doc_id"), lit(4L)).as("shard"))
+      .agg(count(lit(1)).as("n"), sum(TrainingSet.tokenCount(col("text"))).as("t"),
+        sum(xxhash64(col("doc_id"), col("text"))).as("h"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(manifest.toSeq == recount.toSeq, "manifest must equal an independent recount")
+
+    // shards partition the corpus: disjoint by construction (id mod), complete
+    val back = (0 until 4).map(k => TrainingSet.readShard(spark, dir, k))
+      .reduce(_ unionByName _)
+    assert(back.select("doc_id").as[Long].collect().toSet ==
+      docs.select("doc_id").as[Long].collect().toSet)
+    assert(back.count() == docs.count())
+    // content roundtrips through the JSONL
+    val orig = docs.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().toSet
+    assert(back.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().toSet == orig)
+
+    // rows inside a shard file are in training (pseudo-shuffle) order
+    val f = new java.io.File(s"$dir/shards/shard=1").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val ids = scala.io.Source.fromFile(f).getLines()
+      .map(l => """"doc_id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+    assert(ids == ids.sortBy(id => (key(id), id)),
+      "shard rows must be ordered by the shuffle key")
+
+    // same corpus → served, not rebuilt; changed corpus → rebuilt
+    val marker = new java.io.File(s"$dir/manifest/_SUCCESS")
+    val t1 = marker.lastModified()
+    TrainingSet.writeShards(spark, docs, dir, nShards = 4)
+    assert(marker.lastModified() == t1, "unchanged corpus must serve the existing export")
+    TrainingSet.writeShards(spark,
+      docs.withColumn("text", concat(col("text"), lit(" x"))), dir, nShards = 4)
+    assert(marker.lastModified() != t1, "changed corpus must rebuild the export")
+  }
+}
