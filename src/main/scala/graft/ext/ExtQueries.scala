@@ -285,6 +285,18 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))),
 
+    // Contamination-safe holdout split: deterministic validation
+    // sample + near-dup leakage guard off the persisted pair artifact.
+    // The oracle recomputes the pair graph with exact all-pairs Jaccard
+    // (the same equivalence dedup_minhash_lsh pins).
+    "train_holdout_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Dedup.ensurePairs(s, docs, s"${Artifact.root(d)}/neardup")
+      TrainingSet.holdoutSplit(s, docs, dir)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sharded JSONL export: the manifest served FROM THE WRITTEN
     // ARTIFACT, so the oracle checks the whole export path (assignment,
     // write, manifest) against an independent recount.
@@ -710,6 +722,30 @@ object ExtQueries {
         |SELECT n.doc_id, n.lang, CAST(c.copy AS BIGINT) AS copy
         |FROM n JOIN (SELECT unnest(range(1, 5)) AS copy) c ON c.copy <= n.n_copies
         |ORDER BY doc_id, copy""".stripMargin,
+
+    "train_holdout_split" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+        |), leaked AS (
+        |  SELECT DISTINCT CASE WHEN (a_id * 40503) % 65521 < 6552
+        |                       THEN b_id ELSE a_id END AS doc_id
+        |  FROM pairs
+        |  WHERE ((a_id * 40503) % 65521 < 6552) <> ((b_id * 40503) % 65521 < 6552)
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN (d.doc_id * 40503) % 65521 < 6552 THEN 'validation'
+        |       WHEN l.doc_id IS NOT NULL THEN 'leaked'
+        |       ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN leaked l ON l.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "train_shard_manifest" ->
       """SELECT doc_id % 8 AS shard, COUNT(*) AS n_docs,

@@ -106,6 +106,39 @@ object TrainingSet {
       .drop("n_copies")
   }
 
+  /** Contamination-safe train/holdout split. Assignment is pure id
+    * arithmetic: documents whose [[shuffleKey]] residue falls below
+    * `valPermille`/1000 of the key space become `validation`; the rest
+    * are `train` EXCEPT documents near-duplicate to a validation doc
+    * (≥ minJaccard in the persisted pair artifact,
+    * [[Dedup.ensurePairs]]), which are labeled `leaked` — keeping them
+    * in train would hand the model its own eval set, the classic
+    * benchmark-contamination failure.
+    *
+    * Scale shape: the leaked set is derived from the PAIR TABLE alone
+    * (a pair leaks iff exactly one side is validation — membership is a
+    * pure function of the id, so no join against the corpus is needed
+    * to find them); the corpus itself takes one broadcast anti-ish join
+    * against that small set and never shuffles.
+    */
+  def holdoutSplit(spark: SparkSession, docs: DataFrame, pairDir: String,
+                   valPermille: Int = 100, minJaccard: Double = 0.35): DataFrame = {
+    require(valPermille > 0 && valPermille < 1000, s"valPermille in (0,1000): $valPermille")
+    val valThresh = 65521L * valPermille / 1000L
+    def isVal(id: org.apache.spark.sql.Column) = shuffleKey(id) < lit(valThresh)
+    val leaked = Dedup.loadPairs(spark, pairDir, minJaccard)
+      .filter(isVal(col("a_id")) =!= isVal(col("b_id")))
+      .select(when(isVal(col("a_id")), col("b_id")).otherwise(col("a_id")).as("doc_id"))
+      .distinct()
+    docs
+      .join(broadcast(leaked.withColumn("is_leaked", lit(true))), Seq("doc_id"), "left")
+      .withColumn("split",
+        when(isVal(col("doc_id")), "validation")
+          .when(col("is_leaked"), "leaked")
+          .otherwise("train"))
+      .drop("is_leaked")
+  }
+
   /** Export a corpus as training shards at rest, Artifact-guarded:
     *  - `shards/shard=K/` — one JSONL file per shard (the format
     *    trainers read), rows ordered by the pseudo-shuffle key.

@@ -66,6 +66,39 @@ class TrainingSetSpec extends SparkSuite {
     assert(en.count(id => kept.contains(id)) == en.count(id => key(id) < 32760L))
   }
 
+  test("holdoutSplit: deterministic val sample, near-dups of val docs never reach train") {
+    val pairDir = "target/trainspec/neardup"
+    deleteRecursively(pairDir)
+    Dedup.ensurePairs(spark, docs, pairDir)
+    val split = TrainingSet.holdoutSplit(spark, docs, pairDir, valPermille = 250)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(split.size == docs.count(), "the split labels every document exactly once")
+    val valThresh = 65521L * 250 / 1000
+    split.foreach { case (id, s) =>
+      assert((key(id) < valThresh) == (s == "validation"),
+        s"doc $id: validation membership must be the pure key predicate")
+    }
+    // leakage guard: recompute near-dup pairs live; any (train, val)
+    // adjacency is a contamination bug, and every leaked label is earned
+    val pairs = Dedup.minhashPairs(docs)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    val expectedLeaked = pairs.flatMap { case (a, b) =>
+      (split(a) == "validation", split(b) == "validation") match {
+        case (true, false) => Some(b)
+        case (false, true) => Some(a)
+        case _ => None
+      }
+    }.toSet
+    assert(expectedLeaked.nonEmpty, "fixture must actually exercise the guard")
+    assert(split.filter(_._2 == "leaked").keySet == expectedLeaked,
+      "leaked = exactly the non-val sides of val-crossing near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(!(split(a) == "train" && split(b) == "validation") &&
+        !(split(a) == "validation" && split(b) == "train"),
+        s"near-dup pair ($a, $b) crosses the train/validation boundary")
+    }
+  }
+
   test("writeShards: manifest equals recount, shards partition the corpus in shuffle order, rebuild no-op") {
     val dir = "target/trainspec/shards"
     deleteRecursively(dir)
