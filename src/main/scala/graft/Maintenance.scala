@@ -38,6 +38,9 @@ object Maintenance {
       Artifact.compactParquet(spark, s"$root/serving", "store",
         sortCols = Seq("pk", "sk"))
     }
+    run("shards", s"$root/shards", "shards v2 ") {
+      graft.ext.TrainingSet.compactShards(spark, s"$root/shards")
+    }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)

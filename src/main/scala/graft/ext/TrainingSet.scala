@@ -140,49 +140,168 @@ object TrainingSet {
   }
 
   /** Export a corpus as training shards at rest, Artifact-guarded:
-    *  - `shards/shard=K/` — one JSONL file per shard (the format
-    *    trainers read), rows ordered by the pseudo-shuffle key.
-    *  - `manifest/` — per shard: document count, token sum, and an
-    *    order-independent content hash; what a loader checks before
-    *    touching data, and what [[shardManifest]] serves.
-    * One wide shuffle (the shard hash); the manifest aggregates the
+    *  - `shards/shard=K/` — JSONL files (the format trainers read),
+    *    each file internally ordered by the pseudo-shuffle key. One
+    *    file per shard at build; appends add one per batch until
+    *    [[compactShards]] folds them back.
+    *  - `manifest/` — per-shard ledger rows `(shard, n_docs, n_tokens,
+    *    content_h)`, additive like the band index's sizes table:
+    *    consumers aggregate, appends only add rows. What a loader
+    *    checks before touching data ([[shardManifest]]).
+    *  - `ids/` — `(doc_id, h)` of every exported document: the narrow
+    *    column [[appendShards]]' idempotency and change detection read
+    *    (the JSONL itself is never re-parsed to answer "is this doc
+    *    already exported?").
+    * One wide shuffle (the shard hash); manifest and ids aggregate the
     * same shuffled frame, so the corpus is read once. Returns the
     * artifact directory.
     */
   def writeShards(spark: SparkSession, docs: DataFrame, dir: String,
                   nShards: Int = 8): String = {
     val fp = Artifact.fingerprint(docs, col("doc_id"), col("text"))
-    Artifact.ensure(spark, dir, s"shards v1 n=$nShards fp=$fp") {
-      val assigned = docs
-        .select(col("doc_id"), col("text"), col("lang"),
-          pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
-          shuffleKey(col("doc_id")).as("sk"))
-        .repartition(nShards, col("shard"))
-        .localCheckpoint() // feeds the JSONL write and the manifest
-      assigned
-        .sortWithinPartitions(col("shard"), col("sk"), col("doc_id"))
-        .select(col("shard"),
-          to_json(struct(col("doc_id"), col("text"), col("lang"))).as("value"))
-        .write.partitionBy("shard").mode("overwrite").text(s"$dir/shards")
-      assigned.groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(tokenCount(col("text"))).as("n_tokens"),
-          sum(xxhash64(col("doc_id"), col("text"))).as("content_h"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    Artifact.ensure(spark, dir, s"shards v2 n=$nShards fp=$fp") {
+      writeShardData(docs, dir, nShards, mode = "overwrite")
     }
   }
 
-  /** The manifest of a written export — what a training job validates
-    * against before reading shard data.
+  private def rowHash = xxhash64(col("doc_id"), col("text"))
+
+  /** The shared physical write of [[writeShards]] (overwrite) and
+    * [[appendShards]] (append): JSONL data + manifest ledger rows +
+    * ids sidecar, all from one materialization of the shard-shuffled
+    * frame.
     */
-  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
-    Artifact.requireKind(spark, dir, "shards v1 ")
-    spark.read.parquet(s"$dir/manifest")
+  private def writeShardData(docs: DataFrame, dir: String, nShards: Int,
+                             mode: String): Unit = {
+    val assigned = docs
+      .select(col("doc_id"), col("text"), col("lang"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        shuffleKey(col("doc_id")).as("sk"))
+      .repartition(nShards, col("shard"))
+      .localCheckpoint() // feeds the JSONL write, the manifest, and ids
+    assigned
+      .sortWithinPartitions(col("shard"), col("sk"), col("doc_id"))
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"))).as("value"))
+      .write.partitionBy("shard").mode(mode).text(s"$dir/shards")
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"),
+        sum(rowHash).as("content_h"))
+      .coalesce(1).write.mode(mode).parquet(s"$dir/manifest")
+    assigned.select(col("doc_id"), rowHash.as("h"))
+      .coalesce(1).write.mode(mode).parquet(s"$dir/ids")
   }
 
-  /** Read one exported shard back in training order. */
+  private val ShardMetaRe = """shards v2 n=(\d+) fp=.*""".r
+
+  /** Fold a new corpus batch into an existing export in O(batch) — the
+    * nightly lifecycle: the corpus grows incrementally
+    * ([[graft.stream.IncrementalIngest]]), and re-exporting 100 TB
+    * because tonight's batch added 0.1% is not an option. Batch rows
+    * already exported are skipped (idempotent — a double-submitted
+    * batch is a no-op, checked against the narrow `ids/` sidecar, one
+    * broadcast semi-join); a resubmitted id with CHANGED text fails
+    * fast like the ANN appends (exports are insert-only — silently
+    * skipping would keep serving the stale text under a matching
+    * fingerprint). Each surviving batch appends one JSONL file per
+    * touched shard, additive manifest rows, and ids; the metadata
+    * fingerprint is bumped arithmetically, so a later [[writeShards]]
+    * over the union corpus SERVES instead of rebuilding. Crash-atomic
+    * under the pending marker.
+    */
+  def appendShards(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    Artifact.requireKind(spark, dir, "shards v2 ")
+    val nShards = Artifact.readMeta(spark, dir) match {
+      case Some(ShardMetaRe(n)) => n.toInt
+      case other => throw new IllegalStateException(s"no shards artifact at $dir: $other")
+    }
+    val b = batch.select(col("doc_id"), col("text"), col("lang")).localCheckpoint()
+    val matched = spark.read.parquet(s"$dir/ids")
+      .join(broadcast(b.select(col("doc_id"), rowHash.as("batch_h"))), Seq("doc_id"))
+      .localCheckpoint()
+    val changed = matched.filter(col("batch_h") =!= col("h"))
+      .select(col("doc_id")).take(5).map(_.getLong(0))
+    if (changed.nonEmpty)
+      throw new IllegalStateException(
+        s"export append is insert-only: ids resubmitted with changed content " +
+          s"(${changed.mkString(", ")}) — rebuild the export over the corrected corpus")
+    val fresh = b.join(broadcast(matched.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      Artifact.beginMutation(spark, dir)
+      writeShardData(fresh, dir, nShards, mode = "append")
+      Artifact.addToFingerprint(spark, dir, "shards v2 ",
+        Artifact.fingerprint(fresh, col("doc_id"), col("text")))
+      Artifact.endMutation(spark, dir)
+    }
+  }
+
+  /** Compact an export after a run of appends: each shard's JSONL file
+    * set is rewritten into ONE file re-sorted by the shuffle key (so
+    * in-file training order covers the whole shard again), and the
+    * manifest/ids parquet deltas merge back to sized files. Content
+    * and the metadata line are unchanged; the JSONL swap runs under
+    * the pending marker like [[Artifact.compactParquet]]'s. Returns
+    * (files before, after) over everything rewritten.
+    */
+  def compactShards(spark: SparkSession, dir: String): (Int, Int) = {
+    Artifact.requireKind(spark, dir, "shards v2 ")
+    val metaBefore = Artifact.readMeta(spark, dir)
+    val shardsPath = new org.apache.hadoop.fs.Path(s"$dir/shards")
+    val fs = shardsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def textFiles(p: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    val before = textFiles(shardsPath)
+    // one task per shard: re-derive (shard, sk) from the data itself,
+    // rewrite each shard directory as a single sorted file
+    val rows = spark.read.schema("doc_id LONG, text STRING, lang STRING")
+      .json(s"$dir/shards")
+      .withColumn("shard", col("shard").cast("long")) // partition col
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/shards.compacting")
+    fs.delete(tmp, true)
+    rows
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), shuffleKey(col("doc_id")), col("doc_id"))
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"))).as("value"))
+      .write.partitionBy("shard").mode("overwrite").text(tmp.toString)
+    Artifact.beginMutation(spark, dir)
+    fs.delete(shardsPath, true)
+    if (!fs.rename(tmp, shardsPath))
+      throw new IllegalStateException(s"shard compaction rename failed at $dir")
+    Artifact.endMutation(spark, dir)
+    val (m0, m1) = Artifact.compactParquet(spark, dir, "manifest",
+      merge = _.groupBy(col("shard")).agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("content_h")).as("content_h")))
+    val (i0, i1) = Artifact.compactParquet(spark, dir, "ids")
+    assert(Artifact.readMeta(spark, dir) == metaBefore,
+      "shard compaction must not touch the metadata line")
+    (before + m0 + i0, textFiles(shardsPath) + m1 + i1)
+  }
+
+  /** The manifest of a written export — what a training job validates
+    * against before reading shard data. Ledger rows aggregated to one
+    * per shard (appends leave deltas until [[compactShards]]).
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    Artifact.requireKind(spark, dir, "shards v2 ")
+    spark.read.parquet(s"$dir/manifest")
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("content_h")).as("content_h"))
+  }
+
+  /** Read one exported shard back. Training order is per file (one
+    * file per shard once [[compactShards]] has run).
+    */
   def readShard(spark: SparkSession, dir: String, shard: Int): DataFrame = {
-    Artifact.requireKind(spark, dir, "shards v1 ")
+    Artifact.requireKind(spark, dir, "shards v2 ")
     spark.read.schema("doc_id LONG, text STRING, lang STRING")
       .json(s"$dir/shards/shard=$shard")
   }

@@ -144,4 +144,54 @@ class TrainingSetSpec extends SparkSuite {
       docs.withColumn("text", concat(col("text"), lit(" x"))), dir, nShards = 4)
     assert(marker.lastModified() != t1, "changed corpus must rebuild the export")
   }
+
+  test("appendShards: O(batch) fold equals a fresh export; compaction restores one sorted file per shard") {
+    val dirApp = "target/trainspec/shards_app"
+    val dirFresh = "target/trainspec/shards_fresh"
+    deleteRecursively(dirApp); deleteRecursively(dirFresh)
+    val seed = docs.filter(col("doc_id") % 5 =!= 0L)
+    val batch = docs.filter(col("doc_id") % 5 === 0L)
+    TrainingSet.writeShards(spark, seed, dirApp, nShards = 4)
+    TrainingSet.appendShards(spark, batch, dirApp)
+    TrainingSet.writeShards(spark, docs, dirFresh, nShards = 4)
+
+    def manifest(d: String) = TrainingSet.shardManifest(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(manifest(dirApp) == manifest(dirFresh),
+      "appended manifest ledger must aggregate to the fresh build's")
+    def shardIds(d: String, k: Int) =
+      TrainingSet.readShard(spark, d, k).select("doc_id").as[Long].collect().toSet
+    (0 until 4).foreach { k =>
+      assert(shardIds(dirApp, k) == shardIds(dirFresh, k), s"shard $k content differs")
+    }
+    // additive fingerprint: ensure over the union corpus SERVES
+    val marker = new java.io.File(s"$dirApp/manifest/_SUCCESS")
+    val t1 = marker.lastModified()
+    TrainingSet.writeShards(spark, docs, dirApp, nShards = 4)
+    assert(marker.lastModified() == t1, "union ensure must serve the appended export")
+    // double-submitted batch is a counted no-op
+    TrainingSet.appendShards(spark, batch, dirApp)
+    assert(manifest(dirApp) == manifest(dirFresh), "replayed batch must change nothing")
+    // changed content fails fast instead of silently serving stale text
+    intercept[IllegalStateException] {
+      TrainingSet.appendShards(spark,
+        batch.withColumn("text", concat(col("text"), lit(" y"))), dirApp)
+    }
+
+    val metaBefore = Artifact.readMeta(spark, dirApp)
+    val (f0, f1) = TrainingSet.compactShards(spark, dirApp)
+    assert(f1 < f0, s"file count must drop: $f0 -> $f1")
+    assert(Artifact.readMeta(spark, dirApp) == metaBefore, "meta line verbatim")
+    assert(manifest(dirApp) == manifest(dirFresh), "compaction must not change the ledger")
+    (0 until 4).foreach { k =>
+      assert(shardIds(dirApp, k) == shardIds(dirFresh, k))
+      val fls = new java.io.File(s"$dirApp/shards/shard=$k").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(fls.length == 1, s"shard $k must be one file after compaction")
+      val ids = scala.io.Source.fromFile(fls.head).getLines()
+        .map(l => """"doc_id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+      assert(ids == ids.sortBy(id => (key(id), id)),
+        s"shard $k in-file training order must cover the whole shard again")
+    }
+  }
 }
