@@ -161,6 +161,9 @@ object TrainingSet {
     val fp = Artifact.fingerprint(docs, col("doc_id"), col("text"))
     Artifact.ensure(spark, dir, s"shards v2 n=$nShards fp=$fp") {
       writeShardData(docs, dir, nShards, mode = "overwrite")
+      // a fresh build has nothing logically deleted
+      tombstonePath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(tombstonePath(dir), true)
     }
   }
 
@@ -195,6 +198,86 @@ object TrainingSet {
 
   private val ShardMetaRe = """shards v2 n=(\d+) fp=.*""".r
 
+  // ------------------------------------------------ logical deletion
+
+  private def tombstonePath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+
+  private def hasTombstones(spark: SparkSession, dir: String): Boolean = {
+    val p = tombstonePath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[graft] def loadTombstones(spark: SparkSession, dir: String): DataFrame =
+    if (hasTombstones(spark, dir)) spark.read.parquet(tombstonePath(dir).toString)
+    else spark.range(0).select(col("id").as("doc_id"))
+
+  /** Delete documents from an export in O(removed) — a right-to-be-
+    * forgotten request has to reach the TRAINING SET, not just the
+    * corpus, or the data keeps shipping to trainers. Removed ids are
+    * masked via a tombstone set (readers anti-join it), the manifest
+    * ledger gets NEGATIVE delta rows recomputed from the removed
+    * content, and the metadata fingerprint is adjusted arithmetically
+    * so a later ensure over the shrunken corpus SERVES. JSONL rows are
+    * dropped physically at [[compactShards]]; until then re-inserting
+    * a removed id is REFUSED (JSONL rows carry no generation column, so
+    * the delete → compact → re-insert order is the supported one — the
+    * same policy as the ANN indexes). `removed` must carry
+    * (doc_id, text, lang): the removed CONTENT, for the ledger deltas.
+    */
+  def removeFromShards(spark: SparkSession, removed: DataFrame, dir: String): Unit = {
+    Artifact.requireKind(spark, dir, "shards v2 ")
+    val nShards = shardCount(spark, dir)
+    val r = removed.select(col("doc_id"), col("text"), col("lang")).localCheckpoint()
+    if (!r.isEmpty) {
+      Artifact.beginMutation(spark, dir)
+      r.groupBy(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+        .agg((-count(lit(1))).as("n_docs"),
+          (-sum(tokenCount(col("text")))).as("n_tokens"),
+          (-sum(rowHash)).as("content_h"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/manifest")
+      val union = loadTombstones(spark, dir)
+        .unionByName(r.select(col("doc_id"))).distinct().localCheckpoint()
+      val fs = tombstonePath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/tombstones.next")
+      fs.delete(tmp, true)
+      union.coalesce(1).write.parquet(tmp.toString)
+      fs.delete(tombstonePath(dir), true)
+      if (!fs.rename(tmp, tombstonePath(dir)))
+        throw new IllegalStateException(s"tombstone swap failed at $dir")
+      Artifact.subtractFromFingerprint(spark, dir, "shards v2 ",
+        Artifact.fingerprint(r, col("doc_id"), col("text")))
+      Artifact.endMutation(spark, dir)
+    }
+  }
+
+  private def shardCount(spark: SparkSession, dir: String): Int =
+    Artifact.readMeta(spark, dir) match {
+      case Some(ShardMetaRe(n)) => n.toInt
+      case other => throw new IllegalStateException(s"no shards artifact at $dir: $other")
+    }
+
+  /** Catch the export up to the corpus: append every corpus document
+    * not yet exported. Callable anytime (it is how an export recovers
+    * if a crash separated a corpus commit from its export append): the
+    * missing set comes from one narrow id anti-join, then only the
+    * missing documents' text is read — O(missing), not O(corpus).
+    * Removed-but-not-yet-compacted ids are skipped, not re-added (their
+    * masked rows are still on disk; they become syncable again after
+    * [[compactShards]] drops them) — so sync never races a pending
+    * deletion back into the training set.
+    */
+  def syncShards(spark: SparkSession, corpus: DataFrame, dir: String): Unit = {
+    Artifact.requireKind(spark, dir, "shards v2 ")
+    val unsyncable = spark.read.parquet(s"$dir/ids").select(col("doc_id"))
+      .unionByName(loadTombstones(spark, dir))
+    val missingIds = corpus.select(col("doc_id"))
+      .join(unsyncable, Seq("doc_id"), "left_anti").localCheckpoint()
+    if (!missingIds.isEmpty)
+      appendShards(spark,
+        corpus.join(broadcast(missingIds), Seq("doc_id"), "left_semi"), dir)
+  }
+
   /** Fold a new corpus batch into an existing export in O(batch) — the
     * nightly lifecycle: the corpus grows incrementally
     * ([[graft.stream.IncrementalIngest]]), and re-exporting 100 TB
@@ -212,11 +295,21 @@ object TrainingSet {
     */
   def appendShards(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, "shards v2 ")
-    val nShards = Artifact.readMeta(spark, dir) match {
-      case Some(ShardMetaRe(n)) => n.toInt
-      case other => throw new IllegalStateException(s"no shards artifact at $dir: $other")
-    }
+    val nShards = shardCount(spark, dir)
     val b = batch.select(col("doc_id"), col("text"), col("lang")).localCheckpoint()
+    // a removed-but-not-yet-compacted id may not be re-exported: its
+    // masked JSONL row would unmask as a duplicate (no generation column
+    // in the data files) — delete → compact → re-insert, as with the ANN
+    // indexes
+    if (hasTombstones(spark, dir)) {
+      val reinserted = loadTombstones(spark, dir)
+        .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .take(5).map(_.getLong(0))
+      if (reinserted.nonEmpty)
+        throw new IllegalStateException(
+          s"ids ${reinserted.mkString(", ")} were removed from this export — " +
+            "compact it to drop the masked rows before re-inserting them")
+    }
     val matched = spark.read.parquet(s"$dir/ids")
       .join(broadcast(b.select(col("doc_id"), rowHash.as("batch_h"))), Seq("doc_id"))
       .localCheckpoint()
@@ -258,10 +351,15 @@ object TrainingSet {
     }
     val before = textFiles(shardsPath)
     // one task per shard: re-derive (shard, sk) from the data itself,
-    // rewrite each shard directory as a single sorted file
-    val rows = spark.read.schema("doc_id LONG, text STRING, lang STRING")
+    // rewrite each shard directory as a single sorted file — dropping
+    // logically-deleted rows, after which the tombstone set clears
+    val all = spark.read.schema("doc_id LONG, text STRING, lang STRING")
       .json(s"$dir/shards")
       .withColumn("shard", col("shard").cast("long")) // partition col
+    val tombstones =
+      if (!hasTombstones(spark, dir)) None
+      else Some(loadTombstones(spark, dir).localCheckpoint())
+    val rows = tombstones.fold(all)(t => all.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/shards.compacting")
     fs.delete(tmp, true)
     rows
@@ -279,7 +377,12 @@ object TrainingSet {
       merge = _.groupBy(col("shard")).agg(
         sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("content_h")).as("content_h")))
-    val (i0, i1) = Artifact.compactParquet(spark, dir, "ids")
+    val (i0, i1) = Artifact.compactParquet(spark, dir, "ids",
+      merge = df => tombstones.fold(df)(t =>
+        df.join(broadcast(t), Seq("doc_id"), "left_anti")))
+    // masked rows are physically gone from data and ids; the set clears.
+    // A crash before this delete leaves tombstones that mask nothing.
+    fs.delete(tombstonePath(dir), true)
     assert(Artifact.readMeta(spark, dir) == metaBefore,
       "shard compaction must not touch the metadata line")
     (before + m0 + i0, textFiles(shardsPath) + m1 + i1)
@@ -298,11 +401,14 @@ object TrainingSet {
   }
 
   /** Read one exported shard back. Training order is per file (one
-    * file per shard once [[compactShards]] has run).
+    * file per shard once [[compactShards]] has run). Logically-deleted
+    * documents are masked out — a no-op plan when nothing was removed.
     */
   def readShard(spark: SparkSession, dir: String, shard: Int): DataFrame = {
     Artifact.requireKind(spark, dir, "shards v2 ")
-    spark.read.schema("doc_id LONG, text STRING, lang STRING")
+    val rows = spark.read.schema("doc_id LONG, text STRING, lang STRING")
       .json(s"$dir/shards/shard=$shard")
+    if (!hasTombstones(spark, dir)) rows
+    else rows.join(broadcast(loadTombstones(spark, dir)), Seq("doc_id"), "left_anti")
   }
 }

@@ -180,6 +180,15 @@ class TrainingSetSpec extends SparkSuite {
 
     val metaBefore = Artifact.readMeta(spark, dirApp)
     val (f0, f1) = TrainingSet.compactShards(spark, dirApp)
+    checkCompacted(dirApp, dirFresh, metaBefore, f0, f1)
+  }
+
+  private def checkCompacted(dirApp: String, dirFresh: String,
+                             metaBefore: Option[String], f0: Int, f1: Int): Unit = {
+    def manifest(d: String) = TrainingSet.shardManifest(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def shardIds(d: String, k: Int) =
+      TrainingSet.readShard(spark, d, k).select("doc_id").as[Long].collect().toSet
     assert(f1 < f0, s"file count must drop: $f0 -> $f1")
     assert(Artifact.readMeta(spark, dirApp) == metaBefore, "meta line verbatim")
     assert(manifest(dirApp) == manifest(dirFresh), "compaction must not change the ledger")
@@ -193,5 +202,59 @@ class TrainingSetSpec extends SparkSuite {
       assert(ids == ids.sortBy(id => (key(id), id)),
         s"shard $k in-file training order must cover the whole shard again")
     }
+  }
+
+  test("export deletion + sync: removal reaches the training set, catch-up is O(missing)") {
+    val dir = "target/trainspec/shards_del"
+    val dirRef = "target/trainspec/shards_delref"
+    deleteRecursively(dir); deleteRecursively(dirRef)
+
+    // partial export, then sync appends exactly the missing documents
+    TrainingSet.writeShards(spark, docs.filter(col("doc_id") % 5 =!= 0L), dir, nShards = 4)
+    TrainingSet.syncShards(spark, docs, dir)
+    def manifest(d: String) = TrainingSet.shardManifest(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    TrainingSet.writeShards(spark, docs, dirRef, nShards = 4)
+    assert(manifest(dir) == manifest(dirRef), "sync must catch the export up to the corpus")
+    // a second sync has nothing to do — fingerprint line untouched
+    val meta1 = Artifact.readMeta(spark, dir)
+    TrainingSet.syncShards(spark, docs, dir)
+    assert(Artifact.readMeta(spark, dir) == meta1)
+
+    // right-to-be-forgotten: content captured, removed, masked at read
+    val removed = docs.filter(col("doc_id") === 10L).localCheckpoint()
+    val shardOf10 = 10 % 4
+    TrainingSet.removeFromShards(spark, removed, dir)
+    assert(TrainingSet.readShard(spark, dir, shardOf10)
+      .filter(col("doc_id") === 10L).isEmpty, "removed doc must not be served")
+    // the manifest ledger nets to a recount over the remaining corpus
+    deleteRecursively(dirRef)
+    TrainingSet.writeShards(spark, docs.filter(col("doc_id") =!= 10L), dirRef, nShards = 4)
+    assert(manifest(dir) == manifest(dirRef),
+      "negative ledger deltas must net to the shrunken corpus")
+    // arithmetic fingerprint: ensure over the shrunken corpus SERVES
+    val marker = new java.io.File(s"$dir/manifest/_SUCCESS")
+    val t1 = marker.lastModified()
+    TrainingSet.writeShards(spark, docs.filter(col("doc_id") =!= 10L), dir, nShards = 4)
+    assert(marker.lastModified() == t1, "shrunken ensure must serve, not rebuild")
+    // re-inserting the removed id is refused until compaction; sync
+    // skips it silently (never races a pending deletion back in)
+    intercept[IllegalStateException] { TrainingSet.appendShards(spark, removed, dir) }
+    TrainingSet.syncShards(spark, docs, dir)
+    assert(TrainingSet.readShard(spark, dir, shardOf10)
+      .filter(col("doc_id") === 10L).isEmpty, "sync must not resurrect a removed doc")
+
+    // compaction drops the masked row physically and frees the id
+    TrainingSet.compactShards(spark, dir)
+    val fls = new java.io.File(s"$dir/shards/shard=$shardOf10").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(fls.length == 1)
+    assert(!scala.io.Source.fromFile(fls.head).getLines()
+      .exists(_.contains("\"doc_id\":10,")), "compaction must drop the row physically")
+    assert(manifest(dir) == manifest(dirRef), "compaction keeps the netted ledger")
+    TrainingSet.appendShards(spark, removed, dir) // id free again
+    deleteRecursively(dirRef)
+    TrainingSet.writeShards(spark, docs, dirRef, nShards = 4)
+    assert(manifest(dir) == manifest(dirRef), "re-insert restores the full corpus export")
   }
 }

@@ -199,6 +199,40 @@ class IncrementalIngestSpec extends SparkSuite {
     assert(s.rejectedVsCorpus == 0 && s.accepted == 2)
   }
 
+  test("ingest -> export integration: syncShards keeps the training shards equal to the corpus") {
+    import graft.ext.TrainingSet
+    freshRoot()
+    val exp = "target/ingestspec/export"
+    val ref = "target/ingestspec/export_ref"
+    def withLang(df: org.apache.spark.sql.DataFrame) = df.withColumn("lang", lit("en"))
+    IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
+    TrainingSet.writeShards(spark, withLang(IncrementalIngest.corpus(spark, root)), exp, nShards = 2)
+    // nightly loop: ingest (dedup admission) then sync the export
+    IncrementalIngest.ingestBatch(spark, batch1.toDF("doc_id", "text"), root)
+    TrainingSet.syncShards(spark, withLang(IncrementalIngest.corpus(spark, root)), exp)
+    IncrementalIngest.ingestBatch(spark, batch2.toDF("doc_id", "text"), root)
+    TrainingSet.syncShards(spark, withLang(IncrementalIngest.corpus(spark, root)), exp)
+    // the synced export equals a fresh export over the final corpus —
+    // i.e. only ADMITTED documents ship to trainers, rejected near-dups
+    // and replays never reach the training set
+    TrainingSet.writeShards(spark, withLang(IncrementalIngest.corpus(spark, root)), ref, nShards = 2)
+    def manifest(d: String) = TrainingSet.shardManifest(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(manifest(exp) == manifest(ref))
+    // removal flows through both stores: corpus content captured first
+    val removedContent = withLang(IncrementalIngest.corpus(spark, root))
+      .filter(col("doc_id") === 12L).localCheckpoint()
+    IncrementalIngest.removeDocs(spark, root, Seq(12L).toDF("doc_id"))
+    TrainingSet.removeFromShards(spark, removedContent, exp)
+    assert(!TrainingSet.readShard(spark, exp, 0)
+      .unionByName(TrainingSet.readShard(spark, exp, 1))
+      .select("doc_id").as[Long].collect().toSet.contains(12L))
+    deleteRecursively(ref)
+    TrainingSet.writeShards(spark, withLang(IncrementalIngest.corpus(spark, root)), ref, nShards = 2)
+    assert(manifest(exp) == manifest(ref),
+      "post-removal export ledger equals a fresh export over the shrunken corpus")
+  }
+
   test("crash between compaction's renames: corpus aside in corpus.old, recover() restores it") {
     freshRoot()
     IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
