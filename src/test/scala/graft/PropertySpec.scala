@@ -258,6 +258,51 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  private val corpusGen = for {
+    n <- Gen.choose(1, 50)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 100000L)
+      nw <- Gen.choose(1, 40)
+      words <- Gen.listOfN(nw, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      lang <- Gen.oneOf("en", "fr", "zh")
+    } yield (id, words.mkString(" "), lang))
+  } yield rows.distinctBy(_._1)
+
+  test("property: pack covers every doc once, offsets are per-shard prefix sums, bins floor-exact") {
+    samples(corpusGen, 5).foreach { rows =>
+      val docs = rows.toDF("doc_id", "text", "lang")
+      val out = graft.ext.TrainingSet.pack(docs, budget = 16L, nShards = 3)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(out.map(_._1).sorted.toSeq == rows.map(_._1).sorted.toSeq)
+      def key(id: Long) = (id * 40503L) % 65521L
+      out.groupBy(_._2).values.foreach { members =>
+        var off = 0L
+        members.sortBy(m => (key(m._1), m._1)).foreach { case (id, _, bin, n, o) =>
+          assert(o == off && bin == off / 16L && n >= 1L)
+          off += n
+        }
+      }
+    }
+  }
+
+  test("property: mixture realizes the exact deterministic copy function for any weights") {
+    val weightGen = Gen.listOfN(3, Gen.choose(0, 300).map(_ / 100.0))
+    samples(Gen.zip(corpusGen, weightGen), 5).foreach { case (rows, ws) =>
+      val weights = Map("en" -> ws(0), "fr" -> ws(1), "zh" -> ws(2))
+      val docs = rows.toDF("doc_id", "text", "lang")
+      val got = graft.ext.TrainingSet.mixture(docs, weights)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      rows.foreach { case (id, _, lang) =>
+        val w = weights(lang)
+        val frac = w - math.floor(w)
+        val exp = math.floor(w).toLong +
+          (if ((id * 40503L) % 65521L < math.floor(frac * 65521.0).toLong) 1L else 0L)
+        assert(got.getOrElse(id, 0L) == exp, s"doc $id ($lang, w=$w)")
+      }
+    }
+  }
+
   test("property: stratified sample is a subset and monotone in rate") {
     val idsGen = Gen.nonEmptyListOf(Gen.choose(1L, 100000L)).map(_.distinct)
     samples(idsGen, 5).foreach { ids =>
