@@ -270,6 +270,13 @@ object ExtQueries {
         .orderBy(col("lang"))
     }),
 
+    // Corpus-relative curation: drop documents below the corpus's own
+    // 25th-percentile token count (adaptive floor, not a fixed cutoff).
+    "text_length_floor" -> ((s, d) =>
+      TextAnalysis.keepAboveLengthQuantile(Tables.documents(s, d))
+        .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
     // Training-set assembly (TrainingSet): token-budget packing via a
     // per-shard prefix sum — NO global sort; the window partitions are
     // corpus/nShards.
@@ -680,6 +687,18 @@ object ExtQueries {
         |  CAST(SUM(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])) AS BIGINT)
         |    AS total_chunk_tokens
         |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Integer token counts keep the interpolated percentile exact in
+    // both engines, so the threshold comparison is deterministic.
+    "text_length_floor" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        |), thr AS (
+        |  SELECT quantile_cont(n_tokens, 0.25) AS q FROM t
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM t, thr WHERE n_tokens >= q
+        |ORDER BY doc_id""".stripMargin,
 
     // The pack/mixture/export family is pure integer arithmetic over
     // (doc_id, whitespace token count) — fully portable, so the oracle

@@ -41,6 +41,22 @@ object TextAnalysis {
           greatest(length(t), lit(1)))
   }
 
+  /** Corpus-RELATIVE curation floor: keep documents whose token count
+    * reaches the corpus's q-quantile — "drop the shortest quartile"
+    * instead of a fixed cutoff, so the threshold adapts to the corpus
+    * at hand (the usual way length floors are actually set). Two jobs:
+    * a one-row exact-percentile aggregate (broadcast as a scalar), then
+    * a pushable filter pass — the corpus never shuffles. At 100 TB the
+    * exact percentile (which buffers per-group values) swaps for
+    * `approx_percentile`'s fixed-memory sketch, same dataflow (the
+    * documented A7/a11 trade).
+    */
+  def keepAboveLengthQuantile(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    val toks = size(tokens(col("text")))
+    val thr = docs.agg(expr(s"percentile(size(split(text, ' ')), $q)").as("thr"))
+    docs.crossJoin(broadcast(thr)).filter(toks >= col("thr")).drop("thr")
+  }
+
   /** Adjacent-token bigrams of a token array (`n-1` entries; empty for
     * single-token docs).
     */

@@ -97,6 +97,17 @@ class TextAnalysisSpec extends SparkSuite {
     assert(TextAnalysis.sampleStratified(docs, "lang", "doc_id", Map.empty).isEmpty)
   }
 
+  test("length-quantile floor: kept iff token count reaches the corpus quantile") {
+    val df = (1L to 20L).map(i => (i, (1L to i).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")  // doc i has exactly i tokens
+    val kept = TextAnalysis.keepAboveLengthQuantile(df, q = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    // 25th percentile of 1..20 (interpolated) = 1 + 0.25*19 = 5.75
+    assert(kept == (6L to 20L).toSet, s"kept $kept")
+    // q=0 keeps everything; the filter is a subset by construction
+    assert(TextAnalysis.keepAboveLengthQuantile(df, q = 0.0).count() == 20)
+  }
+
   test("repetition features: hand-computed modes, edge cases, threshold rule") {
     val docs = Seq(
       (1L, "a b a b a c"),       // 6 toks, 3 distinct; top tok 'a'×3; top bigram 'a b'×2 of 5
