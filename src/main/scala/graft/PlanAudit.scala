@@ -14,7 +14,8 @@ object PlanAudit {
         "range_join_ship_window", "range_join_keyless_interval",
         "doc_sample_stratified", "asof_join_native", "decontaminate",
         "text_vocab_tfidf", "j5_bucketed_join", "l1_metric_lookup_daily",
-        "text_repetition")
+        "text_repetition", "train_pack", "train_mixture",
+        "train_holdout_split", "text_length_floor")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

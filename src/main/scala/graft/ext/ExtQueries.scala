@@ -719,7 +719,7 @@ object ExtQueries {
         |  FROM t
         |)
         |SELECT doc_id, shard,
-        |  CAST(FLOOR(token_offset / 512) AS BIGINT) AS bin,
+        |  token_offset // 512 AS bin,
         |  n_tokens, token_offset
         |FROM o ORDER BY doc_id""".stripMargin,
 

@@ -64,6 +64,8 @@ object TrainingSet {
     * without re-counting.
     */
   def pack(docs: DataFrame, budget: Long = 512L, nShards: Int = 8): DataFrame = {
+    require(budget > 0L, s"token budget must be positive: $budget")
+    require(nShards > 0, s"shard count must be positive: $nShards")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("sk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -72,8 +74,10 @@ object TrainingSet {
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         shuffleKey(col("doc_id")).as("sk"))
       .withColumn("token_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer division, not floor(double/double): offsets past 2^53
+      // tokens per shard would lose bits in a double
       .select(col("doc_id"), col("shard"),
-        (col("token_offset") / lit(budget)).cast("long").as("bin"),
+        expr(s"token_offset div ${budget}L").as("bin"),
         col("n_tokens"), col("token_offset"))
   }
 
@@ -91,6 +95,8 @@ object TrainingSet {
     */
   def mixture(docs: DataFrame, weights: Map[String, Double],
               domainCol: String = "lang"): DataFrame = {
+    require(weights.values.forall(_ >= 0.0),
+      s"mixture weights must be non-negative: $weights")
     val wCol = weights.foldLeft(lit(1.0)) { case (acc, (dom, wt)) =>
       when(col(domainCol) === dom, lit(wt)).otherwise(acc)
     }
@@ -297,6 +303,11 @@ object TrainingSet {
     Artifact.requireKind(spark, dir, "shards v2 ")
     val nShards = shardCount(spark, dir)
     val b = batch.select(col("doc_id"), col("text"), col("lang")).localCheckpoint()
+    // an intra-batch duplicate id would ship the document twice in one
+    // append (the idempotency check only sees STORED ids) — fail fast
+    if (b.groupBy(col("doc_id")).count().filter(col("count") > 1).take(1).nonEmpty)
+      throw new IllegalArgumentException(
+        "export batch contains duplicate doc_ids — dedupe upstream first")
     // a removed-but-not-yet-compacted id may not be re-exported: its
     // masked JSONL row would unmask as a duplicate (no generation column
     // in the data files) — delete → compact → re-insert, as with the ANN
