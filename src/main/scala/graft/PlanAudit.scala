@@ -15,7 +15,8 @@ object PlanAudit {
         "doc_sample_stratified", "asof_join_native", "decontaminate",
         "text_vocab_tfidf", "j5_bucketed_join", "l1_metric_lookup_daily",
         "text_repetition", "train_pack", "train_mixture",
-        "train_holdout_split", "text_length_floor")
+        "train_holdout_split", "text_length_floor", "curate_funnel",
+        "curate_quality_buckets")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -277,6 +277,25 @@ object ExtQueries {
         .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Curation-funnel report: per-stage doc/token survival through
+    // length floor → stopword cap → repetition filters → sample, all
+    // from ONE corpus pass (per-row stage booleans + conditional sums
+    // in a single partial-aggregable agg; the unpivot runs on the
+    // one-row result).
+    "curate_funnel" -> ((s, d) =>
+      TextAnalysis.curationFunnel(Tables.documents(s, d))
+        .orderBy(col("stage_idx"))),
+
+    // Per-language length deciles via broadcast percentile thresholds —
+    // the scalable NTILE: the corpus never sorts, assignment is a
+    // per-row comparison against nine broadcast numbers.
+    "curate_quality_buckets" -> ((s, d) =>
+      TextAnalysis.qualityDecileBuckets(Tables.documents(s, d))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_chars"), max(col("score")).as("max_chars"))
+        .orderBy(col("lang"), col("bucket"))),
+
     // Training-set assembly (TrainingSet): token-budget packing via a
     // per-shard prefix sum — NO global sort; the window partitions are
     // corpus/nShards.
@@ -699,6 +718,74 @@ object ExtQueries {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM t, thr WHERE n_tokens >= q
         |ORDER BY doc_id""".stripMargin,
+
+    // The funnel re-derives every stage flag independently: repetition
+    // via unnest+GROUP BY modes (as in text_repetition), stopword ratio
+    // via list_intersect, the sample via the shared hash-mod predicate.
+    "curate_funnel" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM s) GROUP BY 1, 2
+        |), td AS (
+        |  SELECT doc_id, count(DISTINCT tok) AS nd, max(c) AS topc FROM tc GROUP BY 1
+        |), bc AS (
+        |  SELECT doc_id, bg, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |          generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+        |        FROM s) GROUP BY 1, 2
+        |), bd AS (
+        |  SELECT doc_id, max(c) AS topb FROM bc GROUP BY 1
+        |), f AS (
+        |  SELECT s.doc_id, len(t) AS n_tokens,
+        |    len(t) >= 30 AS k1,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |        ['the','a','of','and','to','in','is','on'], x))) AS DOUBLE)
+        |      / len(t) <= 0.12 AS q2,
+        |    (CAST(td.nd AS DOUBLE) / len(t) >= 0.40
+        |      AND CAST(td.topc AS DOUBLE) / len(t) <= 0.12
+        |      AND (len(t) = 1 OR CAST(bd.topb AS DOUBLE) / (len(t) - 1) <= 0.08))
+        |      AS q3,
+        |    (s.doc_id + 1) * 2654435761 % 4294967296 % 1000 < 500 AS q4
+        |  FROM s JOIN td USING (doc_id) LEFT JOIN bd USING (doc_id)
+        |), g AS (
+        |  SELECT count(*) AS d0, SUM(n_tokens) AS t0,
+        |    SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS d1,
+        |    SUM(CASE WHEN k1 THEN n_tokens ELSE 0 END) AS t1,
+        |    SUM(CASE WHEN k1 AND q2 THEN 1 ELSE 0 END) AS d2,
+        |    SUM(CASE WHEN k1 AND q2 THEN n_tokens ELSE 0 END) AS t2,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 THEN 1 ELSE 0 END) AS d3,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 THEN n_tokens ELSE 0 END) AS t3,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 THEN 1 ELSE 0 END) AS d4,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 THEN n_tokens ELSE 0 END) AS t4
+        |  FROM f
+        |)
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT 0 AS stage_idx, 'input' AS stage, d0 AS n_docs, t0 AS n_tokens FROM g
+        |  UNION ALL SELECT 1, 'length_floor', d1, t1 FROM g
+        |  UNION ALL SELECT 2, 'stopword_cap', d2, t2 FROM g
+        |  UNION ALL SELECT 3, 'repetition', d3, t3 FROM g
+        |  UNION ALL SELECT 4, 'sample', d4, t4 FROM g
+        |) ORDER BY stage_idx""".stripMargin,
+
+    // Integer char counts keep the interpolated decile thresholds exact
+    // in both engines (the text_length_floor precedent).
+    "curate_quality_buckets" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score FROM documents
+        |), thr AS (
+        |  SELECT lang,
+        |    quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS thrs
+        |  FROM s GROUP BY lang
+        |)
+        |SELECT s.lang,
+        |  CAST(len(list_filter(thrs, t -> t < score)) + 1 AS INTEGER) AS bucket,
+        |  COUNT(*) AS n_docs, MIN(score) AS min_chars, MAX(score) AS max_chars
+        |FROM s JOIN thr USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     // The pack/mixture/export family is pure integer arithmetic over
     // (doc_id, whitespace token count) — fully portable, so the oracle

@@ -177,6 +177,78 @@ object TextAnalysis {
       .withColumn("n_chunk_tokens", size(col("_chunk")))
       .drop("_toks", "_chunk")
 
+  /** Curation-funnel report: how many documents (and tokens) survive
+    * each stage of the standard curation chain — length floor →
+    * stopword-ratio cap → Gopher repetition filters → deterministic
+    * sample. The observability artifact every corpus-curation run ships
+    * with (RefinedWeb/Dolma-style "removal chart"): without it, a
+    * mis-set threshold silently eats the corpus.
+    *
+    * Scale shape: ONE pass — each stage is a per-row boolean, the
+    * funnel is the conjunction prefix, and the per-stage totals come
+    * from conditional sums in a single partial-aggregable `agg` (no
+    * per-stage re-scan of the corpus, no shuffle besides the final
+    * one-row reduce). The unpivot to report rows happens on that
+    * one-row frame.
+    */
+  def curationFunnel(df: DataFrame, minTokens: Int = 30,
+                     maxStopwordFrac: Double = 0.12,
+                     samplePermille: Int = 500): DataFrame = {
+    val stop = array(StopWords.map(lit): _*)
+    val toks = tokens(col("text"))
+    // true stopword FRACTION (every occurrence counts), not
+    // qualityFeatures' distinct-stopwords ratio — a cap on the latter
+    // is unreachable once the length floor has passed (≤ 8/minTokens)
+    val feats = repetitionFeatures(qualityFeatures(df))
+      .withColumn("stopword_frac",
+        size(filter(toks, t => array_contains(stop, t))).cast("double") / size(toks))
+    val s1 = col("n_tokens") >= minTokens
+    val s2 = col("stopword_frac") <= maxStopwordFrac
+    val s3 = col("repetition_pass") === 1
+    val s4 = (col("doc_id") + lit(1)) * lit(2654435761L) % lit(4294967296L) %
+      lit(1000) < lit(samplePermille)
+    val stages = Seq(
+      "input" -> lit(true), "length_floor" -> s1, "stopword_cap" -> (s1 && s2),
+      "repetition" -> (s1 && s2 && s3), "sample" -> (s1 && s2 && s3 && s4))
+    val sums = stages.zipWithIndex.flatMap { case ((_, keep), i) =>
+      Seq(sum(when(keep, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(keep, col("n_tokens")).otherwise(0L)).as(s"t$i"))
+    }
+    val cells = stages.zipWithIndex
+      .map { case ((name, _), i) => s"$i, '$name', d$i, t$i" }
+      .mkString(", ")
+    feats.agg(sums.head, sums.tail: _*)
+      .select(expr(s"stack(${stages.size}, $cells) AS " +
+        "(stage_idx, stage, n_docs, n_tokens)"))
+  }
+
+  /** Corpus-relative quality buckets: assign each document a per-
+    * language decile of text length. Thresholds are exact percentiles
+    * computed in one tiny per-language aggregate and BROADCAST back —
+    * assignment is then a per-row comparison against a 9-element array,
+    * so the corpus itself never sorts or shuffles. The NTILE
+    * formulation of the same report is a full per-domain sort — the
+    * shape that dies first at 100 TB (one skewed language = one
+    * unsortable partition); percentile thresholds + broadcast is the
+    * scalable equivalent, and swaps to `approx_percentile`'s
+    * fixed-memory sketch above memory (the documented A7/a11 trade).
+    * Integer scores keep the interpolated thresholds exactly
+    * reproducible across engines.
+    */
+  def qualityDecileBuckets(docs: DataFrame, scoreCol: Column = length(col("text")),
+                           domainCol: String = "lang"): DataFrame = {
+    val qs = (1 to 9).map(i => s"0.$i").mkString(", ")
+    val scored = docs.withColumn("score", scoreCol.cast("long"))
+    val thr = scored
+      .groupBy(col(domainCol))
+      .agg(expr(s"percentile(score, array($qs))").as("thrs"))
+    scored
+      .join(broadcast(thr), Seq(domainCol))
+      .withColumn("bucket",
+        (size(filter(col("thrs"), t => t < col("score"))) + 1).cast("int"))
+      .drop("thrs")
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum fraction by
     * multiplicative hash of the document id — reproducible across runs
     * and engines (no RNG state), pushes down as a plain filter (no

@@ -126,4 +126,38 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(4L) == ((4L, 1L, 1.0, 1L, 0L, 0.0, 0)),
       "a single-token doc has no bigrams but its top token IS the doc (fraction 1.0): fails")
   }
+
+  test("curation funnel: one doc dropped per stage, doc and token counts") {
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words("w", 30)),                                  // passes all; sample keeps (bucket 226)
+      (2L, words("v", 30)),                                  // passes filters; sample drops (bucket 987)
+      (3L, words("b", 5)),                                   // fails length floor
+      (4L, "the a of and to in is on " + words("c", 22)),    // stopword frac 8/30 > 0.12
+      (5L, words("d", 25) + " z z z z z")                    // top token frac 5/30 > 0.12
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.curationFunnel(docs)
+      .select("stage_idx", "stage", "n_docs", "n_tokens")
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0, "input", 5L, 125L),
+      (1, "length_floor", 4L, 120L),
+      (2, "stopword_cap", 3L, 90L),
+      (3, "repetition", 2L, 60L),
+      (4, "sample", 1L, 30L)), out.toString)
+  }
+
+  test("quality deciles: broadcast percentile thresholds, per-language") {
+    val en = (1 to 10).map(i => (i.toLong, "x" * (10 * i), "en"))
+    val fr = (11 to 15).map(i => (i.toLong, "y" * 7, "fr"))
+    val docs = (en ++ fr).toDF("doc_id", "text", "lang")
+    val buckets = TextAnalysis.qualityDecileBuckets(docs)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    // en lengths 10..100: thresholds interpolate to 19,28,...,91 — each
+    // doc lands in its own decile
+    (1 to 10).foreach(i => assert(buckets(i.toLong) == i, s"doc $i"))
+    // fr: all lengths equal → every threshold equals the score, nothing
+    // is strictly below it → everyone in bucket 1
+    (11 to 15).foreach(i => assert(buckets(i.toLong) == 1, s"doc $i"))
+  }
 }
