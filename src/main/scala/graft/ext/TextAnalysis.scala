@@ -196,20 +196,36 @@ object TextAnalysis {
                      samplePermille: Int = 500): DataFrame = {
     val stop = array(StopWords.map(lit): _*)
     val toks = tokens(col("text"))
+    val nTokens = size(toks).cast("long")
+    val s1 = nTokens >= minTokens
     // true stopword FRACTION (every occurrence counts), not
     // qualityFeatures' distinct-stopwords ratio — a cap on the latter
     // is unreachable once the length floor has passed (≤ 8/minTokens)
-    val feats = repetitionFeatures(qualityFeatures(df))
-      .withColumn("stopword_frac",
-        size(filter(toks, t => array_contains(stop, t))).cast("double") / size(toks))
-    val s1 = col("n_tokens") >= minTokens
-    val s2 = col("stopword_frac") <= maxStopwordFrac
-    val s3 = col("repetition_pass") === 1
+    val s2 = size(filter(toks, t => array_contains(stop, t))).cast("double") /
+      size(toks) <= maxStopwordFrac
+    // the repetition scan (two array sorts + equal-run passes per row)
+    // is the expensive stage: it sits RIGHT of the cheap stages in one
+    // And chain, and appears exactly once, so short-circuit evaluation
+    // skips it for every row the floor/cap already dropped (inlining it
+    // into a second conjunction would re-trigger it via codegen's
+    // unconditional common-subexpression hoist)
+    val bg = bigramsOf(toks)
+    val s3 =
+      size(array_distinct(toks)).cast("double") / size(toks) >= 0.40 &&
+        maxRunCount(array_sort(toks)).cast("double") / nTokens <= 0.12 &&
+        when(size(bg) > 0, maxRunCount(array_sort(bg)).cast("double") / size(bg))
+          .otherwise(lit(0.0)) <= 0.08
     val s4 = (col("doc_id") + lit(1)) * lit(2654435761L) % lit(4294967296L) %
       lit(1000) < lit(samplePermille)
-    val stages = Seq(
-      "input" -> lit(true), "length_floor" -> s1, "stopword_cap" -> (s1 && s2),
-      "repetition" -> (s1 && s2 && s3), "sample" -> (s1 && s2 && s3 && s4))
+    val flags = df
+      .select(col("doc_id"), nTokens.as("n_tokens"), s1.as("k1"),
+        (s1 && s2).as("k2"), (s1 && s2 && s3).as("k3"))
+      .select(col("n_tokens"), col("k1"), col("k2"), col("k3"),
+        (col("k3") && s4).as("k4"))
+    val stages =
+      Seq("input" -> lit(true), "length_floor" -> col("k1"),
+        "stopword_cap" -> col("k2"), "repetition" -> col("k3"),
+        "sample" -> col("k4"))
     val sums = stages.zipWithIndex.flatMap { case ((_, keep), i) =>
       Seq(sum(when(keep, 1L).otherwise(0L)).as(s"d$i"),
         sum(when(keep, col("n_tokens")).otherwise(0L)).as(s"t$i"))
@@ -217,7 +233,7 @@ object TextAnalysis {
     val cells = stages.zipWithIndex
       .map { case ((name, _), i) => s"$i, '$name', d$i, t$i" }
       .mkString(", ")
-    feats.agg(sums.head, sums.tail: _*)
+    flags.agg(sums.head, sums.tail: _*)
       .select(expr(s"stack(${stages.size}, $cells) AS " +
         "(stage_idx, stage, n_docs, n_tokens)"))
   }
