@@ -20,7 +20,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { GraftSession.forceAndCount(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           errors ::= name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

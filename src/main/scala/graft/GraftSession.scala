@@ -30,4 +30,24 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Fully evaluate a query for timing purposes and return its row
+    * count. `df.count()` alone lets Catalyst PRUNE computed columns a
+    * count never reads — a projection-shaped query (per-row features,
+    * normalization, packing) would be timed as a bare scan. Hashing
+    * every output column into a one-row aggregate forces the whole
+    * projection through the executors while still materializing nothing
+    * on the driver. Map-typed columns (unhashable in Spark) would be
+    * skipped — no registered query emits one.
+    */
+  def forceAndCount(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.MapType
+    val hashable = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[MapType]).map(f => col(f.name))
+    if (hashable.isEmpty) df.count()
+    else df.select(xxhash64(hashable: _*).as("__h"))
+      .agg(count(lit(1)).as("n"), sum(col("__h")))
+      .head().getLong(0)
+  }
 }

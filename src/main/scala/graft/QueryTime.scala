@@ -20,7 +20,7 @@ object QueryTime {
     args.drop(1).foreach { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
-        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        val t0 = System.nanoTime(); GraftSession.forceAndCount(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()

@@ -15,7 +15,7 @@ object RunOne {
     if (args.length > 2 && args(2) == "explain") fn(spark, sfDir).explain("formatted")
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = GraftSession.forceAndCount(fn(spark, sfDir))
       println(f"[runone] $name run$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     spark.stop()

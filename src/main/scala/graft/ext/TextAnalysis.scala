@@ -28,9 +28,16 @@ object TextAnalysis {
 
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    // bind the split ONCE as a column: repeating the expression per
+    // output column would re-tokenize per reference at runtime
+    // (higher-order/array expressions evaluate interpreted, with no
+    // runtime subexpression elimination; CollapseProject keeps
+    // non-cheap multi-referenced aliases as attributes, so a named
+    // column really is computed once)
+    val toks = col("__toks")
     val stop = array(StopWords.map(lit): _*)
-    df.withColumn("n_tokens", size(toks))
+    df.withColumn("__toks", tokens(t))
+      .withColumn("n_tokens", size(toks))
       .withColumn("n_chars_measured", length(t))
       .withColumn("avg_token_len",
         (length(t) - (size(toks) - lit(1))).cast("double") / size(toks))
@@ -39,6 +46,7 @@ object TextAnalysis {
       .withColumn("punct_ratio",
         (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
           greatest(length(t), lit(1)))
+      .drop("__toks")
   }
 
   /** Corpus-RELATIVE curation floor: keep documents whose token count
@@ -94,9 +102,15 @@ object TextAnalysis {
                          minDistinctRatio: Double = 0.40,
                          maxTopTokenFraction: Double = 0.12,
                          maxTopBigramFraction: Double = 0.08): DataFrame = {
-    val toks = tokens(col(textCol))
-    val bg = bigramsOf(toks)
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    // token and bigram arrays bound ONCE as columns (see the
+    // qualityFeatures note): re-deriving the bigram build per output
+    // column was a measured 4× slowdown on this, the most expensive
+    // per-row operator in the suite
+    val toks = col("__toks")
+    val bg = col("__bg")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__bg", bigramsOf(toks))
+      .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("distinct_token_ratio",
         size(array_distinct(toks)).cast("double") / size(toks))
       .withColumn("top_token_count", maxRunCount(array_sort(toks)))
@@ -111,6 +125,7 @@ object TextAnalysis {
         (col("distinct_token_ratio") >= minDistinctRatio &&
           col("top_token_fraction") <= maxTopTokenFraction &&
           col("top_bigram_fraction") <= maxTopBigramFraction).cast("int"))
+      .drop("__toks", "__bg")
   }
 
   /** Language-ID by stopword/character evidence: score each candidate
@@ -195,8 +210,11 @@ object TextAnalysis {
                      maxStopwordFrac: Double = 0.12,
                      samplePermille: Int = 500): DataFrame = {
     val stop = array(StopWords.map(lit): _*)
-    val toks = tokens(col("text"))
-    val nTokens = size(toks).cast("long")
+    // the token array is bound once as a column (the qualityFeatures
+    // note); each flag column is bound once and the next flag builds on
+    // it by ATTRIBUTE, so no stage predicate is ever re-evaluated
+    val toks = col("__toks")
+    val nTokens = col("n_tokens")
     val s1 = nTokens >= minTokens
     // true stopword FRACTION (every occurrence counts), not
     // qualityFeatures' distinct-stopwords ratio — a cap on the latter
@@ -204,22 +222,26 @@ object TextAnalysis {
     val s2 = size(filter(toks, t => array_contains(stop, t))).cast("double") /
       size(toks) <= maxStopwordFrac
     // the repetition scan (two array sorts + equal-run passes per row)
-    // is the expensive stage: it sits RIGHT of the cheap stages in one
-    // And chain, and appears exactly once, so short-circuit evaluation
-    // skips it for every row the floor/cap already dropped (inlining it
-    // into a second conjunction would re-trigger it via codegen's
-    // unconditional common-subexpression hoist)
-    val bg = bigramsOf(toks)
+    // is the expensive stage: it sits RIGHT of the cheap stages in the
+    // k3 conjunction, so short-circuit evaluation skips it for every
+    // row the floor/cap already dropped; the bigram clause divides by
+    // (n_tokens - 1) — the bigram count, same value the oracle uses —
+    // so the bigram array itself appears exactly once and is only
+    // built for rows that reach the final clause with ≥ 2 tokens
     val s3 =
       size(array_distinct(toks)).cast("double") / size(toks) >= 0.40 &&
         maxRunCount(array_sort(toks)).cast("double") / nTokens <= 0.12 &&
-        when(size(bg) > 0, maxRunCount(array_sort(bg)).cast("double") / size(bg))
-          .otherwise(lit(0.0)) <= 0.08
+        (nTokens < 2 ||
+          maxRunCount(array_sort(bigramsOf(toks))).cast("double") /
+            (nTokens - 1) <= 0.08)
     val s4 = (col("doc_id") + lit(1)) * lit(2654435761L) % lit(4294967296L) %
       lit(1000) < lit(samplePermille)
     val flags = df
-      .select(col("doc_id"), nTokens.as("n_tokens"), s1.as("k1"),
-        (s1 && s2).as("k2"), (s1 && s2 && s3).as("k3"))
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("k1", s1)
+      .withColumn("k2", col("k1") && s2)
+      .withColumn("k3", col("k2") && s3)
       .select(col("n_tokens"), col("k1"), col("k2"), col("k3"),
         (col("k3") && s4).as("k4"))
     val stages =
