@@ -30,13 +30,19 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** w-word shingles of the whitespace-tokenized text (distinct set). */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(w)), " ")))
-  }
+  /** w-word shingles of the whitespace-tokenized text (distinct set).
+    *
+    * The token array is bound as a LAMBDA VARIABLE (`transform` over a
+    * one-element wrapper): higher-order array expressions evaluate
+    * interpreted, and any non-variable subtree inside a lambda body is
+    * re-evaluated per element — embedding the split directly would
+    * re-tokenize the document once per shingle, O(n²) per doc.
+    */
+  def shingles(text: Column, w: Int = 3): Column =
+    element_at(transform(array(split(text, " ")), toks =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1))),
+        i => array_join(slice(toks, i, lit(w)), " ")))), 1)
 
   /** MinHash signature: k min-hashes over the shingle set, computed in
     * one pass by the native [[graft.functions.MinHashSignature]]
@@ -546,12 +552,14 @@ object Dedup {
     * string correspondence is exact and hashing the slice is equivalent
     * to hashing the string shingle, modulo 2⁻⁶⁴ collisions.
     */
-  def shingleHashes(text: Column, w: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1))),
-      i => xxhash64(slice(toks, i, lit(w)))))
-  }
+  def shingleHashes(text: Column, w: Int): Column =
+    // token array bound once as a lambda variable — see [[shingles]];
+    // hash values are identical to the direct form, so persisted
+    // signatures/band indexes stay valid
+    element_at(transform(array(split(text, " ")), toks =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1))),
+        i => xxhash64(slice(toks, i, lit(w)))))), 1)
 
   /** Benchmark decontamination: count, per corpus document, the distinct
     * w-gram shingles it shares with a benchmark (eval) set — the overlap

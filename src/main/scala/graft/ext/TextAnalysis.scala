@@ -142,14 +142,18 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在"))
 
   def withPredictedLang(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // split bound once (the qualityFeatures note): the five per-language
+    // intersects score the same token array, not five re-tokenizations
+    val toks = col("__toks")
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(size(array_intersect(toks, array(markers.map(lit): _*))).as("score"),
         lit(lang).as("lang"))
     }
     // argmax by (score, then reverse-lexicographic lang) via array_max on
     // structs — struct ordering compares fields left to right.
-    df.withColumn("pred_lang", array_max(array(scored: _*)).getField("lang"))
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("pred_lang", array_max(array(scored: _*)).getField("lang"))
+      .drop("__toks")
   }
 
   /** Document fingerprint: min hash over all 8-byte windows of the text
