@@ -102,11 +102,15 @@ object Similarity {
     * product equal cosine, so PQ/IVF can use the cheaper dot kernel).
     * Zero vectors pass through unscaled. Per-row, shuffle-free.
     */
-  def l2Normalize(emb: Column): Column = {
-    val norm = sqrt(graft.functions.native.dot_product(emb, emb))
-    when(norm === 0.0, transform(emb, x => x.cast("double")))
-      .otherwise(transform(emb, x => x.cast("double") / norm))
-  }
+  def l2Normalize(emb: Column): Column =
+    // the norm is bound as a lambda variable (one-element transform
+    // wrapper) — captured directly in the scaling lambda it would be
+    // re-evaluated per element, turning O(d) into O(d²) per row (the
+    // same interpreted-HOF pitfall as Dedup.shingles)
+    element_at(transform(array(sqrt(graft.functions.native.dot_product(emb, emb))),
+      norm =>
+        when(norm === 0.0, transform(emb, x => x.cast("double")))
+          .otherwise(transform(emb, x => x.cast("double") / norm))), 1)
 
   /** Exact top-k neighbors for query vectors `vec_id < nQueries`
     * (self-match excluded). Query side is broadcast — the corpus never

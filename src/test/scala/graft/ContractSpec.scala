@@ -45,4 +45,29 @@ class ContractSpec extends SparkSuite {
     }
     assert(offenders.isEmpty, s"oracle SQL with tab/CR: $offenders")
   }
+
+  test("forceAndCount returns count() while forcing every column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same row count as count() on a representative mix of shapes;
+    // built over range() — a LocalRelation would be evaluated eagerly
+    // by the optimizer and defeat the pruning this test pins down
+    val proj = spark.range(2)
+      .select((col("id") + 1).as("doc_id"),
+        when(col("id") === 0, "a b a").otherwise("c d").as("text"))
+      .withColumn("toks", split(col("text"), " "))
+    assert(GraftSession.forceAndCount(proj) == proj.count())
+    val agg = proj.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    assert(GraftSession.forceAndCount(agg) == 2L)
+    assert(GraftSession.forceAndCount(proj.limit(0)) == 0L)
+    // and it genuinely EVALUATES projected columns count() would prune:
+    // a column that throws on evaluation must surface, not be skipped
+    val poisoned = proj.withColumn("boom",
+      assert_true(col("doc_id") < 2, lit("forced")).cast("string"))
+    assert(poisoned.count() == 2L, "count() prunes the poisoned column")
+    val e = intercept[Exception](GraftSession.forceAndCount(poisoned))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("forced")), e.toString)
+  }
 }
