@@ -66,28 +66,16 @@ object TextAnalysis {
   }
 
   /** Adjacent-token bigrams of a token array (`n-1` entries; empty for
-    * single-token docs).
+    * single-token docs). This is the semantic reference for
+    * [[graft.functions.TokenRepetitionStats]]' `top_bigram` count —
+    * tokens are space-free, so multiplicity of these joined strings
+    * equals multiplicity of the (tokenᵢ, tokenᵢ₊₁) pairs the native
+    * expression counts.
     */
   def bigramsOf(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-
-  /** Count of the most frequent element of a SORTED string array — the
-    * longest equal-run, computed in one `aggregate` pass per row (no
-    * explode, no shuffle: every token of a document is already in its
-    * row, so a per-doc mode never needs to leave the row).
-    */
-  private def maxRunCount(sortedArr: Column): Column =
-    aggregate(sortedArr,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
 
   /** Gopher-style repetition signals (Rae et al., "Scaling Language
     * Models", table A1's repetition filters re-expressed over
@@ -102,30 +90,32 @@ object TextAnalysis {
                          minDistinctRatio: Double = 0.40,
                          maxTopTokenFraction: Double = 0.12,
                          maxTopBigramFraction: Double = 0.08): DataFrame = {
-    // token and bigram arrays bound ONCE as columns (see the
-    // qualityFeatures note): re-deriving the bigram build per output
-    // column was a measured 4× slowdown on this, the most expensive
-    // per-row operator in the suite
-    val toks = col("__toks")
-    val bg = col("__bg")
-    df.withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__bg", bigramsOf(toks))
-      .withColumn("n_tokens", size(toks).cast("long"))
+    // all four counts come from ONE native hash-count pass per row
+    // ([[graft.functions.TokenRepetitionStats]]), bound once as a
+    // struct column; the composable formulation (two array_sorts +
+    // equal-run aggregate scans) evaluated interpreted and was the
+    // heaviest per-row cost in the suite. Ratios are the same double
+    // divisions as before (bigram denominator n_tokens - 1 = bigram
+    // count), so outputs are bit-identical.
+    val rep = col("__rep")
+    df.withColumn("__rep",
+        graft.functions.native.repetition_stats(tokens(col(textCol))))
+      .withColumn("n_tokens", rep.getField("n_tokens"))
       .withColumn("distinct_token_ratio",
-        size(array_distinct(toks)).cast("double") / size(toks))
-      .withColumn("top_token_count", maxRunCount(array_sort(toks)))
+        rep.getField("n_distinct").cast("double") / rep.getField("n_tokens"))
+      .withColumn("top_token_count", rep.getField("top_token"))
       .withColumn("top_token_fraction",
         col("top_token_count").cast("double") / col("n_tokens"))
-      .withColumn("top_bigram_count",
-        when(size(bg) > 0, maxRunCount(array_sort(bg))).otherwise(lit(0L)))
+      .withColumn("top_bigram_count", rep.getField("top_bigram"))
       .withColumn("top_bigram_fraction",
-        when(size(bg) > 0, col("top_bigram_count").cast("double") / size(bg))
+        when(col("n_tokens") > 1,
+          col("top_bigram_count").cast("double") / (col("n_tokens") - 1))
           .otherwise(lit(0.0)))
       .withColumn("repetition_pass",
         (col("distinct_token_ratio") >= minDistinctRatio &&
           col("top_token_fraction") <= maxTopTokenFraction &&
           col("top_bigram_fraction") <= maxTopBigramFraction).cast("int"))
-      .drop("__toks", "__bg")
+      .drop("__rep")
   }
 
   /** Language-ID by stopword/character evidence: score each candidate
@@ -225,19 +215,17 @@ object TextAnalysis {
     // is unreachable once the length floor has passed (≤ 8/minTokens)
     val s2 = size(filter(toks, t => array_contains(stop, t))).cast("double") /
       size(toks) <= maxStopwordFrac
-    // the repetition scan (two array sorts + equal-run passes per row)
-    // is the expensive stage: it sits RIGHT of the cheap stages in the
-    // k3 conjunction, so short-circuit evaluation skips it for every
-    // row the floor/cap already dropped; the bigram clause divides by
-    // (n_tokens - 1) — the bigram count, same value the oracle uses —
-    // so the bigram array itself appears exactly once and is only
-    // built for rows that reach the final clause with ≥ 2 tokens
+    // the repetition stats (one native hash-count pass per row) are
+    // the expensive stage: bound once as a struct column GATED behind
+    // the cheap stages — rows the floor/cap dropped get a null struct
+    // (when without otherwise), and `k2 && <null comparison>` is false,
+    // never null, because And short-circuits on the false left side
+    val rep = col("__rep")
     val s3 =
-      size(array_distinct(toks)).cast("double") / size(toks) >= 0.40 &&
-        maxRunCount(array_sort(toks)).cast("double") / nTokens <= 0.12 &&
+      rep.getField("n_distinct").cast("double") / nTokens >= 0.40 &&
+        rep.getField("top_token").cast("double") / nTokens <= 0.12 &&
         (nTokens < 2 ||
-          maxRunCount(array_sort(bigramsOf(toks))).cast("double") /
-            (nTokens - 1) <= 0.08)
+          rep.getField("top_bigram").cast("double") / (nTokens - 1) <= 0.08)
     val s4 = (col("doc_id") + lit(1)) * lit(2654435761L) % lit(4294967296L) %
       lit(1000) < lit(samplePermille)
     val flags = df
@@ -245,6 +233,8 @@ object TextAnalysis {
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("k1", s1)
       .withColumn("k2", col("k1") && s2)
+      .withColumn("__rep",
+        when(col("k2"), graft.functions.native.repetition_stats(toks)))
       .withColumn("k3", col("k2") && s3)
       .select(col("n_tokens"), col("k1"), col("k2"), col("k3"),
         (col("k3") && s4).as("k4"))

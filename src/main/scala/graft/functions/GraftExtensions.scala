@@ -56,5 +56,6 @@ object GraftExtensions {
     one("simhash64")(SimHash64(_)),
     two("jaccard_sim")(JaccardSimilarity(_, _)),
     two("minhash_sig")((sh, k) => MinHashSignature(sh, intArg(k, "minhash_sig k"))),
-    two("rolling_min_hash")((t, w) => RollingMinHash(t, intArg(w, "rolling_min_hash window"))))
+    two("rolling_min_hash")((t, w) => RollingMinHash(t, intArg(w, "rolling_min_hash window"))),
+    one("repetition_stats")(TokenRepetitionStats(_)))
 }

@@ -430,6 +430,111 @@ case class RollingMinHash(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Gopher-repetition statistics of a token array in one pass:
+  * `struct(n_tokens, n_distinct, top_token, top_bigram)` where
+  * `top_token`/`top_bigram` are the highest exact multiplicities of a
+  * token / an adjacent token pair. Replaces the composable formulation
+  * (two `array_sort`s + equal-run `aggregate` scans per row) — those
+  * evaluate interpreted, one tree-walk per element, and were the
+  * heaviest per-row cost in the suite. Here: one hash-count pass
+  * assigning dense token ids, then a pair-count pass keyed on packed
+  * id pairs — exact pair identity, no bigram strings materialized
+  * (tokens are space-free, so pair equality ⟺ joined-string equality,
+  * the semantics `TextAnalysis.bigramsOf` pins).
+  */
+case class TokenRepetitionStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_token", LongType, nullable = false),
+    StructField("top_bigram", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"repetition_stats expects array<string>, got $other")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val tokMap = ctx.freshName("tokMap")
+      val ids = ctx.freshName("ids"); val topTok = ctx.freshName("topTok")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      val e = ctx.freshName("e"); val topBg = ctx.freshName("topBg")
+      val bgMap = ctx.freshName("bgMap"); val j = ctx.freshName("j")
+      val key = ctx.freshName("key"); val be = ctx.freshName("be")
+      s"""
+         |int $n = $arr.numElements();
+         |java.util.HashMap $tokMap = new java.util.HashMap();
+         |int[] $ids = new int[$n];
+         |long $topTok = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($i);
+         |  int[] $e = (int[]) $tokMap.get($t);
+         |  if ($e == null) { $e = new int[]{$tokMap.size(), 0}; $tokMap.put($t, $e); }
+         |  $e[1]++;
+         |  if ($e[1] > $topTok) $topTok = $e[1];
+         |  $ids[$i] = $e[0];
+         |}
+         |long $topBg = 0L;
+         |if ($n >= 2) {
+         |  java.util.HashMap $bgMap = new java.util.HashMap();
+         |  for (int $j = 0; $j + 1 < $n; $j++) {
+         |    java.lang.Long $key = java.lang.Long.valueOf(
+         |      ((long) $ids[$j] << 32) | ((long) $ids[$j + 1] & 0xffffffffL));
+         |    int[] $be = (int[]) $bgMap.get($key);
+         |    if ($be == null) { $be = new int[1]; $bgMap.put($key, $be); }
+         |    $be[0]++;
+         |    if ($be[0] > $topBg) $topBg = $be[0];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ java.lang.Long.valueOf((long) $n),
+         |    java.lang.Long.valueOf((long) $tokMap.size()),
+         |    java.lang.Long.valueOf($topTok), java.lang.Long.valueOf($topBg) });
+       """.stripMargin
+    })
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val tokMap = new java.util.HashMap[UTF8String, Array[Int]]()
+    val ids = new Array[Int](n)
+    var topTok = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var e = tokMap.get(t)
+      if (e == null) { e = Array(tokMap.size, 0); tokMap.put(t, e) }
+      e(1) += 1
+      if (e(1) > topTok) topTok = e(1)
+      ids(i) = e(0)
+      i += 1
+    }
+    var topBg = 0L
+    if (n >= 2) {
+      val bgMap = new java.util.HashMap[java.lang.Long, Array[Int]]()
+      var j = 0
+      while (j + 1 < n) {
+        val key = java.lang.Long.valueOf((ids(j).toLong << 32) | (ids(j + 1).toLong & 0xffffffffL))
+        var be = bgMap.get(key)
+        if (be == null) { be = Array(0); bgMap.put(key, be) }
+        be(0) += 1
+        if (be(0) > topBg) topBg = be(0)
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, tokMap.size.toLong, topTok, topBg))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-facing API for the native expressions. */
 object native {
   private def toCol(e: Expression): Column = bridge.toColumn(e)
@@ -452,6 +557,9 @@ object native {
 
   /** Exact Jaccard similarity of two array<string> sets. */
   def jaccard_sim(a: Column, b: Column): Column = toCol(JaccardSimilarity(ex(a), ex(b)))
+
+  /** One-pass repetition stats of an array<string> of tokens. */
+  def repetition_stats(tokens: Column): Column = toCol(TokenRepetitionStats(ex(tokens)))
 
   /** Register every native function into this session's SQL registry
     * (per-session alternative to `spark.sql.extensions`).
