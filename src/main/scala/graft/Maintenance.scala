@@ -41,6 +41,9 @@ object Maintenance {
     run("shards", s"$root/shards", "shards v2 ") {
       graft.ext.TrainingSet.compactShards(spark, s"$root/shards")
     }
+    run("unigram_lm", s"$root/unigram_lm", "unigramlm v1 ") {
+      graft.ext.LanguageModel.compactLm(spark, s"$root/unigram_lm")
+    }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)

@@ -28,6 +28,7 @@ object Warm {
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
       s"${Artifact.root(d)}/bandindex")
     graft.ext.TrainingSet.writeShards(spark, docs, s"${Artifact.root(d)}/shards")
+    graft.ext.LanguageModel.ensureLm(spark, docs, s"${Artifact.root(d)}/unigram_lm")
     val emb = Tables.embeddings(spark, d)
     AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
     AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")

@@ -296,6 +296,34 @@ object ExtQueries {
           min(col("score")).as("min_chars"), max(col("score")).as("max_chars"))
         .orderBy(col("lang"), col("bucket"))),
 
+    // Perplexity quality scoring (CCNet): per-doc mean NLL against the
+    // PERSISTED corpus unigram model (built once per corpus
+    // fingerprint, O(batch)-appendable). Scoring is an exploded token
+    // stream against the broadcast vocabulary — one row per doc
+    // reaches the final shuffle.
+    "quality_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = LanguageModel.ensureLm(s, docs, s"${Artifact.root(d)}/unigram_lm")
+      LanguageModel.score(s, docs, dir).orderBy(col("doc_id"))
+    }),
+
+    // CCNet's head/middle/tail split: perplexity terciles via one tiny
+    // broadcast percentile aggregate — the corpus never sorts.
+    "quality_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = LanguageModel.ensureLm(s, docs, s"${Artifact.root(d)}/unigram_lm")
+      LanguageModel.perplexityBuckets(LanguageModel.score(s, docs, dir))
+        .select(col("doc_id"), col("mean_nll"), col("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup: semantic near-dup pairs via within-k-means-cluster
+    // cosine (rows-only: the quantizer is engine-private, like
+    // sim_ivf*; planted-duplicate recall is property-tested).
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticTopKPairs(Tables.embeddings(s, d))
+        .orderBy(col("cos").desc, col("a_id"), col("b_id"))),
+
     // Training-set assembly (TrainingSet): token-budget packing via a
     // per-shard prefix sum — NO global sort; the window partitions are
     // corpus/nShards.
@@ -786,6 +814,53 @@ object ExtQueries {
         |  COUNT(*) AS n_docs, MIN(score) AS min_chars, MAX(score) AS max_chars
         |FROM s JOIN thr USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    // Unigram-LM perplexity: the oracle re-trains the model from the
+    // raw corpus (the artifact the Spark side serves from is built from
+    // the same rows). Integer counts and a round-6 mean NLL — the same
+    // ln-parity contract text_vocab_tfidf pins.
+    "quality_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), counts AS (
+        |  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+        |), vocab AS (
+        |  SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 4096
+        |), consts AS (
+        |  SELECT (SELECT SUM(c) FROM vocab) + (SELECT COUNT(*) FROM vocab) + 1 AS d
+        |)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(SUM(-ln((coalesce(v.c, 0) + 1) * 1.0 / (SELECT d FROM consts)))
+        |    / COUNT(*), 6) AS mean_nll
+        |FROM toks t LEFT JOIN vocab v USING (token)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "quality_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), counts AS (
+        |  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+        |), vocab AS (
+        |  SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 4096
+        |), consts AS (
+        |  SELECT (SELECT SUM(c) FROM vocab) + (SELECT COUNT(*) FROM vocab) + 1 AS d
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    round(SUM(-ln((coalesce(v.c, 0) + 1) * 1.0 / (SELECT d FROM consts)))
+        |      / COUNT(*), 6) AS mean_nll
+        |  FROM toks t LEFT JOIN vocab v USING (token)
+        |  GROUP BY t.doc_id
+        |), thr AS (
+        |  SELECT quantile_cont(mean_nll,
+        |    [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS t
+        |  FROM scored
+        |)
+        |SELECT s.doc_id, s.mean_nll,
+        |  CASE WHEN s.mean_nll <= t[1] THEN 'head'
+        |       WHEN s.mean_nll <= t[2] THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM scored s, thr ORDER BY s.doc_id""".stripMargin,
 
     // The pack/mixture/export family is pure integer arithmetic over
     // (doc_id, whitespace token count) — fully portable, so the oracle

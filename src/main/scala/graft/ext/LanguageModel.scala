@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained unigram language model for perplexity-based quality
+  * filtering — the CCNet recipe (Wenzek et al. 2020: score each
+  * document with a language model trained on the corpus, keep the
+  * low-perplexity head) re-expressed as Spark aggregations instead of
+  * an external KenLM binary. A unigram model keeps every statistic
+  * oracle-reproducible while exercising the exact dataflow a
+  * higher-order model needs: one token-count pass over the corpus, a
+  * bounded heavy-hitter vocabulary, then per-document scoring against
+  * the broadcast model.
+  *
+  * The trained model is a persisted artifact in the house pattern
+  * ([[Artifact]]): the token-count ledger is built once per corpus
+  * fingerprint and appended in O(batch) as the corpus grows — counts
+  * are additive, so an append is a delta write, never a recount of
+  * history. The vocabulary and smoothing constants are DERIVED at read
+  * time from the ledger (top-V is a read parameter, not a build
+  * parameter), so one stored model serves any vocabulary size.
+  *
+  * Scale shape at 100 TB: the count pass is one map-side-combinable
+  * aggregation (distinct tokens per partition, not corpus tokens,
+  * cross the shuffle); the vocabulary is a bounded
+  * TakeOrderedAndProject over the ledger; scoring joins the exploded
+  * token stream against the BROADCAST vocabulary and partially
+  * aggregates per document — one row per document reaches the final
+  * shuffle, the corpus-sized token stream never does.
+  */
+object LanguageModel {
+
+  /** Unigram counts of a document frame — the model's sufficient
+    * statistic. Map-side combine bounds shuffle volume by distinct
+    * tokens per partition.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+
+  private val MetaPrefix = "unigramlm v1 "
+
+  /** Build-if-needed unigram model over the corpus: the count ledger
+    * plus an id ledger (append idempotency), guarded by the corpus
+    * content fingerprint. Returns the artifact dir.
+    */
+  def ensureLm(spark: SparkSession, docs: DataFrame, dir: String): String =
+    Artifact.ensure(spark, dir,
+      // `unit=ws` names the tokenizer (whitespace): a swapped tokenizer
+      // must read as a different model — and the parameter keeps the
+      // line in the `<prefix> fp=` grammar the additive-append parser
+      // expects (the prefix group is everything before " fp=")
+      MetaPrefix + s"unit=ws fp=${Artifact.fingerprint(docs, col("doc_id"), col("text"))}") {
+      tokenCounts(docs).write.mode("overwrite").parquet(s"$dir/counts")
+      docs.select(col("doc_id")).write.mode("overwrite").parquet(s"$dir/ids")
+    }
+
+  /** Fold a document batch into the stored model in O(batch): counts
+    * are additive, so the append is the batch's OWN count aggregate
+    * written as ledger deltas — history is never recounted. Idempotent
+    * via the id ledger (a double-submitted batch is a no-op), and the
+    * additive fingerprint keeps a later [[ensureLm]] over the union
+    * corpus serving without a rebuild. Crash-atomic under the pending
+    * marker like the other append paths. Removal would follow the band
+    * index's generation-tombstone ledger ([[Dedup.removeFromBandIndex]])
+    * — negative count deltas plus id masking; not implemented here.
+    */
+  def appendLm(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    Artifact.requireKind(spark, dir, MetaPrefix)
+    val fresh = batch
+      .join(broadcast(batch.select(col("doc_id"))
+          .join(spark.read.parquet(s"$dir/ids"), Seq("doc_id"), "left_semi")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    if (!fresh.isEmpty) {
+      Artifact.beginMutation(spark, dir)
+      tokenCounts(fresh).write.mode("append").parquet(s"$dir/counts")
+      fresh.select(col("doc_id")).write.mode("append").parquet(s"$dir/ids")
+      Artifact.addToFingerprint(spark, dir, MetaPrefix,
+        Artifact.fingerprint(fresh, col("doc_id"), col("text")))
+      Artifact.endMutation(spark, dir)
+    }
+  }
+
+  /** Compact the ledgers after a run of appends: per-token deltas merged
+    * back to one row (`sum(c)` — the exact aggregate [[vocab]] computes,
+    * so results are unchanged), files re-sized. Metadata untouched.
+    */
+  def compactLm(spark: SparkSession, dir: String): (Int, Int) = {
+    val (b1, a1) = Artifact.compactParquet(spark, dir, "counts",
+      merge = _.groupBy(col("token")).agg(sum(col("c")).as("c")))
+    val (b2, a2) = Artifact.compactParquet(spark, dir, "ids")
+    (b1 + b2, a1 + a2)
+  }
+
+  /** The model's serving form: top-`vocabSize` tokens by corpus count
+    * (count-desc, token-asc — deterministic at the boundary), summed
+    * over the delta ledger. Bounded output, safe to broadcast.
+    */
+  def vocab(spark: SparkSession, dir: String, vocabSize: Int): DataFrame = {
+    Artifact.requireKind(spark, dir, MetaPrefix)
+    spark.read.parquet(s"$dir/counts")
+      .groupBy(col("token")).agg(sum(col("c")).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(vocabSize)
+  }
+
+  /** Score documents against the stored model: per-document token
+    * count, OOV count, and mean negative log-likelihood in nats
+    * (rounded to 6 decimals — the house float-parity contract). Add-one
+    * smoothing with a single OOV outcome: p(t ∈ vocab) = (c_t + 1) / D,
+    * p(OOV) = 1 / D, D = Σ_vocab c + |vocab| + 1 — a proper
+    * distribution (sums to exactly 1). Low mean_nll = fluent,
+    * in-distribution text; high = rare-token soup — the CCNet quality
+    * axis. The scored frame may be ANY document batch, not just the
+    * training corpus: scoring new data against a frozen corpus model is
+    * the production serving shape.
+    */
+  def score(spark: SparkSession, docs: DataFrame, dir: String,
+            vocabSize: Int = 4096): DataFrame = {
+    // the vocab is read twice (smoothing constant + join side): pin the
+    // bounded table once instead of re-running the ledger aggregate
+    val v = vocab(spark, dir, vocabSize).localCheckpoint()
+    val consts = v.agg((coalesce(sum(col("c")), lit(0L)) + count(lit(1)) + 1L).as("d"))
+    docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(-log((coalesce(col("c"), lit(0L)) + 1L).cast("double") / col("d")))
+          / count(lit(1)), 6).as("mean_nll"))
+  }
+
+  /** CCNet's head/middle/tail split: bucket documents by corpus
+    * perplexity terciles. Thresholds come from one tiny exact-percentile
+    * aggregate broadcast back (the [[TextAnalysis.qualityDecileBuckets]]
+    * shape — no corpus sort, swaps to `approx_percentile` above memory);
+    * assignment is a per-row comparison. The scored frame is computed
+    * twice (threshold pass + assignment pass) — the standard
+    * corpus-relative-threshold cost, same as the length-quantile floor.
+    */
+  def perplexityBuckets(scored: DataFrame): DataFrame = {
+    val thr = scored.agg(
+      expr("percentile(mean_nll, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))").as("t"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("ppl_bucket",
+        when(col("mean_nll") <= col("t").getItem(0), "head")
+          .when(col("mean_nll") <= col("t").getItem(1), "middle")
+          .otherwise("tail"))
+      .drop("t")
+  }
+}

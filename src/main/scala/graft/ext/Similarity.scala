@@ -365,4 +365,53 @@ object Similarity {
       .limit(topK)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    * k-means clustering — cluster the corpus with a coarse quantizer,
+    * then compare pairs only WITHIN a cluster, never across. The
+    * cluster assignment is the IVF build's map-side kernel
+    * ([[topCellsCol]] over driver-trained centroids — the bounded-model
+    * MLlib contract); the within-cell self-join is a sort-merge join on
+    * the cell key whose pair stream is filtered/ranked in the SAME
+    * stage, so the quadratic blowup is never materialized or shuffled.
+    *
+    * Scale levers, per the paper's own deployment: cell count grows
+    * with the corpus (nCells ∝ N keeps E[cell] constant, so per-cell
+    * work — the SMJ's buffered group — is bounded), and the `maxCell`
+    * guard catches skewed clusters anyway: cells over the cap are
+    * sub-split by an SRP sign bucket ([[srpBucket]]), which
+    * near-identical vectors co-occupy with high probability — recall
+    * loss is confined to the pathological cells instead of capsizing
+    * the join.
+    *
+    * Returns the top-`topK` highest-cosine within-cell pairs (the
+    * fixture corpus has no true near-dups, so a fixed threshold would
+    * be empty — same contract as [[cosineNearDupPairs]]); real dedup
+    * applies a threshold and feeds the pairs to
+    * [[Dedup.duplicateGroups]].
+    */
+  def semanticTopKPairs(emb: DataFrame, nCells: Int = 16, topK: Int = 25,
+                        maxCell: Int = 4096, subH: Int = 4,
+                        dims: Int = 64): DataFrame = {
+    val centroids = kmeans(trainingSample(emb, nCells * 16), nCells)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val assigned = emb.withColumn("cell",
+      element_at(topCellsCol(centroids, col("embedding"), 1), 1))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val sub = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("sub",
+        when(col("n") > maxCell, srpBucket(col("embedding"), 0, subH, dims))
+          .otherwise(lit(0L)))
+      .select(col("cell"), col("sub"), col("vec_id"), col("embedding"))
+    val a = sub.select(col("cell"), col("sub"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = sub.select(col("cell"), col("sub"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("cell", "sub"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
+      .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
+  }
 }

@@ -1,0 +1,120 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val work = "target/test_artifacts/lmspec"
+
+  private def freshDir(name: String): String = {
+    val d = s"$work/$name"
+    deleteRecursively(d)
+    d
+  }
+
+  test("vocab: summed counts, count-desc token-asc order, bounded") {
+    val d = freshDir("vocab")
+    LanguageModel.ensureLm(spark, docs(
+      (1L, "a b a"), (2L, "b c b a")), d)
+    val v = LanguageModel.vocab(spark, d, 2).as[(String, Long)].collect()
+    // counts: a=3, b=3, c=1 → tiebreak puts a before b; c cut by limit
+    assert(v.toSeq == Seq(("a", 3L), ("b", 3L)))
+  }
+
+  test("add-one smoothing is a proper distribution (integer identity)") {
+    val d = freshDir("smooth")
+    LanguageModel.ensureLm(spark, docs((1L, "a b a c d e"), (2L, "a b")), d)
+    val v = LanguageModel.vocab(spark, d, 3).as[(String, Long)].collect()
+    // D = Σ_vocab c + |vocab| + 1; numerators are (c+1) per vocab token
+    // plus 1 for OOV — Σ numerators must equal D exactly
+    val dDenom = v.map(_._2).sum + v.length + 1
+    assert(v.map(_._2 + 1).sum + 1 == dDenom)
+  }
+
+  test("score: hand-computed mean NLL, OOV counted, any batch scorable") {
+    val d = freshDir("score")
+    LanguageModel.ensureLm(spark, docs(
+      (1L, "a a a b"), (2L, "b c")), d)
+    // corpus counts: a=3, b=2, c=1; vocabSize=2 → vocab {a:3, b:2},
+    // D = 5 + 2 + 1 = 8; p(a)=4/8, p(b)=3/8, p(OOV)=1/8
+    val scored = LanguageModel.score(spark,
+        docs((9L, "a b z")), d, vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(scored.length == 1)
+    val (_, n, oov, nll) = scored.head
+    assert(n == 3 && oov == 1)
+    val want = -(math.log(4.0 / 8) + math.log(3.0 / 8) + math.log(1.0 / 8)) / 3
+    assert(math.abs(nll - want) < 1e-6, s"got $nll want $want")
+  }
+
+  test("append equals rebuild: vocab, scores, and metadata line") {
+    val half1 = docs((1L, "a b c"), (2L, "b c d"))
+    val half2 = docs((3L, "c d e"), (4L, "a a a"))
+    val full = half1.unionByName(half2)
+    val inc = freshDir("append_inc")
+    val ref = freshDir("append_ref")
+    LanguageModel.ensureLm(spark, half1, inc)
+    LanguageModel.appendLm(spark, half2, inc)
+    LanguageModel.ensureLm(spark, full, ref)
+    assert(Artifact.readMeta(spark, inc) == Artifact.readMeta(spark, ref),
+      "additive fingerprint must land on the full corpus fingerprint")
+    // a later ensure over the full corpus must SERVE, not rebuild:
+    // the counts files written by the append are still there
+    val filesBefore = new java.io.File(s"$inc/counts").listFiles().length
+    LanguageModel.ensureLm(spark, full, inc)
+    assert(new java.io.File(s"$inc/counts").listFiles().length == filesBefore)
+    val vi = LanguageModel.vocab(spark, inc, 10).as[(String, Long)].collect().toSeq
+    val vr = LanguageModel.vocab(spark, ref, 10).as[(String, Long)].collect().toSeq
+    assert(vi == vr)
+    val batch = docs((9L, "a e z"))
+    val si = LanguageModel.score(spark, batch, inc, 4).collect().toSeq
+    val sr = LanguageModel.score(spark, batch, ref, 4).collect().toSeq
+    assert(si == sr)
+  }
+
+  test("append is idempotent: double-submitted batch is a no-op") {
+    val d = freshDir("idem")
+    LanguageModel.ensureLm(spark, docs((1L, "a b")), d)
+    val batch = docs((2L, "b c"))
+    LanguageModel.appendLm(spark, batch, d)
+    val meta = Artifact.readMeta(spark, d)
+    val v = LanguageModel.vocab(spark, d, 10).as[(String, Long)].collect().toSeq
+    LanguageModel.appendLm(spark, batch, d)
+    assert(Artifact.readMeta(spark, d) == meta)
+    assert(LanguageModel.vocab(spark, d, 10).as[(String, Long)].collect().toSeq == v)
+  }
+
+  test("compaction: fewer files, same vocab, metadata untouched") {
+    val d = freshDir("compact")
+    LanguageModel.ensureLm(spark, docs((1L, "a b")), d)
+    (2 to 6).foreach(i => LanguageModel.appendLm(spark, docs((i.toLong, "a b c")), d))
+    val meta = Artifact.readMeta(spark, d)
+    val v = LanguageModel.vocab(spark, d, 10).as[(String, Long)].collect().toSeq
+    val (before, after) = LanguageModel.compactLm(spark, d)
+    assert(after < before, s"compaction must shrink the file count: $before -> $after")
+    assert(Artifact.readMeta(spark, d) == meta)
+    assert(LanguageModel.vocab(spark, d, 10).as[(String, Long)].collect().toSeq == v)
+  }
+
+  test("perplexity buckets: tercile split covers all docs, head ≤ tail") {
+    val d = freshDir("buckets")
+    // 9 docs with distinct score profiles: common tokens → low nll,
+    // rare-token soup → high
+    val corpus = docs((1 to 9).map { i =>
+      (i.toLong, (Seq.fill(10 - i)("common") ++ Seq.fill(i)(s"rare$i")).mkString(" "))
+    }: _*)
+    LanguageModel.ensureLm(spark, corpus, d)
+    val b = LanguageModel.perplexityBuckets(
+        LanguageModel.score(spark, corpus, d, vocabSize = 1))
+      .select(col("ppl_bucket"), col("mean_nll")).as[(String, Double)].collect()
+    assert(b.length == 9)
+    val byBucket = b.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
+}

@@ -140,4 +140,51 @@ class SimilaritySpec extends SparkSuite {
     assert(hits.toDouble / out.length >= 0.9,
       s"top-k neighbors don't cluster by label: $hits/${out.length}")
   }
+
+  /** Clustered corpus with exact-duplicate vectors planted: ids n..n+k
+    * copy ids 0..k-1. Identical vectors land in the same k-means cell
+    * (and the same SRP sub-bucket) by construction, so the pairs MUST
+    * be recovered regardless of clustering quality.
+    */
+  private def withPlantedDups(k: Int) = {
+    val base = clusteredEmbeddings()
+    val n = base.count()
+    val dups = base.filter(col("vec_id") < k)
+      .withColumn("vec_id", col("vec_id") + lit(n))
+    (base.unionByName(dups), (0 until k).map(i => (i.toLong, n + i)).toSet)
+  }
+
+  test("semantic dedup: planted duplicate pairs surface at cos 1.0") {
+    val (emb, planted) = withPlantedDups(5)
+    val pairs = Similarity.semanticTopKPairs(emb, nCells = 8, topK = 5, dims = 16)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.length == 5)
+    pairs.foreach { case (a, b, c) =>
+      assert(planted((a, b)), s"unexpected top pair ($a,$b)")
+      assert(c == 1.0, s"planted duplicate must score cosine 1.0, got $c")
+    }
+  }
+
+  test("semantic dedup: maxCell sub-split guard keeps identical pairs") {
+    val (emb, planted) = withPlantedDups(5)
+    // every cell over cap → all comparisons run under SRP sub-buckets;
+    // identical vectors share sub-buckets by construction
+    val pairs = Similarity.semanticTopKPairs(emb, nCells = 8, topK = 5,
+        maxCell = 2, subH = 4, dims = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == planted,
+      s"sub-split must preserve identical-vector pairs: got $pairs")
+  }
+
+  test("semantic dedup plan: no cartesian product, pairs never shuffle") {
+    val (emb, _) = withPlantedDups(5)
+    val q = Similarity.semanticTopKPairs(emb, nCells = 8, topK = 5, dims = 16)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell join must be keyed on (cell, sub):\n$plan")
+    // top-K over the pair stream must be TakeOrderedAndProject (pairs
+    // filtered/ranked in the join stage), not a global sort of all pairs
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pair top-K must not globally sort the pair stream:\n$plan")
+  }
 }
