@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the model-based curation layer: at one fixture,
+  * measure (a) the unigram-LM artifact build, (b) warm perplexity
+  * scoring, (c) an O(batch) [[graft.ext.LanguageModel.appendLm]] of a
+  * fixed-size batch — which must stay flat as the corpus grows — and
+  * (d) SemDeDup pair search both at a FIXED cell count (the shape that
+  * goes quadratic per cell as the corpus grows) and with cells scaled
+  * ∝ corpus (the paper's own lever: constant expected cell size keeps
+  * within-cell work linear). Prints one JSON line.
+  *
+  * Usage: `runMain graft.LmScale [sfDir] [cellFactor]` — cellFactor
+  * multiplies the default 16 cells for the scaled-cells measurement
+  * (pass the fixture's ScaleUp factor).
+  */
+object LmScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cellFactor = args.lift(1).map(_.toInt).getOrElse(1)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.{Artifact, LanguageModel, Similarity}
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val lmDir = s"${Artifact.root(sfDir)}/unigram_lm"
+    Fs.deleteTree(lmDir)
+    val buildSec = timed(LanguageModel.ensureLm(spark, docs, lmDir))
+    val scoreSec = timed(GraftSession.forceAndCount(
+      LanguageModel.score(spark, docs, lmDir)))
+
+    // fixed 500-doc batch, ids disjoint from any corpus: append cost
+    // must track the BATCH, not the corpus
+    val batch = spark.range(500)
+      .select((col("id") + 2000000000L).as("doc_id"),
+        concat(lit("appended tokens row "), col("id")).as("text"))
+    val appendSec = timed(LanguageModel.appendLm(spark, batch, lmDir))
+    // restore the corpus-fingerprint artifact for later consumers
+    Fs.deleteTree(lmDir)
+    LanguageModel.ensureLm(spark, docs, lmDir)
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val semFixedSec = timed(GraftSession.forceAndCount(
+      Similarity.semanticTopKPairs(emb, nCells = 16)))
+    val semScaled =
+      if (cellFactor <= 1) ""
+      else {
+        val s = timed(GraftSession.forceAndCount(
+          Similarity.semanticTopKPairs(emb, nCells = 16 * cellFactor)))
+        s""""semantic_cells${16 * cellFactor}_sec":$s,"""
+      }
+
+    println(s"""{"metric":"lm_scale","unit":"sec","build_sec":$buildSec,""" +
+      s""""score_warm_sec":$scoreSec,"append_batch_sec":$appendSec,""" +
+      s""""semantic_cells16_sec":$semFixedSec,$semScaled""" +
+      s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -52,8 +52,32 @@ object ScaleUp {
       .drop("rep")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // embeddings: replicate with shifted ids and a per-replica sign-flip
+    // pattern on the components — norm-preserving (within-replica cosine
+    // structure is exactly the original's) while corresponding vectors
+    // across replicas decorrelate (random-sign inner product ≈ 0), so
+    // semantic-dedup work scales like "factor× more of the same corpus"
+    // rather than planting factor-sized duplicate groups.
+    // earlier layouts symlinked embeddings into the scale fixture: the
+    // link must go (as a link — Fs.deleteTree never follows) BEFORE the
+    // overwrite-mode write, or Hadoop's recursive delete would reach
+    // through it into the source fixture
+    Fs.deleteTree(s"$out/embeddings.parquet")
+    val vecShift = maxOf("embeddings", "vec_id")
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .select(col("*"), reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * vecShift)
+      .withColumn("embedding", zip_with(
+        col("embedding"),
+        transform(sequence(lit(0), size(col("embedding")) - 1),
+          d => when(col("rep") =!= 0 && pmod(xxhash64(col("rep"), d), lit(2)) === 0,
+            lit(-1.0f)).otherwise(lit(1.0f))),
+        (x, s) => x * s))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     // everything else links back to the source fixture
-    Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
+    Seq("region", "nation", "customer", "supplier", "part", "events")
       .foreach { t =>
         val link = java.nio.file.Paths.get(s"$out/$t.parquet")
         // a previous run (or a layout change between replicated and

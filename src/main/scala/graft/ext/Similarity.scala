@@ -376,13 +376,15 @@ object Similarity {
     * stage, so the quadratic blowup is never materialized or shuffled.
     *
     * Scale levers, per the paper's own deployment: cell count grows
-    * with the corpus (nCells ∝ N keeps E[cell] constant, so per-cell
-    * work — the SMJ's buffered group — is bounded), and the `maxCell`
-    * guard catches skewed clusters anyway: cells over the cap are
-    * sub-split by an SRP sign bucket ([[srpBucket]]), which
-    * near-identical vectors co-occupy with high probability — recall
-    * loss is confined to the pathological cells instead of capsizing
-    * the join.
+    * with the corpus — but note BOTH cost terms: within-cell pair work
+    * is O(N²/nCells) while assignment is O(N·nCells), so nCells ∝ √N
+    * balances them (nCells ∝ N keeps E[cell] constant but turns the
+    * assignment pass quadratic); the assignment is materialized once
+    * below so the trade is real, not tripled. The `maxCell` guard
+    * catches skewed clusters anyway: cells over the cap are sub-split
+    * by an SRP sign bucket ([[srpBucket]]), which near-identical
+    * vectors co-occupy with high probability — recall loss is confined
+    * to the pathological cells instead of capsizing the join.
     *
     * Returns the top-`topK` highest-cosine within-cell pairs (the
     * fixture corpus has no true near-dups, so a fixed threshold would
@@ -395,8 +397,17 @@ object Similarity {
                         dims: Int = 64): DataFrame = {
     val centroids = kmeans(trainingSample(emb, nCells * 16), nCells)
       .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    // assign ONCE and materialize: the assignment kernel is O(dims ·
+    // nCells) per row, and this frame feeds three consumers (the size
+    // census and both self-join sides) — left lazy, each would re-run
+    // it and the per-row cost would triple, burying the win that
+    // corpus-proportional cell counts buy (measured 20.6 s → 7 s at
+    // 10× sf0.1 with 160 cells). At deployment scale this frame is the
+    // persisted IVF assignment table ([[AnnIndex.buildIvf]]); here it
+    // is pinned for the query's lifetime instead.
     val assigned = emb.withColumn("cell",
       element_at(topCellsCol(centroids, col("embedding"), 1), 1))
+      .localCheckpoint()
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val sub = assigned.join(broadcast(sizes), Seq("cell"))
       .withColumn("sub",
