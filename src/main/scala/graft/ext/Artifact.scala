@@ -188,6 +188,91 @@ private[graft] object Artifact {
     dir
   }
 
+  // ------------------- generation ledger + logical deletion (shared
+  // by the band index and the unigram LM: any append-mode artifact
+  // whose rows belong to documents and must support removal)
+
+  private def genPath(spark: SparkSession, dir: String): (FileSystem, Path) =
+    fsPath(spark, dir, "genct.txt")
+
+  /** The generation the NEXT append will stamp its rows with. Every
+    * stored row's gen is strictly below it — which is exactly what
+    * makes `tgen = readNextGen()` at removal time mask all rows that
+    * exist and none that are inserted later (the LSM sequence-number
+    * rule).
+    */
+  def readNextGen(spark: SparkSession, dir: String): Long = {
+    val (fs, p) = genPath(spark, dir)
+    if (!fs.exists(p)) 1L
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+      try in.readLine().trim.toLong finally in.close()
+    }
+  }
+
+  def writeNextGen(spark: SparkSession, dir: String, g: Long): Unit = {
+    val (fs, p) = genPath(spark, dir)
+    val out = fs.create(p, true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def tombstonePath(spark: SparkSession, dir: String): (FileSystem, Path) =
+    fsPath(spark, dir, "tombstones")
+
+  /** Logically-deleted `(doc_id, tgen)` rows of an artifact (empty
+    * frame when none): a tombstone masks the doc's rows with
+    * `gen < tgen` — its state as of the removal — and nothing inserted
+    * after. Consumers mask gen-stamped tables via [[maskTombstones]];
+    * the set stays bounded because compaction drops the masked rows
+    * physically and clears it ([[clearTombstones]]).
+    */
+  def loadTombstones(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, p) = tombstonePath(spark, dir)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.range(0).select(col("id").as("doc_id"), col("id").as("tgen"))
+  }
+
+  def hasTombstones(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = tombstonePath(spark, dir)
+    fs.exists(p)
+  }
+
+  def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = tombstonePath(spark, dir)
+    fs.delete(p, true)
+  }
+
+  /** Fold newly removed `(doc_id, tgen)` rows into the stored tombstone
+    * set via max-merge (a doc removed twice keeps the later tgen).
+    * Tombstones are tiny — bounded by removals since the last
+    * compaction — so the set is rewritten wholesale via a staging swap.
+    */
+  def appendTombstones(spark: SparkSession, dir: String, removed: DataFrame): Unit = {
+    val (fs, p) = tombstonePath(spark, dir)
+    val union = loadTombstones(spark, dir)
+      .unionByName(removed.select(col("doc_id"), col("tgen")))
+      .groupBy(col("doc_id")).agg(max(col("tgen")).as("tgen"))
+      .localCheckpoint()
+    val tmp = new Path(s"$dir/tombstones.next")
+    fs.delete(tmp, true)
+    union.coalesce(1).write.parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"tombstone swap failed at $dir")
+  }
+
+  /** Mask a gen-stamped frame (must carry `doc_id` and `gen`) against
+    * the artifact's tombstones: rows with `gen < tgen` — written before
+    * their doc's removal — are dropped; rows re-inserted after it
+    * survive. A no-op plan (no join, no broadcast) in the common
+    * nothing-deleted case.
+    */
+  def maskTombstones(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    if (!hasTombstones(spark, dir)) df
+    else df.join(broadcast(loadTombstones(spark, dir)), Seq("doc_id"), "left")
+      .filter(col("tgen").isNull || col("gen") >= col("tgen"))
+      .drop("tgen")
+
   /** Rewrite one data subdirectory of a built artifact into sized files
     * — the maintenance pass behind the append lifecycle (each appended
     * batch leaves its own file set; a nightly pipeline degrades into a

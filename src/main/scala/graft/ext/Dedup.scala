@@ -247,78 +247,28 @@ object Dedup {
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("m"))
         .write.mode("overwrite").parquet(s"$dir/sizes")
       // a fresh build has nothing logically deleted
-      tombstoneFs(spark, dir)._1.delete(tombstoneFs(spark, dir)._2, true)
-      writeNextGen(spark, dir, 1L)
+      Artifact.clearTombstones(spark, dir)
+      Artifact.writeNextGen(spark, dir, 1L)
     }
 
-  // ------------------------------------------------ insert generations
-
-  private def genFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/genct.txt")
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** The generation the NEXT append will stamp its rows with. Every
-    * stored row's gen is strictly below it — which is exactly what makes
-    * `tgen = readNextGen()` at removal time mask all rows that exist and
-    * none that are inserted later.
-    */
-  private def readNextGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
-    val (fs, p) = genFs(spark, dir)
-    if (!fs.exists(p)) 1L
-    else {
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
-      try in.readLine().trim.toLong finally in.close()
-    }
-  }
-
+  // Insert generations + logical deletion use the shared artifact
+  // machinery ([[Artifact.readNextGen]]/[[Artifact.maskTombstones]] and
+  // friends) — the same scheme backs the unigram LM's removal path
+  // ([[LanguageModel.removeLm]]). Local aliases keep call sites short.
+  private def readNextGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    Artifact.readNextGen(spark, dir)
   private def writeNextGen(spark: org.apache.spark.sql.SparkSession,
-                           dir: String, g: Long): Unit = {
-    val (fs, p) = genFs(spark, dir)
-    val out = fs.create(p, true)
-    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
-  }
-
-  // ------------------------------------------------ logical deletion
-
-  private def tombstoneFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** Logically-deleted `(doc_id, tgen)` rows of a band index (empty
-    * frame when none): a tombstone masks the doc's band rows with
-    * `gen < tgen` — its state as of the removal — and nothing inserted
-    * after.
-    * Consumers mask the bands table with an anti-join against this set;
-    * the set stays bounded because [[compactBandIndex]] drops the
-    * masked rows physically and clears it.
-    */
+                           dir: String, g: Long): Unit =
+    Artifact.writeNextGen(spark, dir, g)
   private[graft] def loadTombstones(spark: org.apache.spark.sql.SparkSession,
-                                    dir: String): DataFrame = {
-    val (fs, p) = tombstoneFs(spark, dir)
-    if (fs.exists(p)) spark.read.parquet(p.toString)
-    else spark.range(0).select(col("id").as("doc_id"), col("id").as("tgen"))
-  }
-
+                                    dir: String): DataFrame =
+    Artifact.loadTombstones(spark, dir)
   private def hasTombstones(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Boolean = {
-    val (fs, p) = tombstoneFs(spark, dir)
-    fs.exists(p)
-  }
-
-  /** Mask a band frame (must carry `doc_id` and `gen`) against the
-    * index's tombstones: rows with `gen < tgen` — written before their
-    * doc's removal — are dropped; rows re-inserted after it survive. A
-    * no-op plan (no join, no broadcast) in the common
-    * nothing-deleted case.
-    */
+                            dir: String): Boolean =
+    Artifact.hasTombstones(spark, dir)
   private def maskTombstones(spark: org.apache.spark.sql.SparkSession,
                              dir: String, df: DataFrame): DataFrame =
-    if (!hasTombstones(spark, dir)) df
-    else df.join(broadcast(loadTombstones(spark, dir)), Seq("doc_id"), "left")
-      .filter(col("tgen").isNull || col("gen") >= col("tgen"))
-      .drop("tgen")
+    Artifact.maskTombstones(spark, dir, df)
 
   /** Delete documents from the stored band index in O(removed) — the
     * right-to-be-forgotten operation a training corpus needs, without
@@ -340,7 +290,6 @@ object Dedup {
                           removedDocs: DataFrame, dir: String,
                           k: Int = 32, bands: Int = 8): Unit = {
     Artifact.requireKind(spark, dir, s"bandindex v3 k=$k bands=$bands fp=")
-    val (fs, p) = tombstoneFs(spark, dir)
     val removed = removedDocs.select(col("doc_id"), col("text")).localCheckpoint()
     if (!removed.isEmpty) {
       Artifact.beginMutation(spark, dir)
@@ -353,18 +302,8 @@ object Dedup {
       // cleared early, and the old text's rows stay masked until
       // compaction drops them physically
       val tgen = readNextGen(spark, dir)
-      val union = loadTombstones(spark, dir)
-        .unionByName(removed.select(col("doc_id"), lit(tgen).as("tgen")))
-        .groupBy(col("doc_id")).agg(max(col("tgen")).as("tgen"))
-        .localCheckpoint()
-      // tombstones are tiny (bounded by removals since the last
-      // compaction): rewrite wholesale via a staging swap
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/tombstones.next")
-      fs.delete(tmp, true)
-      union.coalesce(1).write.parquet(tmp.toString)
-      fs.delete(p, true)
-      if (!fs.rename(tmp, p))
-        throw new IllegalStateException(s"tombstone swap failed at $dir")
+      Artifact.appendTombstones(spark, dir,
+        removed.select(col("doc_id"), lit(tgen).as("tgen")))
       Artifact.subtractFromFingerprint(spark, dir, "bandindex v3 ",
         Artifact.fingerprint(removed, col("doc_id"), col("text")))
       Artifact.endMutation(spark, dir)
@@ -435,8 +374,7 @@ object Dedup {
           .drop("tgen")
       }
     val (b0, b1) = Artifact.compactParquet(spark, dir, "bands", merge = bandsMerge)
-    val (fs, p) = tombstoneFs(spark, dir)
-    fs.delete(p, true)
+    Artifact.clearTombstones(spark, dir)
     val (s0, s1) = Artifact.compactParquet(spark, dir, "sizes",
       merge = _.groupBy(col("band"), col("bucket")).agg(sum(col("m")).as("m")))
     (b0 + s0, b1 + s1)

@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * The trained model is a persisted artifact in the house pattern
   * ([[Artifact]]): the token-count ledger is built once per corpus
-  * fingerprint and appended in O(batch) as the corpus grows — counts
-  * are additive, so an append is a delta write, never a recount of
-  * history. The vocabulary and smoothing constants are DERIVED at read
-  * time from the ledger (top-V is a read parameter, not a build
-  * parameter), so one stored model serves any vocabulary size.
+  * fingerprint, appended in O(batch) as the corpus grows, and shrunk
+  * in O(removed) when documents are forgotten — counts are additive,
+  * so both directions are delta writes, never a recount of history.
+  * The vocabulary and smoothing constants are DERIVED at read time
+  * from the ledger (top-V is a read parameter, not a build parameter),
+  * so one stored model serves any vocabulary size.
   *
   * Scale shape at 100 TB: the count pass is one map-side-combinable
   * aggregation (distinct tokens per partition, not corpus tokens,
@@ -39,11 +40,12 @@ object LanguageModel {
     docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
 
-  private val MetaPrefix = "unigramlm v1 "
+  private val MetaPrefix = "unigramlm v2 "
 
   /** Build-if-needed unigram model over the corpus: the count ledger
-    * plus an id ledger (append idempotency), guarded by the corpus
-    * content fingerprint. Returns the artifact dir.
+    * plus a gen-stamped id ledger (append idempotency + removal
+    * masking), guarded by the corpus content fingerprint. Returns the
+    * artifact dir.
     */
   def ensureLm(spark: SparkSession, docs: DataFrame, dir: String): String =
     Artifact.ensure(spark, dir,
@@ -53,55 +55,121 @@ object LanguageModel {
       // expects (the prefix group is everything before " fp=")
       MetaPrefix + s"unit=ws fp=${Artifact.fingerprint(docs, col("doc_id"), col("text"))}") {
       tokenCounts(docs).write.mode("overwrite").parquet(s"$dir/counts")
-      docs.select(col("doc_id")).write.mode("overwrite").parquet(s"$dir/ids")
+      docs.select(col("doc_id"), lit(0L).as("gen"))
+        .write.mode("overwrite").parquet(s"$dir/ids")
+      // a fresh build has nothing logically deleted
+      Artifact.clearTombstones(spark, dir)
+      Artifact.writeNextGen(spark, dir, 1L)
     }
+
+  /** The id ledger with logical deletes applied — the one definition of
+    * "indexed" shared by the append anti-join (a removed doc must be
+    * re-insertable) and the removal semi-join (only live docs can be
+    * removed).
+    */
+  private def liveIds(spark: SparkSession, dir: String): DataFrame =
+    Artifact.maskTombstones(spark, dir, spark.read.parquet(s"$dir/ids"))
+      .select(col("doc_id"))
 
   /** Fold a document batch into the stored model in O(batch): counts
     * are additive, so the append is the batch's OWN count aggregate
     * written as ledger deltas — history is never recounted. Idempotent
-    * via the id ledger (a double-submitted batch is a no-op), and the
-    * additive fingerprint keeps a later [[ensureLm]] over the union
+    * via the id ledger (a double-submitted batch is a no-op); a doc
+    * removed by [[removeLm]] is NOT treated as indexed, so re-insertion
+    * works — its new id row's generation clears the tombstone's mask.
+    * The additive fingerprint keeps a later [[ensureLm]] over the union
     * corpus serving without a rebuild. Crash-atomic under the pending
-    * marker like the other append paths. Removal would follow the band
-    * index's generation-tombstone ledger ([[Dedup.removeFromBandIndex]])
-    * — negative count deltas plus id masking; not implemented here.
+    * marker like the other append paths.
     */
   def appendLm(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, MetaPrefix)
     val fresh = batch
       .join(broadcast(batch.select(col("doc_id"))
-          .join(spark.read.parquet(s"$dir/ids"), Seq("doc_id"), "left_semi")),
+          .join(liveIds(spark, dir), Seq("doc_id"), "left_semi")),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text")).localCheckpoint()
     if (!fresh.isEmpty) {
+      val gen = Artifact.readNextGen(spark, dir)
       Artifact.beginMutation(spark, dir)
       tokenCounts(fresh).write.mode("append").parquet(s"$dir/counts")
-      fresh.select(col("doc_id")).write.mode("append").parquet(s"$dir/ids")
+      fresh.select(col("doc_id"), lit(gen).as("gen"))
+        .write.mode("append").parquet(s"$dir/ids")
+      Artifact.writeNextGen(spark, dir, gen + 1L)
       Artifact.addToFingerprint(spark, dir, MetaPrefix,
         Artifact.fingerprint(fresh, col("doc_id"), col("text")))
       Artifact.endMutation(spark, dir)
     }
   }
 
-  /** Compact the ledgers after a run of appends: per-token deltas merged
-    * back to one row (`sum(c)` — the exact aggregate [[vocab]] computes,
-    * so results are unchanged), files re-sized. Metadata untouched.
+  /** Delete documents from the stored model in O(removed) — the
+    * [[Dedup.removeFromBandIndex]] analog, so the right-to-be-forgotten
+    * lifecycle covers the LM artifact too:
+    *  - the docs' token counts are corrected with NEGATIVE ledger
+    *    deltas, recounted from their texts (deterministic — the caller
+    *    passes the indexed text, the same contract as the band index's
+    *    removal; history is never rescanned),
+    *  - their id rows are masked via the shared `(doc_id, tgen)`
+    *    tombstone set ([[Artifact.appendTombstones]]) until
+    *    [[compactLm]] drops them physically,
+    *  - the stored fingerprint is adjusted arithmetically, so a later
+    *    [[ensureLm]] over the shrunken corpus SERVES instead of
+    *    rebuilding.
+    * [[vocab]] needs no masking at read: a fully-removed token nets to
+    * a non-positive ledger sum and is excluded by the `c > 0` filter.
+    */
+  def removeLm(spark: SparkSession, removedDocs: DataFrame, dir: String): Unit = {
+    Artifact.requireKind(spark, dir, MetaPrefix)
+    val removed = removedDocs.select(col("doc_id"), col("text"))
+      .join(broadcast(removedDocs.select(col("doc_id"))
+          .join(liveIds(spark, dir), Seq("doc_id"), "left_semi")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (!removed.isEmpty) {
+      Artifact.beginMutation(spark, dir)
+      tokenCounts(removed).select(col("token"), (-col("c")).as("c"))
+        .write.mode("append").parquet(s"$dir/counts")
+      val tgen = Artifact.readNextGen(spark, dir)
+      Artifact.appendTombstones(spark, dir,
+        removed.select(col("doc_id"), lit(tgen).as("tgen")))
+      Artifact.subtractFromFingerprint(spark, dir, MetaPrefix,
+        Artifact.fingerprint(removed, col("doc_id"), col("text")))
+      Artifact.endMutation(spark, dir)
+    }
+  }
+
+  /** Compact the ledgers after a run of appends/removals: per-token
+    * deltas merged back to one row and non-positive nets dropped
+    * (consumer-equivalent — [[vocab]] filters `c > 0` at read), masked
+    * id rows dropped and the tombstone set cleared, files re-sized.
+    * Metadata untouched.
     */
   def compactLm(spark: SparkSession, dir: String): (Int, Int) = {
     val (b1, a1) = Artifact.compactParquet(spark, dir, "counts",
-      merge = _.groupBy(col("token")).agg(sum(col("c")).as("c")))
-    val (b2, a2) = Artifact.compactParquet(spark, dir, "ids")
+      merge = _.groupBy(col("token")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0))
+    val idsMerge: DataFrame => DataFrame =
+      if (!Artifact.hasTombstones(spark, dir)) identity
+      else {
+        val tombstones = Artifact.loadTombstones(spark, dir).localCheckpoint()
+        _.join(broadcast(tombstones), Seq("doc_id"), "left")
+          .filter(col("tgen").isNull || col("gen") >= col("tgen"))
+          .drop("tgen")
+      }
+    val (b2, a2) = Artifact.compactParquet(spark, dir, "ids", merge = idsMerge)
+    Artifact.clearTombstones(spark, dir)
     (b1 + b2, a1 + a2)
   }
 
   /** The model's serving form: top-`vocabSize` tokens by corpus count
     * (count-desc, token-asc — deterministic at the boundary), summed
-    * over the delta ledger. Bounded output, safe to broadcast.
+    * over the delta ledger; tokens whose net count is non-positive
+    * (fully removed) are excluded. Bounded output, safe to broadcast.
     */
   def vocab(spark: SparkSession, dir: String, vocabSize: Int): DataFrame = {
     Artifact.requireKind(spark, dir, MetaPrefix)
     spark.read.parquet(s"$dir/counts")
       .groupBy(col("token")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
       .orderBy(col("c").desc, col("token"))
       .limit(vocabSize)
   }

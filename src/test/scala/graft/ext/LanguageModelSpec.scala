@@ -100,6 +100,52 @@ class LanguageModelSpec extends SparkSuite {
     assert(LanguageModel.vocab(spark, d, 10).as[(String, Long)].collect().toSeq == v)
   }
 
+  test("removal equals rebuild: vocab, scores, fingerprint; then " +
+      "recycle the id with new text; compaction drops the residue") {
+    val keep = docs((1L, "a b c"), (2L, "b c d"))
+    val gone = docs((3L, "c d e zz zz"), (4L, "a zz"))
+    val inc = freshDir("remove_inc")
+    LanguageModel.ensureLm(spark, keep.unionByName(gone), inc)
+    LanguageModel.removeLm(spark, gone, inc)
+
+    def assertEqualsFresh(corpus: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val ref = freshDir(s"remove_ref_$tag")
+      LanguageModel.ensureLm(spark, corpus, ref)
+      assert(Artifact.readMeta(spark, inc) == Artifact.readMeta(spark, ref),
+        s"[$tag] subtracted fingerprint must land on the surviving corpus's")
+      assert(LanguageModel.vocab(spark, inc, 10).as[(String, Long)].collect().toSeq
+        == LanguageModel.vocab(spark, ref, 10).as[(String, Long)].collect().toSeq,
+        s"[$tag] vocab")
+      val batch = docs((9L, "a d e zz q"))
+      assert(LanguageModel.score(spark, batch, inc, 4).collect().toSeq
+        == LanguageModel.score(spark, batch, ref, 4).collect().toSeq, s"[$tag] score")
+    }
+    // `zz` (count 3) and `e` net to zero — they must vanish from vocab,
+    // and a later ensure over the shrunken corpus must SERVE (fingerprint)
+    assertEqualsFresh(keep, "after_remove")
+
+    // removal is idempotent: the docs are no longer live
+    val meta = Artifact.readMeta(spark, inc)
+    LanguageModel.removeLm(spark, gone, inc)
+    assert(Artifact.readMeta(spark, inc) == meta, "double-remove must be a no-op")
+
+    // recycle id 3 with DIFFERENT text: the append must not treat the
+    // masked id as indexed, and the model must equal a fresh build over
+    // the new corpus (the old text's counts are gone, the new ones live)
+    val recycled = docs((3L, "b q q"))
+    LanguageModel.appendLm(spark, recycled, inc)
+    assertEqualsFresh(keep.unionByName(recycled), "after_recycle")
+
+    // compaction drops masked id rows + netted-out tokens, clears the
+    // tombstones, and changes nothing observable
+    LanguageModel.compactLm(spark, inc)
+    assert(!Artifact.hasTombstones(spark, inc), "compaction clears tombstones")
+    assertEqualsFresh(keep.unionByName(recycled), "after_compact")
+    val tokens = spark.read.parquet(s"$inc/counts")
+      .groupBy(col("token")).count().filter(col("count") > 1).count()
+    assert(tokens == 0, "compaction must merge per-token deltas to one row")
+  }
+
   test("perplexity buckets: tercile split covers all docs, head ≤ tail") {
     val d = freshDir("buckets")
     // 9 docs with distinct score profiles: common tokens → low nll,
