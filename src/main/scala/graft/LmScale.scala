@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 /** Scale evidence for the model-based curation layer: at one fixture,
   * measure (a) the unigram-LM artifact build, (b) warm perplexity
   * scoring, (c) an O(batch) [[graft.ext.LanguageModel.appendLm]] of a
-  * fixed-size batch — which must stay flat as the corpus grows — and
+  * fixed-size batch — which must stay flat as the corpus grows — then
+  * an O(removed) [[graft.ext.LanguageModel.removeLm]] of the same
+  * batch (the fingerprint must round-trip: re-ensure serves), and
   * (d) SemDeDup pair search both at a FIXED cell count (the shape that
   * goes quadratic per cell as the corpus grows) and with cells scaled
   * ∝ corpus (the paper's own lever: constant expected cell size keeps
@@ -39,9 +41,15 @@ object LmScale {
       .select((col("id") + 2000000000L).as("doc_id"),
         concat(lit("appended tokens row "), col("id")).as("text"))
     val appendSec = timed(LanguageModel.appendLm(spark, batch, lmDir))
-    // restore the corpus-fingerprint artifact for later consumers
-    Fs.deleteTree(lmDir)
+    // remove the same batch: must also track the BATCH (negative deltas
+    // + tombstones), and the subtracted fingerprint must land back on
+    // the original corpus's — asserted by re-ensuring WITHOUT deleting:
+    // a rebuild here would mean the fingerprint arithmetic drifted
+    val removeSec = timed(LanguageModel.removeLm(spark, batch, lmDir))
+    val metaAfter = Artifact.readMeta(spark, lmDir)
     LanguageModel.ensureLm(spark, docs, lmDir)
+    require(Artifact.readMeta(spark, lmDir) == metaAfter,
+      "append+remove must round-trip the fingerprint (ensure rebuilt!)")
 
     val emb = Tables.embeddings(spark, sfDir)
     val semFixedSec = timed(GraftSession.forceAndCount(
@@ -55,7 +63,7 @@ object LmScale {
       }
 
     println(s"""{"metric":"lm_scale","unit":"sec","build_sec":$buildSec,""" +
-      s""""score_warm_sec":$scoreSec,"append_batch_sec":$appendSec,""" +
+      s""""score_warm_sec":$scoreSec,"append_batch_sec":$appendSec,"remove_batch_sec":$removeSec,""" +
       s""""semantic_cells16_sec":$semFixedSec,$semScaled""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
