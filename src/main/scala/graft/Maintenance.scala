@@ -41,8 +41,15 @@ object Maintenance {
     run("shards", s"$root/shards", "shards v2 ") {
       graft.ext.TrainingSet.compactShards(spark, s"$root/shards")
     }
-    run("unigram_lm", s"$root/unigram_lm", "unigramlm v1 ") {
+    run("unigram_lm", s"$root/unigram_lm", graft.ext.LanguageModel.MetaPrefix) {
       graft.ext.LanguageModel.compactLm(spark, s"$root/unigram_lm")
+    }
+    run("unigram_lm_target", s"$root/unigram_lm_target",
+        graft.ext.LanguageModel.MetaPrefix) {
+      graft.ext.LanguageModel.compactLm(spark, s"$root/unigram_lm_target")
+    }
+    run("nbclass", s"$root/nbclass", graft.ext.Classifier.MetaPrefix) {
+      graft.ext.Classifier.compactNb(spark, s"$root/nbclass")
     }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments

@@ -40,7 +40,7 @@ object LanguageModel {
     docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
 
-  private val MetaPrefix = "unigramlm v2 "
+  private[graft] val MetaPrefix = "unigramlm v2 "
 
   /** Build-if-needed unigram model over the corpus: the count ledger
     * plus a gen-stamped id ledger (append idempotency + removal
@@ -83,6 +83,13 @@ object LanguageModel {
     */
   def appendLm(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, MetaPrefix)
+    // an intra-batch duplicate id would double-count its tokens in the
+    // ledger and bake two id rows into the additive fingerprint (the
+    // idempotency anti-join only sees STORED ids) — fail fast, the same
+    // contract as [[TrainingSet.appendShards]]
+    if (batch.groupBy(col("doc_id")).count().filter(col("count") > 1).take(1).nonEmpty)
+      throw new IllegalArgumentException(
+        "LM append batch contains duplicate doc_ids — dedupe upstream first")
     val fresh = batch
       .join(broadcast(batch.select(col("doc_id"))
           .join(liveIds(spark, dir), Seq("doc_id"), "left_semi")),
@@ -199,6 +206,37 @@ object LanguageModel {
         sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
         round(sum(-log((coalesce(col("c"), lit(0L)) + 1L).cast("double") / col("d")))
           / count(lit(1)), 6).as("mean_nll"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document under a TARGET-domain model and under the RAW-corpus
+    * model, and weight it by the per-token log-likelihood ratio —
+    * here `log_ratio = mean_nll_raw − mean_nll_target` (positive =
+    * looks more like the target domain than like the corpus average).
+    * Selecting the top-weighted documents is the data-selection step
+    * that upweights target-like data without training a classifier.
+    *
+    * Both models are persisted unigram artifacts served through
+    * [[score]], each smoothed over its OWN top-`vocabSize` vocabulary
+    * (the importance ratio is between the two models as estimated, the
+    * DSIR formulation). Scale shape: two broadcast-vocab scoring
+    * passes over the same exploded token stream + one join on doc_id —
+    * one row per document per side crosses the shuffle.
+    */
+  def importanceWeights(spark: SparkSession, docs: DataFrame,
+                        targetDir: String, rawDir: String,
+                        vocabSize: Int = 4096): DataFrame = {
+    val t = score(spark, docs, targetDir, vocabSize)
+      .select(col("doc_id"), col("mean_nll").as("nll_target"))
+    val r = score(spark, docs, rawDir, vocabSize)
+      .select(col("doc_id"), col("mean_nll").as("nll_raw"))
+    t.join(r, Seq("doc_id"))
+      .select(col("doc_id"), col("nll_target"), col("nll_raw"),
+        // both inputs are round-6 values, so the difference is exact
+        // in both engines — no second rounding contract needed, but
+        // round anyway to pin the boundary
+        round(col("nll_raw") - col("nll_target"), 6).as("log_ratio"))
   }
 
   /** CCNet's head/middle/tail split: bucket documents by corpus

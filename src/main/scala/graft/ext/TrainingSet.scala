@@ -230,11 +230,25 @@ object TrainingSet {
     * the delete → compact → re-insert order is the supported one — the
     * same policy as the ANN indexes). `removed` must carry
     * (doc_id, text, lang): the removed CONTENT, for the ledger deltas.
+    *
+    * Idempotent and membership-checked, like [[LanguageModel.removeLm]]:
+    * the batch is semi-joined against the export's LIVE id set (ids
+    * minus existing tombstones) before any delta is computed, so a
+    * retried removal or a never-exported id is a no-op — without the
+    * guard it would over-subtract the manifest ledger, corrupt the
+    * stored fingerprint, and tombstone ids that were never exported
+    * (blocking their future append).
     */
   def removeFromShards(spark: SparkSession, removed: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, "shards v2 ")
     val nShards = shardCount(spark, dir)
-    val r = removed.select(col("doc_id"), col("text"), col("lang")).localCheckpoint()
+    val live = spark.read.parquet(s"$dir/ids").select(col("doc_id"))
+      .join(loadTombstones(spark, dir), Seq("doc_id"), "left_anti")
+    val r = removed.select(col("doc_id"), col("text"), col("lang"))
+      .join(broadcast(removed.select(col("doc_id"))
+          .join(live, Seq("doc_id"), "left_semi")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     if (!r.isEmpty) {
       Artifact.beginMutation(spark, dir)
       r.groupBy(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))

@@ -20,7 +20,7 @@ class MaintenanceSpec extends SparkSuite {
 
     val results = Maintenance.compactAll(spark, sfDir)
     val names = results.map(_._1).toSet
-    assert(Set("neardup", "dupgroups", "bandindex", "serving",
+    assert(Set("neardup", "dupgroups", "bandindex", "serving", "shards", "unigram_lm",
       "ivf_c16", "pq_m8", "ivfpq_c16_m8", "srp_h8t4").subsetOf(names),
       s"every built artifact must be swept: $names")
     assert(results.forall { case (_, b, a) => a <= b },
@@ -35,5 +35,35 @@ class MaintenanceSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet == groupsBefore)
     // a second sweep is a no-op-safe idempotent pass
     assert(Maintenance.compactAll(spark, sfDir).forall { case (_, b, a) => a <= b })
+  }
+
+  test("the nightly sweep reaches an appended LM artifact and folds its deltas") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a dedicated fixture root so the appends don't perturb the shared one
+    val fixture = "target/maintspec_lm"
+    val lmDir = s"${Artifact.root(fixture)}/unigram_lm"
+    deleteRecursively(Artifact.root(fixture))
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    graft.ext.LanguageModel.ensureLm(spark, docs((1L, "a b a")), lmDir)
+    (2 to 6).foreach(i =>
+      graft.ext.LanguageModel.appendLm(spark, docs((i.toLong, "a b c")), lmDir))
+    val meta = Artifact.readMeta(spark, lmDir)
+    val vocab = graft.ext.LanguageModel.vocab(spark, lmDir, 10)
+      .as[(String, Long)].collect().toSeq
+
+    val results = Maintenance.compactAll(spark, fixture)
+    val lm = results.find(_._1 == "unigram_lm")
+    assert(lm.isDefined,
+      s"the sweep must reach the unigram LM artifact (gated on the live " +
+        s"MetaPrefix, not a stale literal): $results")
+    assert(lm.get._3 < lm.get._2,
+      s"five appended delta files must fold back: $lm")
+    assert(Artifact.readMeta(spark, lmDir) == meta)
+    assert(graft.ext.LanguageModel.vocab(spark, lmDir, 10)
+      .as[(String, Long)].collect().toSeq == vocab)
+    // the per-token deltas merged to one row each
+    assert(spark.read.parquet(s"$lmDir/counts")
+      .groupBy(col("token")).count().filter(col("count") > 1).isEmpty)
   }
 }

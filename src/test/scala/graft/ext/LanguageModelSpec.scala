@@ -88,6 +88,21 @@ class LanguageModelSpec extends SparkSuite {
     assert(LanguageModel.vocab(spark, d, 10).as[(String, Long)].collect().toSeq == v)
   }
 
+  test("append fails fast on intra-batch duplicate doc_ids, artifact untouched") {
+    val d = freshDir("dupbatch")
+    LanguageModel.ensureLm(spark, docs((1L, "a b")), d)
+    val meta = Artifact.readMeta(spark, d)
+    val v = LanguageModel.vocab(spark, d, 10).as[(String, Long)].collect().toSeq
+    // same id twice in one batch: the idempotency anti-join only sees
+    // STORED ids, so without the guard the tokens would double-count
+    intercept[IllegalArgumentException] {
+      LanguageModel.appendLm(spark, docs((2L, "b c"), (2L, "b c")), d)
+    }
+    assert(Artifact.readMeta(spark, d) == meta, "failed append must not touch metadata")
+    assert(LanguageModel.vocab(spark, d, 10).as[(String, Long)].collect().toSeq == v,
+      "failed append must not touch the ledger")
+  }
+
   test("compaction: fewer files, same vocab, metadata untouched") {
     val d = freshDir("compact")
     LanguageModel.ensureLm(spark, docs((1L, "a b")), d)

@@ -204,6 +204,39 @@ class TrainingSetSpec extends SparkSuite {
     }
   }
 
+  test("removeFromShards is membership-checked: retried and never-exported " +
+      "removals are no-ops on ledger, fingerprint, and tombstones") {
+    val dir = "target/trainspec/shards_remguard"
+    deleteRecursively(dir)
+    TrainingSet.writeShards(spark, docs, dir, nShards = 4)
+    val removed = docs.filter(col("doc_id") === 10L).localCheckpoint()
+    TrainingSet.removeFromShards(spark, removed, dir)
+    val meta = Artifact.readMeta(spark, dir)
+    def manifest() = TrainingSet.shardManifest(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ledger = manifest()
+
+    // a RETRIED removal (id already tombstoned) must not over-subtract
+    TrainingSet.removeFromShards(spark, removed, dir)
+    assert(Artifact.readMeta(spark, dir) == meta, "double-remove must not touch the fingerprint")
+    assert(manifest() == ledger, "double-remove must not write ledger deltas")
+
+    // a NEVER-EXPORTED id must not be tombstoned (that would block its
+    // future append) nor subtracted from the ledger
+    val alien = Seq((999999L, "never exported", "en")).toDF("doc_id", "text", "lang")
+    TrainingSet.removeFromShards(spark, alien, dir)
+    assert(Artifact.readMeta(spark, dir) == meta)
+    assert(manifest() == ledger)
+    assert(TrainingSet.loadTombstones(spark, dir)
+      .filter(col("doc_id") === 999999L).isEmpty,
+      "an id that was never exported must not be tombstoned")
+    // ...so exporting it later still works
+    TrainingSet.compactShards(spark, dir)
+    TrainingSet.appendShards(spark, alien, dir)
+    assert(TrainingSet.readShard(spark, dir, (999999L % 4L).toInt)
+      .filter(col("doc_id") === 999999L).count() == 1L)
+  }
+
   test("export deletion + sync: removal reaches the training set, catch-up is O(missing)") {
     val dir = "target/trainspec/shards_del"
     val dirRef = "target/trainspec/shards_delref"
