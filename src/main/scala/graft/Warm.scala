@@ -29,6 +29,10 @@ object Warm {
       s"${Artifact.root(d)}/bandindex")
     graft.ext.TrainingSet.writeShards(spark, docs, s"${Artifact.root(d)}/shards")
     graft.ext.LanguageModel.ensureLm(spark, docs, s"${Artifact.root(d)}/unigram_lm")
+    graft.ext.LanguageModel.ensureLm(spark, docs.filter(col("lang") === "en"),
+      s"${Artifact.root(d)}/unigram_lm_target")
+    graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
+      s"${Artifact.root(d)}/nbclass")
     val emb = Tables.embeddings(spark, d)
     AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
     AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")

@@ -1,0 +1,228 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained multinomial Naive Bayes document classifier — the
+  * model-based FILTER stage of a training-data pipeline (the GPT-3 /
+  * CCNet recipe: train a cheap linear classifier on labeled seed
+  * documents, score the whole corpus, keep what scores well). Naive
+  * Bayes is the deterministic member of that family: training IS
+  * counting, so the model is exactly reproducible in a second engine
+  * and every score is DuckDB-oracle-checkable — while exercising the
+  * same dataflow a fastText-style classifier needs (one labeled count
+  * pass, a bounded vocabulary, broadcast scoring).
+  *
+  * The trained model is a persisted [[Artifact]] like the unigram LM:
+  * per-(label, token) count ledger + per-label doc-count ledger, built
+  * once per labeled-set fingerprint, appended in O(batch), shrunk in
+  * O(removed) via negative deltas — counts are additive in both the
+  * token and label dimensions, so the full lifecycle is delta writes.
+  *
+  * Scale shape at 100 TB: training is one map-side-combinable
+  * aggregation over the labeled seed (bounded: seed sets are small by
+  * design); scoring explodes the corpus token stream once, expands it
+  * by the label count via a bounded broadcast cross join, joins the
+  * BROADCAST (vocab × label) count table, and partially aggregates per
+  * (doc, label) — |labels| rows per document reach the final shuffle,
+  * the token stream never does.
+  */
+object Classifier {
+
+  private[graft] val MetaPrefix = "nbclass v1 "
+
+  /** The deterministic labeled seed the fixture queries train on: every
+    * fifth document, labeled with its `lang` column — a language-ID
+    * classifier, standing in for the quality seed sets a production
+    * pipeline curates by hand. One definition shared by the queries and
+    * the warm phase so the artifact fingerprint matches.
+    */
+  def fixtureSeed(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(col("doc_id"), col("text"), col("lang").as("label"))
+
+  /** Per-(label, token) counts of a labeled frame — the model's
+    * sufficient statistic (training a multinomial NB IS this groupBy).
+    */
+  def classTokenCounts(labeled: DataFrame): DataFrame =
+    labeled.select(col("label"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("label"), col("token")).agg(count(lit(1)).as("c"))
+
+  /** Per-label document counts — the prior's statistic. */
+  def classDocCounts(labeled: DataFrame): DataFrame =
+    labeled.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+
+  /** Build-if-needed NB model over a labeled seed set `(doc_id, text,
+    * label)`: both count ledgers plus a gen-stamped id ledger (append
+    * idempotency + removal masking), guarded by the seed content
+    * fingerprint. Returns the artifact dir.
+    */
+  def ensureNb(spark: SparkSession, labeled: DataFrame, dir: String): String =
+    Artifact.ensure(spark, dir,
+      MetaPrefix + "unit=ws fp=" +
+        Artifact.fingerprint(labeled, col("doc_id"), col("text"), col("label"))) {
+      classTokenCounts(labeled).write.mode("overwrite").parquet(s"$dir/counts")
+      classDocCounts(labeled).write.mode("overwrite").parquet(s"$dir/docs")
+      labeled.select(col("doc_id"), lit(0L).as("gen"))
+        .write.mode("overwrite").parquet(s"$dir/ids")
+      Artifact.clearTombstones(spark, dir)
+      Artifact.writeNextGen(spark, dir, 1L)
+    }
+
+  /** The id ledger with logical deletes applied — shared by the append
+    * anti-join and the removal semi-join ([[LanguageModel.liveIds]]'
+    * exact analog).
+    */
+  private def liveIds(spark: SparkSession, dir: String): DataFrame =
+    Artifact.maskTombstones(spark, dir, spark.read.parquet(s"$dir/ids"))
+      .select(col("doc_id"))
+
+  /** Fold a labeled batch into the stored model in O(batch): both
+    * ledgers are additive, so the append writes the batch's own count
+    * aggregates as deltas. Idempotent via the id ledger; intra-batch
+    * duplicate ids fail fast (they would double-count); the additive
+    * fingerprint keeps a later [[ensureNb]] over the union seed
+    * serving. Crash-atomic under the pending marker.
+    */
+  def appendNb(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    Artifact.requireKind(spark, dir, MetaPrefix)
+    if (batch.groupBy(col("doc_id")).count().filter(col("count") > 1).take(1).nonEmpty)
+      throw new IllegalArgumentException(
+        "NB append batch contains duplicate doc_ids — dedupe upstream first")
+    val fresh = batch
+      .join(broadcast(batch.select(col("doc_id"))
+          .join(liveIds(spark, dir), Seq("doc_id"), "left_semi")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("label")).localCheckpoint()
+    if (!fresh.isEmpty) {
+      val gen = Artifact.readNextGen(spark, dir)
+      Artifact.beginMutation(spark, dir)
+      classTokenCounts(fresh).write.mode("append").parquet(s"$dir/counts")
+      classDocCounts(fresh).write.mode("append").parquet(s"$dir/docs")
+      fresh.select(col("doc_id"), lit(gen).as("gen"))
+        .write.mode("append").parquet(s"$dir/ids")
+      Artifact.writeNextGen(spark, dir, gen + 1L)
+      Artifact.addToFingerprint(spark, dir, MetaPrefix,
+        Artifact.fingerprint(fresh, col("doc_id"), col("text"), col("label")))
+      Artifact.endMutation(spark, dir)
+    }
+  }
+
+  /** Delete seed documents from the stored model in O(removed) — the
+    * [[LanguageModel.removeLm]] analog (a forgotten document must leave
+    * the classifier too, or its text keeps shaping corpus admission).
+    * Membership-checked: only live seed ids produce deltas, so a
+    * retried removal is a no-op. `removedDocs` must carry the indexed
+    * (doc_id, text, label).
+    */
+  def removeNb(spark: SparkSession, removedDocs: DataFrame, dir: String): Unit = {
+    Artifact.requireKind(spark, dir, MetaPrefix)
+    val removed = removedDocs.select(col("doc_id"), col("text"), col("label"))
+      .join(broadcast(removedDocs.select(col("doc_id"))
+          .join(liveIds(spark, dir), Seq("doc_id"), "left_semi")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (!removed.isEmpty) {
+      Artifact.beginMutation(spark, dir)
+      classTokenCounts(removed).select(col("label"), col("token"), (-col("c")).as("c"))
+        .write.mode("append").parquet(s"$dir/counts")
+      classDocCounts(removed).select(col("label"), (-col("n_docs")).as("n_docs"))
+        .write.mode("append").parquet(s"$dir/docs")
+      val tgen = Artifact.readNextGen(spark, dir)
+      Artifact.appendTombstones(spark, dir,
+        removed.select(col("doc_id"), lit(tgen).as("tgen")))
+      Artifact.subtractFromFingerprint(spark, dir, MetaPrefix,
+        Artifact.fingerprint(removed, col("doc_id"), col("text"), col("label")))
+      Artifact.endMutation(spark, dir)
+    }
+  }
+
+  /** Compact the ledgers: per-key deltas merged back to one row,
+    * non-positive nets dropped (consumer-equivalent — the serve paths
+    * filter them at read), masked id rows dropped, tombstones cleared.
+    * Metadata untouched.
+    */
+  def compactNb(spark: SparkSession, dir: String): (Int, Int) = {
+    val (b1, a1) = Artifact.compactParquet(spark, dir, "counts",
+      merge = _.groupBy(col("label"), col("token")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0))
+    val (b2, a2) = Artifact.compactParquet(spark, dir, "docs",
+      merge = _.groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+        .filter(col("n_docs") > 0))
+    val idsMerge: DataFrame => DataFrame =
+      if (!Artifact.hasTombstones(spark, dir)) identity
+      else {
+        val tombstones = Artifact.loadTombstones(spark, dir).localCheckpoint()
+        _.join(broadcast(tombstones), Seq("doc_id"), "left")
+          .filter(col("tgen").isNull || col("gen") >= col("tgen"))
+          .drop("tgen")
+      }
+    val (b3, a3) = Artifact.compactParquet(spark, dir, "ids", merge = idsMerge)
+    Artifact.clearTombstones(spark, dir)
+    (b1 + b2 + b3, a1 + a2 + a3)
+  }
+
+  /** Score documents against the stored model: one row per
+    * (doc_id, label) with the rounded joint log-likelihood
+    *   logp = ln p(label) + Σ_t ln p(t | label)
+    * under add-one smoothing over a SHARED bounded vocabulary (top
+    * `vocabSize` tokens by total count across labels — a read
+    * parameter, like the LM's): for each label,
+    * p(t ∈ vocab) = (c_{label,t} + 1) / D_label, p(OOV) = 1 / D_label,
+    * D_label = Σ_vocab c_{label,·} + |vocab| + 1 — each label's
+    * distribution sums to exactly 1, so scores are comparable across
+    * labels. The scored frame may be any batch, not just the seed.
+    */
+  def score(spark: SparkSession, docs: DataFrame, dir: String,
+            vocabSize: Int = 4096): DataFrame = {
+    Artifact.requireKind(spark, dir, MetaPrefix)
+    // net the ledgers once; every derived table below reads these
+    val counts = spark.read.parquet(s"$dir/counts")
+      .groupBy(col("label"), col("token")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0).localCheckpoint()
+    val priors = spark.read.parquet(s"$dir/docs")
+      .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs") > 0).localCheckpoint()
+    val v = counts.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("token")).limit(vocabSize)
+      .select(col("token")).localCheckpoint()
+    val vSize = v.count()
+    val total = priors.agg(sum(col("n_docs"))).head().getLong(0)
+    val inVocab = counts.join(v, Seq("token"), "left_semi").localCheckpoint()
+    // per-label smoothing denominator + log prior: |labels| rows
+    val labelStats = priors
+      .join(inVocab.groupBy(col("label")).agg(sum(col("c")).as("cv")),
+        Seq("label"), "left")
+      .select(col("label"),
+        (coalesce(col("cv"), lit(0L)) + lit(vSize) + 1L).cast("double").as("d"),
+        log(col("n_docs").cast("double") / lit(total.toDouble)).as("logprior"))
+    // token stream × |labels| via bounded broadcasts; a (token, label)
+    // hole in the count table is c=0 — same (0+1)/D as OOV, by design
+    docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .crossJoin(broadcast(labelStats))
+      .join(broadcast(inVocab), Seq("token", "label"), "left")
+      .groupBy(col("doc_id"), col("label"), col("logprior"))
+      .agg(sum(log((coalesce(col("c"), lit(0L)) + 1L).cast("double") / col("d"))).as("s"))
+      .select(col("doc_id"), col("label"),
+        round(col("logprior") + col("s"), 6).as("logp"))
+  }
+
+  /** The classifier's decision: argmax label per document with the
+    * margin over the runner-up (the quality-filter threshold knob).
+    * Deterministic at the boundary — ties on the rounded score break
+    * by label — and bounded: the window runs over |labels| rows per
+    * document, and the rank-1 filter collapses to a per-group top-k
+    * (WindowGroupLimit) below the exchange.
+    */
+  def predict(spark: SparkSession, docs: DataFrame, dir: String,
+              vocabSize: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("logp").desc, col("label"))
+    score(spark, docs, dir, vocabSize)
+      .withColumn("margin", round(col("logp") - lead(col("logp"), 1).over(w), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"), col("margin"))
+  }
+}

@@ -362,6 +362,41 @@ object ExtQueries {
         .orderBy(col("shard"))
     }),
 
+    // Model-based classifier (multinomial Naive Bayes): trained on a
+    // deterministic labeled seed (every 5th doc, labeled by lang),
+    // scored over the WHOLE corpus from the persisted model artifact.
+    // Training is counting, so the oracle re-trains the model in SQL —
+    // the per-(doc, label) joint log-likelihoods hash-match exactly.
+    "classify_nb_scores" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Classifier.ensureNb(s, Classifier.fixtureSeed(docs),
+        s"${Artifact.root(d)}/nbclass")
+      Classifier.score(s, docs, dir).orderBy(col("doc_id"), col("label"))
+    }),
+
+    // The decision boundary: argmax label + margin over the runner-up
+    // (the quality-filter threshold knob), ties broken by label.
+    "classify_nb_pred" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Classifier.ensureNb(s, Classifier.fixtureSeed(docs),
+        s"${Artifact.root(d)}/nbclass")
+      Classifier.predict(s, docs, dir).orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance selection (Xie et al. 2023): weight every doc by
+    // its log-likelihood ratio between a TARGET-domain unigram LM (the
+    // corpus's en documents) and the RAW-corpus LM, both persisted
+    // artifacts; keep the top of the ranking. The classifier-free
+    // data-selection recipe.
+    "dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val raw = LanguageModel.ensureLm(s, docs, s"${Artifact.root(d)}/unigram_lm")
+      val target = LanguageModel.ensureLm(s, docs.filter(col("lang") === "en"),
+        s"${Artifact.root(d)}/unigram_lm_target")
+      LanguageModel.importanceWeights(s, docs, target, raw)
+        .orderBy(col("log_ratio").desc, col("doc_id")).limit(100)
+    }),
+
     // JSON extraction + aggregation over events.props.
     "json_extract_agg" -> ((s, d) =>
       Tables.events(s, d)
@@ -861,6 +896,118 @@ object ExtQueries {
         |       WHEN s.mean_nll <= t[2] THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM scored s, thr ORDER BY s.doc_id""".stripMargin,
+
+    // Naive Bayes is oracle-able because training IS counting: the SQL
+    // re-trains the model (per-label token counts over the same seed,
+    // shared top-V vocabulary) and re-derives every smoothed joint
+    // log-likelihood. Same round-6 ln-parity contract as the LM.
+    "classify_nb_scores" ->
+      """WITH seed AS (
+        |  SELECT doc_id, text, lang AS label FROM documents WHERE doc_id % 5 = 0
+        |), ctoks AS (
+        |  SELECT label, unnest(string_split(text, ' ')) AS token FROM seed
+        |), counts AS (
+        |  SELECT label, token, COUNT(*) AS c FROM ctoks GROUP BY 1, 2
+        |), v AS (
+        |  SELECT token FROM (
+        |    SELECT token, SUM(c) AS ct FROM counts GROUP BY token
+        |    ORDER BY ct DESC, token LIMIT 4096)
+        |), vc AS (
+        |  SELECT c.label, c.token, c.c FROM counts c JOIN v USING (token)
+        |), nd AS (
+        |  SELECT label, COUNT(*) AS n_docs FROM seed GROUP BY label
+        |), ls AS (
+        |  SELECT nd.label,
+        |    COALESCE(s.cv, 0) + (SELECT COUNT(*) FROM v) + 1 AS d,
+        |    ln(nd.n_docs * 1.0 / (SELECT SUM(n_docs) FROM nd)) AS logprior
+        |  FROM nd LEFT JOIN (
+        |    SELECT label, SUM(c) AS cv FROM vc GROUP BY label) s USING (label)
+        |), dtoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |)
+        |SELECT dt.doc_id, ls.label,
+        |  round(ls.logprior
+        |    + SUM(ln((COALESCE(vc.c, 0) + 1) * 1.0 / ls.d)), 6) AS logp
+        |FROM dtoks dt CROSS JOIN ls
+        |LEFT JOIN vc ON vc.token = dt.token AND vc.label = ls.label
+        |GROUP BY dt.doc_id, ls.label, ls.logprior, ls.d
+        |ORDER BY dt.doc_id, ls.label""".stripMargin,
+
+    "classify_nb_pred" ->
+      """WITH seed AS (
+        |  SELECT doc_id, text, lang AS label FROM documents WHERE doc_id % 5 = 0
+        |), ctoks AS (
+        |  SELECT label, unnest(string_split(text, ' ')) AS token FROM seed
+        |), counts AS (
+        |  SELECT label, token, COUNT(*) AS c FROM ctoks GROUP BY 1, 2
+        |), v AS (
+        |  SELECT token FROM (
+        |    SELECT token, SUM(c) AS ct FROM counts GROUP BY token
+        |    ORDER BY ct DESC, token LIMIT 4096)
+        |), vc AS (
+        |  SELECT c.label, c.token, c.c FROM counts c JOIN v USING (token)
+        |), nd AS (
+        |  SELECT label, COUNT(*) AS n_docs FROM seed GROUP BY label
+        |), ls AS (
+        |  SELECT nd.label,
+        |    COALESCE(s.cv, 0) + (SELECT COUNT(*) FROM v) + 1 AS d,
+        |    ln(nd.n_docs * 1.0 / (SELECT SUM(n_docs) FROM nd)) AS logprior
+        |  FROM nd LEFT JOIN (
+        |    SELECT label, SUM(c) AS cv FROM vc GROUP BY label) s USING (label)
+        |), dtoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), scored AS (
+        |  SELECT dt.doc_id, ls.label,
+        |    round(ls.logprior
+        |      + SUM(ln((COALESCE(vc.c, 0) + 1) * 1.0 / ls.d)), 6) AS logp
+        |  FROM dtoks dt CROSS JOIN ls
+        |  LEFT JOIN vc ON vc.token = dt.token AND vc.label = ls.label
+        |  GROUP BY dt.doc_id, ls.label, ls.logprior, ls.d
+        |), ranked AS (
+        |  SELECT doc_id, label, logp,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY logp DESC, label) AS rn,
+        |    LEAD(logp) OVER (PARTITION BY doc_id ORDER BY logp DESC, label) AS runner
+        |  FROM scored
+        |)
+        |SELECT doc_id, label AS pred_label, round(logp - runner, 6) AS margin
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // DSIR: both unigram models re-trained in SQL (target = en docs,
+    // raw = whole corpus), each with its own top-V vocabulary; the
+    // importance weight is the difference of the two round-6 mean NLLs.
+    "dsir_select" ->
+      """WITH dtoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), rc AS (
+        |  SELECT token, COUNT(*) AS c FROM dtoks GROUP BY token
+        |), rv AS (
+        |  SELECT token, c FROM rc ORDER BY c DESC, token LIMIT 4096
+        |), rconst AS (
+        |  SELECT (SELECT SUM(c) FROM rv) + (SELECT COUNT(*) FROM rv) + 1 AS d
+        |), rscore AS (
+        |  SELECT t.doc_id,
+        |    round(SUM(-ln((COALESCE(v.c, 0) + 1) * 1.0 / (SELECT d FROM rconst)))
+        |      / COUNT(*), 6) AS nll_raw
+        |  FROM dtoks t LEFT JOIN rv v USING (token) GROUP BY t.doc_id
+        |), ttoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |  WHERE lang = 'en'
+        |), tc AS (
+        |  SELECT token, COUNT(*) AS c FROM ttoks GROUP BY token
+        |), tv AS (
+        |  SELECT token, c FROM tc ORDER BY c DESC, token LIMIT 4096
+        |), tconst AS (
+        |  SELECT (SELECT SUM(c) FROM tv) + (SELECT COUNT(*) FROM tv) + 1 AS d
+        |), tscore AS (
+        |  SELECT t.doc_id,
+        |    round(SUM(-ln((COALESCE(v.c, 0) + 1) * 1.0 / (SELECT d FROM tconst)))
+        |      / COUNT(*), 6) AS nll_target
+        |  FROM dtoks t LEFT JOIN tv v USING (token) GROUP BY t.doc_id
+        |)
+        |SELECT r.doc_id, s.nll_target, r.nll_raw,
+        |  round(r.nll_raw - s.nll_target, 6) AS log_ratio
+        |FROM rscore r JOIN tscore s USING (doc_id)
+        |ORDER BY log_ratio DESC, doc_id LIMIT 100""".stripMargin,
 
     // The pack/mixture/export family is pure integer arithmetic over
     // (doc_id, whitespace token count) — fully portable, so the oracle

@@ -161,6 +161,28 @@ class LanguageModelSpec extends SparkSuite {
     assert(tokens == 0, "compaction must merge per-token deltas to one row")
   }
 
+  test("DSIR importance weights rank target-like documents first") {
+    val tgt = freshDir("dsir_target")
+    val raw = freshDir("dsir_raw")
+    val corpus = docs(
+      (1L, "alpha beta alpha"), (2L, "gamma delta gamma"),
+      (3L, "alpha beta beta"), (4L, "delta delta gamma"))
+    val target = docs((10L, "alpha beta alpha beta"), (11L, "beta alpha"))
+    LanguageModel.ensureLm(spark, corpus, raw)
+    LanguageModel.ensureLm(spark, target, tgt)
+    val w = LanguageModel.importanceWeights(spark, corpus, tgt, raw)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(w.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "one weight per document")
+    val ratio = w.map(x => x._1 -> x._4).toMap
+    // alpha/beta documents look like the target; gamma/delta do not
+    assert(ratio(1L) > ratio(2L) && ratio(3L) > ratio(4L),
+      s"target-like docs must outrank off-target ones: $ratio")
+    // the weight IS the difference of the two mean NLLs
+    w.foreach { case (_, t, r, lr) =>
+      assert(math.abs(lr - (r - t)) < 1e-6, s"log_ratio identity: $lr vs ${r - t}")
+    }
+  }
+
   test("perplexity buckets: tercile split covers all docs, head ≤ tail") {
     val d = freshDir("buckets")
     // 9 docs with distinct score profiles: common tokens → low nll,
