@@ -51,6 +51,9 @@ object Maintenance {
     run("nbclass", s"$root/nbclass", graft.ext.Classifier.MetaPrefix) {
       graft.ext.Classifier.compactNb(spark, s"$root/nbclass")
     }
+    run("bigram_lm", s"$root/bigram_lm", graft.ext.BigramModel.MetaPrefix) {
+      graft.ext.BigramModel.compactLm2(spark, s"$root/bigram_lm")
+    }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)

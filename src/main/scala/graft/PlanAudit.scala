@@ -16,7 +16,8 @@ object PlanAudit {
         "text_vocab_tfidf", "j5_bucketed_join", "l1_metric_lookup_daily",
         "text_repetition", "train_pack", "train_mixture",
         "train_holdout_split", "text_length_floor", "curate_funnel",
-        "curate_quality_buckets")
+        "curate_quality_buckets", "quality_perplexity_bigram",
+        "classify_nb_pred", "dsir_select")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -33,6 +33,7 @@ object Warm {
       s"${Artifact.root(d)}/unigram_lm_target")
     graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
       s"${Artifact.root(d)}/nbclass")
+    graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm")
     val emb = Tables.embeddings(spark, d)
     AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
     AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")

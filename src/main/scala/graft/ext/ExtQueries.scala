@@ -362,6 +362,17 @@ object ExtQueries {
         .orderBy(col("shard"))
     }),
 
+    // Interpolated bigram perplexity (Jelinek–Mercer): each token
+    // conditions on its predecessor, separating rare WORDS from wrong
+    // word ORDER — which the unigram scorer cannot see. The model is a
+    // persisted two-ledger artifact; the oracle re-trains both ledgers
+    // in SQL.
+    "quality_perplexity_bigram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = BigramModel.ensureLm2(s, docs, s"${Artifact.root(d)}/bigram_lm")
+      BigramModel.score2(s, docs, dir).orderBy(col("doc_id"))
+    }),
+
     // Model-based classifier (multinomial Naive Bayes): trained on a
     // deterministic labeled seed (every 5th doc, labeled by lang),
     // scored over the WHOLE corpus from the persisted model artifact.
@@ -896,6 +907,64 @@ object ExtQueries {
         |       WHEN s.mean_nll <= t[2] THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM scored s, thr ORDER BY s.doc_id""".stripMargin,
+
+    // The bigram model re-trained in SQL: unigram vocab, mapped bigram
+    // counts (both sides collapsed onto chr(1)||'OOV' outside the top-V
+    // vocabulary), per-predecessor totals, then the interpolated
+    // p = 0.5·p_bi + 0.5·p_uni per transition (p_uni alone for the
+    // first token). Same round-6 ln-parity contract as the unigram LM.
+    "quality_perplexity_bigram" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p FROM documents
+        |), toks AS (
+        |  SELECT doc_id, i, p[i] AS cur,
+        |    CASE WHEN i = 1 THEN NULL ELSE p[i-1] END AS prev
+        |  FROM (SELECT doc_id, p, unnest(generate_series(1, len(p))) AS i
+        |        FROM parts)
+        |), c1 AS (
+        |  SELECT cur AS token, COUNT(*) AS c FROM toks GROUP BY 1
+        |), v AS (
+        |  SELECT token, c FROM c1 ORDER BY c DESC, token LIMIT 4096
+        |), consts AS (
+        |  SELECT (SELECT SUM(c) FROM v) + (SELECT COUNT(*) FROM v) + 1 AS d,
+        |         (SELECT COUNT(*) FROM v) AS vs
+        |), bg AS (
+        |  SELECT
+        |    CASE WHEN pv.token IS NULL THEN chr(1) || 'OOV' ELSE t.prev END AS prev,
+        |    CASE WHEN cv.token IS NULL THEN chr(1) || 'OOV' ELSE t.cur END AS cur,
+        |    COUNT(*) AS c2
+        |  FROM toks t
+        |  LEFT JOIN v pv ON pv.token = t.prev
+        |  LEFT JOIN v cv ON cv.token = t.cur
+        |  WHERE t.prev IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT prev, SUM(c2) AS tot FROM bg GROUP BY prev
+        |), terms AS (
+        |  SELECT t.doc_id, t.cur, t.prev, cv.c AS c1,
+        |    CASE WHEN t.prev IS NULL THEN NULL
+        |         WHEN pv.token IS NULL THEN chr(1) || 'OOV'
+        |         ELSE t.prev END AS prev_m,
+        |    CASE WHEN cv.token IS NULL THEN chr(1) || 'OOV'
+        |         ELSE t.cur END AS cur_m
+        |  FROM toks t
+        |  LEFT JOIN v cv ON cv.token = t.cur
+        |  LEFT JOIN v pv ON pv.token = t.prev
+        |), scored AS (
+        |  SELECT tm.doc_id,
+        |    CASE WHEN tm.prev IS NULL
+        |      THEN (COALESCE(tm.c1, 0) + 1) * 1.0 / (SELECT d FROM consts)
+        |      ELSE 0.5 * ((COALESCE(b.c2, 0) + 1) * 1.0
+        |             / (COALESCE(tt.tot, 0) + (SELECT vs FROM consts) + 1))
+        |         + 0.5 * ((COALESCE(tm.c1, 0) + 1) * 1.0 / (SELECT d FROM consts))
+        |    END AS pr
+        |  FROM terms tm
+        |  LEFT JOIN bg b ON b.prev = tm.prev_m AND b.cur = tm.cur_m
+        |  LEFT JOIN tot tt ON tt.prev = tm.prev_m
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(SUM(-ln(pr)) / COUNT(*), 6) AS mean_nll2
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Naive Bayes is oracle-able because training IS counting: the SQL
     // re-trains the model (per-label token counts over the same seed,
