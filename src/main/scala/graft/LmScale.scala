@@ -51,6 +51,21 @@ object LmScale {
     require(Artifact.readMeta(spark, lmDir) == metaAfter,
       "append+remove must round-trip the fingerprint (ensure rebuilt!)")
 
+    // the bigram model's lifecycle must show the same shape: build ∝
+    // corpus once, scoring ∝ batch, append/remove ∝ batch with the
+    // fingerprint round-tripping (both ledgers take deltas)
+    val lm2Dir = s"${Artifact.root(sfDir)}/bigram_lm"
+    Fs.deleteTree(lm2Dir)
+    val build2Sec = timed(graft.ext.BigramModel.ensureLm2(spark, docs, lm2Dir))
+    val score2Sec = timed(GraftSession.forceAndCount(
+      graft.ext.BigramModel.score2(spark, docs, lm2Dir)))
+    val append2Sec = timed(graft.ext.BigramModel.appendLm2(spark, batch, lm2Dir))
+    val remove2Sec = timed(graft.ext.BigramModel.removeLm2(spark, batch, lm2Dir))
+    val meta2After = Artifact.readMeta(spark, lm2Dir)
+    graft.ext.BigramModel.ensureLm2(spark, docs, lm2Dir)
+    require(Artifact.readMeta(spark, lm2Dir) == meta2After,
+      "bigram append+remove must round-trip the fingerprint (ensure rebuilt!)")
+
     val emb = Tables.embeddings(spark, sfDir)
     val semFixedSec = timed(GraftSession.forceAndCount(
       Similarity.semanticTopKPairs(emb, nCells = 16)))
@@ -64,6 +79,8 @@ object LmScale {
 
     println(s"""{"metric":"lm_scale","unit":"sec","build_sec":$buildSec,""" +
       s""""score_warm_sec":$scoreSec,"append_batch_sec":$appendSec,"remove_batch_sec":$removeSec,""" +
+      s""""lm2_build_sec":$build2Sec,"lm2_score_warm_sec":$score2Sec,""" +
+      s""""lm2_append_batch_sec":$append2Sec,"lm2_remove_batch_sec":$remove2Sec,""" +
       s""""semantic_cells16_sec":$semFixedSec,$semScaled""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -213,15 +213,20 @@ object BigramModel {
           .otherwise(when(col("prev_in"), col("prev")).otherwise(lit(Oov))))
       .withColumn("cur_m",
         when(col("c1").isNotNull, col("cur")).otherwise(lit(Oov)))
-    // the model join: Spark broadcasts it while the mapped table is
-    // small and graduates to a shuffle join when V makes it big — the
-    // correct physical choice is the planner's, not ours
+    // the model join: a localCheckpointed table has no stats, so the
+    // planner would default the token-stream join to SortMergeJoin —
+    // shuffling the corpus-sized stream even at V=4096. Decide from the
+    // mapped table's KNOWN row count instead: broadcast while it is
+    // bounded-small (≤ 2²⁰ mapped pairs ≈ tens of MB), graduate to the
+    // shuffle join only when a large vocabulary makes it genuinely big.
+    val bgRenamed = bg.withColumnRenamed("prev", "prev_m")
+      .withColumnRenamed("cur", "cur_m")
+    val bgSide = if (bg.count() <= (1L << 20)) broadcast(bgRenamed) else bgRenamed
     val pUni = (coalesce(col("c1"), lit(0L)) + 1L).cast("double") / lit(dUni.toDouble)
     val pBi = (coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
       (coalesce(col("tot"), lit(0L)) + lit(vSize) + 1L).cast("double")
     stream
-      .join(bg.withColumnRenamed("prev", "prev_m").withColumnRenamed("cur", "cur_m"),
-        Seq("prev_m", "cur_m"), "left")
+      .join(bgSide, Seq("prev_m", "cur_m"), "left")
       .join(broadcast(prevTot.withColumnRenamed("prev", "prev_m")),
         Seq("prev_m"), "left")
       .withColumn("p",
