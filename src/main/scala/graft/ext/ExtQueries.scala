@@ -362,6 +362,33 @@ object ExtQueries {
         .orderBy(col("shard"))
     }),
 
+    // PII scrubbing (the Dolma/FineWeb pre-release stage): redact
+    // emails / IPv4s / phones to typed placeholders + per-doc counts.
+    // The fixture corpus carries no PII, so the query plants
+    // deterministic id-derived contact strings first — the operator is
+    // exercised on every row and the redaction rates are non-trivial.
+    "text_pii_redact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id"), lit("@mail.example.com")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("call 555-"),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+              lit("-"),
+              lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("no phone")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("from 10."),
+              pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+              pmod(col("doc_id") * 3, lit(256)).cast("string"), lit(".1")))
+            .otherwise(lit("local"))).as("text"))
+      TextAnalysis.redactPii(planted)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("text").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Interpolated bigram perplexity (Jelinek–Mercer): each token
     // conditions on its predecessor, separating rare WORDS from wrong
     // word ORDER — which the unigram scorer cannot see. The model is a
@@ -907,6 +934,39 @@ object ExtQueries {
         |       WHEN s.mean_nll <= t[2] THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM scored s, thr ORDER BY s.doc_id""".stripMargin,
+
+    // The PII patterns live in the Java-regex ∩ RE2 subset (classes,
+    // bounded repetition, ASCII \b — no lookarounds), so the oracle
+    // runs them verbatim; DuckDB's regexp_replace needs the explicit
+    // 'g' flag to match Spark's replace-all default.
+    "text_pii_redact" ->
+      ("""WITH planted AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', text,
+        |      'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com',
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN 'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |             || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |        ELSE 'no phone' END,
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |             || CAST((doc_id * 3) % 256 AS VARCHAR) || '.1'
+        |        ELSE 'local' END) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '@EMAIL@')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '@PHONE@')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '@IP@')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g'),
+        |      '@IP@', '<IP>', 'g'),
+        |    '@PHONE@', '<PHONE>', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin
+        .replace("@EMAIL@", TextAnalysis.EmailRe)
+        .replace("@IP@", TextAnalysis.Ipv4Re)
+        .replace("@PHONE@", TextAnalysis.PhoneRe)),
 
     // The bigram model re-trained in SQL: unigram vocab, mapped bigram
     // counts (both sides collapsed onto chr(1)||'OOV' outside the top-V

@@ -21,6 +21,35 @@ object TextAnalysis {
   def bpeishTokens(text: Column): Column =
     filter(split(text, "(?<=[a-z])(?=[A-Z0-9])|\\s+|(?<=[0-9])(?=[a-z])"), t => length(t) > 0)
 
+  /** PII scrubbing (the Dolma/FineWeb pre-release stage): regex-redact
+    * email addresses, US-style phone numbers, and IPv4 addresses to
+    * typed placeholder tokens, and count each kind per document (the
+    * redaction-rate report a release pipeline publishes). Patterns are
+    * deliberately in the common subset of Java regex (Spark) and RE2
+    * (the oracle's engine): character classes, bounded repetition, and
+    * ASCII word boundaries only — no lookarounds or backreferences.
+    * Order matters and is fixed: emails first (so their dotted domains
+    * can never half-match the IP pattern), then IPs, then phones.
+    * Per-row, shuffle-free, idempotent (placeholders match none of the
+    * patterns).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
+
   /** Quality features (length / punctuation / stopword ratios) — the
     * standard cheap heuistics used to filter training corpora.
     */

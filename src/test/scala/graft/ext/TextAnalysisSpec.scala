@@ -16,6 +16,32 @@ class TextAnalysisSpec extends SparkSuite {
       math.abs(out.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-9)
   }
 
+  test("redactPii: planted PII redacted with exact counts; idempotent; no false positives") {
+    val df = Seq(
+      (1L, "contact me at alice.smith+x@corp.example.org or bob@ex.io thanks"),
+      (2L, "server at 192.168.0.17 responded then 10.0.0.1 timed out"),
+      (3L, "call 415-555-0123 or 650.555.9876 today"),
+      (4L, "plain text with no personal data at all"),
+      (5L, "version 1.2 costs 3.50 and a.b is not an email @ alone"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"), col("text"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 2L, 0L, 0L, "contact me at <EMAIL> or <EMAIL> thanks")))
+    assert(r(1) == ((2L, 0L, 2L, 0L, "server at <IP> responded then <IP> timed out")))
+    assert(r(2) == ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE> today")))
+    // no false positives: plain words, bare decimals, detached '@'
+    assert(r(3) == ((4L, 0L, 0L, 0L, "plain text with no personal data at all")))
+    assert(r(4)._2 == 0 && r(4)._3 == 0 && r(4)._4 == 0)
+    // idempotent: placeholders match none of the patterns
+    val again = TextAnalysis.redactPii(
+        TextAnalysis.redactPii(df).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"), col("text"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(again.map(x => (x._1, x._5)).toSeq == r.map(x => (x._1, x._5)).toSeq)
+    assert(again.forall(x => x._2 == 0 && x._3 == 0 && x._4 == 0))
+  }
+
   test("language-ID picks the language with most marker hits") {
     val df = Seq(
       (1L, "the house and the dog is big"),   // en
