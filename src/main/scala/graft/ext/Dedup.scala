@@ -721,4 +721,57 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("a_id").asc, col("b_id").asc)
       .limit(topK)
   }
+
+  /** Substring-duplication spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * signal at k-gram granularity): for every document, how much of it
+    * is covered by k-token runs that ALSO occur in some other document
+    * — the boilerplate/template detector that document-level dedup
+    * (whole-doc hash, MinHash) cannot see, because a shared footer in
+    * otherwise-distinct pages never pushes whole-document Jaccard over
+    * threshold.
+    *
+    * Dataflow: one positional k-gram hash pass per document (the token
+    * array bound once, [[shingles]]' lesson), a hash-keyed aggregate
+    * whose cross-document test is `min(doc_id) != max(doc_id)` (no
+    * countDistinct Expand), a semi-join back, and a per-document
+    * interval-union window (`Σ min(k, gap)`) so overlapping k-grams
+    * are never double-counted. Only duplicated-k-gram occurrences
+    * reach the window; the full token stream crosses exactly one
+    * hash shuffle. 64-bit k-gram hashes stand in for the strings
+    * (collision odds ~n²/2⁶⁴ — the [[candidatePairs]] trade, which is
+    * what lets the oracle verify this with string keys).
+    *
+    * Output: (doc_id, n_tokens, n_dup_kgrams, dup_tokens,
+    * dup_fraction) for EVERY document, zero-filled.
+    */
+  def dupSpanStats(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = element_at(transform(array(split(col("text"), " ")), toks =>
+      when(size(toks) < k,
+          array().cast("array<struct<pos:int,h:bigint>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(k - 1)), i =>
+          struct(i.cast("int").as("pos"),
+            xxhash64(array_join(slice(toks, i, lit(k)), " ")).as("h"))))), 1)
+    val occ = docs.select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val crossDoc = occ.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = occ.join(crossDoc, Seq("h"), "left_semi")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn("cov",
+        when(col("nxt").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), (col("nxt") - col("pos")).cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_kgrams"), sum(col("cov")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_kgrams"), lit(0L)).as("n_dup_kgrams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_fraction"))
+  }
 }

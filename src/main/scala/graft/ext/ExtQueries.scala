@@ -362,6 +362,14 @@ object ExtQueries {
         .orderBy(col("shard"))
     }),
 
+    // Substring-duplication spans (Lee et al. ExactSubstr at k-gram
+    // granularity): per-doc coverage by 8-token runs that also occur in
+    // another document — the boilerplate detector document-level dedup
+    // cannot see. Interval-union window so overlaps never double-count.
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.dupSpanStats(Tables.documents(s, d), k = 8)
+        .orderBy(col("doc_id"))),
+
     // PII scrubbing (the Dolma/FineWeb pre-release stage): redact
     // emails / IPv4s / phones to typed placeholders + per-doc counts.
     // The fixture corpus carries no PII, so the query plants
@@ -934,6 +942,38 @@ object ExtQueries {
         |       WHEN s.mean_nll <= t[2] THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM scored s, thr ORDER BY s.doc_id""".stripMargin,
+
+    // The oracle keys on the k-gram STRINGS where the Spark side keys
+    // on their 64-bit hashes (collision odds ~n²/2⁶⁴ — the same trade
+    // candidatePairs documents); coverage arithmetic is identical.
+    "dedup_substring_spans" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p FROM documents
+        |), kg AS (
+        |  SELECT doc_id, i AS pos, array_to_string(p[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, p, unnest(generate_series(1, len(p) - 7)) AS i
+        |        FROM parts)
+        |), cross_doc AS (
+        |  SELECT g FROM kg GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+        |), dup AS (
+        |  SELECT doc_id, pos FROM kg JOIN cross_doc USING (g)
+        |), cov AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_kgrams,
+        |    CAST(SUM(CASE WHEN nxt IS NULL THEN 8
+        |                  ELSE LEAST(8, nxt - pos) END) AS BIGINT) AS dup_tokens
+        |  FROM (SELECT doc_id, pos,
+        |          LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |        FROM dup)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(c.n_dup_kgrams, 0) AS n_dup_kgrams,
+        |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+        |  round(COALESCE(c.dup_tokens, 0) * 1.0
+        |    / len(string_split(d.text, ' ')), 6) AS dup_fraction
+        |FROM documents d LEFT JOIN cov c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The PII patterns live in the Java-regex ∩ RE2 subset (classes,
     // bounded repetition, ASCII \b — no lookarounds), so the oracle

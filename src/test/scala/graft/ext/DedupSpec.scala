@@ -61,6 +61,27 @@ class DedupSpec extends SparkSuite {
       "the unrelated doc must never surface in the top pairs")
   }
 
+  test("dupSpanStats: shared runs covered via interval union, no double-count, zero-filled") {
+    // docs 1 and 2 share the 10-token prefix; doc 3 is unrelated.
+    // k=8 → shared k-grams at positions 1,2,3 of both docs: coverage
+    // is the UNION [1,10] = 10 tokens, not 3·8 = 24.
+    val shared = "a b c d e f g h i j"
+    val df = Seq(
+      (1L, s"$shared one two three"),
+      (2L, s"$shared four five"),
+      (3L, "totally different words with no overlap at all whatsoever here now"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpanStats(df, k = 8)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // doc 1: 13 tokens, dup k-grams at pos 1..3, union coverage 10
+    assert(r(0) == ((1L, 13L, 3L, 10L, math.rint(10.0 / 13 * 1e6) / 1e6)))
+    // doc 2: 12 tokens, same three k-grams, same coverage
+    assert(r(1) == ((2L, 12L, 3L, 10L, math.rint(10.0 / 12 * 1e6) / 1e6)))
+    // doc 3: no duplicated k-grams anywhere — zero-filled row, not absent
+    assert(r(2) == ((3L, 11L, 0L, 0L, 0.0)))
+  }
+
   test("duplicateGroups: chain components collapse to min id, singletons separate") {
     // 1-2, 2-3 chain (diameter 2 → needs >1 superstep) plus isolated 5-6.
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
