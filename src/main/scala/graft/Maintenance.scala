@@ -54,6 +54,9 @@ object Maintenance {
     run("bigram_lm", s"$root/bigram_lm", graft.ext.BigramModel.MetaPrefix) {
       graft.ext.BigramModel.compactLm2(spark, s"$root/bigram_lm")
     }
+    run("invindex", s"$root/invindex", graft.ext.InvertedIndex.MetaPrefix) {
+      graft.ext.InvertedIndex.compactIndex(spark, s"$root/invindex")
+    }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)

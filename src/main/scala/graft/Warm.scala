@@ -34,6 +34,7 @@ object Warm {
     graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
       s"${Artifact.root(d)}/nbclass")
     graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm")
+    graft.ext.InvertedIndex.ensureIndex(spark, docs, s"${Artifact.root(d)}/invindex")
     val emb = Tables.embeddings(spark, d)
     AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
     AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")

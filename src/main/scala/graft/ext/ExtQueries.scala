@@ -452,6 +452,27 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")))
+,
+    // BM25 retrieval from the PERSISTED inverted index: the read is
+    // partition-pruned to the query terms' buckets, df and collection
+    // stats are broadcast, top-k is an ordered limit. The oracle
+    // rebuilds the whole index in SQL — BM25 over integer statistics
+    // is exactly reproducible under the round-6 contract.
+    "search_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = InvertedIndex.ensureIndex(s, docs, s"${Artifact.root(d)}/invindex")
+      InvertedIndex.searchBm25(s, dir, "spark window join merge", k = 20)
+    }),
+
+    // Conjunctive (boolean-AND) term match from the same index — the
+    // contamination-probe shape: every doc containing ALL query terms,
+    // with its summed term frequency.
+    "search_conjunctive" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = InvertedIndex.ensureIndex(s, docs, s"${Artifact.root(d)}/invindex")
+      InvertedIndex.searchAll(s, dir, "spark query stream")
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1255,6 +1276,48 @@ object ExtQueries {
         |  MIN(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS min_k,
         |  MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // BM25 re-derived from scratch: tf/df/dl/N are integer counts,
+    // avgdl the one division, the scoring expression pinned to the same
+    // association order as the Spark side, round-6 after the per-doc
+    // sum, and the SAME (score DESC, doc_id) order at the k boundary.
+    "search_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+        |), q AS (
+        |  SELECT unnest(['spark', 'window', 'join', 'merge']) AS term
+        |), matched AS (
+        |  SELECT t.doc_id, t.term, t.tf FROM tf t JOIN q USING (term)
+        |), dfq AS (
+        |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
+        |)
+        |SELECT m.doc_id, COUNT(*) AS n_terms,
+        |  round(SUM(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |    * (m.tf * 2.2)
+        |    / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6) AS score
+        |FROM matched m
+        |JOIN dfq f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+        |GROUP BY m.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "search_conjunctive" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), q AS (
+        |  SELECT unnest(['spark', 'query', 'stream']) AS term
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+        |FROM tf JOIN q USING (term)
+        |GROUP BY doc_id HAVING COUNT(*) = 3
+        |ORDER BY doc_id""".stripMargin
   )
 }
