@@ -534,6 +534,50 @@ object Dedup {
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** Fixed-size membership sketch of the benchmark's w-gram hashes — the
+    * scale path of decontamination. [[contaminationReport]]'s exact
+    * broadcast set costs 8 bytes per DISTINCT benchmark shingle (fine
+    * for one eval suite, not for "every benchmark we have ever shipped"
+    * unioned into one guard: 10⁹ shingles = an 8 GB broadcast). A Bloom
+    * filter at ~10 bits/item is ~6× smaller at p(FP) ≈ 1%, and the error
+    * is one-sided in the SAFE direction for this operator: a false
+    * positive discards an extra training document, a false negative
+    * (impossible) would leak benchmark text into training. Built with
+    * Spark's own `BloomFilterAggregate` — map-side partial sketches,
+    * OR-merged, no shuffle of the input, no distinct() pass (insertion
+    * is idempotent). Returns null for an empty benchmark (callers treat
+    * that as "nothing to remove").
+    */
+  def benchmarkSketch(benchmark: DataFrame, w: Int = 5,
+                      expectedItems: Long = 1L << 20,
+                      numBits: Long = 1L << 23): Array[Byte] =
+    benchmark.select(explode(shingleHashes(col("text"), w)).as("shh"))
+      .agg(graft.functions.native.bloom_agg(col("shh"), expectedItems, numBits).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+
+  /** [[removeContaminated]] served from a [[benchmarkSketch]]: the
+    * corpus explodes to 8-byte shingle hashes, the codegen'd Bloom probe
+    * filters BEFORE any shuffle (only probable hits reach the distinct),
+    * and the surviving corpus is the anti-join against the (tiny)
+    * flagged-id set. False positives can only over-remove — the spec
+    * pins both directions: at the configured size the result equals the
+    * exact path on the fixture; at a deliberately tiny size the removal
+    * is a strict superset of exact, never a subset.
+    */
+  def removeContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+                              w: Int = 5, expectedItems: Long = 1L << 20,
+                              numBits: Long = 1L << 23): DataFrame = {
+    val sk = benchmarkSketch(benchmark, w, expectedItems, numBits)
+    if (sk == null) corpus
+    else {
+      val flagged = corpus
+        .select(col("doc_id"), explode(shingleHashes(col("text"), w)).as("shh"))
+        .filter(graft.functions.native.bloom_might_contain(sk, col("shh")))
+        .select(col("doc_id")).distinct()
+      corpus.join(flagged, Seq("doc_id"), "left_anti")
+    }
+  }
+
   /** Duplicate-group clustering: connected components over a near-dup
     * pair graph, labeling every member with its component's minimum
     * doc_id (the canonical survivor). Pregel-style min-label
@@ -773,5 +817,63 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_fraction"))
+  }
+
+  /** Segment a corpus into aligned `segTokens`-token windows —
+    * `(doc_id, seg_idx, seg)` — the fixture-corpus stand-in for
+    * paragraph boundaries (the synthetic docs are single-line; real
+    * corpora would `posexplode(split(text, "\n"))` into the same shape
+    * and everything downstream is unchanged). An empty token array
+    * yields zero segments.
+    */
+  def segmentsByTokens(docs: DataFrame, segTokens: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    // Bind the token array once as a single-element-array lambda var —
+    // the house idiom (see shingles) so `split` runs once per document,
+    // not once per segment.
+    val segArr = element_at(transform(array(toks), t =>
+      when(size(t) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(t) - lit(1)) / lit(segTokens.toDouble)).cast("int")),
+          i => array_join(slice(t, i * segTokens + 1, lit(segTokens)), " ")))), 1)
+    docs.select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+  }
+
+  /** Paragraph-granular dedup (the Dolma/RefinedWeb pre-training stage):
+    * every distinct segment survives exactly once — in the
+    * lexicographically least `(doc_id, seg_idx)` position it occurs —
+    * and each document is reassembled from its surviving segments in
+    * original order. This removes the repeated boilerplate whole-doc
+    * dedup can't touch, and unlike [[dupSpanStats]] (which only scores
+    * it) it REWRITES the corpus.
+    *
+    * Scale shape: canonical-keeper choice is `min(struct(doc_id,
+    * seg_idx))` under `groupBy(seg)` — map-side combinable, so a
+    * boilerplate segment occurring 10⁹ times arrives at the reduce side
+    * as one partial per map task (a `row_number` window over the same
+    * key would funnel all 10⁹ rows into one partition). Reassembly is
+    * one `groupBy(doc_id)` with a doc-bounded `collect_list`; docs whose
+    * every segment was claimed elsewhere zero-fill via the final left
+    * join, which reuses the build's doc_id partitioning.
+    */
+  def dedupSegments(docs: DataFrame, segTokens: Int = 16): DataFrame = {
+    val segs = segmentsByTokens(docs, segTokens)
+    val kept = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.seg_idx").as("seg_idx"), col("seg"))
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        s => s.getField("seg")), " ").as("text_dedup"))
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"),
+        when(size(toks) === 0, lit(0L))
+          .otherwise(floor((size(toks) - lit(1)) / lit(segTokens.toDouble))
+            .cast("long") + 1L).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 }

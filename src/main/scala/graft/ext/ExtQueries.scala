@@ -472,7 +472,30 @@ object ExtQueries {
       val dir = InvertedIndex.ensureIndex(s, docs, s"${Artifact.root(d)}/invindex")
       InvertedIndex.searchAll(s, dir, "spark query stream")
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Decontamination through the fixed-size Bloom sketch instead of the
+    // exact broadcast set — the path that survives a benchmark union too
+    // big to broadcast. At this sketch size (1 MiB for ~30k fixture
+    // shingles) the false-positive rate is ~0, so the survivors equal
+    // the exact path's and the query hash-verifies against the exact
+    // SQL; the deliberately-undersized direction is spec-pinned instead.
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.removeContaminatedBloom(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Paragraph-granular dedup: every distinct 16-token segment survives
+    // once (least (doc_id, seg_idx) occurrence) and docs are reassembled
+    // from their surviving segments — the corpus REWRITE that strips
+    // repeated boilerplate whole-doc dedup can't touch.
+    "dedup_paragraphs" -> ((s, d) =>
+      Dedup.dedupSegments(Tables.documents(s, d))
+        .orderBy(col("doc_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1318,6 +1341,57 @@ object ExtQueries {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
         |FROM tf JOIN q USING (term)
         |GROUP BY doc_id HAVING COUNT(*) = 3
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // The Bloom path's oracle is the EXACT decontamination answer: at
+    // the configured sketch size the filter's false-positive set is
+    // empty on the fixture, so probabilistic and exact survivors agree
+    // row-for-row (the sketch is deterministic — same bits every build).
+    "decontaminate_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
+        |  FROM documents
+        |), bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0
+        |), contam AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (sh)
+        |  WHERE s.doc_id % 10 <> 0
+        |)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same segmentation (aligned 16-token windows), same canonical
+    // keeper (least (doc_id, seg_idx), via the window rank), same
+    // in-order reassembly. n_segs arithmetic mirrors the Spark side's
+    // ceil(len/16) with the empty-tokens guard irrelevant here (the
+    // fixture has no empty texts; string_split('',' ') = [''] on both
+    // engines anyway).
+    "dedup_paragraphs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
+        |  FROM toks CROSS JOIN generate_series(0, 255) AS g(i)
+        |  WHERE i * 16 < len(t)
+        |), keep AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs
+        |), rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+        |  FROM keep WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(floor((len(t.t) - 1) / 16.0) AS BIGINT) + 1 AS n_segs,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.text_dedup, '') AS text_dedup
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -561,6 +561,32 @@ object native {
   /** One-pass repetition stats of an array<string> of tokens. */
   def repetition_stats(tokens: Column): Column = toCol(TokenRepetitionStats(ex(tokens)))
 
+  /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
+    * column: Spark's own `BloomFilterAggregate` (the engine's
+    * runtime-filter machinery, reused as a first-class membership
+    * sketch). Partial sketches are built map-side and OR-merged, so the
+    * input never shuffles; the one output row is the serialized filter
+    * (`numBits/8` bytes + header, fixed at build time regardless of
+    * input cardinality). Insertion is idempotent — callers need no
+    * `distinct()` pass first.
+    */
+  def bloom_agg(hashes: Column, expectedItems: Long, numBits: Long): Column =
+    toCol(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      ex(hashes), ex(org.apache.spark.sql.functions.lit(expectedItems)),
+      ex(org.apache.spark.sql.functions.lit(numBits))).toAggregateExpression())
+
+  /** Membership probe of a LongType hash against a driver-held
+    * serialized sketch from [[bloom_agg]]. Codegen-native
+    * (`BloomFilterMightContain` deserializes once per task via a
+    * referenced object, not per row), so the probe runs inside the
+    * scan's whole-stage-generated loop — one-sided error only: false
+    * positives at the configured rate, never false negatives.
+    */
+  def bloom_might_contain(sketch: Array[Byte], hash: Column): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(sketch, BinaryType),
+      ex(hash)))
+
   /** Register every native function into this session's SQL registry
     * (per-session alternative to `spark.sql.extensions`).
     */
