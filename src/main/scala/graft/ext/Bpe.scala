@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training — the missing first step of every
+  * LLM data pipeline: learn the subword vocabulary FROM the corpus the
+  * engine just curated.
+  *
+  * The industrial-shape algorithm (what HF tokenizers / SentencePiece do
+  * under the hood), not the textbook per-document one:
+  *
+  *  1. One corpus-proportional pass builds the WORD VOCABULARY
+  *     `(word, count)` — the only step that ever touches the corpus.
+  *  2. Each of the M merge rounds runs over the vocabulary only:
+  *     weighted adjacent-pair counts (one partial-aggregated shuffle of
+  *     ≤ |vocab| pair rows), a global top-1 (ordered limit; ties broken
+  *     by frequency desc, then (left, right) asc — pinned so the merge
+  *     SEQUENCE is deterministic, because every later round depends on
+  *     it), and a per-word greedy re-segmentation (map-only).
+  *     Training cost is M × O(|vocab|), independent of corpus size —
+  *     which is exactly why word-level pre-tokenization exists.
+  *  3. Encoding memoizes through the trained vocabulary: a corpus word
+  *     joins the `(word → symbols)` table instead of re-running merges
+  *     (the HF "word cache", as a join); [[applyMerges]] remains the
+  *     from-scratch path for out-of-vocabulary words.
+  *
+  * Greedy application contract (both engines, provably identical): one
+  * merge (a,b) rewrites symbols left-to-right, non-overlapping — here a
+  * left fold that coalesces the accumulator tail, in the SQL oracle a
+  * `replace` over a delimiter-wrapped rendering (`␟a␟␟b␟` → `␟ab␟`,
+  * every symbol individually wrapped so matches anchor on whole symbols
+  * and adjacent matches share no characters).
+  *
+  * Deliberately NOT a persisted delta-lifecycle artifact (unlike the
+  * NB/unigram/bigram/inverted-index family): the merge list is an
+  * order-sensitive chain of global argmaxes, so there is no O(batch)
+  * append that preserves it — any corpus change can reorder round 1 and
+  * invalidate everything after. Tokenizers are retrained, not patched;
+  * pretending otherwise would be a correctness bug dressed as a feature.
+  * Within a session the result is memoized per fixture dir.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, lhs: String, rhs: String, pairN: Long)
+
+  /** Corpus → `(w, n)` word counts; the single corpus-wide pass. */
+  private[ext] def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Initial segmentation: one symbol per character. */
+  private[ext] def initState(words: DataFrame): DataFrame =
+    words.withColumn("syms",
+      filter(split(col("w"), ""), s => s =!= ""))
+
+  /** Greedy left-to-right application of one merge: a left fold whose
+    * accumulator tail coalesces `… a | b` into `… ab`. Non-overlapping
+    * by construction (the merged symbol never re-matches `a` unless a
+    * later round makes it a pair member again).
+    */
+  private[ext] def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** From-scratch segmentation of a word column under a trained merge
+    * list — the OOV path of the encoder.
+    */
+  def applyMerges(w: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(filter(split(w, ""), s => s =!= "")) {
+      (c, m) => applyMerge(c, m.lhs, m.rhs)
+    }
+
+  /** Weighted adjacent-pair counts over the current segmentation. */
+  private def pairCounts(state: DataFrame): DataFrame =
+    state.select(col("n"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("n")).as("pn"))
+
+  /** Train `nMerges` rounds; returns the merge sequence and the final
+    * `(w, n, syms)` vocabulary segmentation. Deterministic end-to-end.
+    */
+  def train(docs: DataFrame, nMerges: Int = 8): (Seq[Merge], DataFrame) = {
+    var state = initState(wordCounts(docs)).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    for (r <- 1 to nMerges) {
+      val top = pairCounts(state)
+        .orderBy(col("pn").desc, col("lhs"), col("rhs")).limit(1)
+        .collect()
+      require(top.nonEmpty,
+        s"corpus exhausted at merge round $r: every word is one symbol")
+      val Row(l: String, rt: String, pn: Long) = top.head
+      merges += Merge(r, l, rt, pn)
+      state = state.withColumn("syms", applyMerge(col("syms"), l, rt))
+        .localCheckpoint()
+    }
+    (merges.result(), state)
+  }
+
+  /** Session-scoped memo: queries share one training run per fixture
+    * dir (three queries would otherwise re-train identically; see the
+    * class doc for why this is a cache and not a persisted artifact).
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Merge], DataFrame)]
+
+  def trained(spark: SparkSession, docs: DataFrame, key: String,
+              nMerges: Int = 8): (Seq[Merge], DataFrame) =
+    memo.getOrElseUpdate(s"$key#$nMerges", train(docs, nMerges))
+
+  /** The learned merge table as a DataFrame (merge_rank, lhs, rhs,
+    * pair_n) — rank order IS the application order.
+    */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.lhs, m.rhs, m.pairN))
+      .toDF("merge_rank", "lhs", "rhs", "pair_n")
+  }
+
+  /** Subword vocabulary after training: each token with its total
+    * corpus occurrence count (word count × uses within the word).
+    */
+  def vocab(state: DataFrame): DataFrame =
+    state.select(explode(col("syms")).as("token"), col("n"))
+      .groupBy(col("token")).agg(sum(col("n")).as("n_occ"))
+      .orderBy(col("token"))
+
+  /** Per-document token statistics under the trained tokenizer: the
+    * corpus encodes by JOINING the word vocabulary (memoized encode) —
+    * the planner picks broadcast vs shuffle from the vocab's size.
+    */
+  def encodeStats(docs: DataFrame, state: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(state.select(col("w"), size(col("syms")).as("k")), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+}

@@ -495,10 +495,184 @@ object ExtQueries {
     // repeated boilerplate whole-doc dedup can't touch.
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.dedupSegments(Tables.documents(s, d))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Full-corpus Lloyd k-means, everything deterministic (smallest-id
+    // seeds, in-order double folds, decimal-mean round-6 centroids) so
+    // the oracle replays the ENTIRE algorithm in SQL. Per iteration the
+    // corpus is scanned once, never shuffled; the only exchange is the
+    // k·dim partial-aggregated centroid update.
+    "cluster_kmeans_assign" -> ((s, d) =>
+      Clustering.kmeans(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))),
+
+    // Per-cluster size + inertia from the same pinned run.
+    "cluster_kmeans_stats" -> ((s, d) =>
+      Clustering.clusterStats(Clustering.kmeans(Tables.embeddings(s, d)))),
+
+    // Cluster ↔ ground-truth label agreement: plurality label per
+    // cluster — the eval that says whether unsupervised topics track
+    // the labeled taxonomy.
+    "cluster_kmeans_purity" -> ((s, d) =>
+      Clustering.clusterPurity(Clustering.kmeans(Tables.embeddings(s, d)))),
+
+    // BPE tokenizer training: the learned merge sequence. One corpus
+    // pass for word counts; each round's pair statistics run over the
+    // vocabulary only. The oracle replays all 8 rounds in generated SQL.
+    "bpe_train_merges" -> ((s, d) => Bpe.mergeTable(s,
+      Bpe.trained(s, Tables.documents(s, d), d)._1)),
+
+    // Subword vocabulary after training, with total occurrence counts.
+    "bpe_vocab" -> ((s, d) =>
+      Bpe.vocab(Bpe.trained(s, Tables.documents(s, d), d)._2)),
+
+    // Per-doc token counts under the trained tokenizer — encoding via
+    // the memoized word→symbols join, never per-row re-merging.
+    "bpe_encode_stats" -> ((s, d) => {
+      val (_, state) = Bpe.trained(s, Tables.documents(s, d), d)
+      Bpe.encodeStats(Tables.documents(s, d), state)
+    })
   )
 
+  /** Full k-means replay in SQL, shared by the three cluster_* oracles:
+    * same smallest-id seeds, same in-order double fold for d² (explicit
+    * multiply, not pow — libm pow(x,2) may differ in ULPs from x*x),
+    * same lexicographic tie-break (struct-min ≡ first-position argmin),
+    * same decimal-mean round-6 centroid contract, same empty-cluster
+    * retention (LEFT JOIN + COALESCE).
+    */
+  private val kmeansSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_id, e
+      |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 8)
+      |), d1 AS (
+      |  SELECT v.vec_id, c.c_id,
+      |    list_sum(list_transform(list_zip(v.e, c.e),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM emb v CROSS JOIN c0 c
+      |), a1 AS (
+      |  SELECT vec_id, (min(struct_pack(d := d, c := c_id))).c AS cluster
+      |  FROM d1 GROUP BY vec_id
+      |), ux AS (
+      |  SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM emb
+      |), u1 AS (
+      |  SELECT a.cluster AS c_id, ux.i,
+      |    round(CAST(SUM(CAST(ux.x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(ux.x), 6) AS cx
+      |  FROM a1 a JOIN ux USING (vec_id)
+      |  GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT c0.c_id, COALESCE(u.e, c0.e) AS e
+      |  FROM c0 LEFT JOIN (
+      |    SELECT c_id, list(cx ORDER BY i) AS e FROM u1 GROUP BY c_id
+      |  ) u USING (c_id)
+      |), d2 AS (
+      |  SELECT v.vec_id, v.label, c.c_id,
+      |    list_sum(list_transform(list_zip(v.e, c.e),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM emb v CROSS JOIN c1 c
+      |), a2 AS (
+      |  SELECT vec_id, any_value(label) AS label,
+      |    (min(struct_pack(d := d, c := c_id))).c AS cluster,
+      |    (min(struct_pack(d := d, c := c_id))).d AS d2
+      |  FROM d2 GROUP BY vec_id
+      |)""".stripMargin
+
+  /** BPE replay in generated SQL, shared by the three bpe_* oracles.
+    * Segmentations live as delimiter-wrapped strings (`␟s␟` per symbol,
+    * chr(31)): one merge round = pair counts from the split form, a
+    * lexicographic struct-min top-1 (ties identical to the Spark side's
+    * (pn desc, lhs, rhs) ordering), and a plain `replace` of
+    * `␟a␟␟b␟` → `␟ab␟` — anchored on whole symbols by the wrapping, and
+    * non-overlapping exactly like the Spark fold because adjacent
+    * matches share no characters.
+    */
+  private def bpeRoundsSql(m: Int): String = {
+    val us = "chr(31)"
+    val sb = new StringBuilder(
+      s"""WITH words AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |  ) t WHERE w <> '' GROUP BY w
+         |), rep0 AS (
+         |  SELECT w, n, array_to_string(list_transform(
+         |    range(1, length(w) + 1), i -> $us || w[i] || $us), '') AS rep
+         |  FROM words
+         |)""".stripMargin)
+    for (r <- 1 to m) {
+      sb ++= s""", syms${r - 1} AS (
+                |  SELECT w, n, string_split(substr(rep, 2, length(rep) - 2),
+                |    $us || $us) AS syms, rep
+                |  FROM rep${r - 1}
+                |), p$r AS (
+                |  SELECT syms[CAST(i AS INT)] AS lhs,
+                |    syms[CAST(i AS INT) + 1] AS rhs,
+                |    CAST(SUM(n) AS BIGINT) AS pn
+                |  FROM syms${r - 1}, unnest(range(1, len(syms))) AS u(i)
+                |  GROUP BY 1, 2
+                |), m$r AS (
+                |  SELECT (min(struct_pack(a := -pn, l := lhs, r2 := rhs))) AS mm
+                |  FROM p$r
+                |), rep$r AS (
+                |  SELECT w, n, replace(rep,
+                |    $us || mm.l || $us || $us || mm.r2 || $us,
+                |    $us || mm.l || mm.r2 || $us) AS rep
+                |  FROM rep${r - 1} CROSS JOIN m$r
+                |)""".stripMargin
+    }
+    sb ++= s""", symsN AS (
+              |  SELECT w, n, string_split(substr(rep, 2, length(rep) - 2),
+              |    $us || $us) AS syms
+              |  FROM rep$m
+              |)""".stripMargin
+    sb.toString
+  }
+
+  private val bpeMerges = 8
+
   val oracles: Map[String, String] = Map(
+    "bpe_train_merges" -> (bpeRoundsSql(bpeMerges) +
+      (1 to bpeMerges).map(r =>
+        s"""SELECT CAST($r AS INT) AS merge_rank, mm.l AS lhs, mm.r2 AS rhs,
+           |  CAST(-mm.a AS BIGINT) AS pair_n FROM m$r""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")),
+
+    "bpe_vocab" -> (bpeRoundsSql(bpeMerges) +
+      """
+        |SELECT token, CAST(SUM(n) AS BIGINT) AS n_occ FROM (
+        |  SELECT n, unnest(syms) AS token FROM symsN
+        |) t GROUP BY token ORDER BY token""".stripMargin),
+
+    "bpe_encode_stats" -> (bpeRoundsSql(bpeMerges) +
+      """
+        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |) d JOIN symsN v USING (w)
+        |WHERE d.w <> ''
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    "cluster_kmeans_assign" -> (kmeansSql +
+      "\nSELECT vec_id, cluster FROM a2 ORDER BY vec_id"),
+
+    "cluster_kmeans_stats" -> (kmeansSql +
+      """
+        |SELECT cluster, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+        |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin),
+
+    "cluster_kmeans_purity" -> (kmeansSql +
+      """, lab AS (
+        |  SELECT cluster, label, COUNT(*) AS n FROM a2 GROUP BY 1, 2
+        |)
+        |SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |  (min(struct_pack(a := -n, b := label))).b AS top_label,
+        |  CAST(-((min(struct_pack(a := -n, b := label))).a) AS BIGINT) AS top_label_n
+        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin),
+
     // Exact ANN baseline is SQL-expressible: cosine in double (matching
     // the native expression's double accumulation over float inputs),
     // same round-then-rank order, same tie-break.
