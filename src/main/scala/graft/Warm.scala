@@ -35,6 +35,9 @@ object Warm {
       s"${Artifact.root(d)}/nbclass")
     graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm")
     graft.ext.InvertedIndex.ensureIndex(spark, docs, s"${Artifact.root(d)}/invindex")
+    // session-memoized (not persisted — see Bpe's class doc): trained
+    // here so no bpe_* query pays the training cost as first consumer
+    graft.ext.Bpe.trained(spark, docs, d)
     val emb = Tables.embeddings(spark, d)
     AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
     AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")

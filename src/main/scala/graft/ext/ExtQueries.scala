@@ -517,6 +517,19 @@ object ExtQueries {
     "cluster_kmeans_purity" -> ((s, d) =>
       Clustering.clusterPurity(Clustering.kmeans(Tables.embeddings(s, d)))),
 
+    // Centrality-canonical selection: PageRank over the persisted pair
+    // graph picks each duplicate group's hub (the member every variant
+    // is a near-copy of) instead of dedup_apply's arbitrary min-id.
+    // Everything is ∝ the dup graph, never the corpus; the oracle
+    // replays all three iterations in SQL over the same recursive-CC
+    // groups.
+    "dedup_canonical_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairDir = Dedup.ensurePairs(s, docs, s"${Artifact.root(d)}/neardup")
+      val groupsDir = Dedup.ensureGroups(s, pairDir, s"${Artifact.root(d)}/dupgroups")
+      GraphRank.canonicalByRank(s, pairDir, groupsDir)
+    }),
+
     // BPE tokenizer training: the learned merge sequence. One corpus
     // pass for word counts; each round's pair statistics run over the
     // vocabulary only. The oracle replays all 8 rounds in generated SQL.
@@ -632,7 +645,73 @@ object ExtQueries {
 
   private val bpeMerges = 8
 
+  /** PageRank-canonical replay: the dedup_groups recursive-CC prefix
+    * (same shingles, threshold, edges, reach) plus `iters` generated
+    * SIMILARITY-WEIGHTED rank iterations under the GraphRank
+    * determinism contract — w = round(jaccard, 12), weighted degrees
+    * and round-12 per-edge terms summed exactly as DECIMAL(32,12),
+    * teleport and damping as independent double literals.
+    */
+  private def canonicalRankSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a_id, b_id, j FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) t WHERE j >= 0.35
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst, round(j, 12) AS w FROM pairs
+        |  UNION ALL
+        |  SELECT b_id AS src, a_id AS dst, round(j, 12) AS w FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+        |), grp AS (
+        |  SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id
+        |), nodes AS (
+        |  SELECT src AS id,
+        |    CAST(SUM(CAST(w AS DECIMAL(32,12))) AS DOUBLE) AS wdeg
+        |  FROM edges GROUP BY src
+        |), nn AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+        |), p0 AS (
+        |  SELECT id, CAST(1 AS DOUBLE) / nn.n AS p FROM nodes CROSS JOIN nn
+        |)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb ++= s""", p$t AS (
+                |  SELECT e.dst AS id,
+                |    round(CAST(0.15 AS DOUBLE) * (CAST(1 AS DOUBLE) / nn.n) +
+                |      CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(
+                |        round(p.p * (e.w / nd.wdeg), 12)
+                |        AS DECIMAL(32,12))) AS DOUBLE), 12) AS p
+                |  FROM edges e
+                |  JOIN p${t - 1} p ON e.src = p.id
+                |  JOIN nodes nd ON nd.id = e.src
+                |  CROSS JOIN nn
+                |  GROUP BY e.dst, nn.n
+                |)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT g.group_id,
+              |  (min(struct_pack(a := -p.p, b := g.doc_id))).b AS canonical_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_members,
+              |  -((min(struct_pack(a := -p.p, b := g.doc_id))).a) AS score
+              |FROM p$iters p JOIN grp g ON p.id = g.doc_id
+              |GROUP BY g.group_id ORDER BY g.group_id""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_canonical_rank" -> canonicalRankSql(3),
+
     "bpe_train_merges" -> (bpeRoundsSql(bpeMerges) +
       (1 to bpeMerges).map(r =>
         s"""SELECT CAST($r AS INT) AS merge_rank, mm.l AS lhs, mm.r2 AS rhs,

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity-weighted PageRank over the near-duplicate graph, and the
+  * decision it exists for: CANONICAL SELECTION. `dedup_apply` keeps the
+  * min-id member of each duplicate group — an arbitrary-but-
+  * deterministic choice. The centrality keeper is the principled one:
+  * the member the rest of the group is most similar to (the template
+  * every variant derives from) survives; mirror/derivative copies drop.
+  *
+  * The rank MUST be similarity-weighted: at any workable Jaccard
+  * threshold two docs that are both near a hub are usually near each
+  * other too, so dup groups are clique-shaped and an unweighted walk
+  * ties every member (measured on the fixture corpus: all 23 groups
+  * degenerate to min-id). Edge weights — the pair table's exact
+  * Jaccards — break the symmetry: the hub's edges carry more mass than
+  * leaf-to-leaf edges, so it concentrates rank even inside a clique.
+  *
+  * Determinism contract (the oracle replays every iteration in SQL):
+  *  - node set = every doc in a ≥-threshold pair; undirected edges both
+  *    directions with w = round(jaccard, 12) (the stored Jaccard is the
+  *    same integer-ratio division the oracle recomputes — bit-equal);
+  *  - wdeg(u) = Σ w over u's edges, summed EXACTLY as DECIMAL(32,12);
+  *  - p₀ = 1/N (one IEEE division, identical everywhere);
+  *  - p_{t+1}(v) = round(0.15·(1/N) + 0.85·Σ_{u→v} term, 12) with
+  *    term = round(p_t(u) · (w/wdeg(u)), 12), again summed exactly as
+  *    DECIMAL(32,12) — order-independent, so the result is identical
+  *    under any partitioning and aggregation order. 0.15 and 0.85 are
+  *    independent literals on both sides (never computed as 1−d:
+  *    `1 − 0.85` and the literal `0.15` are DIFFERENT doubles).
+  *
+  * Scale shape: everything is proportional to the DUP GRAPH (pairs ≪
+  * corpus — the pair table is the already-persisted artifact), never
+  * the corpus. Each iteration is one edges⋈rank join + one
+  * partial-aggregated sum per destination; the edge table is
+  * checkpointed once and reused; iterations are bounded (3). The
+  * star-contraction CC sibling handles group LABELS; this adds the
+  * WITHIN-group ordering CC cannot express.
+  */
+object GraphRank {
+
+  private val Fixed = DecimalType(32, 12)
+
+  /** Iterated similarity-weighted PageRank over an undirected pair
+    * graph `(a_id, b_id, jaccard)`: returns `(id, p)`.
+    */
+  def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"),
+        round(col("jaccard"), 12).as("w"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"),
+        round(col("jaccard"), 12).as("w")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src"))
+      .agg(sum(col("w").cast(Fixed)).cast("double").as("wdeg"))
+    val n = deg.count()
+    val tele = 0.15 * (1.0 / n)
+    var rank = deg.select(col("src").as("id"), lit(1.0 / n).as("p"))
+    for (_ <- 1 to iters) {
+      val pd = rank.join(deg, rank("id") === deg("src"))
+        .select(col("id"), col("p"), col("wdeg"))
+      rank = edges.join(pd, edges("src") === pd("id"))
+        .select(col("dst"),
+          round(col("p") * (col("w") / col("wdeg")), 12).cast(Fixed).as("term"))
+        .groupBy(col("dst"))
+        .agg(round(lit(tele) + lit(0.85) * sum(col("term")).cast("double"), 12)
+          .as("p"))
+        .select(col("dst").as("id"), col("p"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
+  /** Per duplicate group: the centrality-canonical member. Groups and
+    * pairs are the persisted dedup artifacts; output is
+    * `(group_id, canonical_id, n_members, score)` with ties broken to
+    * the lower doc id. Singleton groups cannot occur (groups exist only
+    * where pairs do).
+    */
+  def canonicalByRank(spark: SparkSession, pairDir: String,
+                      groupsDir: String,
+                      minJaccard: Double = 0.35): DataFrame = {
+    val rank = pagerank(Dedup.loadPairs(spark, pairDir, minJaccard))
+    Dedup.loadGroups(spark, groupsDir)
+      .join(rank, col("doc_id") === rank("id"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("p")).as("a"), col("doc_id").as("b"))).as("m"))
+      .select(col("group_id"), col("m.b").as("canonical_id"),
+        col("n_members"), (-col("m.a")).as("score"))
+      .orderBy(col("group_id"))
+  }
+}
