@@ -17,7 +17,9 @@ object PlanAudit {
         "text_repetition", "train_pack", "train_mixture",
         "train_holdout_split", "text_length_floor", "curate_funnel",
         "curate_quality_buckets", "quality_perplexity_bigram",
-        "classify_nb_pred", "dsir_select")
+        "classify_nb_pred", "dsir_select", "search_bm25", "dedup_paragraphs",
+        "decontaminate_bloom", "cluster_kmeans_assign", "bpe_encode_stats",
+        "dedup_canonical_rank")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

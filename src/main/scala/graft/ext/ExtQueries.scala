@@ -530,6 +530,17 @@ object ExtQueries {
       GraphRank.canonicalByRank(s, pairDir, groupsDir)
     }),
 
+    // The corpus rewrite under the centrality keeper — dedup_apply with
+    // the group hub surviving instead of the min id.
+    "dedup_apply_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairDir = Dedup.ensurePairs(s, docs, s"${Artifact.root(d)}/neardup")
+      val groupsDir = Dedup.ensureGroups(s, pairDir, s"${Artifact.root(d)}/dupgroups")
+      GraphRank.applyCanonical(s, docs, pairDir, groupsDir)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer training: the learned merge sequence. One corpus
     // pass for word counts; each round's pair statistics run over the
     // vocabulary only. The oracle replays all 8 rounds in generated SQL.
@@ -699,18 +710,30 @@ object ExtQueries {
                 |  GROUP BY e.dst, nn.n
                 |)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT g.group_id,
-              |  (min(struct_pack(a := -p.p, b := g.doc_id))).b AS canonical_id,
-              |  CAST(COUNT(*) AS BIGINT) AS n_members,
-              |  -((min(struct_pack(a := -p.p, b := g.doc_id))).a) AS score
-              |FROM p$iters p JOIN grp g ON p.id = g.doc_id
-              |GROUP BY g.group_id ORDER BY g.group_id""".stripMargin
+    sb ++= s""", canon AS (
+              |  SELECT g.group_id,
+              |    (min(struct_pack(a := -p.p, b := g.doc_id))).b AS canonical_id,
+              |    CAST(COUNT(*) AS BIGINT) AS n_members,
+              |    -((min(struct_pack(a := -p.p, b := g.doc_id))).a) AS score
+              |  FROM p$iters p JOIN grp g ON p.id = g.doc_id
+              |  GROUP BY g.group_id
+              |)""".stripMargin
     sb.toString
   }
 
   val oracles: Map[String, String] = Map(
-    "dedup_canonical_rank" -> canonicalRankSql(3),
+    "dedup_canonical_rank" -> (canonicalRankSql(3) +
+      """
+        |SELECT group_id, canonical_id, n_members, score FROM canon
+        |ORDER BY group_id""".stripMargin),
+
+    "dedup_apply_canonical" -> (canonicalRankSql(3) +
+      """
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT g.doc_id FROM grp g JOIN canon c USING (group_id)
+        |  WHERE g.doc_id <> c.canonical_id)
+        |ORDER BY d.doc_id""".stripMargin),
 
     "bpe_train_merges" -> (bpeRoundsSql(bpeMerges) +
       (1 to bpeMerges).map(r =>

@@ -92,4 +92,20 @@ object GraphRank {
         col("n_members"), (-col("m.a")).as("score"))
       .orderBy(col("group_id"))
   }
+
+  /** Corpus rewrite under the centrality keeper: every dup-group member
+    * except the rank-canonical one drops — [[Dedup.applyDedupStored]]
+    * with the principled keeper instead of min-id. Still one anti-join
+    * of the corpus against a dup-graph-sized loser set.
+    */
+  def applyCanonical(spark: SparkSession, corpus: DataFrame,
+                     pairDir: String, groupsDir: String): DataFrame = {
+    val canon = canonicalByRank(spark, pairDir, groupsDir)
+      .select(col("group_id"), col("canonical_id"))
+    val losers = Dedup.loadGroups(spark, groupsDir)
+      .join(canon, "group_id")
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    corpus.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

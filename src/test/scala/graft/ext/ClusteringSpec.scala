@@ -61,6 +61,17 @@ class ClusteringSpec extends SparkSuite {
     assert(one == many)
   }
 
+  test("assignment never shuffles the corpus") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 64L).map(i =>
+      (i, Seq.fill(4)(rnd.nextFloat()), 0))
+    val plan = Clustering.kmeans(emb(rows: _*), k = 4, iters = 2)
+      .select(col("vec_id"), col("cluster"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must be scan+project only, got:\n$plan")
+  }
+
   test("purity: plurality label per cluster, ties to the lower label") {
     // cluster 0 gets labels 5,5,3,3 → tie → top_label 3
     val d = emb((0L, Seq(0f), 5), (1L, Seq(100f), 9),

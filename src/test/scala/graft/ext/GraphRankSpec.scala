@@ -59,5 +59,10 @@ class GraphRankSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out.map(r => (r._1, r._2, r._3)) ==
       Seq((1L, 3L, 4L), (10L, 10L, 2L)))
+
+    // the rewrite keeps exactly the hubs: min-id keeper would keep 1
+    val survivors = GraphRank.applyCanonical(spark, docs, pairDir, groupsDir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(survivors == Set(3L, 10L))
   }
 }
