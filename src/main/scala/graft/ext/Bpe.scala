@@ -50,10 +50,17 @@ object Bpe {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
 
+  /** One symbol per CHARACTER (code point): `substr` walks Unicode
+    * characters in both engines, where `split(w, "")` would shear a
+    * non-BMP character into two lone surrogates (UTF-16 code units) and
+    * diverge from the oracle's per-character `w[i]`.
+    */
+  private[ext] def charsCol(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
   /** Initial segmentation: one symbol per character. */
   private[ext] def initState(words: DataFrame): DataFrame =
-    words.withColumn("syms",
-      filter(split(col("w"), ""), s => s =!= ""))
+    words.withColumn("syms", charsCol(col("w")))
 
   /** Greedy left-to-right application of one merge: a left fold whose
     * accumulator tail coalesces `… a | b` into `… ab`. Non-overlapping
@@ -70,9 +77,7 @@ object Bpe {
     * list — the OOV path of the encoder.
     */
   def applyMerges(w: Column, merges: Seq[Merge]): Column =
-    merges.foldLeft(filter(split(w, ""), s => s =!= "")) {
-      (c, m) => applyMerge(c, m.lhs, m.rhs)
-    }
+    merges.foldLeft(charsCol(w)) { (c, m) => applyMerge(c, m.lhs, m.rhs) }
 
   /** Weighted adjacent-pair counts over the current segmentation. */
   private def pairCounts(state: DataFrame): DataFrame =
@@ -113,7 +118,12 @@ object Bpe {
 
   def trained(spark: SparkSession, docs: DataFrame, key: String,
               nMerges: Int = 8): (Seq[Merge], DataFrame) =
-    memo.getOrElseUpdate(s"$key#$nMerges", train(docs, nMerges))
+    // the application id scopes the entry to the live SparkContext — a
+    // later session in the same JVM must retrain, not inherit
+    // checkpointed state bound to a stopped context
+    memo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}#$key#$nMerges",
+      train(docs, nMerges))
 
   /** The learned merge table as a DataFrame (merge_rank, lhs, rhs,
     * pair_n) — rank order IS the application order.
@@ -134,12 +144,18 @@ object Bpe {
 
   /** Per-document token statistics under the trained tokenizer: the
     * corpus encodes by JOINING the word vocabulary (memoized encode) —
-    * the planner picks broadcast vs shuffle from the vocab's size.
+    * the planner picks broadcast vs shuffle from the vocab's size —
+    * and any word the vocabulary has never seen falls back to the
+    * from-scratch [[applyMerges]] fold, so held-out text counts
+    * correctly instead of silently dropping at the join.
     */
-  def encodeStats(docs: DataFrame, state: DataFrame): DataFrame =
+  def encodeStats(docs: DataFrame, state: DataFrame,
+                  merges: Seq[Merge]): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .join(state.select(col("w"), size(col("syms")).as("k")), "w")
+      .join(state.select(col("w"), size(col("syms")).as("k")), Seq("w"), "left")
+      .withColumn("k",
+        coalesce(col("k"), size(applyMerges(col("w"), merges))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_tokens"))
       .orderBy(col("doc_id"))

@@ -503,19 +503,19 @@ object ExtQueries {
     // corpus is scanned once, never shuffled; the only exchange is the
     // k·dim partial-aggregated centroid update.
     "cluster_kmeans_assign" -> ((s, d) =>
-      Clustering.kmeans(Tables.embeddings(s, d))
+      Clustering.fitted(s, Tables.embeddings(s, d), d)
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))),
 
-    // Per-cluster size + inertia from the same pinned run.
+    // Per-cluster size + inertia from the same pinned (memoized) fit.
     "cluster_kmeans_stats" -> ((s, d) =>
-      Clustering.clusterStats(Clustering.kmeans(Tables.embeddings(s, d)))),
+      Clustering.clusterStats(Clustering.fitted(s, Tables.embeddings(s, d), d))),
 
     // Cluster ↔ ground-truth label agreement: plurality label per
     // cluster — the eval that says whether unsupervised topics track
     // the labeled taxonomy.
     "cluster_kmeans_purity" -> ((s, d) =>
-      Clustering.clusterPurity(Clustering.kmeans(Tables.embeddings(s, d)))),
+      Clustering.clusterPurity(Clustering.fitted(s, Tables.embeddings(s, d), d))),
 
     // Centrality-canonical selection: PageRank over the persisted pair
     // graph picks each duplicate group's hub (the member every variant
@@ -554,8 +554,8 @@ object ExtQueries {
     // Per-doc token counts under the trained tokenizer — encoding via
     // the memoized word→symbols join, never per-row re-merging.
     "bpe_encode_stats" -> ((s, d) => {
-      val (_, state) = Bpe.trained(s, Tables.documents(s, d), d)
-      Bpe.encodeStats(Tables.documents(s, d), state)
+      val (merges, state) = Bpe.trained(s, Tables.documents(s, d), d)
+      Bpe.encodeStats(Tables.documents(s, d), state, merges)
     })
   )
 

@@ -73,16 +73,32 @@ object GraphRank {
     rank
   }
 
+  /** The Jaccard threshold a dupgroups artifact was BUILT at, parsed
+    * from its meta line — the rank join must filter pairs at exactly
+    * this threshold or group members connected only by weaker edges
+    * would silently drop from the rank.
+    */
+  private def groupsThreshold(spark: SparkSession, groupsDir: String): Double = {
+    val meta = Artifact.readMeta(spark, groupsDir).getOrElse(
+      throw new IllegalStateException(s"no artifact at $groupsDir"))
+    "minJaccard=([0-9.]+)".r.findFirstMatchIn(meta) match {
+      case Some(m) => m.group(1).toDouble
+      case None => throw new IllegalStateException(
+        s"no minJaccard in dupgroups meta at $groupsDir: $meta")
+    }
+  }
+
   /** Per duplicate group: the centrality-canonical member. Groups and
-    * pairs are the persisted dedup artifacts; output is
-    * `(group_id, canonical_id, n_members, score)` with ties broken to
-    * the lower doc id. Singleton groups cannot occur (groups exist only
-    * where pairs do).
+    * pairs are the persisted dedup artifacts; the pair threshold comes
+    * from the groups artifact's own meta so the two can never diverge.
+    * Output is `(group_id, canonical_id, n_members, score)` with ties
+    * broken to the lower doc id. Singleton groups cannot occur (groups
+    * exist only where pairs do).
     */
   def canonicalByRank(spark: SparkSession, pairDir: String,
-                      groupsDir: String,
-                      minJaccard: Double = 0.35): DataFrame = {
-    val rank = pagerank(Dedup.loadPairs(spark, pairDir, minJaccard))
+                      groupsDir: String): DataFrame = {
+    val rank = pagerank(Dedup.loadPairs(spark, pairDir,
+      groupsThreshold(spark, groupsDir)))
     Dedup.loadGroups(spark, groupsDir)
       .join(rank, col("doc_id") === rank("id"))
       .groupBy(col("group_id"))

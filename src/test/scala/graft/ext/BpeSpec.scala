@@ -20,10 +20,31 @@ class BpeSpec extends SparkSuite {
       (4, "p", "ug", 1L), (5, "pu", "n", 1L)))
     val vocab = Bpe.vocab(state).as[(String, Long)].collect().toSeq
     assert(vocab == Seq(("hug", 3L), ("pug", 1L), ("pun", 1L)))
-    val stats = Bpe.encodeStats(hugs, state)
+    val stats = Bpe.encodeStats(hugs, state, merges)
       .as[(Long, Long, Long)].collect().toSeq
     assert(stats == Seq((1L, 4L, 4L), (2L, 1L, 1L)),
       "every word collapses to one learned token")
+  }
+
+  test("encode stats on held-out text: OOV words fold, never drop") {
+    val (merges, state) = Bpe.train(hugs, nMerges = 3)
+    // "hugpun" is not a training word: chars + merges 1-3 → hug, pu, n
+    val stats = Bpe.encodeStats(
+        Seq((9L, "hug hugpun")).toDF("doc_id", "text"), state, merges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(stats == Seq((9L, 2L, 4L)),
+      "2 words; hug→1 token via vocab, hugpun→3 tokens via the fold")
+  }
+
+  test("non-BMP characters segment as whole code points, not surrogates") {
+    val (merges, state) = Bpe.train(
+      Seq((1L, "𝕏y 𝕏y")).toDF("doc_id", "text"),
+      nMerges = 1)
+    assert(merges.head.lhs == "𝕏" && merges.head.rhs == "y")
+    assert(merges.head.lhs.codePointCount(0, merges.head.lhs.length) == 1,
+      "lhs must be ONE code point, not a lone surrogate")
+    val vocab = Bpe.vocab(state).as[(String, Long)].collect().toSeq
+    assert(vocab == Seq(("𝕏y", 2L)))
   }
 
   test("greedy merge application is left-to-right, non-overlapping") {
