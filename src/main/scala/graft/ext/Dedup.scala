@@ -791,13 +791,7 @@ object Dedup {
     */
   def dupSpanStats(docs: DataFrame, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = element_at(transform(array(split(col("text"), " ")), toks =>
-      when(size(toks) < k,
-          array().cast("array<struct<pos:int,h:bigint>>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - lit(k - 1)), i =>
-          struct(i.cast("int").as("pos"),
-            xxhash64(array_join(slice(toks, i, lit(k)), " ")).as("h"))))), 1)
-    val occ = docs.select(col("doc_id"), explode(grams).as("g"))
+    val occ = docs.select(col("doc_id"), explode(positionalGramHashes(k)).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
     val crossDoc = occ.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
@@ -818,6 +812,143 @@ object Dedup {
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_fraction"))
   }
+
+  /** One positional k-gram hash per token position — `(pos, h)` structs,
+    * 1-based, empty for docs shorter than k tokens. The token array is
+    * bound once as a lambda variable (the [[shingles]] lesson) so `split`
+    * runs once per document, not once per gram. Shared by
+    * [[dupSpanStats]] and [[rewriteDupSpans]].
+    */
+  private def positionalGramHashes(k: Int): Column =
+    element_at(transform(array(split(col("text"), " ")), toks =>
+      when(size(toks) < k,
+          array().cast("array<struct<pos:int,h:bigint>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(k - 1)), i =>
+          struct(i.cast("int").as("pos"),
+            xxhash64(array_join(slice(toks, i, lit(k)), " ")).as("h"))))), 1)
+
+  /** ExactSubstr REWRITE (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" — the removal step, where
+    * [[dupSpanStats]] only computes the score): every k-token run that
+    * occurs in more than one document keeps exactly ONE occurrence
+    * corpus-wide — the least `(doc_id, pos)`, the same keeper rule as
+    * [[dedupSegments]] — and every token covered only by redundant
+    * occurrences is dropped from its document. Tokens inside any keeper
+    * span survive, so each duplicated substring still exists exactly
+    * once in the rewritten corpus and unique prose is untouched.
+    *
+    * Scale shape: the k-gram pass and cross-document filter are
+    * [[dupSpanStats]]'s (one hash shuffle, `min != max` instead of a
+    * countDistinct Expand); keeper choice rides the same aggregate as a
+    * map-side-combinable `min(struct)`. Token-granular work explodes
+    * ONLY duplicated occurrences — k rows each, cost ∝ duplicated
+    * volume, not corpus volume — and one `groupBy(doc_id, tpos)`
+    * resolves keeper-vs-redundant per covered token. The drop set
+    * returns to each document as a single array and the rewrite is a
+    * per-row `filter` against an O(1) map lookup (map built once per
+    * row as a named column — never inside the lambda, where it would
+    * re-materialize per token): the corpus itself never shuffles at
+    * token granularity.
+    *
+    * Output per document, zero-filled: `(doc_id, n_tokens, n_dropped,
+    * text_rewrite)`.
+    */
+  def rewriteDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(positionalGramHashes(k)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val keepers = occ.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"), col("keep.doc_id").as("kd"), col("keep.pos").as("kp"))
+    val drops = occ.join(keepers, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tpos"),
+        (col("doc_id") === col("kd") && col("pos") === col("kp")).as("is_keeper"))
+      .groupBy(col("doc_id"), col("tpos"))
+      .agg(max(col("is_keeper")).as("any_keeper"))
+      .filter(!col("any_keeper"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tpos"))).as("drop"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("droparr", coalesce(col("drop"), array().cast("array<int>")))
+      .withColumn("dropmap",
+        map_from_arrays(col("droparr"), transform(col("droparr"), _ => lit(true))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("droparr")).cast("long").as("n_dropped"),
+        array_join(filter(col("toks"), (t, i) =>
+          !map_contains_key(col("dropmap"), i + lit(1))), " ").as("text_rewrite"))
+  }
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * local fingerprinting algorithm): slide a w-window over each
+    * document's k-gram hash sequence and record every window's minimum
+    * hash, rightmost occurrence on ties. Selection is LOCAL — any two
+    * documents sharing a run of t = w+k-1 tokens are GUARANTEED to
+    * share a selected fingerprint — with expected density 2/(w+1), so
+    * the fingerprint table is a ~w/2-fold reduction of the gram stream
+    * that still carries a positional match guarantee whole-document
+    * sketches (MinHash) cannot give.
+    *
+    * The k-gram hash is `md5` — portable, so the DuckDB oracle replays
+    * the SELECTION on identical hash values: the chosen positions, not
+    * just aggregate counts, are verified. Rightmost-min-per-window is
+    * re-expressed as integer window algebra: rank grams by
+    * `(h ASC, pos DESC)` within the document (rank 1 = the hash that
+    * wins every window it appears in), take `min(rank)` over each
+    * w-row window of the pos-ordered stream — exactly argmin with
+    * rightmost tie-break — and keep the distinct ranks chosen by valid
+    * window starts. Documents shorter than w grams winnow their single
+    * truncated window. Both windows are document-bounded: one doc_id
+    * exchange, two in-partition sorts, no corpus-wide ordering.
+    *
+    * Output: `(doc_id, pos, h)`, one row per selected fingerprint.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = element_at(transform(array(split(col("text"), " ")), toks =>
+      when(size(toks) < k, array().cast("array<struct<pos:int,h:string>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(k - 1)), i =>
+          struct(i.cast("int").as("pos"),
+            md5(array_join(slice(toks, i, lit(k)), " ")).as("h"))))), 1)
+    val byHash = Window.partitionBy(col("doc_id")).orderBy(col("h").asc, col("pos").desc)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ranked = docs.select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      .withColumn("ord", row_number().over(byHash))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val sel = ranked
+      .withColumn("wmin", min(col("ord")).over(byPos.rowsBetween(0, w - 1)))
+      .filter(col("pos") <= greatest(lit(1), col("n") - lit(w - 1)))
+      .select(col("doc_id"), col("wmin").as("ord")).distinct()
+    ranked.join(sel, Seq("doc_id", "ord"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("h"))
+  }
+
+  /** Document-overlap pairs from shared winnowing fingerprints — the
+    * MOSS report: pairs ranked by how many distinct selected
+    * fingerprints they share. Same shuffle discipline as
+    * [[candidatePairs]]: group the (distinct) doc×fingerprint table by
+    * hash, cap oversize buckets (a fingerprint in m docs yields m²/2
+    * pairs — the boilerplate-hash skew guard), and emit i<j pairs
+    * in-place from the sorted member array. The cap is part of the
+    * operator's definition, so the DuckDB oracle applies the identical
+    * `HAVING BETWEEN 2 AND maxBucket` filter.
+    */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+                         maxBucket: Int = 64): DataFrame =
+    winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("m"))
+      .filter(size(col("m")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + lit(2), size(col("m"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
 
   /** Segment a corpus into aligned `segTokens`-token windows —
     * `(doc_id, seg_idx, seg)` — the fixture-corpus stand-in for

@@ -370,6 +370,44 @@ object ExtQueries {
       Dedup.dupSpanStats(Tables.documents(s, d), k = 8)
         .orderBy(col("doc_id"))),
 
+    // ExactSubstr REWRITE (Lee et al., the removal step): every
+    // cross-document duplicated 8-token run keeps exactly one occurrence
+    // corpus-wide (least (doc_id,pos) keeper) and tokens covered only by
+    // redundant occurrences are dropped. Token-granular cost ∝
+    // duplicated volume only; the corpus never shuffles at token
+    // granularity.
+    "dedup_substring_rewrite" -> ((s, d) =>
+      Dedup.rewriteDupSpans(Tables.documents(s, d), k = 8)
+        .orderBy(col("doc_id"))),
+
+    // Winnowing fingerprints (Schleimer et al. 2003, MOSS): per-doc
+    // count + density of window-min-selected 5-gram fingerprints
+    // (w=4 → expected density 2/(w+1) = 0.4). md5 gram hashes, so the
+    // oracle replays the exact SELECTION, not just the counts.
+    "dedup_winnow_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cnt = Dedup.winnowFingerprints(docs, k = 5, w = 4)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      docs.select(col("doc_id"),
+          greatest(size(split(col("text"), " ")) - lit(4), lit(0))
+            .cast("long").as("n_grams"))
+        .join(cnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          round(coalesce(col("n_fp"), lit(0L)).cast("double") /
+            greatest(col("n_grams"), lit(1L)).cast("double"), 6).as("fp_density"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The MOSS overlap report: top-25 document pairs by shared distinct
+    // winnowing fingerprints. The skew cap (buckets of 2..64 docs per
+    // fingerprint) is part of the operator's definition and the oracle
+    // applies the identical filter.
+    "dedup_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowOverlapPairs(Tables.documents(s, d), k = 5, w = 4, maxBucket = 64)
+        .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+        .limit(25)),
+
     // PII scrubbing (the Dolma/FineWeb pre-release stage): redact
     // emails / IPv4s / phones to typed placeholders + per-doc counts.
     // The fixture corpus carries no PII, so the query plants
