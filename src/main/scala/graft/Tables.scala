@@ -39,6 +39,11 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // fixture variant with isAdjustedToUTC=false: same UTC wall
+        // clock, but NTZ can't carry a watermark — cast interprets it
+        // in the session zone (pinned UTC), restoring TIMESTAMP proper
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -512,6 +512,20 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hybrid retrieval: BM25 from the persisted index + dense cosine
+    // (query vector = vec 0) fused by Reciprocal Rank Fusion — the
+    // lexical+semantic candidate pull of a curation stack. Both lists
+    // are top-20 bounded BEFORE fusion, so the rank windows and the
+    // full-outer fusion join are driver-sized at any corpus scale; the
+    // oracle re-derives both lists and the fusion in SQL (integer
+    // ranks → exactly reproducible).
+    "search_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = InvertedIndex.ensureIndex(s, docs, s"${Artifact.root(d)}/invindex")
+      Retrieval.hybridSearch(s, dir, "spark window join merge",
+        Tables.embeddings(s, d), queryVecId = 0L, perList = 20, k = 15)
+    }),
+
     // Decontamination through the fixed-size Bloom sketch instead of the
     // exact broadcast set — the path that survives a benchmark union too
     // big to broadcast. At this sketch size (1 MiB for ~30k fixture
@@ -1656,6 +1670,62 @@ object ExtQueries {
         |FROM tf JOIN q USING (term)
         |GROUP BY doc_id HAVING COUNT(*) = 3
         |ORDER BY doc_id""".stripMargin,
+
+    // RRF fusion of the two lists the engine already oracles exactly:
+    // the search_bm25 top-20 (integer-stat BM25, same order contract)
+    // and the sim_bruteforce cosine top-20 for query vector 0. Ranks
+    // are integers, 1/(60+r) is one double division, additions in the
+    // pinned sparse+dense order, round-6 at the end — bit-reproducible.
+    "search_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+        |), q AS (
+        |  SELECT unnest(['spark', 'window', 'join', 'merge']) AS term
+        |), matched AS (
+        |  SELECT t.doc_id, t.term, t.tf FROM tf t JOIN q USING (term)
+        |), dfq AS (
+        |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
+        |), bm25 AS (
+        |  SELECT m.doc_id,
+        |    round(SUM(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |      * (m.tf * 2.2)
+        |      / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6) AS score
+        |  FROM matched m
+        |  JOIN dfq f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY m.doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20
+        |), sparse AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+        |  FROM bm25
+        |), qv AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id = 0
+        |), cosd AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(list_inner_product(q.q_emb, CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_inner_product(q.q_emb, q.q_emb))
+        |         * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+        |), dense AS (
+        |  SELECT doc_id, r_dense FROM (
+        |    SELECT doc_id,
+        |      ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+        |    FROM cosd)
+        |  WHERE r_dense <= 20
+        |)
+        |SELECT doc_id, r_sparse, r_dense,
+        |  round(COALESCE(1.0 / (60 + r_sparse), 0)
+        |      + COALESCE(1.0 / (60 + r_dense), 0), 6) AS rrf_score
+        |FROM sparse FULL OUTER JOIN dense USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
 
     // The Bloom path's oracle is the EXACT decontamination answer: at
     // the configured sketch size the filter's false-positive set is
