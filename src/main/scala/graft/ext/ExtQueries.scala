@@ -526,6 +526,22 @@ object ExtQueries {
         Tables.embeddings(s, d), queryVecId = 0L, perList = 20, k = 15)
     }),
 
+    // Closed-form OLS (length ~ token count + distinct-token count):
+    // ONE partial-aggregated pass computes the ten Gram moments, the
+    // 3x3 Cramer solve happens in-plan on that single row — no driver
+    // collect, no iteration. Integer features make every moment exact;
+    // the oracle repeats the determinant expansion token-for-token.
+    "reg_fit_ols" -> ((s, d) =>
+      Regression.fit(Regression.features(Tables.documents(s, d)))),
+
+    // The fitted proxy applied corpus-wide (betas broadcast back over
+    // the feature pass): top-50 absolute residuals = the docs whose
+    // length their token structure least explains — the linear-probe
+    // outlier sweep of a curation stack, one map pass at any scale.
+    "reg_outlier_residuals" -> ((s, d) =>
+      Regression.topResiduals(
+        Regression.features(Tables.documents(s, d)), k = 50)),
+
     // Decontamination through the fixed-size Bloom sketch instead of the
     // exact broadcast set — the path that survives a benchmark union too
     // big to broadcast. At this sketch size (1 MiB for ~30k fixture
@@ -1726,6 +1742,86 @@ object ExtQueries {
         |      + COALESCE(1.0 / (60 + r_dense), 0), 6) AS rrf_score
         |FROM sparse FULL OUTER JOIN dense USING (doc_id)
         |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Same integer moments, same double casts, same determinant
+    // association order as Regression.dets — the betas are then one
+    // division each, round-6.
+    "reg_fit_ols" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+        |    n_chars AS y
+        |  FROM documents
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS m11,
+        |    CAST(SUM(x1) AS DOUBLE) AS m12, CAST(SUM(x2) AS DOUBLE) AS m13,
+        |    CAST(SUM(x1*x1) AS DOUBLE) AS m22, CAST(SUM(x1*x2) AS DOUBLE) AS m23,
+        |    CAST(SUM(x2*x2) AS DOUBLE) AS m33,
+        |    CAST(SUM(y) AS DOUBLE) AS v1, CAST(SUM(x1*y) AS DOUBLE) AS v2,
+        |    CAST(SUM(x2*y) AS DOUBLE) AS v3, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    COUNT(*) AS n
+        |  FROM f
+        |), s AS (
+        |  SELECT n, m11, v1, v2, v3, syy,
+        |    m11*(m22*m33 - m23*m23) - m12*(m12*m33 - m23*m13)
+        |      + m13*(m12*m23 - m22*m13) AS det,
+        |    v1*(m22*m33 - m23*m23) - m12*(v2*m33 - m23*v3)
+        |      + m13*(v2*m23 - m22*v3) AS det0,
+        |    m11*(v2*m33 - v3*m23) - v1*(m12*m33 - m23*m13)
+        |      + m13*(m12*v3 - v2*m13) AS det1,
+        |    m11*(m22*v3 - m23*v2) - m12*(m12*v3 - v2*m13)
+        |      + v1*(m12*m23 - m22*m13) AS det2
+        |  FROM m
+        |)
+        |SELECT n, round(det0/det, 6) AS beta0, round(det1/det, 6) AS beta1,
+        |  round(det2/det, 6) AS beta2,
+        |  round(1.0 - (syy - (((det0/det)*v1 + (det1/det)*v2) + (det2/det)*v3))
+        |          / (syy - v1*v1/m11), 6) AS r2
+        |FROM s""".stripMargin,
+
+    // Scoring replays the fit CTE, then applies the ROUND-6 betas in
+    // the pinned (b0 + b1*x1) + b2*x2 order — identical coefficients,
+    // identical per-row arithmetic, same (|resid| DESC, doc_id) order
+    // at the k boundary.
+    "reg_outlier_residuals" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+        |    n_chars AS y
+        |  FROM documents
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS m11,
+        |    CAST(SUM(x1) AS DOUBLE) AS m12, CAST(SUM(x2) AS DOUBLE) AS m13,
+        |    CAST(SUM(x1*x1) AS DOUBLE) AS m22, CAST(SUM(x1*x2) AS DOUBLE) AS m23,
+        |    CAST(SUM(x2*x2) AS DOUBLE) AS m33,
+        |    CAST(SUM(y) AS DOUBLE) AS v1, CAST(SUM(x1*y) AS DOUBLE) AS v2,
+        |    CAST(SUM(x2*y) AS DOUBLE) AS v3
+        |  FROM f
+        |), s AS (
+        |  SELECT
+        |    m11*(m22*m33 - m23*m23) - m12*(m12*m33 - m23*m13)
+        |      + m13*(m12*m23 - m22*m13) AS det,
+        |    v1*(m22*m33 - m23*m23) - m12*(v2*m33 - m23*v3)
+        |      + m13*(v2*m23 - m22*v3) AS det0,
+        |    m11*(v2*m33 - v3*m23) - v1*(m12*m33 - m23*m13)
+        |      + m13*(m12*v3 - v2*m13) AS det1,
+        |    m11*(m22*v3 - m23*v2) - m12*(m12*v3 - v2*m13)
+        |      + v1*(m12*m23 - m22*m13) AS det2
+        |  FROM m
+        |), b AS (
+        |  SELECT round(det0/det, 6) AS beta0, round(det1/det, 6) AS beta1,
+        |    round(det2/det, 6) AS beta2
+        |  FROM s
+        |), scored AS (
+        |  SELECT f.doc_id, f.y,
+        |    round((b.beta0 + b.beta1 * f.x1) + b.beta2 * f.x2, 6) AS pred
+        |  FROM f CROSS JOIN b
+        |)
+        |SELECT doc_id, y, pred, round(y - pred, 6) AS resid
+        |FROM scored
+        |ORDER BY abs(round(y - pred, 6)) DESC, doc_id LIMIT 50""".stripMargin,
 
     // The Bloom path's oracle is the EXACT decontamination answer: at
     // the configured sketch size the filter's false-positive set is
