@@ -542,6 +542,21 @@ object ExtQueries {
       Regression.topResiduals(
         Regression.features(Tables.documents(s, d)), k = 50)),
 
+    // Exact global token heavy hitters — the groupBy baseline the CMS
+    // query is graded against. One hash-agg with map-side combine;
+    // (count DESC, term) pins the k boundary.
+    "tokens_heavy_hitters" -> ((s, d) =>
+      Sketches.heavyHitters(
+        Sketches.tokenStream(Tables.documents(s, d)), k = 30)),
+
+    // Count-min sketch point estimates for those heavy hitters. The
+    // sketch is d·w cells regardless of vocabulary size — the
+    // bounded-memory path when distinct terms outgrow a groupBy — and
+    // the md5-derived bucket family makes even the estimates (and the
+    // CMS overestimate-only invariant) exactly oracle-reproducible.
+    "tokens_cms_estimate" -> ((s, d) =>
+      Sketches.cmsEstimateTopK(Tables.documents(s, d), k = 30)),
+
     // Decontamination through the fixed-size Bloom sketch instead of the
     // exact broadcast set — the path that survives a benchmark union too
     // big to broadcast. At this sketch size (1 MiB for ~30k fixture
@@ -1822,6 +1837,45 @@ object ExtQueries {
         |SELECT doc_id, y, pred, round(y - pred, 6) AS resid
         |FROM scored
         |ORDER BY abs(round(y - pred, 6)) DESC, doc_id LIMIT 50""".stripMargin,
+
+    "tokens_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |)
+        |SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+        |ORDER BY n DESC, term LIMIT 30""".stripMargin,
+
+    // The sketch replayed cell-for-cell: same md5 hex-pair buckets
+    // (strpos arithmetic here, conv() on the Spark side — both parse
+    // two lowercase hex chars to 0..255), same d×w cell counts, same
+    // min-over-rows estimate. CMS is deterministic given the hash
+    // family, so n_est hash-matches, not just n_exact.
+    "tokens_cms_estimate" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), entries AS (
+        |  SELECT i AS row_i,
+        |    (strpos('0123456789abcdef', substr(md5(term), 2*i+1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(term), 2*i+2, 1)) - 1)
+        |      AS bucket
+        |  FROM toks CROSS JOIN generate_series(0, 3) AS g(i)
+        |), sketch AS (
+        |  SELECT row_i, bucket, COUNT(*) AS c FROM entries GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT term, COUNT(*) AS n_exact FROM toks GROUP BY term
+        |  ORDER BY n_exact DESC, term LIMIT 30
+        |), probes AS (
+        |  SELECT e.term, e.n_exact, i AS row_i,
+        |    (strpos('0123456789abcdef', substr(md5(e.term), 2*i+1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(e.term), 2*i+2, 1)) - 1)
+        |      AS bucket
+        |  FROM exact e CROSS JOIN generate_series(0, 3) AS g(i)
+        |)
+        |SELECT p.term, p.n_exact, MIN(s.c) AS n_est,
+        |  MIN(s.c) - p.n_exact AS overest
+        |FROM probes p JOIN sketch s USING (row_i, bucket)
+        |GROUP BY p.term, p.n_exact
+        |ORDER BY n_exact DESC, term""".stripMargin,
 
     // The Bloom path's oracle is the EXACT decontamination answer: at
     // the configured sketch size the filter's false-positive set is
