@@ -542,6 +542,28 @@ object ExtQueries {
       Regression.topResiduals(
         Regression.features(Tables.documents(s, d)), k = 50)),
 
+    // PCA stage 1: the exact-decimal covariance pass. n·d(d+1)/2
+    // exploded cells partial-aggregate to 2080 before the exchange, so
+    // the shuffle is moment-sized at any corpus scale; decimal sums +
+    // one pinned centering expression make every cell hash-verifiable.
+    "pca_covariance" -> ((s, d) =>
+      Pca.covarianceCells(s, Tables.embeddings(s, d), key = d)),
+
+    // PCA stage 2: driver Jacobi on the 2080 collected moments (the
+    // k-means pattern — data never leaves the cluster, moments do).
+    // Iterative rotations are not SQL-expressible -> rows-only; the
+    // spectrum invariants (trace identity, monotonicity, orthonormal
+    // basis) are pinned by PcaSpec.
+    "pca_eigvals" -> ((s, d) =>
+      Pca.topEigvals(s, Tables.embeddings(s, d), k = 8, key = d)),
+
+    // PCA stage 3: corpus-wide projection onto the top-2 axes — the
+    // axes ride along as literals (nothing broadcast, nothing
+    // shuffled), one codegen'd map pass. Rows-only for the same
+    // reason; PcaSpec pins projection variance = eigenvalue.
+    "pca_project_top2" -> ((s, d) =>
+      Pca.projectTop2(s, Tables.embeddings(s, d), key = d)),
+
     // Exact global token heavy hitters — the groupBy baseline the CMS
     // query is graded against. One hash-agg with map-side combine;
     // (count DESC, term) pins the k boundary.
@@ -1837,6 +1859,28 @@ object ExtQueries {
         |SELECT doc_id, y, pred, round(y - pred, 6) AS resid
         |FROM scored
         |ORDER BY abs(round(y - pred, 6)) DESC, doc_id LIMIT 50""".stripMargin,
+
+    // Covariance replayed cell-for-cell: same decimal(18,6) sums of
+    // the double products (exact, order-free), same
+    // (sprod/n) - (sx_i/n)*(sx_j/n) centering order, round-6.
+    "pca_covariance" ->
+      """WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cells AS (
+        |  SELECT i, j,
+        |    CAST(SUM(CAST(v[i+1] * v[j+1] AS DECIMAL(18,6))) AS DOUBLE) AS sprod,
+        |    COUNT(*) AS n
+        |  FROM e CROSS JOIN generate_series(0, 63) AS gi(i)
+        |         CROSS JOIN generate_series(0, 63) AS gj(j)
+        |  WHERE j >= i GROUP BY i, j
+        |), means AS (
+        |  SELECT i, CAST(SUM(CAST(v[i+1] AS DECIMAL(18,6))) AS DOUBLE) AS sx
+        |  FROM e CROSS JOIN generate_series(0, 63) AS gi(i) GROUP BY i
+        |)
+        |SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
+        |  round((c.sprod / c.n) - (mi.sx / c.n) * (mj.sx / c.n), 6) AS cov
+        |FROM cells c JOIN means mi ON mi.i = c.i JOIN means mj ON mj.i = c.j
+        |ORDER BY i, j""".stripMargin,
 
     "tokens_heavy_hitters" ->
       """WITH toks AS (

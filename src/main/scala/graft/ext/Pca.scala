@@ -1,0 +1,175 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over the embedding table: one exact-decimal
+  * covariance pass (oracle-verified cell for cell), then a driver-side
+  * cyclic Jacobi eigensolve on the tiny dims×dims moment matrix —
+  * the same moments-to-driver pattern as the k-means centroid update:
+  * the DATA never leaves the cluster, only d(d+1)/2 aggregated cells
+  * do, so the pass is corpus-size-independent beyond one scan.
+  *
+  * Cross-engine contract: per-cell sums go through the decimal(18,6)
+  * cast (exact, associative — Tables.dsum discipline), the centered
+  * covariance is one pinned double expression, round-6. The
+  * eigensolve itself is NOT SQL-expressible (iterative rotations) —
+  * its queries are rows-only with invariants pinned by PcaSpec
+  * (orthonormal basis, eigval sum = trace, projection variance =
+  * eigenvalue).
+  */
+object Pca {
+
+  val Dims = 64
+
+  // covariance+eigen+means memo per (app, caller key): the three pca_*
+  // queries share one moment pass instead of re-scanning the corpus
+  // (same app-scoped memo discipline as Clustering.fitted)
+  private case class Model(cov: Array[Array[Double]],
+    eigvals: Array[Double], eigvecs: Array[Array[Double]],
+    means: Array[Double])
+
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, Model]
+
+  private def modelFor(spark: SparkSession, emb: DataFrame, key: String): Model =
+    memo.getOrElseUpdate(s"${spark.sparkContext.applicationId}#$key", {
+      val cov = covMatrix(covariance(emb))
+      val (vals, vecs) = jacobiEigen(cov)
+      val m = emb.select(posexplode(col("embedding")).as(Seq("i", "xi")))
+        .groupBy(col("i")).agg(graft.Tables.dsum(col("xi").cast("double")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1) / r.getLong(2)).toMap
+      Model(cov, vals, vecs, Array.tabulate(Dims)(m(_)))
+    })
+
+  /** Upper-triangular covariance cells (i <= j, 0-based), round-6.
+    * Shape: the double explode materializes n·d(d+1)/2 cells but they
+    * partial-aggregate to 2080 per partition before the exchange —
+    * the shuffle is sketch-sized, not corpus-sized.
+    */
+  def covariance(emb: DataFrame): DataFrame = {
+    val cells = emb
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        explode(sequence(col("i"), lit(Dims - 1))).as("j"), col("embedding"))
+      .select(col("i"), col("j"),
+        (col("xi").cast("double") *
+          element_at(col("embedding"), col("j") + 1).cast("double")).as("prod"))
+      .groupBy(col("i"), col("j"))
+      .agg(graft.Tables.dsum(col("prod")).as("sprod"), count(lit(1)).as("n"))
+    val means = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(graft.Tables.dsum(col("xi").cast("double")).as("sx"))
+    cells
+      .join(broadcast(means.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("sprod") / col("n"))
+          - (col("sx_i") / col("n")) * (col("sx_j") / col("n")), 6).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Deterministic cyclic Jacobi on the symmetric round-6 covariance:
+    * fixed (p,q) sweep order, fixed convergence threshold, eigvecs
+    * sign-fixed (largest-|component| entry positive). Returns
+    * (eigenvalues desc, row-major eigenvector matrix V with V(k) the
+    * k-th PRINCIPAL axis).
+    */
+  def jacobiEigen(cov: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = cov.length
+    val a = cov.map(_.clone())
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += math.abs(a(p)(q))
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(k => (-a(k)(k), k))
+    val eigvals = order.map(k => a(k)(k)).toArray
+    val vecs = order.map { k =>
+      val column = Array.tabulate(d)(r => v(r)(k))
+      val m = column.indices.maxBy(r => (math.abs(column(r)), -r))
+      if (column(m) < 0) column.map(-_) else column
+    }.toArray
+    (eigvals, vecs)
+  }
+
+  /** Covariance cells -> dense symmetric matrix (driver-side; 2080
+    * round-6 doubles).
+    */
+  def covMatrix(cov: DataFrame): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](Dims, Dims)
+    cov.collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    m
+  }
+
+  /** The covariance cells served from the shared model memo: the
+    * first pca_* query of a session pays the one moment pass, the
+    * rest read the 2080 cached cells (values identical to
+    * [[covariance]] — the memo stores its collected output).
+    */
+  def covarianceCells(spark: SparkSession, emb: DataFrame,
+                      key: String = ""): DataFrame = {
+    import spark.implicits._
+    val m = modelFor(spark, emb, key)
+    (for (i <- 0 until Dims; j <- i until Dims) yield (i, j, m.cov(i)(j)))
+      .toDF("i", "j", "cov")
+  }
+
+  /** Top-k eigenvalues with explained-variance ratios. */
+  def topEigvals(spark: SparkSession, emb: DataFrame, k: Int,
+                 key: String = ""): DataFrame = {
+    import spark.implicits._
+    val m = modelFor(spark, emb, key)
+    val trace = m.cov.indices.map(i => m.cov(i)(i)).sum
+    m.eigvals.take(k).zipWithIndex.map { case (ev, r) =>
+      (r + 1, math.rint(ev * 1e6) / 1e6, math.rint(ev / trace * 1e6) / 1e6)
+    }.toSeq.toDF("rank", "eigval", "explained")
+  }
+
+  /** Project every embedding onto the top-2 principal axes (mean-
+    * centered). The axes broadcast as literals; projection is one
+    * codegen'd map pass.
+    */
+  def projectTop2(spark: SparkSession, emb: DataFrame,
+                  key: String = ""): DataFrame = {
+    val m = modelFor(spark, emb, key)
+    def proj(axis: Array[Double]) = (0 until Dims).map { i =>
+      (element_at(col("embedding"), i + 1).cast("double") - lit(m.means(i))) *
+        lit(axis(i))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"),
+        round(proj(m.eigvecs(0)), 6).as("pc1"),
+        round(proj(m.eigvecs(1)), 6).as("pc2"))
+      .orderBy(col("vec_id"))
+  }
+}
