@@ -120,6 +120,51 @@ object Pca {
     (eigvals, vecs)
   }
 
+  /** Scale-path covariance: one treeAggregate over the raw vectors —
+    * each task folds its rows into a d(d+1)/2 double triangle, combine
+    * is array addition, nothing is exploded and nothing shuffles but
+    * the ~2080-cell partials. This is the 100 TB shape (flops-bound,
+    * not row-machinery-bound); it trades the exact-decimal contract
+    * for double accumulation (partitioning-dependent at ~1e-12), which
+    * is why the GATE query keeps the exact pass — PcaSpec pins parity
+    * between the two.
+    */
+  def covarianceFastMatrix(emb: DataFrame): Array[Array[Double]] = {
+    val d = Dims
+    val tri = d * (d + 1) / 2
+    val (p, s, n) = emb.select(col("embedding")).rdd
+      .map(_.getSeq[Float](0).toArray)
+      .treeAggregate((new Array[Double](tri), new Array[Double](d), 0L))(
+        { case ((p, s, n), v) =>
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            val vi = v(i).toDouble
+            s(i) += vi
+            var j = i
+            while (j < d) { p(idx) += vi * v(j); idx += 1; j += 1 }
+            i += 1
+          }
+          (p, s, n + 1)
+        },
+        { case ((p1, s1, n1), (p2, s2, n2)) =>
+          var k = 0
+          while (k < tri) { p1(k) += p2(k); k += 1 }
+          var i = 0
+          while (i < d) { s1(i) += s2(i); i += 1 }
+          (p1, s1, n1 + n2)
+        })
+    val m = Array.ofDim[Double](d, d)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      val c = p(idx) / n - (s(i) / n) * (s(j) / n)
+      m(i)(j) = c
+      m(j)(i) = c
+      idx += 1
+    }
+    m
+  }
+
   /** Covariance cells -> dense symmetric matrix (driver-side; 2080
     * round-6 doubles).
     */

@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Bucket index for hash row `i`: hex chars (2i+1, 2i+2) of
-    * md5(term) parsed as one byte → 0..255. Rows use disjoint md5
-    * bytes, the standard cheap stand-in for d independent hashes.
+  /** Bucket index for hash row `i` from an ALREADY-computed md5 hex
+    * column: chars (2i+1, 2i+2) parsed as one byte → 0..255. Rows use
+    * disjoint md5 bytes, the standard cheap stand-in for d independent
+    * hashes; hashing once and slicing d times (instead of d md5 calls
+    * per token) is what keeps the build pass digest-bound, not
+    * d×digest-bound.
     */
-  private def bucket(term: Column, i: Int): Column =
-    conv(substring(md5(term), 2 * i + 1, 2), 16, 10).cast("long")
+  private def bucketOf(hex: Column, i: Int): Column =
+    conv(substring(hex, 2 * i + 1, 2), 16, 10).cast("long")
 
   /** Token stream of the corpus (one row per occurrence). */
   def tokenStream(docs: DataFrame): DataFrame =
@@ -38,8 +41,9 @@ object Sketches {
 
   /** The d×w sketch as a table (row_i, bucket, c). */
   def cmsBuild(toks: DataFrame, d: Int = 4): DataFrame =
-    toks.select(posexplode(array((0 until d).map(i =>
-        bucket(col("term"), i)): _*)).as(Seq("row_i", "bucket")))
+    toks.select(md5(col("term")).as("h"))
+      .select(posexplode(array((0 until d).map(i =>
+        bucketOf(col("h"), i)): _*)).as(Seq("row_i", "bucket")))
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
@@ -59,9 +63,10 @@ object Sketches {
     val toks = tokenStream(docs)
     val sketch = cmsBuild(toks, d)
     val probes = heavyHitters(toks, k)
+      .withColumn("h", md5(col("term")))
       .select(col("term"), col("n").as("n_exact"),
         posexplode(array((0 until d).map(i =>
-          bucket(col("term"), i)): _*)).as(Seq("row_i", "bucket")))
+          bucketOf(col("h"), i)): _*)).as(Seq("row_i", "bucket")))
     probes.join(broadcast(sketch), Seq("row_i", "bucket"))
       .groupBy(col("term"), col("n_exact"))
       .agg(min(col("c")).as("n_est"))

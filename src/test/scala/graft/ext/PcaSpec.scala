@@ -58,6 +58,14 @@ class PcaSpec extends SparkSuite {
     assert(direct.toSeq == served.toSeq)
   }
 
+  test("treeAggregate fast path agrees with the exact-decimal pass") {
+    val fast = Pca.covarianceFastMatrix(emb)
+    val maxDiff = (for (i <- 0 until Pca.Dims; j <- 0 until Pca.Dims)
+      yield math.abs(fast(i)(j) - cov(i)(j))).max
+    // exact cells are round-6; the fast path is unrounded double
+    assert(maxDiff < 1e-5, s"fast/exact covariance diverge: $maxDiff")
+  }
+
   test("explained ratios are a valid decreasing sub-distribution") {
     val rows = Pca.topEigvals(spark, emb, k = 8).collect()
     assert(rows.length == 8)
