@@ -542,6 +542,19 @@ object ExtQueries {
       Regression.topResiduals(
         Regression.features(Tables.documents(s, d)), k = 50)),
 
+    // PMI collocations: the phrase-mining signal for multi-word vocab
+    // units. Two count passes + vocab joins the planner sizes itself;
+    // integer counts and one pinned ratio keep it hash-verifiable.
+    "text_pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d), minCount = 5, k = 30)),
+
+    // SQ8 embedding quantization report — the 4x storage-compression
+    // stage next to PQ's 32x: per-dim min/max broadcast back over one
+    // map pass; per-vector reconstruction MSE / max-abs error at
+    // decimal(32,12) (err^2 lives at 1e-7).
+    "embed_sq8_error" -> ((s, d) =>
+      Similarity.sq8ReconError(Tables.embeddings(s, d))),
+
     // PCA stage 1: the exact-decimal covariance pass. n·d(d+1)/2
     // exploded cells partial-aggregate to 2080 before the exchange, so
     // the shuffle is moment-sized at any corpus scale; decimal sums +
@@ -1859,6 +1872,62 @@ object ExtQueries {
         |SELECT doc_id, y, pred, round(y - pred, 6) AS resid
         |FROM scored
         |ORDER BY abs(round(y - pred, 6)) DESC, doc_id LIMIT 50""".stripMargin,
+
+    // Same unigram/bigram integer counts, same
+    // ln((n_ab/n_bi) / ((n_a/n_tok)*(n_b/n_tok))) association order,
+    // round-6, same (pmi DESC, a, b) order at the k boundary.
+    "text_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), uni AS (
+        |  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+        |), nt AS (
+        |  SELECT COUNT(*) AS n_tok FROM toks
+        |), bgs AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents) s
+        |), nb AS (
+        |  SELECT COUNT(*) AS n_bi FROM bgs
+        |), bc AS (
+        |  SELECT bg, COUNT(*) AS n_ab FROM bgs GROUP BY bg
+        |  HAVING COUNT(*) >= 5
+        |)
+        |SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+        |  n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  round(ln((CAST(n_ab AS DOUBLE) / n_bi)
+        |    / ((CAST(ua.n AS DOUBLE) / n_tok)
+        |       * (CAST(ub.n AS DOUBLE) / n_tok))), 6) AS pmi
+        |FROM bc CROSS JOIN nt CROSS JOIN nb
+        |JOIN uni ua ON ua.term = string_split(bg, ' ')[1]
+        |JOIN uni ub ON ub.term = string_split(bg, ' ')[2]
+        |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin,
+
+    // SQ8 replayed exactly: float extrema are exact, the quantize /
+    // dequantize chain is pinned double arithmetic on non-negative
+    // round inputs (HALF_UP = away-from-zero there), err^2 summed at
+    // decimal(32,12), round-12 outputs.
+    "embed_sq8_error" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), x AS (
+        |  SELECT vec_id, i, v[i+1] AS x
+        |  FROM e CROSS JOIN generate_series(0, 63) AS g(i)
+        |), st AS (
+        |  SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM x GROUP BY i
+        |), q AS (
+        |  SELECT x.vec_id,
+        |    x.x - (CASE WHEN st.hi = st.lo THEN st.lo
+        |      ELSE st.lo + LEAST(GREATEST(
+        |          round((x.x - st.lo) / ((st.hi - st.lo) / 255), 0), 0), 255)
+        |        * ((st.hi - st.lo) / 255) END) AS err
+        |  FROM x JOIN st USING (i)
+        |)
+        |SELECT vec_id,
+        |  round(CAST(SUM(CAST(err * err AS DECIMAL(32,12))) AS DOUBLE) / 64,
+        |    12) AS mse,
+        |  round(MAX(ABS(err)), 12) AS max_abs_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Covariance replayed cell-for-cell: same decimal(18,6) sums of
     // the double products (exact, order-free), same

@@ -4,6 +4,7 @@ import graft.functions.native.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`embeddings.embedding`, ArrayType(FloatType)).
@@ -424,5 +425,40 @@ object Similarity {
       .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
       .limit(topK)
       .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Int8 scalar quantization (SQ8) reconstruction report — the 4×
+    * storage-compression stage next to PQ's 32×: per-dimension min/max
+    * from one partial-aggregated pass (64 cells, broadcast back), code
+    * = clamp(round((x−lo)/scale), 0..255), and per-vector MSE /
+    * max-abs error of the dequantized embedding. Quantizing is one
+    * map pass once the 64-row stats table rides along.
+    *
+    * Determinism: lo/hi are exact float extrema; every ratio is one
+    * pinned double expression; (x−lo)/scale ≥ 0 so HALF_UP and
+    * away-from-zero rounding agree; error sums go through
+    * decimal(32,12) (the GraphRank precision) because err² lives at
+    * 1e-7 where the money decimal would flatten to zero.
+    */
+  def sq8ReconError(emb: DataFrame, dims: Int = 64): DataFrame = {
+    val x = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+    val stats = x.groupBy(col("i"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val scale = (col("hi") - col("lo")) / lit(255)
+    val code = least(greatest(round((col("x") - col("lo")) / scale, 0), lit(0)),
+      lit(255))
+    val recon = when(col("hi") === col("lo"), col("lo"))
+      .otherwise(col("lo") + code * scale)
+    val err = col("x") - recon
+    x.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"), err.as("err"))
+      .groupBy(col("vec_id"))
+      .agg(
+        round(sum((col("err") * col("err")).cast(DecimalType(32, 12)))
+          .cast("double") / lit(dims), 12).as("mse"),
+        round(max(abs(col("err"))), 12).as("max_abs_err"))
+      .orderBy(col("vec_id"))
   }
 }

@@ -325,4 +325,41 @@ object TextAnalysis {
     }
     df.filter(bucket < keep)
   }
+
+  /** PMI collocations (Church & Hanks 1990): top-k adjacent token
+    * pairs by pointwise mutual information ln(p(a,b) / (p(a)·p(b))),
+    * p(a,b) over the bigram stream and p(·) over the token stream —
+    * the phrase-mining signal tokenizer/vocab pipelines use to promote
+    * multi-word units. The `minCount` floor removes the one-off pairs
+    * PMI otherwise ranks first.
+    *
+    * Shape: two map-side-combined count passes (unigram, bigram) + two
+    * vocab equi-joins the planner sizes itself (broadcast at fixture
+    * scale, shuffle when the vocabulary outgrows it — the BigramModel
+    * precedent); the two 1-row totals ride along broadcast. Integer
+    * counts, one pinned ratio expression, round-6 — exactly
+    * SQL-reproducible.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 30): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val bi = docs.select(explode(bigramsOf(tokens(col("text")))).as("bg"))
+    val biCnt = bi.groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    biCnt
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("term").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(uni.select(col("term").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log((col("n_ab").cast("double") / col("n_bi")) /
+          ((col("n_a").cast("double") / col("n_tok")) *
+            (col("n_b").cast("double") / col("n_tok")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }
