@@ -103,8 +103,10 @@ object TextAnalysis {
     */
   def bigramsOf(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
 
   /** Gopher-style repetition signals (Rae et al., "Scaling Language
     * Models", table A1's repetition filters re-expressed over
@@ -344,10 +346,13 @@ object TextAnalysis {
     val toks = docs.select(explode(tokens(col("text"))).as("term"))
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
     val bi = docs.select(explode(bigramsOf(tokens(col("text")))).as("bg"))
-    val biCnt = bi.groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
-    val nTok = toks.agg(count(lit(1)).as("n_tok"))
-    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    val biAll = bi.groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+    val biCnt = biAll.filter(col("n_ab") >= minCount)
+    // totals from the grouped tables (Σ group counts ≡ stream count,
+    // exactly) — no second explode pass over the corpus per total;
+    // AQE's exchange reuse shares the groupBy shuffle with the counts
+    val nTok = uni.agg(sum(col("n")).as("n_tok"))
+    val nBi = biAll.agg(sum(col("n_ab")).as("n_bi"))
     biCnt
       .withColumn("a", split(col("bg"), " ").getItem(0))
       .withColumn("b", split(col("bg"), " ").getItem(1))
