@@ -542,6 +542,14 @@ object ExtQueries {
       Regression.topResiduals(
         Regression.features(Tables.documents(s, d)), k = 50)),
 
+    // Corpus-drift monitoring: per-term KL(new||old) contributions
+    // between the even/odd snapshot halves — one map-side-combined
+    // count pass, totals derived from the grouped table, smoothing
+    // keeps every term finite. The page-worthy drift explanation.
+    "corpus_drift_kl" -> ((s, d) =>
+      TextAnalysis.tokenDriftKl(Tables.documents(s, d),
+        pmod(col("doc_id"), lit(2)) === 1, k = 20)),
+
     // PMI collocations: the phrase-mining signal for multi-word vocab
     // units. Two count passes + vocab joins the planner sizes itself;
     // integer counts and one pinned ratio keep it hash-verifiable.
@@ -1872,6 +1880,31 @@ object ExtQueries {
         |SELECT doc_id, y, pred, round(y - pred, 6) AS resid
         |FROM scored
         |ORDER BY abs(round(y - pred, 6)) DESC, doc_id LIMIT 50""".stripMargin,
+
+    // Same conditional counts, same add-one smoothing over the union
+    // vocab, same p_new*ln(p_new/p_old) association order, round-6,
+    // same (|kl| DESC, term) order at the k boundary.
+    "corpus_drift_kl" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 = 1 AS is_new,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT term,
+        |    CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+        |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM toks GROUP BY term
+        |), totals AS (
+        |  SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+        |    CAST(SUM(n_new) AS BIGINT) AS t_new, COUNT(*) AS v
+        |  FROM counts
+        |)
+        |SELECT term, n_old, n_new,
+        |  round((CAST(n_new + 1 AS DOUBLE) / (t_new + v))
+        |    * ln((CAST(n_new + 1 AS DOUBLE) / (t_new + v))
+        |      / (CAST(n_old + 1 AS DOUBLE) / (t_old + v))), 6) AS kl_term
+        |FROM counts CROSS JOIN totals
+        |ORDER BY abs(kl_term) DESC, term LIMIT 20""".stripMargin,
 
     // Same unigram/bigram integer counts, same
     // ln((n_ab/n_bi) / ((n_a/n_tok)*(n_b/n_tok))) association order,

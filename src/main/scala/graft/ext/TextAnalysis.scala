@@ -328,6 +328,38 @@ object TextAnalysis {
     df.filter(bucket < keep)
   }
 
+  /** Corpus-drift report: per-term KL(new‖old) contributions between
+    * two snapshots of the corpus (here: the even/odd doc_id halves —
+    * callers with real snapshots pass their own split flag). Add-one
+    * smoothing over the union vocabulary keeps both distributions
+    * strictly positive, so every term's p_new·ln(p_new/p_old) is
+    * finite; the top-|contribution| terms ARE the drift explanation a
+    * monitoring job pages on.
+    *
+    * Shape: one token pass groupBy term with two conditional counts
+    * (map-side combined), the three totals aggregated FROM that
+    * grouped table (no second corpus pass), broadcast back as one row.
+    * Integer counts + pinned ratio arithmetic ⇒ hash-verifiable.
+    */
+  def tokenDriftKl(docs: DataFrame, splitCol: Column, k: Int = 20): DataFrame = {
+    val toks = docs.select(splitCol.as("is_new"),
+      explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(
+      sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    val totals = counts.agg(
+      sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("term"), col("n_old"), col("n_new"),
+        round(((col("n_new") + lit(1)).cast("double") / (col("t_new") + col("v")))
+          * log(((col("n_new") + lit(1)).cast("double") / (col("t_new") + col("v")))
+            / ((col("n_old") + lit(1)).cast("double") / (col("t_old") + col("v")))),
+          6).as("kl_term"))
+      .orderBy(abs(col("kl_term")).desc, col("term"))
+      .limit(k)
+  }
+
   /** PMI collocations (Church & Hanks 1990): top-k adjacent token
     * pairs by pointwise mutual information ln(p(a,b) / (p(a)·p(b))),
     * p(a,b) over the bigram stream and p(·) over the token stream —

@@ -35,6 +35,22 @@ class CollocationSq8Spec extends SparkSuite {
     assert(rows.head.getAs[String]("a") == "u" && rows.head.getAs[String]("b") == "v")
   }
 
+  test("planted new-snapshot term tops the KL drift report") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // identical halves except 'zzz' floods the odd (new) snapshot
+    val docs = (0L until 20L).map { id =>
+      val base = "alpha beta gamma delta"
+      val text = if (id % 2 == 1) base + " zzz zzz zzz" else base
+      (id, text, "en", "t", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.tokenDriftKl(docs,
+      pmod(col("doc_id"), lit(2)) === 1, k = 5).collect()
+    assert(rows.head.getAs[String]("term") == "zzz")
+    assert(rows.head.getAs[Long]("n_old") == 0L)
+    assert(rows.head.getAs[Long]("n_new") == 30L)
+    assert(rows.head.getAs[Double]("kl_term") > 0.0)
+  }
+
   test("sq8 error is bounded by half a quantization step on the fixture") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     // widest per-dim step across the table bounds every half-step error
