@@ -1962,27 +1962,39 @@ object ExtQueries {
         |  round(MAX(ABS(err)), 12) AS max_abs_err
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
-    // Covariance replayed cell-for-cell: same decimal(18,6) sums of
-    // the double products (exact, order-free), same
-    // (sprod/n) - (sx_i/n)*(sx_j/n) centering order, round-6.
+    // Covariance replayed cell-for-cell in exact integer micro-units:
+    // per-term cast to decimal(18,6) then ×1e6 → integer sums, then
+    // the centering identity (n·P·1e6 − X_i·X_j) over n²·1e6 rounded
+    // half-away-from-zero by INTEGER division — the round never
+    // touches a double, so Spark decimal and DuckDB HUGEINT agree
+    // bit-for-bit (the r7 mismatch was round-6 applied to a double).
     "pca_covariance" ->
       """WITH e AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), cells AS (
         |  SELECT i, j,
-        |    CAST(SUM(CAST(v[i+1] * v[j+1] AS DECIMAL(18,6))) AS DOUBLE) AS sprod,
+        |    CAST(SUM(CAST(CAST(v[i+1] * v[j+1] AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT)) AS HUGEINT) AS sprod_u,
         |    COUNT(*) AS n
         |  FROM e CROSS JOIN generate_series(0, 63) AS gi(i)
         |         CROSS JOIN generate_series(0, 63) AS gj(j)
         |  WHERE j >= i GROUP BY i, j
         |), means AS (
-        |  SELECT i, CAST(SUM(CAST(v[i+1] AS DECIMAL(18,6))) AS DOUBLE) AS sx
+        |  SELECT i, CAST(SUM(CAST(CAST(v[i+1] AS DECIMAL(18,6)) * 1000000
+        |    AS BIGINT)) AS HUGEINT) AS sx_u
         |  FROM e CROSS JOIN generate_series(0, 63) AS gi(i) GROUP BY i
+        |), t AS (
+        |  SELECT c.i, c.j,
+        |    CAST(c.n AS HUGEINT) * c.sprod_u * 1000000
+        |      - mi.sx_u * mj.sx_u AS num,
+        |    CAST(c.n AS HUGEINT) * c.n * 1000000 AS den
+        |  FROM cells c JOIN means mi ON mi.i = c.i JOIN means mj ON mj.i = c.j
         |)
-        |SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
-        |  round((c.sprod / c.n) - (mi.sx / c.n) * (mj.sx / c.n), 6) AS cov
-        |FROM cells c JOIN means mi ON mi.i = c.i JOIN means mj ON mj.i = c.j
-        |ORDER BY i, j""".stripMargin,
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(CASE WHEN num < 0 THEN -((2 * (-num) + den) // (2 * den))
+        |            ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
+        |    / 1000000 AS cov
+        |FROM t ORDER BY i, j""".stripMargin,
 
     "tokens_heavy_hitters" ->
       """WITH toks AS (

@@ -31,16 +31,42 @@ object Pca {
 
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Model]
 
+  // One means pass feeds BOTH the covariance centering and Model.means
+  // (2 corpus scans per model instead of 3). Memo staleness caveat:
+  // the applicationId#key memo never invalidates within one app — if
+  // the fixture dir is rewritten mid-app, use a fresh key.
   private def modelFor(spark: SparkSession, emb: DataFrame, key: String): Model =
     memo.getOrElseUpdate(s"${spark.sparkContext.applicationId}#$key", {
-      val cov = covMatrix(covariance(emb))
+      val (sxU, n) = meansPass(emb)
+      val cov = covMatrix(covarianceWithMeans(emb, sxU, n))
       val (vals, vecs) = jacobiEigen(cov)
-      val m = emb.select(posexplode(col("embedding")).as(Seq("i", "xi")))
-        .groupBy(col("i")).agg(graft.Tables.dsum(col("xi").cast("double")).as("sx"),
-          count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1) / r.getLong(2)).toMap
-      Model(cov, vals, vecs, Array.tabulate(Dims)(m(_)))
+      Model(cov, vals, vecs,
+        Array.tabulate(Dims)(i => sxU(i).toDouble / 1e6 / n))
     })
+
+  /** Exact per-dimension sums in 1e-6 ("micro") units plus the row
+    * count: one scan, 64 aggregated cells to the driver. Micro-units
+    * keep every later step (centering, round-6) in exact integer
+    * arithmetic — no double ever gets rounded, so the cells replay
+    * bit-for-bit in any engine with exact decimals.
+    * Also asserts every row carries all [[Dims]] dimensions (a short
+    * vector would silently shrink the count for its missing dims).
+    */
+  def meansPass(emb: DataFrame): (Array[Long], Long) = {
+    val rows = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(sum((col("xi").cast("double").cast("decimal(18,6)") * lit(1000000L))
+          .cast("decimal(20,0)")).cast("decimal(38,0)").as("sx_u"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(rows.length == Dims, s"expected $Dims dims, saw ${rows.length}")
+    val ns = rows.map(_.getLong(2)).distinct
+    require(ns.length == 1, s"ragged embedding lengths: per-dim counts $ns")
+    val sx = new Array[Long](Dims)
+    rows.foreach(r => sx(r.getInt(0)) = r.getDecimal(1).longValueExact)
+    (sx, ns.head)
+  }
 
   /** Upper-triangular covariance cells (i <= j, 0-based), round-6.
     * Shape: the double explode materializes n·d(d+1)/2 cells but they
@@ -48,25 +74,43 @@ object Pca {
     * the shuffle is sketch-sized, not corpus-sized.
     */
   def covariance(emb: DataFrame): DataFrame = {
-    val cells = emb
+    val (sxU, n) = meansPass(emb)
+    covarianceWithMeans(emb, sxU, n)
+  }
+
+  /** The centering identity in exact integer micro-units:
+    * cov = (n·sprod − sx_i·sx_j) / n², so with P = sprod·1e6,
+    * X = sx·1e6 the round-6 cell is
+    * round_half_away(n·P·1e6 − X_i·X_j, n²·1e6) / 1e6 — one decimal
+    * (38,0) chain plus an integral division, replayed token-for-token
+    * in the DuckDB oracle (HUGEINT there). Rounding a ratio of exact
+    * integers is engine-independent; rounding a double is not (that
+    * was the r7 `pca_covariance` hash mismatch).
+    */
+  private def covarianceWithMeans(emb: DataFrame, sxU: Array[Long],
+                                  n: Long): DataFrame = {
+    val sxLit = typedLit(sxU.toSeq)
+    val big = "decimal(38,0)"
+    emb
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),
         explode(sequence(col("i"), lit(Dims - 1))).as("j"), col("embedding"))
       .select(col("i"), col("j"),
-        (col("xi").cast("double") *
-          element_at(col("embedding"), col("j") + 1).cast("double")).as("prod"))
+        ((col("xi").cast("double") *
+            element_at(col("embedding"), col("j") + 1).cast("double"))
+          .cast("decimal(18,6)") * lit(1000000L)).cast("decimal(20,0)").as("p_u"))
       .groupBy(col("i"), col("j"))
-      .agg(graft.Tables.dsum(col("prod")).as("sprod"), count(lit(1)).as("n"))
-    val means = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
-      .groupBy(col("i"))
-      .agg(graft.Tables.dsum(col("xi").cast("double")).as("sx"))
-    cells
-      .join(broadcast(means.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
-      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .agg(sum(col("p_u")).cast(big).as("sprod_u"))
+      .withColumn("num",
+        lit(n).cast(big) * col("sprod_u") * lit(1000000L).cast(big)
+          - element_at(sxLit, col("i") + 1).cast(big)
+            * element_at(sxLit, col("j") + 1).cast(big))
+      .withColumn("den", lit(n).cast(big) * lit(n).cast(big) * lit(1000000L).cast(big))
+      .withColumn("r_u", expr(
+        "CASE WHEN num < 0 THEN -((2 * (-num) + den) div (2 * den)) " +
+          "ELSE (2 * num + den) div (2 * den) END"))
       .select(col("i"), col("j"),
-        round((col("sprod") / col("n"))
-          - (col("sx_i") / col("n")) * (col("sx_j") / col("n")), 6).as("cov"))
+        (col("r_u").cast("double") / lit(1000000.0)).as("cov"))
       .orderBy(col("i"), col("j"))
   }
 
