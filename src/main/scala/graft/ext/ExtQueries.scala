@@ -179,7 +179,9 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))),
 
-    // Winnowing-style rolling-hash fingerprints.
+    // Winnowing-style min-selected document fingerprints. md5 gram
+    // hashes make the fingerprint VALUE oracle-replayable (the native
+    // XXH64 rolling kernel remains as the spec-verified scale path).
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d))
         .select(col("doc_id"), col("fingerprint"))
@@ -1184,6 +1186,101 @@ object ExtQueries {
         |    '\s+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // The md5 token-4-gram min replayed exactly (winnowing-style min
+    // selection; short docs hash whole text). Lexicographic min over
+    // lowercase hex agrees across engines.
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, CAST(len(toks) AS BIGINT) - 3)) AS pos
+        |  FROM t WHERE len(toks) >= 4
+        |), gm AS (
+        |  SELECT doc_id, MIN(md5(array_to_string(toks[pos:pos+3], ' '))) AS fp
+        |  FROM g GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, COALESCE(gm.fp, md5(t.text)) AS fingerprint
+        |FROM t LEFT JOIN gm USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Winnowing selection replayed gram-for-gram: same md5 5-gram
+    // hashes, same (h ASC, pos DESC) robust-winnowing rank, same
+    // w=4 window minima over positions <= greatest(1, n-3).
+    "dedup_winnow_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |), gr AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, CAST(len(toks) AS BIGINT) - 4)) AS pos
+        |  FROM t WHERE len(toks) >= 5
+        |), gh AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(toks[pos:pos+4], ' ')) AS h
+        |  FROM gr
+        |), r AS (
+        |  SELECT doc_id, pos, h,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC, pos DESC)
+        |      AS ord,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM gh
+        |), wm AS (
+        |  SELECT doc_id, pos, n,
+        |    MIN(ord) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM r
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= GREATEST(1, n - 3)
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  GREATEST(CAST(len(t.toks) AS BIGINT) - 4, 0) AS n_grams,
+        |  CAST(COALESCE(c.n_fp, 0) AS BIGINT) AS n_fp,
+        |  round(CAST(COALESCE(c.n_fp, 0) AS DOUBLE)
+        |    / CAST(GREATEST(CAST(len(t.toks) AS BIGINT) - 4, 1) AS DOUBLE), 6)
+        |    AS fp_density
+        |FROM t LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The MOSS overlap pairs from the identical selection: distinct
+    // (doc, fingerprint), 2..64 bucket cap, in-bucket a<b pairs, shared
+    // counts, (n_shared DESC, a_id, b_id) top-25 boundary.
+    "dedup_winnow_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), gr AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, CAST(len(toks) AS BIGINT) - 4)) AS pos
+        |  FROM t WHERE len(toks) >= 5
+        |), gh AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(toks[pos:pos+4], ' ')) AS h
+        |  FROM gr
+        |), r AS (
+        |  SELECT doc_id, pos, h,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC, pos DESC)
+        |      AS ord,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM gh
+        |), wm AS (
+        |  SELECT doc_id, pos, n,
+        |    MIN(ord) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM r
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= GREATEST(1, n - 3)
+        |), fp AS (
+        |  SELECT DISTINCT r.doc_id, r.h
+        |  FROM r JOIN sel ON r.doc_id = sel.doc_id AND r.ord = sel.wmin
+        |), b AS (
+        |  SELECT h FROM fp GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64
+        |), p AS (
+        |  SELECT f1.doc_id AS a_id, f2.doc_id AS b_id
+        |  FROM fp f1 JOIN fp f2 USING (h) JOIN b USING (h)
+        |  WHERE f1.doc_id < f2.doc_id
+        |)
+        |SELECT a_id, b_id, COUNT(*) AS n_shared FROM p GROUP BY a_id, b_id
+        |ORDER BY n_shared DESC, a_id, b_id LIMIT 25""".stripMargin,
+
     "doc_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id + 1) * 2654435761 % 4294967296 % 1000 <
@@ -1957,8 +2054,8 @@ object ExtQueries {
         |  FROM x JOIN st USING (i)
         |)
         |SELECT vec_id,
-        |  round(CAST(SUM(CAST(err * err AS DECIMAL(32,12))) AS DOUBLE) / 64,
-        |    12) AS mse,
+        |  round(CAST(SUM(CAST(err * err AS DECIMAL(32,12))) AS DOUBLE)
+        |    / COUNT(*), 12) AS mse,
         |  round(MAX(ABS(err)), 12) AS max_abs_err
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 

@@ -67,9 +67,8 @@ object Retrieval {
                    emb: DataFrame, queryVecId: Long, perList: Int, k: Int,
                    c: Int = 60): DataFrame = {
     val sparse = InvertedIndex.searchBm25(spark, indexDir, textQuery, perList)
-    val dense = Similarity.bruteForceTopK(emb, nQueries = queryVecId.toInt + 1,
-        k = perList)
-      .filter(col("q_id") === queryVecId)
+    val dense = Similarity.bruteForceTopKFor(emb,
+      emb.filter(col("vec_id") === queryVecId), k = perList)
     rrfFuse(sparse, dense, k, c)
   }
 }

@@ -117,8 +117,16 @@ object Similarity {
     * (self-match excluded). Query side is broadcast — the corpus never
     * shuffles for the join; only (nQueries · k) rows pass the window.
     */
-  def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val queries = emb.filter(col("vec_id") < nQueries)
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    bruteForceTopKFor(emb, emb.filter(col("vec_id") < nQueries), k)
+
+  /** Same exact scan, but for an explicit (small) query subset of the
+    * embedding table — the single-query path for hybrid retrieval: the
+    * corpus is scanned once against ONLY the given queries instead of
+    * every id below a threshold.
+    */
+  def bruteForceTopKFor(emb: DataFrame, querySubset: DataFrame, k: Int): DataFrame = {
+    val queries = querySubset
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       col("label").as("n_label"))
@@ -440,7 +448,7 @@ object Similarity {
     * decimal(32,12) (the GraphRank precision) because err² lives at
     * 1e-7 where the money decimal would flatten to zero.
     */
-  def sq8ReconError(emb: DataFrame, dims: Int = 64): DataFrame = {
+  def sq8ReconError(emb: DataFrame): DataFrame = {
     val x = emb.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "xf")))
       .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
@@ -456,8 +464,10 @@ object Similarity {
       .select(col("vec_id"), err.as("err"))
       .groupBy(col("vec_id"))
       .agg(
+        // divisor = the vector's actual element count, not an assumed
+        // dimensionality — MSE stays right for non-64-dim embeddings
         round(sum((col("err") * col("err")).cast(DecimalType(32, 12)))
-          .cast("double") / lit(dims), 12).as("mse"),
+          .cast("double") / count(lit(1)), 12).as("mse"),
         round(max(abs(col("err"))), 12).as("max_abs_err"))
       .orderBy(col("vec_id"))
   }

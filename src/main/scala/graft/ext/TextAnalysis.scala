@@ -177,12 +177,29 @@ object TextAnalysis {
       .drop("__toks")
   }
 
-  /** Document fingerprint: min hash over all 8-byte windows of the text
-    * (winnowing-style) via the native [[graft.functions.RollingMinHash]]
-    * expression — one pass over the bytes instead of materializing every
-    * substring.
+  /** Document fingerprint: the minimum md5 over the text's token
+    * 4-grams (winnowing-style min selection; whole-text md5 for docs
+    * under 4 tokens). md5 is the cross-engine hash family, so the
+    * fingerprint — not just its row count — replays exactly in any SQL
+    * engine. The token array is bound once (single-element-array
+    * transform idiom) so `split` runs once per document.
     */
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint", element_at(transform(
+      array(split(col(textCol), " ")), toks =>
+        when(size(toks) < 4, md5(col(textCol)))
+          .otherwise(array_min(transform(sequence(lit(1), size(toks) - lit(3)),
+            i => md5(array_join(slice(toks, i, lit(4)), " ")))))), 1))
+
+  /** The at-scale fingerprint kernel: same rolling-min shape over all
+    * 8-byte windows of the raw text via the native
+    * [[graft.functions.RollingMinHash]] expression — one XXH64 pass
+    * over the bytes, no substrings materialized and no md5 cost. The
+    * hash family is engine-private, so this variant is spec-verified
+    * rather than oracle-replayed; semantics otherwise match
+    * [[withFingerprint]].
+    */
+  def withFingerprintFast(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", graft.functions.native.rolling_min_hash(col(textCol), 8))
 
   /** Training-corpus text normalization: PII masking (emails, long digit

@@ -24,8 +24,10 @@ object ValidateQueries {
           to_date(col("ts")).cast("string").as("date"))          // P8/F1
         .na.drop(Seq("event_id", "user_id", "date"))            // P5
         .filter(col("value").between(0.0, 400.0))               // P6
-        .filter(col("props_k").isNotNull)                       // P7 keep parseable
-        .orderBy(col("event_id"))),
+        .filter(col("props_k").isNotNull)),                     // P7 keep parseable
+        // no terminal sort: the cleaning pass stays one narrow codegen
+        // stage (verification hashing is row-order-independent; a
+        // corpus-wide orderBy here was pure shuffle cost at scale)
 
     // A5: data-quality null-indicator counts (validate.py:118) — how
     // many rows each cleaning rule would drop, in one scan.
@@ -84,8 +86,7 @@ object ValidateQueries {
         |FROM events
         |WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
         |  AND value BETWEEN 0.0 AND 400.0
-        |  AND regexp_extract(props, '[0-9]+') <> ''
-        |ORDER BY event_id""".stripMargin,
+        |  AND regexp_extract(props, '[0-9]+') <> ''""".stripMargin,
 
     "a5_quality_counts" ->
       """SELECT COUNT(*) AS n_rows,

@@ -74,7 +74,7 @@ class CollocationSq8Spec extends SparkSuite {
     val emb = Seq(
       (0L, Array(0f, 255f, 17f)), (1L, Array(255f, 0f, 200f)))
       .toDF("vec_id", "embedding")
-    val rows = Similarity.sq8ReconError(emb, dims = 3).collect()
+    val rows = Similarity.sq8ReconError(emb).collect()
     assert(rows.length == 2)
     rows.foreach { r =>
       assert(r.getAs[Double]("mse") == 0.0)

@@ -59,9 +59,22 @@ class TextAnalysisSpec extends SparkSuite {
     val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "abcdefghiK"))
       .toDF("doc_id", "text")
     val fp = TextAnalysis.withFingerprint(df)
-      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
+    val fast = TextAnalysis.withFingerprintFast(df)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fast(1L) == fast(2L))
+    assert(fast(1L) != fast(3L))
+  }
+
+  test("fingerprint equals the min token-4-gram md5") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val want = df.selectExpr(
+      "least(md5('a b c d'), md5('b c d e')) AS fp").head().getString(0)
+    val got = TextAnalysis.withFingerprint(df)
+      .select("fingerprint").head().getString(0)
+    assert(got == want)
   }
 
   test("bpe-ish tokenizer splits camelCase and digit boundaries") {
