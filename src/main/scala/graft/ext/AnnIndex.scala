@@ -579,6 +579,49 @@ object AnnIndex {
     Similarity.rerankExact(emb, cands, nQueries, k)
   }
 
+  // ------------------------------------------------------------- recall
+
+  /** Recall@k of every persisted ANN variant against the exact
+    * brute-force top-k, reported as data: one `(method, n_queries, k,
+    * hits, truth_pairs, recall)` row per index family. The truth set is
+    * a bounded artifact (nQueries·k pairs — one `localCheckpoint`, one
+    * driver-side count of an already-top-k'd frame), each variant's
+    * result semi-joins against the BROADCAST truth, and the union of
+    * four single-row aggregates is the report — so the only
+    * corpus-proportional work is the searches themselves, each of which
+    * serves from its persisted index. This turns the quality claim the
+    * rows-only `sim_*_topk` entries cannot express into a number the
+    * correctness gate (and a monitoring job at scale) can pin.
+    *
+    * Indexes are ensured under the same subdirs and parameters as the
+    * `sim_*_topk` queries, so report and queries share one build.
+    */
+  def recallReport(spark: SparkSession, emb: DataFrame, root: String,
+                   nQueries: Int = 10, k: Int = 5, dims: Int = 64): DataFrame = {
+    val truth = Similarity.bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val truthPairs = truth.count() // bounded: ≤ nQueries·k rows
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> searchIvf(spark, emb,
+        ensureIvf(spark, emb, s"$root/ivf_c16"), nQueries, k),
+      "ivfpq" -> searchIvfPq(spark, emb,
+        ensureIvfPq(spark, emb, s"$root/ivfpq_c16_m8"), nQueries, k),
+      "pq" -> searchPq(spark, emb,
+        ensurePq(spark, emb, s"$root/pq_m8"), nQueries, k),
+      "srp" -> searchSrp(spark, emb,
+        ensureSrp(spark, emb, s"$root/srp_h8t4", dims = dims),
+        nQueries, k, dims = dims))
+    methods.map { case (name, res) =>
+      res.select(col("q_id"), col("n_id"))
+        .join(broadcast(truth), Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"),
+          lit(nQueries).as("n_queries"), lit(k).as("k"),
+          col("hits"), lit(truthPairs).as("truth_pairs"),
+          round(col("hits") / lit(truthPairs.toDouble), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   // --------------------------------------------------------- compaction
 
   /** Rewrite the index's big table into sized files after a run of

@@ -127,6 +127,16 @@ object ExtQueries {
       AnnIndex.searchIvfPq(s, emb, dir).orderBy(col("q_id"), col("rank"))
     }),
 
+    // Recall@k of every ANN variant against the exact brute-force truth
+    // set, as one report row per index family — the quality number the
+    // rows-only sim_*_topk entries cannot pin. Rows-only itself (the
+    // approximate sides are engine-private, like sim_ivf*), but the
+    // recall column is spec-gated (AnnIndexSpec) and the truth side is
+    // the oracle-green sim_bruteforce_topk pair set.
+    "sim_recall_report" -> ((s, d) =>
+      AnnIndex.recallReport(s, Tables.embeddings(s, d), AnnIndex.defaultRoot(d))
+        .orderBy(col("method"))),
+
     // Vocabulary with document frequency + idf: the corpus-statistics
     // pass behind TF-IDF weighting and vocab pruning. Per-doc distinct
     // terms explode into one groupBy; the doc count joins in-plan as a

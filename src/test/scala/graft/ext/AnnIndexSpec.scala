@@ -308,4 +308,25 @@ class AnnIndexSpec extends SparkSuite {
       s"probed cells must prune code partitions statically:\n$plan")
     assert(corpusScans(res) == 2, s"expected 2 corpus scans (query + rerank):\n$plan")
   }
+
+  test("recall report: one row per variant, recall column equals the set intersection") {
+    val root = s"$base/recall_idx"
+    val rows = AnnIndex.recallReport(spark, emb, root, dims = 16)
+      .orderBy("method").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "ivfpq", "pq", "srp"))
+    rows.foreach { r =>
+      val (hits, truthPairs, recall) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(r.getInt(1) == 10 && r.getInt(2) == 5, r.toString)
+      assert(truthPairs == 50L, s"10 queries × top-5 truth pairs: $r")
+      assert(hits >= 0L && hits <= truthPairs, r.toString)
+      assert(recall >= 0.5 && recall <= 1.0,
+        s"clustered corpus: every variant must clear 0.5, got $r")
+    }
+    // the reported number IS recall: cross-check one variant against an
+    // independently computed truth/approx set intersection
+    val ivfReported = rows.find(_.getString(0) == "ivf").get.getDouble(5)
+    val ivfIndependent = recallOf(AnnIndex.searchIvf(spark, emb, s"$root/ivf_c16"))
+    assert(math.abs(ivfReported - ivfIndependent) < 1e-6,
+      s"reported $ivfReported vs recomputed $ivfIndependent")
+  }
 }
