@@ -48,6 +48,15 @@ object Maintenance {
         graft.ext.LanguageModel.MetaPrefix) {
       graft.ext.LanguageModel.compactLm(spark, s"$root/unigram_lm_target")
     }
+    run("unigram_lm_seed", s"$root/unigram_lm_seed",
+        graft.ext.LanguageModel.MetaPrefix) {
+      graft.ext.LanguageModel.compactLm(spark, s"$root/unigram_lm_seed")
+    }
+    // the streamed curated-corpus root: band index + corpus store file
+    // sets, swept through the ingest layer's own maintainer
+    run("stream_curated", s"$root/stream_curated", "ingest v1 ") {
+      graft.stream.IncrementalIngest.maintain(spark, s"$root/stream_curated")
+    }
     run("nbclass", s"$root/nbclass", graft.ext.Classifier.MetaPrefix) {
       graft.ext.Classifier.compactNb(spark, s"$root/nbclass")
     }

@@ -31,6 +31,11 @@ object Warm {
     graft.ext.LanguageModel.ensureLm(spark, docs, s"${Artifact.root(d)}/unigram_lm")
     graft.ext.LanguageModel.ensureLm(spark, docs.filter(col("lang") === "en"),
       s"${Artifact.root(d)}/unigram_lm_target")
+    // seed-slice LM: the stream_curated_corpus quality gate scores
+    // against a model trained on the seed (doc_id%10<>0) corpus only
+    graft.ext.LanguageModel.ensureLm(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      s"${Artifact.root(d)}/unigram_lm_seed")
     graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
       s"${Artifact.root(d)}/nbclass")
     graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm")

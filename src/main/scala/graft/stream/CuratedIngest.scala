@@ -3,6 +3,7 @@ package graft.stream
 import graft.ext.LanguageModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Quality-gated streaming admission — the composition a production
   * corpus actually runs: every incoming batch is scored against the
@@ -54,4 +55,31 @@ object CuratedIngest {
     val stats = IncrementalIngest.ingestBatch(spark, kept, root, minJaccard, maxBucket)
     CuratedStats(batchRows, batchRows - keptRows, stats)
   }
+
+  /** The streaming front end: any [[SourceConfig]] of `(doc_id, text)`
+    * rows (for a [[KafkaWireSource]]/[[KafkaSourceConfig]], the decoded
+    * JSON payload) → [[ingestBatch]] per micro-batch under a
+    * checkpoint. Same delivery contract as
+    * [[IncrementalIngest.start]]: `Trigger.AvailableNow` drains what
+    * has arrived and stops; the checkpoint makes delivery
+    * at-least-once, and the gate + admission chain is deterministic
+    * and idempotent, so a re-delivered or replayed micro-batch is a
+    * counted no-op — at-least-once transport becomes exactly-once
+    * curated ingestion.
+    */
+  def start(spark: SparkSession, source: SourceConfig, checkpointDir: String,
+            root: String, lmDir: String, maxMeanNll: Double,
+            vocabSize: Int = 4096,
+            minJaccard: Double = 0.35, maxBucket: Int = 64,
+            onBatch: (Long, CuratedStats) => Unit = (_, _) => ()): StreamingQuery =
+    StreamSources.open(spark, source)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          onBatch(id, ingestBatch(spark, batch, root, lmDir, maxMeanNll,
+            vocabSize, minJaccard, maxBucket))
+      }
+      .start()
 }

@@ -144,6 +144,60 @@ object StreamQueries {
           col("n_events"))
         .orderBy(col("user_id"), col("start_sec"))),
 
+    // The event-driven curated-corpus lifecycle in ONE streaming run —
+    // the reference's defining arrival→pipeline shape
+    // (dags/etl_pipeline_dag.py:48-63) applied to training-data
+    // curation: the batch slice (doc_id%10==0) rides Kafka's WIRE
+    // schema through the same payload projection a real topic uses
+    // ([[KafkaWireSource]]), each micro-batch passes the perplexity
+    // gate (unigram LM trained on the SEED corpus, threshold 3.40625 —
+    // dyadic, so the `<=` compare is portable) and the full
+    // exactly-once + near-dup admission, and the result table is the
+    // corpus store the run serves. The ingest root is re-seeded per
+    // invocation: an ingest root is a STATEFUL store and the query
+    // contract is deterministic output per fixture, so the run is the
+    // whole lifecycle (seed → stream → serve); the long-lived-root
+    // no-op-replay property is what KafkaContractSpec/CuratedIngestSpec
+    // pin. The driver-side collect is the TRANSPORT HARNESS only
+    // (MemoryStream is driver-fed by definition) and is bounded to the
+    // batch slice — engine-side scoring/dedup stays distributed.
+    "stream_curated_corpus" -> ((s, d) => {
+      import graft.ext.{Artifact, LanguageModel}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val seed = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val lmDir = LanguageModel.ensureLm(s, seed, s"${Artifact.root(d)}/unigram_lm_seed")
+      val root = s"${Artifact.root(d)}/stream_curated"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rootPath, true)
+      IncrementalIngest.init(s, seed, root)
+      val payloads = batch
+        .select(col("doc_id"), to_json(struct(col("doc_id"), col("text"))).as("payload"))
+        .orderBy(col("doc_id")).collect()
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val nextOffset = scala.collection.mutable.Map.empty[Int, Long]
+      val records = payloads.map { r =>
+        val id = r.getLong(0)
+        val p = (id % 2).toInt // two topic partitions
+        val off = nextOffset.getOrElse(p, 0L)
+        nextOffset(p) = off + 1
+        StreamSources.WireRecord(id.toString.getBytes("UTF-8"),
+          r.getString(1).getBytes("UTF-8"), "documents", p, off, ts, 0)
+      }
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamSources.WireRecord]
+      if (records.nonEmpty) input.addData(records.toIndexedSeq: _*)
+      val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-curated-ckpt").toString
+      val q = CuratedIngest.start(s, KafkaWireSource(input.toDF(), valueSchema),
+        ckpt, root, lmDir, maxMeanNll = 3.40625)
+      q.awaitTermination()
+      IncrementalIngest.corpus(s, root).orderBy(col("doc_id"))
+    }),
+
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
     // in batch mode — Spark supports the same operator on batch Datasets
     // (state starts empty), and a single-batch streaming run provably
@@ -169,6 +223,76 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the whole curated-admission chain: seed-vocab unigram LM
+    // scoring (same replay as quality_perplexity, vocab from the SEED
+    // slice only), the 3.40625 gate, exact ≥0.35-Jaccard rejection
+    // against the seed corpus, then within-batch component-min keeping
+    // (same recursive-closure replay as dedup_apply). Recall argument
+    // for LSH-vs-exact parity is the dedup_incremental oracle's: every
+    // over-threshold pair in this fixture is a planted near-dup whose
+    // band collision is ~certain.
+    "stream_curated_corpus" ->
+      """WITH RECURSIVE seed AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        |), batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |), stoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM seed
+        |), counts AS (
+        |  SELECT token, COUNT(*) AS c FROM stoks GROUP BY token
+        |), vocab AS (
+        |  SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 4096
+        |), consts AS (
+        |  SELECT (SELECT SUM(c) FROM vocab) + (SELECT COUNT(*) FROM vocab) + 1 AS d
+        |), btoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM batch
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    round(SUM(-ln((coalesce(v.c, 0) + 1) * 1.0 / (SELECT d FROM consts)))
+        |      / COUNT(*), 6) AS mean_nll
+        |  FROM btoks t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+        |), gated AS (
+        |  SELECT b.doc_id, b.text FROM batch b
+        |  JOIN scored s ON b.doc_id = s.doc_id WHERE s.mean_nll <= 3.40625
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), after_corpus AS (
+        |  SELECT g.doc_id, g.text FROM gated g
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sh a, sh b
+        |    WHERE a.doc_id = g.doc_id AND b.doc_id % 10 <> 0
+        |      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35)
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM after_corpus)
+        |    AND b.doc_id IN (SELECT doc_id FROM after_corpus)
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT b_id AS src, a_id AS dst FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+        |), comp AS (
+        |  SELECT id AS doc_id, MIN(label) AS grp FROM reach GROUP BY id
+        |), kept_batch AS (
+        |  SELECT ac.doc_id, ac.text FROM after_corpus ac
+        |  LEFT JOIN comp c ON ac.doc_id = c.doc_id
+        |  WHERE c.grp IS NULL OR c.grp = ac.doc_id
+        |)
+        |SELECT doc_id, text FROM seed
+        |UNION ALL
+        |SELECT doc_id, text FROM kept_batch
+        |ORDER BY doc_id""".stripMargin,
+
     "stream_daily_counts" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

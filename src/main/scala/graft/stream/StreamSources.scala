@@ -48,7 +48,30 @@ final case class KafkaSourceConfig(
   */
 final case class DirectSource(stream: DataFrame) extends SourceConfig
 
+/** An already-constructed stream carrying Kafka's WIRE schema — the
+  * columns `spark.readStream.format("kafka").load()` emits (`key`/
+  * `value` binary, `topic`, `partition`, `offset`, `timestamp`,
+  * `timestampType`) — projected through the SAME JSON value path the
+  * [[KafkaSourceConfig]] branch runs. This is the broker-less contract
+  * harness: a MemoryStream shaped like the connector's output drives
+  * the identical payload projection, so everything downstream of the
+  * connector (envelope columns dropped, JSON value → typed rows,
+  * partition/offset opacity to the pipeline) is exercised end to end;
+  * only the network fetch itself is substituted.
+  */
+final case class KafkaWireSource(stream: DataFrame,
+                                 valueSchema: StructType) extends SourceConfig
+
 object StreamSources {
+
+  /** Kafka's wire row, for harness-built [[KafkaWireSource]] streams:
+    * the exact column set and types `spark.readStream.format("kafka")`
+    * emits. Top-level so Spark derives its encoder without an outer
+    * scope (MemoryStream harnesses in specs and lifecycle queries).
+    */
+  final case class WireRecord(key: Array[Byte], value: Array[Byte],
+                              topic: String, partition: Int, offset: Long,
+                              timestamp: java.sql.Timestamp, timestampType: Int)
 
   /** The reader options a [[KafkaSourceConfig]] resolves to — factored
     * out of [[open]] so the wiring is assertable offline (the connector
@@ -86,5 +109,8 @@ object StreamSources {
         k.valueSchema)
 
     case DirectSource(stream) => stream
+
+    case KafkaWireSource(stream, valueSchema) =>
+      projectJsonValue(stream, valueSchema)
   }
 }

@@ -37,6 +37,33 @@ class MaintenanceSpec extends SparkSuite {
     assert(Maintenance.compactAll(spark, sfDir).forall { case (_, b, a) => a <= b })
   }
 
+  test("sweep coverage is total: every artifact kind on disk is compacted or exempt with a reason") {
+    Warm.ensureAll(spark, sfDir)
+    // Exemptions must carry the reason the sweep can skip them — a new
+    // artifact family landing on disk without either compactAll
+    // coverage or an entry here fails this test (the r6 LM-append bug
+    // was exactly a new MetaPrefix the sweep didn't know about).
+    val exempt = Map(
+      "serving_daily" -> ("dynamic partition overwrite leaves one file per day " +
+        "by construction — never fragments (KeyValue.ensureStoreDaily doc)"),
+      "bucketed" -> "overwrite-only bucketed tables: file set = bucket count, no append path")
+    val swept = Maintenance.compactAll(spark, sfDir).map(_._1).toSet
+    def kindsOn(root: String): Seq[String] =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(d => new java.io.File(d, "index_meta.txt").isFile)
+        .map(_.getName).toSeq
+    val onDisk = kindsOn(Artifact.root(sfDir)) ++
+      kindsOn(graft.ext.AnnIndex.defaultRoot(sfDir))
+    assert(onDisk.nonEmpty, "enumeration must see the warm-built artifacts")
+    val uncovered = onDisk.filterNot(k => swept.contains(k) || exempt.contains(k))
+    assert(uncovered.isEmpty,
+      s"artifact kinds with neither compactAll coverage nor a stated exemption: $uncovered " +
+        s"(swept=$swept)")
+    // and the exemption list itself must not rot: every exempt name is real
+    val stale = exempt.keys.filterNot(onDisk.contains)
+    assert(stale.isEmpty, s"exemptions for artifact kinds no longer on disk: $stale")
+  }
+
   test("the nightly sweep reaches an appended LM artifact and folds its deltas") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
