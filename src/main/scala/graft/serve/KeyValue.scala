@@ -244,6 +244,20 @@ object KeyValue {
       df
     }
 
+  /** Drop the session's load-once store materializations for `dir` —
+    * the streaming refresh path ([[graft.stream.ServingIngest]]) calls
+    * this after mutating the fact table so the NEXT lookup reloads the
+    * refreshed store instead of serving the pinned pre-mutation plan.
+    */
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit = {
+    val perSession = cache.synchronized { cache.get(spark) }
+    if (perSession != null)
+      Seq(dir, s"daily:$dir").foreach { k =>
+        val df = perSession.remove(k)
+        if (df != null) df.unpersist()
+      }
+  }
+
   // Weak keys: entries die with their SparkSession (no identity-hash
   // collisions, no pinning of plans for stopped sessions).
   private val cache =
