@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-audit reports: the monitoring tables a data-curation team
+  * reads before anything trains — cross-source leakage, per-source
+  * health, and embedding-space drift. The reference pipeline has no
+  * monitoring layer at all (its only report is the CloudWatch job
+  * status, /root/reference/README.md:63); these are the tables that
+  * layer would publish, computed in-plan from the same corpus scan
+  * the curation queries already make.
+  *
+  * Scale shapes, per report:
+  *  - [[sourceOverlap]]: ONE shuffle keyed by shingle; everything
+  *    after the exchange is bounded by the SOURCE DIMENSION, never the
+  *    corpus (collect_set caps at |sources|, the pair explode at
+  *    |sources| choose 2 per shingle).
+  *  - [[sourceScorecard]]: one partial-aggregated groupBy(source) —
+  *    the shuffle carries |sources| rows of integer sums.
+  *  - [[embedDriftMeans]]: one posexplode pass partial-aggregated to
+  *    64 cells before the exchange (the Pca.meansPass shape, in-plan).
+  */
+object CorpusAudit {
+
+  /** Cross-source contamination matrix: for each unordered source
+    * pair, how many distinct w-gram shingles the two sources share.
+    * This is the "who overlaps whom" audit run before mixing sources
+    * into one training corpus — a pair with heavy shingle overlap
+    * either shares an upstream crawl or copies text, and its mixture
+    * weight double-counts that content.
+    *
+    * Dataflow: explode shingles, groupBy(shingle) with a map-side-
+    * combined collect_set(source) — the only corpus-sized exchange,
+    * and its payload is source-set fragments, not text. Multi-source
+    * shingles (the rare survivors) explode into ordered pairs from
+    * their sorted source set; a terminal dimension-sized count
+    * finishes. A shingle present in EVERY source costs
+    * |sources|²/2 pair rows — bounded by the source dimension, so no
+    * skew guard is needed (contrast Dedup.minhashPairs' maxBucket,
+    * where the bucket population is corpus-sized).
+    */
+  def sourceOverlap(docs: DataFrame, w: Int = 8): DataFrame = {
+    val multi = docs
+      .select(col("source"), explode(Dedup.shingles(col("text"), w)).as("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    multi
+      .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
+      .select(col("src_a"),
+        explode(slice(col("srcs"), col("i") + 2,
+          size(col("srcs")) - col("i") - 1)).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Per-source health scorecard: document and token volume, distinct
+    * text count (dup_rate = the fraction a whole-doc dedup would
+    * remove), and mean document length. The per-source row a corpus
+    * dashboard plots over time.
+    *
+    * Determinism: counts are exact integers; avg_tokens and dup_rate
+    * are ONE double division of exact integers (the Tables.davg
+    * discipline — no terminal round, both engines produce the
+    * identical IEEE-754 quotient). countDistinct rides the same
+    * hash-agg; at 100 TB the distinct-text count swaps for
+    * approx_count_distinct's fixed-memory sketch (the documented
+    * A1/a9 trade) while the rest of the row is unchanged.
+    */
+  def sourceScorecard(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"),
+        ((col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs")).as("dup_rate"))
+      .orderBy(col("source"))
+
+  /** Embedding-space drift between two corpus snapshots (even/odd
+    * vec_id halves, the corpus_drift_kl convention): per-dimension
+    * means of both halves and their shift. Token-KL drift
+    * (TextAnalysis.tokenDriftKl) sees vocabulary change; this sees
+    * REPRESENTATION change — the embedding-model-rot signal that
+    * pages before an index rebuild is due.
+    *
+    * Cross-engine contract: per-cell sums are exact integer
+    * micro-units (the Pca.meansPass discipline — float → double →
+    * decimal(18,6) → ×1e6 integer), the mean is one double division
+    * of exact integers, and delta subtracts two identical doubles, so
+    * every cell hash-verifies with no terminal round at all. The
+    * partial aggregation collapses the explode to 64 cells per
+    * partition before the exchange.
+    */
+  def embedDriftMeans(emb: DataFrame, dims: Int = 64): DataFrame = {
+    val xu = (col("xi").cast("double").cast("decimal(18,6)") * lit(1000000L))
+      .cast("decimal(20,0)")
+    val isNew = pmod(col("vec_id"), lit(2)) === 1
+    emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(
+        sum(when(!isNew, xu)).cast("decimal(38,0)").as("sx_old"),
+        sum(when(isNew, xu)).cast("decimal(38,0)").as("sx_new"),
+        sum(when(!isNew, 1L).otherwise(0L)).as("n_old"),
+        sum(when(isNew, 1L).otherwise(0L)).as("n_new"))
+      .select(col("i"), col("n_old"), col("n_new"),
+        (col("sx_old").cast("double") /
+          (col("n_old").cast("double") * lit(1000000.0))).as("mean_old"),
+        (col("sx_new").cast("double") /
+          (col("n_new").cast("double") * lit(1000000.0))).as("mean_new"))
+      .withColumn("delta", col("mean_new") - col("mean_old"))
+      .orderBy(col("i"))
+  }
+}

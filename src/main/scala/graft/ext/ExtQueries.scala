@@ -562,6 +562,27 @@ object ExtQueries {
       TextAnalysis.tokenDriftKl(Tables.documents(s, d),
         pmod(col("doc_id"), lit(2)) === 1, k = 20)),
 
+    // Cross-source contamination matrix: distinct shared 8-gram
+    // shingles per source pair — the who-overlaps-whom audit before
+    // sources are mixture-weighted. One shingle-keyed shuffle; the
+    // pair explode runs on per-shingle source SETS (dimension-bounded),
+    // never on the corpus.
+    "corpus_source_overlap" -> ((s, d) =>
+      CorpusAudit.sourceOverlap(Tables.documents(s, d), w = 8)),
+
+    // Per-source health scorecard: volumes, whole-doc dup rate, mean
+    // length — one partial-aggregated groupBy(source); ratios are one
+    // double division of exact integers (no terminal round needed).
+    "corpus_source_scorecard" -> ((s, d) =>
+      CorpusAudit.sourceScorecard(Tables.documents(s, d))),
+
+    // Embedding-space drift between the even/odd snapshot halves:
+    // per-dimension means in exact integer micro-units (the
+    // Pca.meansPass discipline, in-plan) — representation change,
+    // where corpus_drift_kl sees vocabulary change.
+    "embed_drift_means" -> ((s, d) =>
+      CorpusAudit.embedDriftMeans(Tables.embeddings(s, d))),
+
     // PMI collocations: the phrase-mining signal for multi-word vocab
     // units. Two count passes + vocab joins the planner sizes itself;
     // integer counts and one pinned ratio keep it hash-verifiable.
@@ -2012,6 +2033,65 @@ object ExtQueries {
         |      / (CAST(n_old + 1 AS DOUBLE) / (t_old + v))), 6) AS kl_term
         |FROM counts CROSS JOIN totals
         |ORDER BY abs(kl_term) DESC, term LIMIT 20""".stripMargin,
+
+    // Same 8-gram shingle family as decontaminate (short-doc edge
+    // included), distinct (source, shingle) pairs self-joined on the
+    // shingle with src_a < src_b — counts distinct shared shingles per
+    // unordered source pair, same (src_a, src_b) order.
+    "corpus_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS sh
+        |  FROM documents
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Exact integer counts per source; avg_tokens and dup_rate are one
+    // double division of exact integers (the davg discipline — no
+    // terminal round on either engine).
+    "corpus_source_scorecard" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+        |    AS avg_tokens,
+        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*)
+        |    AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Per-dim integer micro-unit sums (the pca_covariance casting
+    // chain: float -> double -> decimal(18,6) -> x1e6 integer), means
+    // as one double division of exact integers, delta a subtraction of
+    // identical doubles — hash-verifies with no terminal round.
+    "embed_drift_means" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), x AS (
+        |  SELECT vec_id, i,
+        |    CAST(CAST(v[i+1] AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xu
+        |  FROM e CROSS JOIN generate_series(0, 63) AS g(i)
+        |), m AS (
+        |  SELECT i,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN xu END) AS HUGEINT) AS sx_old,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN xu END) AS HUGEINT) AS sx_new,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM x GROUP BY i
+        |)
+        |SELECT CAST(i AS INT) AS i, n_old, n_new,
+        |  CAST(sx_old AS DOUBLE) / (CAST(n_old AS DOUBLE) * 1000000.0)
+        |    AS mean_old,
+        |  CAST(sx_new AS DOUBLE) / (CAST(n_new AS DOUBLE) * 1000000.0)
+        |    AS mean_new,
+        |  CAST(sx_new AS DOUBLE) / (CAST(n_new AS DOUBLE) * 1000000.0)
+        |    - CAST(sx_old AS DOUBLE) / (CAST(n_old AS DOUBLE) * 1000000.0)
+        |    AS delta
+        |FROM m ORDER BY i""".stripMargin,
 
     // Same unigram/bigram integer counts, same
     // ln((n_ab/n_bi) / ((n_a/n_tok)*(n_b/n_tok))) association order,
