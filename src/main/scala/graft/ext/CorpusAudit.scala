@@ -41,8 +41,54 @@ object CorpusAudit {
     * where the bucket population is corpus-sized).
     */
   def sourceOverlap(docs: DataFrame, w: Int = 8): DataFrame = {
-    val multi = docs
-      .select(col("source"), explode(Dedup.shingles(col("text"), w)).as("sh"))
+    import org.apache.spark.sql.expressions.Window
+    // Gram construction stays OUTSIDE higher-order-function lambdas
+    // (the winnowFingerprints lesson: expressions inside `transform`
+    // evaluate interpreted; this explode-then-join shape keeps the
+    // array_join in a WholeStageCodegen projection). Short-doc edge
+    // matches Dedup.shingles: one whole-doc shingle.
+    def gramKeys(df: DataFrame) = df
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - lit(w - 1), lit(1)))).as("pos"))
+      .select(col("source"), col("toks"), col("pos"),
+        xxhash64(slice(col("toks"), col("pos"), lit(w))).as("hk"))
+    // Candidate pass groups on an 8-byte gram hash — no shingle STRING
+    // is ever built or shuffled here (the key is xxhash64 over the
+    // token slice, computed in codegen), and dense integer source ids
+    // (dimension-sized; single-partition window is fine there) ride
+    // along broadcast so the multi-source test is min(sid) !=
+    // max(sid): primitive agg buffers keep the corpus-sized groupBy in
+    // codegen'd HashAggregateExec. A collect_set here instead would
+    // plan ObjectHashAggregate, whose sort-based fallback effectively
+    // SORTS the shingle stream once the map passes the fallback
+    // threshold — measured 161 s vs 30 s at the 100× point. Hash
+    // collisions only ADD candidates (a colliding pair of
+    // single-source grams looks multi-source); the exact string-keyed
+    // second stage filters them, so the result is collision-proof.
+    val sids = docs.select(col("source")).distinct()
+      .withColumn("sid", row_number().over(Window.orderBy(col("source"))))
+    val multiHk = gramKeys(docs)
+      .join(broadcast(sids), Seq("source"))
+      .groupBy(col("hk"))
+      .agg(min(col("sid")).as("lo"), max(col("sid")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("hk"))
+    // The expensive set aggregation runs only on the multi-source
+    // survivors — bounded by the TRUE cross-source overlap (the
+    // audit's own signal), not the corpus. The semi-join is HINTED
+    // broadcast (8 bytes per candidate hash): left to AQE it
+    // graduates to a sort-merge join whose exchange would carry the
+    // full token arrays riding each gram row — measured 133 s vs 30 s
+    // at the 100× point. Shingle strings are built AFTER the in-stage
+    // filter, for candidate rows only. (A corpus whose sources
+    // near-fully overlap would blow the candidate broadcast; that
+    // regime is the audit's alarm condition, not its operating point.)
+    val multi = gramKeys(docs)
+      .join(broadcast(multiHk), Seq("hk"), "left_semi")
+      .select(col("source"),
+        array_join(slice(col("toks"), col("pos"), lit(w)), " ").as("sh"))
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) > 1)
