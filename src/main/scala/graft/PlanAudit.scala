@@ -19,7 +19,8 @@ object PlanAudit {
         "curate_quality_buckets", "quality_perplexity_bigram",
         "classify_nb_pred", "dsir_select", "search_bm25", "dedup_paragraphs",
         "decontaminate_bloom", "cluster_kmeans_assign", "bpe_encode_stats",
-        "dedup_canonical_rank")
+        "dedup_canonical_rank", "corpus_source_overlap",
+        "corpus_source_scorecard", "embed_drift_means")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

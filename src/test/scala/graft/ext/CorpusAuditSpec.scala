@@ -74,6 +74,28 @@ class CorpusAuditSpec extends SparkSuite {
     assert(math.abs(rows(1).getDouble(5)) < 1e-9)
   }
 
+  test("sourceOverlap plan: codegen candidate agg, broadcast semi-join") {
+    // The 100x scale win lives in two physical choices (SCALING.md §2e):
+    // the corpus-sized candidate groupBy must plan codegen'd
+    // HashAggregate (primitive min/max buffers — an ObjectHashAggregate
+    // here means a sort-based fallback over the gram stream), and the
+    // candidate semi-join must stay broadcast (a sort-merge semi-join
+    // shuffles token arrays riding every gram row). Pin both.
+    val df = CorpusAudit.sourceOverlap(Tables.documents(spark, sfDir))
+    df.count() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"candidate semi-join must be broadcast:\n$s")
+    // Exactly one ObjectHashAggregate pair is expected: the final
+    // collect_set over multi-source survivors (bounded input). The
+    // corpus-sized candidate pass must not contribute another.
+    val objAggs = s.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs <= 2,
+      s"corpus-sized candidate agg fell out of HashAggregate:\n$s")
+    assert(s.contains("HashAggregate"), s"expected codegen agg in:\n$s")
+  }
+
   test("fixture runs: overlap non-empty, scorecard covers every source") {
     val docs = Tables.documents(spark, sfDir)
     assert(CorpusAudit.sourceOverlap(docs).count() > 0)
