@@ -40,41 +40,57 @@ object CorpusAudit {
     * skew guard is needed (contrast Dedup.minhashPairs' maxBucket,
     * where the bucket population is corpus-sized).
     */
-  def sourceOverlap(docs: DataFrame, w: Int = 8): DataFrame = {
+  /** Token-slice gram rows for [[sourceOverlap]]: (source, toks, pos,
+    * hk) with hk = xxhash64 over the w-token slice. Gram construction
+    * stays OUTSIDE higher-order-function lambdas (the
+    * winnowFingerprints lesson: expressions inside `transform` evaluate
+    * interpreted; this explode-then-join shape keeps the array_join in
+    * a WholeStageCodegen projection). Short-doc edge matches
+    * Dedup.shingles: one whole-doc shingle. Null texts drop here:
+    * Spark would otherwise hash a null slice to the seed value and
+    * join a null shingle string, registering a spurious cross-source
+    * "shared" gram; the oracle's unnest(NULL) emits nothing, so both
+    * engines must see null docs vanish.
+    */
+  private def gramKeys(df: DataFrame, w: Int): DataFrame = df
+    .filter(col("text").isNotNull)
+    .select(col("source"), split(col("text"), " ").as("toks"))
+    .select(col("source"), col("toks"),
+      explode(sequence(lit(1),
+        greatest(size(col("toks")) - lit(w - 1), lit(1)))).as("pos"))
+    .select(col("source"), col("toks"), col("pos"),
+      xxhash64(slice(col("toks"), col("pos"), lit(w))).as("hk"))
+
+  /** The corpus-sized candidate pass of [[sourceOverlap]], exposed so
+    * its physical plan is pinnable in isolation (CorpusAuditSpec): it
+    * groups on an 8-byte gram hash — no shingle STRING is ever built
+    * or shuffled here (the key is xxhash64 over the token slice,
+    * computed in codegen), and dense integer source ids
+    * (dimension-sized; single-partition window is fine there) ride
+    * along broadcast so the multi-source test is min(sid) != max(sid):
+    * primitive agg buffers keep the corpus-sized groupBy in codegen'd
+    * HashAggregateExec. A collect_set here instead would plan
+    * ObjectHashAggregate, whose sort-based fallback effectively SORTS
+    * the shingle stream once the map passes the fallback threshold —
+    * measured 161 s vs 30 s at the 100× point. Hash collisions only
+    * ADD candidates (a colliding pair of single-source grams looks
+    * multi-source); the exact string-keyed second stage filters them,
+    * so the result is collision-proof.
+    */
+  private[ext] def overlapCandidates(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Gram construction stays OUTSIDE higher-order-function lambdas
-    // (the winnowFingerprints lesson: expressions inside `transform`
-    // evaluate interpreted; this explode-then-join shape keeps the
-    // array_join in a WholeStageCodegen projection). Short-doc edge
-    // matches Dedup.shingles: one whole-doc shingle.
-    def gramKeys(df: DataFrame) = df
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .select(col("source"), col("toks"),
-        explode(sequence(lit(1),
-          greatest(size(col("toks")) - lit(w - 1), lit(1)))).as("pos"))
-      .select(col("source"), col("toks"), col("pos"),
-        xxhash64(slice(col("toks"), col("pos"), lit(w))).as("hk"))
-    // Candidate pass groups on an 8-byte gram hash — no shingle STRING
-    // is ever built or shuffled here (the key is xxhash64 over the
-    // token slice, computed in codegen), and dense integer source ids
-    // (dimension-sized; single-partition window is fine there) ride
-    // along broadcast so the multi-source test is min(sid) !=
-    // max(sid): primitive agg buffers keep the corpus-sized groupBy in
-    // codegen'd HashAggregateExec. A collect_set here instead would
-    // plan ObjectHashAggregate, whose sort-based fallback effectively
-    // SORTS the shingle stream once the map passes the fallback
-    // threshold — measured 161 s vs 30 s at the 100× point. Hash
-    // collisions only ADD candidates (a colliding pair of
-    // single-source grams looks multi-source); the exact string-keyed
-    // second stage filters them, so the result is collision-proof.
     val sids = docs.select(col("source")).distinct()
       .withColumn("sid", row_number().over(Window.orderBy(col("source"))))
-    val multiHk = gramKeys(docs)
+    gramKeys(docs, w)
       .join(broadcast(sids), Seq("source"))
       .groupBy(col("hk"))
       .agg(min(col("sid")).as("lo"), max(col("sid")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .select(col("hk"))
+  }
+
+  def sourceOverlap(docs: DataFrame, w: Int = 8,
+                    maxBroadcastCandidates: Long = 64L * 1024 * 1024): DataFrame = {
     // The expensive set aggregation runs only on the multi-source
     // survivors — bounded by the TRUE cross-source overlap (the
     // audit's own signal), not the corpus. The semi-join is HINTED
@@ -82,11 +98,24 @@ object CorpusAudit {
     // graduates to a sort-merge join whose exchange would carry the
     // full token arrays riding each gram row — measured 133 s vs 30 s
     // at the 100× point. Shingle strings are built AFTER the in-stage
-    // filter, for candidate rows only. (A corpus whose sources
-    // near-fully overlap would blow the candidate broadcast; that
-    // regime is the audit's alarm condition, not its operating point.)
-    val multi = gramKeys(docs)
-      .join(broadcast(multiHk), Seq("hk"), "left_semi")
+    // filter, for candidate rows only.
+    //
+    // Candidate-volume guard: the candidate set is data-dependent — a
+    // corpus whose sources heavily overlap (mirrored crawls, exactly
+    // the contamination this audit detects) produces a corpus-sized
+    // candidate set that would blow the driver broadcast limit and
+    // fail the audit precisely in its alarm regime. So the candidates
+    // are materialized once (localCheckpoint — executor-resident, not
+    // driver), counted, and above `maxBroadcastCandidates` (~8 bytes ×
+    // 64M ≈ 512 MB serialized rows, safely under the 8 GB broadcast
+    // hard cap) the semi-join falls back to a shuffle-hash join: the
+    // audit degrades to slow instead of failing.
+    val cand = overlapCandidates(docs, w).localCheckpoint()
+    val semiRight =
+      if (cand.count() <= maxBroadcastCandidates) broadcast(cand)
+      else cand.hint("shuffle_hash")
+    val multi = gramKeys(docs, w)
+      .join(semiRight, Seq("hk"), "left_semi")
       .select(col("source"),
         array_join(slice(col("toks"), col("pos"), lit(w)), " ").as("sh"))
       .groupBy(col("sh"))
@@ -150,6 +179,11 @@ object CorpusAudit {
     val isNew = pmod(col("vec_id"), lit(2)) === 1
     emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      // `dims` bounds the report to the leading dimensions (and is the
+      // oracle contract: the registered query's DuckDB twin hard-codes
+      // generate_series over exactly `dims`=64 cells — a wider
+      // embedding would silently diverge without this filter).
+      .filter(col("i") < lit(dims))
       .groupBy(col("i"))
       .agg(
         sum(when(!isNew, xu)).cast("decimal(38,0)").as("sx_old"),

@@ -158,9 +158,12 @@ object StreamQueries {
     // contract is deterministic output per fixture, so the run is the
     // whole lifecycle (seed → stream → serve); the long-lived-root
     // no-op-replay property is what KafkaContractSpec/CuratedIngestSpec
-    // pin. The driver-side collect is the TRANSPORT HARNESS only
-    // (MemoryStream is driver-fed by definition) and is bounded to the
-    // batch slice — engine-side scoring/dedup stays distributed.
+    // pin. The transport harness is fully distributed: the batch slice
+    // is shaped into Kafka's wire rows IN-PLAN (offsets via a per-topic-
+    // partition row_number window — the only shuffle, O(batch slice)),
+    // spooled to a parquet dir, and streamed back through the file
+    // source — no corpus-proportional driver collect anywhere; only the
+    // network fetch is substituted relative to a real broker.
     "stream_curated_corpus" -> ((s, d) => {
       import graft.ext.{Artifact, LanguageModel}
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -171,28 +174,31 @@ object StreamQueries {
       val rootPath = new org.apache.hadoop.fs.Path(root)
       rootPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rootPath, true)
       IncrementalIngest.init(s, seed, root)
-      val payloads = batch
-        .select(col("doc_id"), to_json(struct(col("doc_id"), col("text"))).as("payload"))
-        .orderBy(col("doc_id")).collect()
-      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-      val nextOffset = scala.collection.mutable.Map.empty[Int, Long]
-      val records = payloads.map { r =>
-        val id = r.getLong(0)
-        val p = (id % 2).toInt // two topic partitions
-        val off = nextOffset.getOrElse(p, 0L)
-        nextOffset(p) = off + 1
-        StreamSources.WireRecord(id.toString.getBytes("UTF-8"),
-          r.getString(1).getBytes("UTF-8"), "documents", p, off, ts, 0)
-      }
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamSources.WireRecord]
-      if (records.nonEmpty) input.addData(records.toIndexedSeq: _*)
+      // Wire rows built engine-side: two topic partitions keyed on
+      // doc_id parity, offsets dense per partition in doc_id order —
+      // the same (partition, offset) assignment a broker would hand a
+      // producer that partitions by key.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("partition")).orderBy(col("doc_id"))
+      val wire = batch
+        .withColumn("partition", pmod(col("doc_id"), lit(2)).cast("int"))
+        .select(
+          encode(col("doc_id").cast("string"), "UTF-8").as("key"),
+          encode(to_json(struct(col("doc_id"), col("text"))), "UTF-8").as("value"),
+          lit("documents").as("topic"),
+          col("partition"),
+          (row_number().over(w) - 1).cast("long").as("offset"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"),
+          lit(0).as("timestampType"))
+      val spool = java.nio.file.Files.createTempDirectory("graft-curated-wire").toString
+      wire.write.mode("overwrite").parquet(spool)
+      val wireStream = StreamSources.open(s,
+        FileSourceConfig(spool, "parquet", wire.schema))
       val valueSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
       val ckpt = java.nio.file.Files.createTempDirectory("graft-curated-ckpt").toString
-      val q = CuratedIngest.start(s, KafkaWireSource(input.toDF(), valueSchema),
+      val q = CuratedIngest.start(s, KafkaWireSource(wireStream, valueSchema),
         ckpt, root, lmDir, maxMeanNll = 3.40625)
       q.awaitTermination()
       IncrementalIngest.corpus(s, root).orderBy(col("doc_id"))

@@ -80,20 +80,25 @@ class CorpusAuditSpec extends SparkSuite {
     // HashAggregate (primitive min/max buffers — an ObjectHashAggregate
     // here means a sort-based fallback over the gram stream), and the
     // candidate semi-join must stay broadcast (a sort-merge semi-join
-    // shuffles token arrays riding every gram row). Pin both.
-    val df = CorpusAudit.sourceOverlap(Tables.documents(spark, sfDir))
-    df.count() // materialize so AQE finalizes the plan
-    val plan = df.queryExecution.executedPlan
-    val s = plan.toString
+    // shuffles token arrays riding every gram row). Pin both — each on
+    // its FINALIZED adaptive plan: executing the inspected DataFrame
+    // itself (collect) makes its own AdaptiveSparkPlanExec carry the
+    // runtime-final plan, whereas a side count() runs a separate
+    // QueryExecution and would leave this one pre-finalization.
+    val docs = Tables.documents(spark, sfDir)
+    val cand = CorpusAudit.overlapCandidates(docs)
+    cand.collect()
+    val cs = cand.queryExecution.executedPlan.toString
+    assert(cs.contains("isFinalPlan=true"), s"expected finalized AQE plan:\n$cs")
+    assert(!cs.contains("ObjectHashAggregate"),
+      s"corpus-sized candidate agg fell out of HashAggregate:\n$cs")
+    assert(cs.contains("HashAggregate"), s"expected codegen agg in:\n$cs")
+    val df = CorpusAudit.sourceOverlap(docs)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("isFinalPlan=true"), s"expected finalized AQE plan:\n$s")
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
       s"candidate semi-join must be broadcast:\n$s")
-    // Exactly one ObjectHashAggregate pair is expected: the final
-    // collect_set over multi-source survivors (bounded input). The
-    // corpus-sized candidate pass must not contribute another.
-    val objAggs = s.linesIterator.count(_.contains("ObjectHashAggregate"))
-    assert(objAggs <= 2,
-      s"corpus-sized candidate agg fell out of HashAggregate:\n$s")
-    assert(s.contains("HashAggregate"), s"expected codegen agg in:\n$s")
   }
 
   test("fixture runs: overlap non-empty, scorecard covers every source") {
