@@ -38,6 +38,8 @@ object Warm {
       s"${Artifact.root(d)}/unigram_lm_seed")
     graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
       s"${Artifact.root(d)}/nbclass")
+    graft.ext.LrClassifier.ensureLr(spark,
+      graft.ext.LrClassifier.fixtureSeed(docs), s"${Artifact.root(d)}/lrclass")
     graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm")
     graft.ext.InvertedIndex.ensureIndex(spark, docs, s"${Artifact.root(d)}/invindex")
     // session-memoized (not persisted — see Bpe's class doc): trained

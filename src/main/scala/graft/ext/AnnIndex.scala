@@ -595,9 +595,24 @@ object AnnIndex {
     *
     * Indexes are ensured under the same subdirs and parameters as the
     * `sim_*_topk` queries, so report and queries share one build.
+    *
+    * Each row also carries its `floor` and a `pass` flag (recall ≥
+    * floor) so the quality claim is IN the data the correctness gate
+    * snapshots, not only in a spec. The default floors are the
+    * regression alarms for a near-uniform corpus (the fixture's
+    * embeddings are unclustered random vectors, where top-5 neighbors
+    * sit in an undifferentiated cos≈0.4 band — the hardest regime for
+    * any ANN method; measured operating points at sf0.1 are ivf 0.46,
+    * ivfpq 0.32, pq 0.42, srp 0.08): a floor trip means the quantizer
+    * or bucket path broke, not that the corpus got harder. On
+    * clustered corpora (AnnIndexSpec's) every method clears 0.5.
     */
+  val defaultRecallFloors: Map[String, Double] =
+    Map("ivf" -> 0.25, "ivfpq" -> 0.15, "pq" -> 0.25, "srp" -> 0.04)
+
   def recallReport(spark: SparkSession, emb: DataFrame, root: String,
-                   nQueries: Int = 10, k: Int = 5, dims: Int = 64): DataFrame = {
+                   nQueries: Int = 10, k: Int = 5, dims: Int = 64,
+                   floors: Map[String, Double] = defaultRecallFloors): DataFrame = {
     val truth = Similarity.bruteForceTopK(emb, nQueries, k)
       .select(col("q_id"), col("n_id")).localCheckpoint()
     val truthPairs = truth.count() // bounded: ≤ nQueries·k rows
@@ -612,13 +627,17 @@ object AnnIndex {
         ensureSrp(spark, emb, s"$root/srp_h8t4", dims = dims),
         nQueries, k, dims = dims))
     methods.map { case (name, res) =>
+      val floor = floors.getOrElse(name, 0.0)
       res.select(col("q_id"), col("n_id"))
         .join(broadcast(truth), Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(lit(name).as("method"),
           lit(nQueries).as("n_queries"), lit(k).as("k"),
           col("hits"), lit(truthPairs).as("truth_pairs"),
-          round(col("hits") / lit(truthPairs.toDouble), 6).as("recall"))
+          round(col("hits") / lit(truthPairs.toDouble), 6).as("recall"),
+          lit(floor).as("floor"),
+          (round(col("hits") / lit(truthPairs.toDouble), 6) >= lit(floor))
+            .as("pass"))
     }.reduce(_ unionByName _)
   }
 

@@ -168,8 +168,17 @@ object BigramModel {
     * proper distribution over the V+1 outcomes. Rounded to 6 decimals
     * (the house float-parity contract); any batch is scorable.
     */
-  def score2(spark: SparkSession, docs: DataFrame, dir: String,
-             vocabSize: Int = 4096, lambda: Double = 0.5): DataFrame = {
+  /** Shared scoring prep: netted top-V vocab (+ unigram smoothing
+    * constant), the OOV-mapped netted bigram table, and the per-token
+    * (cur, prev) stream with both sides mapped — everything both
+    * smoothers ([[score2]] JM, [[score2Kn]] KN) read.
+    */
+  private case class ScorePrep(v: DataFrame, vSize: Long, dUni: Long,
+                               bg: DataFrame, nBigrams: Long,
+                               stream: DataFrame)
+
+  private def scorePrep(spark: SparkSession, docs: DataFrame, dir: String,
+                        vocabSize: Int): ScorePrep = {
     Artifact.requireKind(spark, dir, MetaPrefix)
     val v = spark.read.parquet(s"$dir/counts")
       .groupBy(col("token")).agg(sum(col("c")).as("c"))
@@ -193,8 +202,6 @@ object BigramModel {
       .select(mapSide("prev").as("prev"), mapSide("cur").as("cur"), col("c"))
       .groupBy(col("prev"), col("cur")).agg(sum(col("c")).as("c2"))
       .localCheckpoint()
-    // per-predecessor totals: ≤ V+1 rows, always broadcastable
-    val prevTot = bg.groupBy(col("prev")).agg(sum(col("c2")).as("tot"))
     // scoring terms: one (cur, prev) struct per token position, built
     // in-row (the array is never carried through the explode)
     val terms = element_at(transform(array(TextAnalysis.tokens(col("text"))), toks =>
@@ -213,20 +220,32 @@ object BigramModel {
           .otherwise(when(col("prev_in"), col("prev")).otherwise(lit(Oov))))
       .withColumn("cur_m",
         when(col("c1").isNotNull, col("cur")).otherwise(lit(Oov)))
-    // the model join: a localCheckpointed table has no stats, so the
-    // planner would default the token-stream join to SortMergeJoin —
-    // shuffling the corpus-sized stream even at V=4096. Decide from the
-    // mapped table's KNOWN row count instead: broadcast while it is
-    // bounded-small (≤ 2²⁰ mapped pairs ≈ tens of MB), graduate to the
-    // shuffle join only when a large vocabulary makes it genuinely big.
-    val bgRenamed = bg.withColumnRenamed("prev", "prev_m")
+    ScorePrep(v, vSize, dUni, bg, bg.count(), stream)
+  }
+
+  /** The model join: a localCheckpointed table has no stats, so the
+    * planner would default the token-stream join to SortMergeJoin —
+    * shuffling the corpus-sized stream even at V=4096. Decide from the
+    * mapped table's KNOWN row count instead: broadcast while it is
+    * bounded-small (≤ 2²⁰ mapped pairs ≈ tens of MB), graduate to the
+    * shuffle join only when a large vocabulary makes it genuinely big.
+    */
+  private def bgSideOf(p: ScorePrep): DataFrame = {
+    val bgRenamed = p.bg.withColumnRenamed("prev", "prev_m")
       .withColumnRenamed("cur", "cur_m")
-    val bgSide = if (bg.count() <= (1L << 20)) broadcast(bgRenamed) else bgRenamed
-    val pUni = (coalesce(col("c1"), lit(0L)) + 1L).cast("double") / lit(dUni.toDouble)
+    if (p.nBigrams <= (1L << 20)) broadcast(bgRenamed) else bgRenamed
+  }
+
+  def score2(spark: SparkSession, docs: DataFrame, dir: String,
+             vocabSize: Int = 4096, lambda: Double = 0.5): DataFrame = {
+    val pr = scorePrep(spark, docs, dir, vocabSize)
+    // per-predecessor totals: ≤ V+1 rows, always broadcastable
+    val prevTot = pr.bg.groupBy(col("prev")).agg(sum(col("c2")).as("tot"))
+    val pUni = (coalesce(col("c1"), lit(0L)) + 1L).cast("double") / lit(pr.dUni.toDouble)
     val pBi = (coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
-      (coalesce(col("tot"), lit(0L)) + lit(vSize) + 1L).cast("double")
-    stream
-      .join(bgSide, Seq("prev_m", "cur_m"), "left")
+      (coalesce(col("tot"), lit(0L)) + lit(pr.vSize) + 1L).cast("double")
+    pr.stream
+      .join(bgSideOf(pr), Seq("prev_m", "cur_m"), "left")
       .join(broadcast(prevTot.withColumnRenamed("prev", "prev_m")),
         Seq("prev_m"), "left")
       .withColumn("p",
@@ -235,5 +254,70 @@ object BigramModel {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(-log(col("p"))) / count(lit(1)), 6).as("mean_nll2"))
+  }
+
+  /** Interpolated Kneser–Ney scoring — the standard LM-filter smoothing
+    * (Chen & Goodman 1999), the fidelity upgrade over [[score2]]'s
+    * Jelinek–Mercer mix: instead of blending in the raw unigram, the
+    * backoff weight is an absolute discount D freed from each seen
+    * bigram, and the backoff distribution is the CONTINUATION
+    * probability (how many distinct predecessors a word follows — "is
+    * this word productive in new contexts?", the property that makes
+    * KN separate formulaic repetition from genuine fluency):
+    *
+    *   p(cur|prev) = max(c₂−D, 0)/tot(prev)
+    *               + (D·N₁₊(prev,·)/tot(prev)) · p_cont(cur)
+    *   p_cont(cur) = (N₁₊(·,cur) + 1) / (B + V + 1)
+    *
+    * with B = distinct mapped bigrams; an unseen predecessor backs off
+    * entirely to p_cont; the first token scores under the add-one
+    * unigram (the [[score2]] convention). Add-one on the continuation
+    * numerator keeps every conditional a proper nonzero distribution
+    * over vocab ∪ {OOV}.
+    *
+    * The continuation counts N₁₊ are exact per-key row counts of the
+    * NETTED bigram table — derived at read rather than stored as
+    * ledgers, because they are pure functions of state the
+    * append/remove/compact lifecycle already maintains (storing them
+    * would denormalize the artifact for two ≤(V+1)-row aggregates of an
+    * already-materialized table).
+    *
+    * Determinism: every input is an exact integer (counts, N₁₊, B, V);
+    * D = 0.75 is dyadic so c₂−D is exact; the probability is a fixed
+    * chain of single IEEE ops mirrored token-for-token in the oracle
+    * SQL; round-6 on the mean (the house ln-parity contract).
+    */
+  def score2Kn(spark: SparkSession, docs: DataFrame, dir: String,
+               vocabSize: Int = 4096, discount: Double = 0.75): DataFrame = {
+    val pr = scorePrep(spark, docs, dir, vocabSize)
+    // per-predecessor totals + distinct-successor counts; per-successor
+    // distinct-predecessor counts: all ≤ V+1 rows, always broadcast
+    val prevStats = pr.bg.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("tot"), count(lit(1)).as("n1p"))
+    val curStats = pr.bg.groupBy(col("cur"))
+      .agg(count(lit(1)).as("n1c"))
+    val contDen = lit((pr.nBigrams + pr.vSize + 1).toDouble)
+    val pUni = (coalesce(col("c1"), lit(0L)) + 1L).cast("double") / lit(pr.dUni.toDouble)
+    val pCont = (coalesce(col("n1c"), lit(0L)) + 1L).cast("double") / contDen
+    val totD = col("tot").cast("double")
+    // unseen (prev, cur) pair under a seen prev: coalesce(c2, 0) makes
+    // the discounted term an exact 0.0 and the backoff mass carries —
+    // bit-identical to a dedicated branch, and one CASE arm fewer to
+    // mirror in the oracle
+    val pKn = greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(discount),
+        lit(0.0)) / totD +
+      ((lit(discount) * col("n1p").cast("double")) / totD) * pCont
+    pr.stream
+      .join(bgSideOf(pr), Seq("prev_m", "cur_m"), "left")
+      .join(broadcast(prevStats.withColumnRenamed("prev", "prev_m")),
+        Seq("prev_m"), "left")
+      .join(broadcast(curStats.withColumnRenamed("cur", "cur_m")),
+        Seq("cur_m"), "left")
+      .withColumn("p",
+        when(col("prev").isNull, pUni)
+          .otherwise(when(col("tot").isNull, pCont).otherwise(pKn)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(-log(col("p"))) / count(lit(1)), 6).as("mean_nll_kn"))
   }
 }

@@ -453,14 +453,28 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.native.simhash64(transform(split(text, " "), t => xxhash64(t)))
 
+  /** md5-twin token hash: the first 64 bits of md5(token) packed into a
+    * long from two 32-bit hex halves (the CMS/winnow promotion
+    * discipline) — DuckDB rebuilds the identical bits from its own
+    * md5(), which xxhash64 can't offer. The vote loop stays in the
+    * native codegen'd [[graft.functions.SimHash64]] either way.
+    */
+  def simhashMd5(text: Column): Column =
+    graft.functions.native.simhash64(transform(split(text, " "), t =>
+      shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))))
+
   /** SimHash near-dup pairs: pigeonhole on four 16-bit chunks (any pair
     * within Hamming distance 3 must agree on ≥1 chunk), verify with
     * bit_count(xor) ≤ maxHamming. Join key is (chunk-index, chunk-value)
-    * — candidates only, never all-pairs.
+    * — candidates only, never all-pairs. `sigOf` picks the token-hash
+    * kernel: [[simhash]] (xxhash64 — the at-scale default) or
+    * [[simhashMd5]] (oracle-replayable bits, same dataflow).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 256): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+                   maxBucket: Int = 256,
+                   sigOf: Column => Column = simhash): DataFrame = {
+    val sigs = docs.select(col("doc_id"), sigOf(col("text")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -28,9 +28,13 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // SimHash Hamming-distance near-dup pairs (pigeonhole banding).
+    // SimHash Hamming-distance near-dup pairs (pigeonhole banding),
+    // over md5-derived token-hash bits so DuckDB replays the signature
+    // construction bit-for-bit; the xxhash64 kernel (Dedup.simhash)
+    // stays as the at-scale twin, spec-covered.
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 16)
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 16,
+          sigOf = Dedup.simhashMd5)
         .orderBy(col("a_id"), col("b_id"))),
 
     // Duplicate groups: connected components over the LSH near-dup pair
@@ -81,9 +85,12 @@ object ExtQueries {
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
     }),
 
-    // Embedding-cosine near-dup pairs.
+    // Embedding-cosine near-dup pairs: md5-integer SRP candidate
+    // buckets + exact micro-unit cosine, so the DuckDB oracle replays
+    // candidate generation and scoring bit-for-bit (the float-plane
+    // kernel stays as the at-scale twin in cosineNearDupPairs).
     "dedup_embed_cosine" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d))
+      Similarity.cosineNearDupPairsExact(Tables.embeddings(s, d))
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))),
 
     // Exact brute-force cosine top-k (baseline ANN path). rank cast to
@@ -329,11 +336,14 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // SemDeDup: semantic near-dup pairs via within-k-means-cluster
-    // cosine (rows-only: the quantizer is engine-private, like
-    // sim_ivf*; planted-duplicate recall is property-tested).
+    // SemDeDup: within-cluster cosine pairs over the deterministic
+    // full-corpus Lloyd fit (the SAME fit cluster_kmeans_* replays in
+    // SQL — one shared artifact), scored in exact micro-units so the
+    // whole query hash-verifies. semanticTopKPairs (sampled quantizer,
+    // maxCell guard, SRP sub-split) stays as the at-scale twin,
+    // spec-covered.
     "dedup_semantic" -> ((s, d) =>
-      Similarity.semanticTopKPairs(Tables.embeddings(s, d))
+      Similarity.semanticPairsExact(s, Tables.embeddings(s, d), d)
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))),
 
     // Training-set assembly (TrainingSet): token-budget packing via a
@@ -458,6 +468,16 @@ object ExtQueries {
       BigramModel.score2(s, docs, dir).orderBy(col("doc_id"))
     }),
 
+    // Kneser–Ney smoothed scoring from the SAME bigram artifact — the
+    // standard LM-filter smoothing (continuation-probability backoff
+    // with absolute discount 0.75); the oracle re-derives the
+    // continuation counts and replays the discount chain exactly.
+    "quality_perplexity_kn" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = BigramModel.ensureLm2(s, docs, s"${Artifact.root(d)}/bigram_lm")
+      BigramModel.score2Kn(s, docs, dir).orderBy(col("doc_id"))
+    }),
+
     // Model-based classifier (multinomial Naive Bayes): trained on a
     // deterministic labeled seed (every 5th doc, labeled by lang),
     // scored over the WHOLE corpus from the persisted model artifact.
@@ -477,6 +497,26 @@ object ExtQueries {
       val dir = Classifier.ensureNb(s, Classifier.fixtureSeed(docs),
         s"${Artifact.root(d)}/nbclass")
       Classifier.predict(s, docs, dir).orderBy(col("doc_id"))
+    }),
+
+    // Learned quality filter (binary logistic regression, the
+    // fastText-style model pipelines actually deploy): 4 full-batch
+    // GD steps over the labeled seed with pinned 12-dp arithmetic —
+    // the oracle replays the ENTIRE training loop in generated SQL
+    // (the k-means/BPE pattern) and the corpus scores hash-match.
+    "classify_lr_scores" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = LrClassifier.ensureLr(s, LrClassifier.fixtureSeed(docs),
+        s"${Artifact.root(d)}/lrclass")
+      LrClassifier.score(s, docs, dir).orderBy(col("doc_id"))
+    }),
+
+    // The filter decision at the dyadic p >= 1/2 threshold.
+    "classify_lr_pred" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = LrClassifier.ensureLr(s, LrClassifier.fixtureSeed(docs),
+        s"${Artifact.root(d)}/lrclass")
+      LrClassifier.predict(s, docs, dir).orderBy(col("doc_id"))
     }),
 
     // DSIR importance selection (Xie et al. 2023): weight every doc by
@@ -815,6 +855,101 @@ object ExtQueries {
 
   private val bpeMerges = 8
 
+  /** Full logistic-regression training replay in generated SQL (the
+    * LrClassifier determinism contract): 12-dp-snapped features, exact
+    * DECIMAL(32,12) folds for margins/gradients, σ snapped to 12 dp at
+    * the boundary, round-12 weight updates — iteration r's CTEs read
+    * only iteration r-1's, exactly like the Spark driver loop. Ends
+    * with `am` = per-doc margin for the WHOLE corpus under the final
+    * weights w{iters}/b{iters}.
+    */
+  private def lrSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH seed0 AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |), stoks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM seed0
+        |), stc AS MATERIALIZED (
+        |  SELECT doc_id, token, COUNT(*) AS c FROM stoks GROUP BY 1, 2
+        |), vc AS MATERIALIZED (
+        |  SELECT token, ct FROM (
+        |    SELECT token, SUM(c) AS ct FROM stc GROUP BY token
+        |    ORDER BY ct DESC, token LIMIT 256)
+        |), v AS MATERIALIZED (
+        |  SELECT token FROM vc
+        |), dd AS MATERIALIZED (
+        |  SELECT (SELECT COALESCE(SUM(ct), 0) + COUNT(*) + 1 FROM vc) AS d
+        |), ylab AS MATERIALIZED (
+        |  SELECT t.doc_id,
+        |    CASE WHEN round(SUM(-ln((COALESCE(vc.ct, 0) + 1) * 1.0 /
+        |        (SELECT d FROM dd))) / COUNT(*), 6) <= 3.40625
+        |      THEN 1.0 ELSE 0.0 END AS y
+        |  FROM stoks t LEFT JOIN vc USING (token) GROUP BY t.doc_id
+        |), seed AS MATERIALIZED (
+        |  SELECT s.doc_id, s.text, y.y FROM seed0 s JOIN ylab y USING (doc_id)
+        |), sdl AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*) AS l FROM stoks GROUP BY doc_id
+        |), feat AS MATERIALIZED (
+        |  SELECT stc.doc_id, stc.token, round(stc.c * 1.0 / sdl.l, 12) AS f
+        |  FROM stc JOIN v USING (token) JOIN sdl USING (doc_id)
+        |), nn AS MATERIALIZED (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seed
+        |), w0 AS MATERIALIZED (
+        |  SELECT token, CAST(0 AS DOUBLE) AS w FROM v
+        |), b0 AS MATERIALIZED (
+        |  SELECT CAST(0 AS DOUBLE) AS b
+        |)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb ++= s""", e$r AS MATERIALIZED (
+                |  SELECT s.doc_id,
+                |    round(1.0 / (1.0 + exp(-((SELECT b FROM b${r - 1})
+                |      + COALESCE(t.s, 0.0)))), 12) - s.y AS err
+                |  FROM seed s LEFT JOIN (
+                |    SELECT f.doc_id,
+                |      CAST(SUM(CAST(round(w.w * f.f, 12) AS DECIMAL(32,12)))
+                |        AS DOUBLE) AS s
+                |    FROM feat f JOIN w${r - 1} w USING (token)
+                |    GROUP BY f.doc_id) t
+                |  USING (doc_id)
+                |), g$r AS MATERIALIZED (
+                |  SELECT f.token,
+                |    CAST(SUM(CAST(round(e.err * f.f, 12) AS DECIMAL(32,12)))
+                |      AS DOUBLE) AS g
+                |  FROM feat f JOIN e$r e USING (doc_id) GROUP BY f.token
+                |), w$r AS MATERIALIZED (
+                |  SELECT w.token,
+                |    round(w.w - (2048.0 * COALESCE(g.g, 0.0)) / (SELECT n FROM nn),
+                |      12) AS w
+                |  FROM w${r - 1} w LEFT JOIN g$r g USING (token)
+                |), b$r AS MATERIALIZED (
+                |  SELECT round((SELECT b FROM b${r - 1}) -
+                |    (32.0 * (SELECT CAST(SUM(CAST(err AS DECIMAL(32,12)))
+                |      AS DOUBLE) FROM e$r)) / (SELECT n FROM nn), 12) AS b
+                |)""".stripMargin
+    }
+    sb ++= s""", atoks AS MATERIALIZED (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |  FROM documents
+              |), adl AS MATERIALIZED (
+              |  SELECT doc_id, COUNT(*) AS l FROM atoks GROUP BY doc_id
+              |), atc AS MATERIALIZED (
+              |  SELECT doc_id, token, COUNT(*) AS c FROM atoks GROUP BY 1, 2
+              |), am AS MATERIALIZED (
+              |  SELECT d.doc_id,
+              |    (SELECT b FROM b$iters) + COALESCE(t.s, 0.0) AS m
+              |  FROM documents d LEFT JOIN (
+              |    SELECT a.doc_id,
+              |      CAST(SUM(CAST(round(w.w * round(a.c * 1.0 / adl.l, 12), 12)
+              |        AS DECIMAL(32,12))) AS DOUBLE) AS s
+              |    FROM atc a JOIN w$iters w USING (token)
+              |    JOIN adl USING (doc_id)
+              |    GROUP BY a.doc_id) t USING (doc_id)
+              |)""".stripMargin
+    sb.toString
+  }
+
+  private val lrIters = 16
+
   /** PageRank-canonical replay: the dedup_groups recursive-CC prefix
     * (same shingles, threshold, edges, reach) plus `iters` generated
     * SIMILARITY-WEIGHTED rank iterations under the GraphRank
@@ -915,6 +1050,142 @@ object ExtQueries {
         |) d JOIN symsN v USING (w)
         |WHERE d.w <> ''
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    // Full SimHash replay in 32-bit halves (DuckDB's << overflows at
+    // 64 bits; every value here stays under 2^32): token bits from
+    // md5 hex, occurrence-weighted per-bit votes (bit set iff vote
+    // strictly positive — the native SimHash64 rule), four 16-bit
+    // pigeonhole chunks with the same 2..256 bucket-size window, and
+    // hamming = popcount(hi⊕hi') + popcount(lo⊕lo').
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), th AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+        |    CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+        |  FROM toks
+        |), votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((hi >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vhi,
+        |    SUM(CASE WHEN ((lo >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vlo
+        |  FROM th CROSS JOIN generate_series(0, 31) AS g(b)
+        |  GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vhi > 0 THEN (1::BIGINT << b) ELSE 0 END)
+        |      AS BIGINT) AS sig_hi,
+        |    CAST(SUM(CASE WHEN vlo > 0 THEN (1::BIGINT << b) ELSE 0 END)
+        |      AS BIGINT) AS sig_lo
+        |  FROM votes GROUP BY doc_id
+        |), ch AS (
+        |  SELECT doc_id, sig_hi, sig_lo, g.ci,
+        |    CASE g.ci
+        |      WHEN 0 THEN sig_lo & 65535
+        |      WHEN 1 THEN (sig_lo >> 16) & 65535
+        |      WHEN 2 THEN sig_hi & 65535
+        |      ELSE (sig_hi >> 16) & 65535 END AS chunk
+        |  FROM sig CROSS JOIN generate_series(0, 3) AS g(ci)
+        |), bsz AS (
+        |  SELECT ci, chunk, COUNT(*) AS m FROM ch GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+        |       + bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) AS hamming
+        |  FROM ch a
+        |  JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk
+        |    AND a.doc_id < b.doc_id
+        |  JOIN bsz s ON s.ci = a.ci AND s.chunk = a.chunk
+        |    AND s.m BETWEEN 2 AND 256
+        |)
+        |SELECT a_id, b_id, hamming FROM pairs
+        |WHERE hamming <= 16
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // md5-integer SRP buckets rebuilt in SQL (strpos-over-hex = the
+    // first md5 byte, shifted to [-128,127] — same derivation as
+    // Similarity.md5PlaneComponent), exact integer dot-sign bucket
+    // bits, then micro-unit cosine with one terminal double
+    // expression. Candidate generation and scoring both replay
+    // bit-for-bit; no rounding anywhere.
+    "dedup_embed_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), u AS (
+        |  SELECT vec_id, i,
+        |    CAST(CAST(v[i+1] AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xu
+        |  FROM e CROSS JOIN generate_series(0, 63) AS g(i)
+        |), pl AS (
+        |  SELECT t, p, i,
+        |    (strpos('0123456789abcdef', substr(md5(
+        |       CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' ||
+        |       CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(md5(
+        |       CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' ||
+        |       CAST(i AS VARCHAR)), 2, 1)) - 1 - 128 AS c
+        |  FROM generate_series(0, 3) AS gt(t)
+        |  CROSS JOIN generate_series(0, 5) AS gp(p)
+        |  CROSS JOIN generate_series(0, 63) AS gi(i)
+        |), dots AS (
+        |  SELECT u.vec_id, pl.t, pl.p, SUM(pl.c * u.xu) AS s
+        |  FROM u JOIN pl ON pl.i = u.i GROUP BY 1, 2, 3
+        |), bk AS (
+        |  SELECT vec_id, t,
+        |    SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM bk a JOIN bk b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), dp AS (
+        |  SELECT c.a_id, c.b_id,
+        |    SUM(ua.xu * ub.xu) AS num,
+        |    SUM(ua.xu * ua.xu) AS na,
+        |    SUM(ub.xu * ub.xu) AS nb
+        |  FROM cand c
+        |  JOIN u ua ON ua.vec_id = c.a_id
+        |  JOIN u ub ON ub.vec_id = c.b_id AND ub.i = ua.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |  CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(num AS DOUBLE) /
+        |            (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |  END AS cos
+        |FROM dp
+        |ORDER BY cos DESC, a_id, b_id
+        |LIMIT 25""".stripMargin,
+
+    // kmeansSql's a2 assignment (identical fit to cluster_kmeans_*) as
+    // the SemDeDup quantizer, then within-cluster micro-unit cosine —
+    // the same exact-integer scoring as dedup_embed_cosine.
+    "dedup_semantic" -> (kmeansSql +
+      """, u AS (
+        |  SELECT vec_id, i,
+        |    CAST(CAST(e[i+1] AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xu
+        |  FROM emb CROSS JOIN generate_series(0, 63) AS g(i)
+        |), cpairs AS (
+        |  SELECT a.cluster AS cell, a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM a2 a JOIN a2 b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |), dp AS (
+        |  SELECT c.cell, c.a_id, c.b_id,
+        |    SUM(ua.xu * ub.xu) AS num,
+        |    SUM(ua.xu * ua.xu) AS na,
+        |    SUM(ub.xu * ub.xu) AS nb
+        |  FROM cpairs c
+        |  JOIN u ua ON ua.vec_id = c.a_id
+        |  JOIN u ub ON ub.vec_id = c.b_id AND ub.i = ua.i
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT cell, a_id, b_id,
+        |  CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(num AS DOUBLE) /
+        |            (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |  END AS cos
+        |FROM dp
+        |ORDER BY cos DESC, a_id, b_id
+        |LIMIT 25""".stripMargin),
 
     "cluster_kmeans_assign" -> (kmeansSql +
       "\nSELECT vec_id, cluster FROM a2 ORDER BY vec_id"),
@@ -1640,6 +1911,72 @@ object ExtQueries {
         |  round(SUM(-ln(pr)) / COUNT(*), 6) AS mean_nll2
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // KN replay: same vocab/OOV-mapping scaffold as the JM oracle, two
+    // continuation-count aggregates over the mapped bigram table, and
+    // the discount chain written op-for-op as the engine computes it
+    // (greatest / + · with identical parenthesization).
+    "quality_perplexity_kn" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p FROM documents
+        |), toks AS (
+        |  SELECT doc_id, i, p[i] AS cur,
+        |    CASE WHEN i = 1 THEN NULL ELSE p[i-1] END AS prev
+        |  FROM (SELECT doc_id, p, unnest(generate_series(1, len(p))) AS i
+        |        FROM parts)
+        |), c1 AS (
+        |  SELECT cur AS token, COUNT(*) AS c FROM toks GROUP BY 1
+        |), v AS (
+        |  SELECT token, c FROM c1 ORDER BY c DESC, token LIMIT 4096
+        |), consts AS (
+        |  SELECT (SELECT SUM(c) FROM v) + (SELECT COUNT(*) FROM v) + 1 AS d,
+        |         (SELECT COUNT(*) FROM v) AS vs
+        |), bg AS (
+        |  SELECT
+        |    CASE WHEN pv.token IS NULL THEN chr(1) || 'OOV' ELSE t.prev END AS prev,
+        |    CASE WHEN cv.token IS NULL THEN chr(1) || 'OOV' ELSE t.cur END AS cur,
+        |    COUNT(*) AS c2
+        |  FROM toks t
+        |  LEFT JOIN v pv ON pv.token = t.prev
+        |  LEFT JOIN v cv ON cv.token = t.cur
+        |  WHERE t.prev IS NOT NULL
+        |  GROUP BY 1, 2
+        |), pstats AS (
+        |  SELECT prev, SUM(c2) AS tot, COUNT(*) AS n1p FROM bg GROUP BY prev
+        |), cstats AS (
+        |  SELECT cur, COUNT(*) AS n1c FROM bg GROUP BY cur
+        |), bconst AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM bg)
+        |    + (SELECT vs FROM consts) + 1 AS DOUBLE) AS bv
+        |), terms AS (
+        |  SELECT t.doc_id, t.cur, t.prev, cv.c AS c1,
+        |    CASE WHEN t.prev IS NULL THEN NULL
+        |         WHEN pv.token IS NULL THEN chr(1) || 'OOV'
+        |         ELSE t.prev END AS prev_m,
+        |    CASE WHEN cv.token IS NULL THEN chr(1) || 'OOV'
+        |         ELSE t.cur END AS cur_m
+        |  FROM toks t
+        |  LEFT JOIN v cv ON cv.token = t.cur
+        |  LEFT JOIN v pv ON pv.token = t.prev
+        |), scored AS (
+        |  SELECT tm.doc_id,
+        |    CASE WHEN tm.prev IS NULL
+        |      THEN (COALESCE(tm.c1, 0) + 1) * 1.0 / (SELECT d FROM consts)
+        |    WHEN ps.tot IS NULL
+        |      THEN (COALESCE(cs.n1c, 0) + 1) * 1.0 / (SELECT bv FROM bconst)
+        |    ELSE greatest(CAST(COALESCE(b.c2, 0) AS DOUBLE) - 0.75, 0.0)
+        |           / CAST(ps.tot AS DOUBLE)
+        |       + ((0.75 * CAST(ps.n1p AS DOUBLE)) / CAST(ps.tot AS DOUBLE))
+        |           * ((COALESCE(cs.n1c, 0) + 1) * 1.0 / (SELECT bv FROM bconst))
+        |    END AS pr
+        |  FROM terms tm
+        |  LEFT JOIN bg b ON b.prev = tm.prev_m AND b.cur = tm.cur_m
+        |  LEFT JOIN pstats ps ON ps.prev = tm.prev_m
+        |  LEFT JOIN cstats cs ON cs.cur = tm.cur_m
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(SUM(-ln(pr)) / COUNT(*), 6) AS mean_nll_kn
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Naive Bayes is oracle-able because training IS counting: the SQL
     // re-trains the model (per-label token counts over the same seed,
     // shared top-V vocabulary) and re-derives every smoothed joint
@@ -1675,6 +2012,23 @@ object ExtQueries {
         |LEFT JOIN vc ON vc.token = dt.token AND vc.label = ls.label
         |GROUP BY dt.doc_id, ls.label, ls.logprior, ls.d
         |ORDER BY dt.doc_id, ls.label""".stripMargin,
+
+    "classify_lr_scores" -> (lrSql(lrIters) +
+      """
+        |SELECT doc_id, round(m, 6) AS margin,
+        |  round(1.0 / (1.0 + exp(-m)), 6) AS p
+        |FROM am ORDER BY doc_id""".stripMargin),
+
+    "classify_lr_pred" -> (lrSql(lrIters) +
+      """
+        |SELECT doc_id,
+        |  CASE WHEN p >= 0.5 THEN 'keep' ELSE 'drop' END AS pred_label,
+        |  p, margin
+        |FROM (
+        |  SELECT doc_id, round(m, 6) AS margin,
+        |    round(1.0 / (1.0 + exp(-m)), 6) AS p
+        |  FROM am)
+        |ORDER BY doc_id""".stripMargin),
 
     "classify_nb_pred" ->
       """WITH seed AS (

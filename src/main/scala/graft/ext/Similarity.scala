@@ -375,6 +375,141 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** Embedding floats as exact integer micro-units (the pca_covariance
+    * casting chain: float → double → decimal(18,6) HALF_UP → ×1e6
+    * integer). Every downstream sum/product over these longs is exact
+    * integer arithmetic — the cross-engine determinism backbone for
+    * the hash-verified cosine queries.
+    */
+  private[ext] def microUnits(c: Column): Column =
+    transform(c, x =>
+      ((x.cast("double").cast(DecimalType(18, 6)) * lit(1000000L))
+        .cast("long")).cast("double"))
+
+  /** Per-vector exact prep for the replayable cosine queries: micro-unit
+    * array (as integer-valued doubles) plus its squared norm. Computed
+    * ONCE per vector — the interpreted `transform` touches N·dims
+    * elements total; every per-PAIR operation downstream is the
+    * codegen'd native dot kernel. Exactness: |xu| ≤ 1e6 so products ≤
+    * 1e12 and 64-term running sums ≤ 6.4e13 — every intermediate is an
+    * integer below 2^53, and double addition of exactly-representable
+    * integers is exact regardless of order. So the double-accumulating
+    * [[graft.functions.DotProduct]] kernel returns the SAME integer the
+    * oracle's BIGINT SUM does, at codegen speed.
+    */
+  private def microPrep(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), microUnits(col("embedding")).as("eu"))
+      .withColumn("nrm",
+        graft.functions.native.dot_product(col("eu"), col("eu")))
+
+  /** Terminal cosine from exact prepped inputs: ONE double expression —
+    * num / (√na · √nb) — over three exactly-represented integers. IEEE
+    * sqrt/mul/div are correctly rounded in both engines, so the result
+    * hash-verifies with no rounding step at all. Zero-norm vectors
+    * score 0.
+    */
+  private def microCos(num: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(num / (sqrt(na) * sqrt(nb)))
+
+  /** md5-derived SRP hyperplane coefficient: first byte of
+    * md5("t_p_d") shifted to [-128, 127]. Pure integers, so the sign
+    * test below is exact — and DuckDB rebuilds the identical planes
+    * from its own md5() (the CMS/winnow md5-twin discipline). */
+  private def md5PlaneComponent(table: Int, plane: Int, dim: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${table}_${plane}_${dim}".getBytes("UTF-8"))
+    (h(0) & 0xFF) - 128
+  }
+
+  /** SRP bucket over micro-unit embeddings with md5-integer planes: bit
+    * p of the bucket id is the sign of an exact integer-valued dot
+    * product (|coef| ≤ 128, |xu| ≤ 1e6, 64 dims → sums < 2^34 — exact
+    * in the double-accumulating codegen kernel). No rounding enters
+    * the bucket decision, so candidate generation is bit-identical
+    * across engines — the property that lets
+    * [[cosineNearDupPairsExact]] carry a full DuckDB oracle where the
+    * float-plane [[srpBucket]] variant cannot.
+    */
+  private def srpMd5Bucket(embMicro: Column, table: Int, h: Int,
+                           dims: Int): Column =
+    (0 until h).map { p =>
+      val plane = array((0 until dims).map(dm =>
+        lit(md5PlaneComponent(table, p, dm).toDouble)): _*)
+      when(graft.functions.native.dot_product(embMicro, plane) >= 0.0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hash-verifiable embedding-cosine near-dup pairs: the
+    * [[cosineNearDupPairs]] dataflow (SRP-bucket candidates → exact
+    * cosine → global top-K) with every nondeterminism squeezed out —
+    * md5-integer planes ([[srpMd5Bucket]]) and micro-unit cosine
+    * ([[microCosine]]), so a DuckDB oracle replays candidate
+    * generation AND scoring bit-for-bit. Same scale shape as the float
+    * twin: one bucket-join shuffle, pairs bounded by bucket
+    * collisions, never all-pairs.
+    */
+  def cosineNearDupPairsExact(emb: DataFrame, topK: Int = 25,
+                              h: Int = 6, tables: Int = 4,
+                              dims: Int = 64): DataFrame = {
+    val prep = microPrep(emb).localCheckpoint()
+    val withB = prep
+      .select(col("vec_id"), col("eu"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            srpMd5Bucket(col("eu"), t, h, dims).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = withB.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
+    val b = withB.select(col("tbl"), col("bucket"), col("vec_id").as("b_id"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val ea = prep.select(col("vec_id").as("a_id"), col("eu").as("a_eu"),
+      col("nrm").as("a_n"))
+    val eb = prep.select(col("vec_id").as("b_id"), col("eu").as("b_eu"),
+      col("nrm").as("b_n"))
+    candidates
+      .join(ea, Seq("a_id"))
+      .join(eb, Seq("b_id"))
+      .withColumn("cos", microCos(
+        graft.functions.native.dot_product(col("a_eu"), col("b_eu")),
+        col("a_n"), col("b_n")))
+      .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Hash-verifiable SemDeDup: within-cluster cosine pairs where the
+    * cluster assignment is the FULL-CORPUS deterministic Lloyd fit
+    * ([[Clustering.fitted]] — the same fit the cluster_kmeans_* oracles
+    * replay end-to-end in SQL) and scoring is [[microCosine]]. This is
+    * SemDeDup's own structure (cluster → within-cluster cosine) with a
+    * replayable quantizer; [[semanticTopKPairs]] remains the at-scale
+    * twin with the sampled quantizer, maxCell skew guard, and SRP
+    * sub-split.
+    */
+  def semanticPairsExact(spark: org.apache.spark.sql.SparkSession,
+                         emb: DataFrame, key: String,
+                         topK: Int = 25): DataFrame = {
+    val assigned = Clustering.fitted(spark, emb, key)
+      .select(col("cluster").as("cell"), col("vec_id"), col("embedding"))
+    val prep = microPrep(assigned)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val a = prep.select(col("cell"), col("vec_id").as("a_id"),
+      col("eu").as("a_eu"), col("nrm").as("a_n"))
+    val b = prep.select(col("cell"), col("vec_id").as("b_id"),
+      col("eu").as("b_eu"), col("nrm").as("b_n"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", microCos(
+        graft.functions.native.dot_product(col("a_eu"), col("b_eu")),
+        col("a_n"), col("b_n")))
+      .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
+      .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
     * k-means clustering — cluster the corpus with a coarse quantizer,
     * then compare pairs only WITHIN a cluster, never across. The

@@ -46,7 +46,10 @@ class MaintenanceSpec extends SparkSuite {
     val exempt = Map(
       "serving_daily" -> ("dynamic partition overwrite leaves one file per day " +
         "by construction — never fragments (KeyValue.ensureStoreDaily doc)"),
-      "bucketed" -> "overwrite-only bucketed tables: file set = bucket count, no append path")
+      "bucketed" -> "overwrite-only bucketed tables: file set = bucket count, no append path",
+      "lrclass" -> ("overwrite-only learned model (coalesce(1) weights + bias, " +
+        "2 files total): GD weights are not additive statistics, so there is no " +
+        "append path to fragment — a changed seed rebuilds wholesale (LrClassifier doc)"))
     val swept = Maintenance.compactAll(spark, sfDir).map(_._1).toSet
     def kindsOn(root: String): Seq[String] =
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty[java.io.File])

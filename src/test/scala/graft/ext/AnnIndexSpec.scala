@@ -321,6 +321,12 @@ class AnnIndexSpec extends SparkSuite {
       assert(hits >= 0L && hits <= truthPairs, r.toString)
       assert(recall >= 0.5 && recall <= 1.0,
         s"clustered corpus: every variant must clear 0.5, got $r")
+      // the in-data quality gate: floor is the method's documented
+      // regression alarm and pass must reflect recall ≥ floor (on this
+      // clustered corpus every method clears its floor with margin)
+      val (floor, pass) = (r.getDouble(6), r.getBoolean(7))
+      assert(floor == AnnIndex.defaultRecallFloors(r.getString(0)), r.toString)
+      assert(pass && recall >= floor, s"floor gate must pass: $r")
     }
     // the reported number IS recall: cross-check one variant against an
     // independently computed truth/approx set intersection

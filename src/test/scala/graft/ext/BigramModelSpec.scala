@@ -34,6 +34,48 @@ class BigramModelSpec extends SparkSuite {
     assert(math.abs(s.head._3 - want) < 1e-6, s"got ${s.head._3} want $want")
   }
 
+  test("score2Kn: hand-computed Kneser-Ney NLL") {
+    val d = freshDir("scorekn")
+    // corpus: "x y x y" + "y x" → uni {x:3, y:3}, V=2, D_uni = 9;
+    // mapped bigrams {(x,y):2, (y,x):2} → B=2, tot(x)=2, n1p(x)=1,
+    // n1c(y)=1; continuation denominator B+V+1 = 5
+    BigramModel.ensureLm2(spark, docs((1L, "x y x y"), (2L, "y x")), d)
+    val s = BigramModel.score2Kn(spark, docs((9L, "x y")), d)
+      .as[(Long, Long, Double)].collect()
+    assert(s.length == 1 && s.head._2 == 2)
+    val pFirst = 4.0 / 9 // uni(x), add-one
+    // KN(y|x): max(2−0.75,0)/2 + (0.75·1/2)·((1+1)/5)
+    val pTrans = 1.25 / 2 + (0.75 * 1 / 2) * (2.0 / 5)
+    val want = -(math.log(pFirst) + math.log(pTrans)) / 2
+    assert(math.abs(s.head._3 - want) < 1e-6, s"got ${s.head._3} want $want")
+    // unseen predecessor ("q") backs off to the smoothed continuation:
+    // q maps to OOV (not in vocab {x,y}), OOV never appears as a mapped
+    // predecessor → p = p_cont(x) = (1+1)/5
+    val s2 = BigramModel.score2Kn(spark, docs((10L, "q x")), d)
+      .as[(Long, Long, Double)].collect()
+    val pQ = 1.0 / 9 // OOV unigram: (0+1)/9
+    val pX = 2.0 / 5
+    val want2 = -(math.log(pQ) + math.log(pX)) / 2
+    assert(math.abs(s2.head._3 - want2) < 1e-6, s"got ${s2.head._3} want $want2")
+  }
+
+  test("KN separates formulaic repetition from productive word use") {
+    val d = freshDir("kncont")
+    // 'of' is frequent but ONLY ever follows 'out' (formulaic);
+    // 'cat' is rarer but follows many predecessors (productive).
+    // After an unseen predecessor, KN must prefer the productive word —
+    // the continuation-probability property JM lacks.
+    BigramModel.ensureLm2(spark, docs(
+      (1L, "out of out of out of out of"),
+      (2L, "big cat small cat red cat fast cat")), d)
+    val s = BigramModel.score2Kn(spark, docs(
+        (10L, "zzz of"), (11L, "zzz cat")), d)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Double)].collect()
+    assert(s(0)._3 > s(1)._3,
+      s"continuation backoff must score productive 'cat' above formulaic 'of': $s")
+  }
+
   test("bigram model penalizes wrong ORDER where the unigram model cannot") {
     val d2 = freshDir("order_bi")
     val d1 = freshDir("order_uni")

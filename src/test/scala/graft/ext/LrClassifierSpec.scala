@@ -1,0 +1,90 @@
+package graft.ext
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class LrClassifierSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("training is bit-deterministic across runs") {
+    val seed = LrClassifier.fixtureSeed(docs)
+    val (v1, w1, b1) = LrClassifier.train(spark, seed, iters = 3)
+    val (v2, w2, b2) = LrClassifier.train(spark, seed, iters = 3)
+    assert(v1 == v2)
+    assert(w1 == w2, "weight maps must be identical across trainings")
+    assert(b1 == b2)
+    // 12-dp grid contract: every weight is exactly representable on it
+    w1.values.foreach { w =>
+      assert(BigDecimal(w).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble == w, s"weight off the 12-dp grid: $w")
+    }
+  }
+
+  test("a learnable planted signal is actually learned") {
+    // Synthetic distillation corpus with a WIDE margin: positive docs
+    // are 'good'-heavy, negative docs 'junk'-heavy. The student must
+    // recover the rule from normalized counts — guards against the
+    // degenerate always-one-class model a mis-tuned GD produces.
+    val rows = (0L until 200L).map { i =>
+      val good = i % 2 == 0
+      val body = if (good) "good signal clean text data" else "junk noise spam filler waste"
+      (i, s"$body common filler words here", if (good) 1.0 else 0.0)
+    }
+    val labeled = rows.toDF("doc_id", "text", "y")
+    val (_, w, b) = LrClassifier.train(spark, labeled, vocabSize = 64, iters = 8)
+    val dir = s"target/test_lrclass_${System.nanoTime()}"
+    // score via a throwaway artifact
+    labeled.select(col("doc_id"), col("text")).count() // force nothing, clarity
+    val adir = LrClassifier.ensureLr(spark, labeled, dir, vocabSize = 64, iters = 8)
+    val pred = LrClassifier.predict(spark, labeled.select(col("doc_id"), col("text")), adir)
+      .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+    val acc = pred.filter(
+      (col("pred_label") === "keep") === (col("y") === 1.0)).count() / 200.0
+    assert(acc >= 0.95, s"planted wide-margin rule must be learned, acc=$acc")
+    assert(b != 0.0 || w.values.exists(_ != 0.0))
+    deleteRecursively(dir)
+  }
+
+  test("fixture distillation: non-degenerate predictions, teacher agreement") {
+    val dir = s"target/test_lrclass_fix_${System.nanoTime()}"
+    val seed = LrClassifier.fixtureSeed(docs)
+    val adir = LrClassifier.ensureLr(spark, seed, dir)
+    val pred = LrClassifier.predict(spark, docs, adir).cache()
+    val n = pred.count()
+    val keeps = pred.filter(col("pred_label") === "keep").count()
+    assert(keeps > 0 && keeps < n,
+      s"degenerate one-class model: $keeps/$n keep")
+    // agreement with the teacher gate on the labeled seed (train-set
+    // accuracy) must beat the majority baseline
+    val teacher = seed.select(col("doc_id"), col("y"))
+    val joined = pred.join(teacher, Seq("doc_id"))
+    val agree = joined.filter(
+      (col("pred_label") === "keep") === (col("y") === 1.0)).count()
+    val total = joined.count()
+    val base = math.max(
+      teacher.filter(col("y") === 1.0).count(),
+      teacher.filter(col("y") === 0.0).count())
+    assert(agree.toDouble / total > base.toDouble / total,
+      s"student must beat majority baseline: $agree/$total vs $base/$total")
+    pred.unpersist()
+    deleteRecursively(dir)
+  }
+
+  test("artifact: fingerprint-guarded rebuild, kind check") {
+    val dir = s"target/test_lrclass_art_${System.nanoTime()}"
+    val seed = LrClassifier.fixtureSeed(docs)
+    val d1 = LrClassifier.ensureLr(spark, seed, dir, iters = 2)
+    val w1 = spark.read.parquet(s"$d1/weights").as[(String, Double)].collect().toMap
+    // same seed: ensure is a freshness check, weights unchanged
+    LrClassifier.ensureLr(spark, seed, dir, iters = 2)
+    val w2 = spark.read.parquet(s"$d1/weights").as[(String, Double)].collect().toMap
+    assert(w1 == w2)
+    intercept[Exception] {
+      LrClassifier.score(spark,
+        docs, s"target/definitely_missing_${System.nanoTime()}")
+    }
+    deleteRecursively(dir)
+  }
+}
