@@ -139,17 +139,39 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("cos"))
   }
 
-  /** SRP-LSH bucket id for one table: h sign bits packed into a long. */
+  /** SRP-LSH bucket id for one table: h sign bits packed into a long —
+    * the per-plane compositional form, kept for SINGLE-table uses
+    * (SemDeDup's sub-split). Multi-table bucketing must go through
+    * [[withBuckets]]'s one-pass [[graft.functions.SrpBuckets]] kernel
+    * instead: tables·h separate cosine expressions in one projection
+    * blow the generated method past HotSpot's huge-method limit and
+    * the stage executes as interpreted bytecode (measured 43 s vs
+    * 1.3 s over 200k vectors).
+    */
   private def srpBucket(emb: Column, table: Int, h: Int, dims: Int): Column =
     (0 until h).map { p =>
-      val plane = array((0 until dims).map(d => lit(planeComponent(table, p, d).toFloat)): _*)
+      val plane = typedLit(
+        (0 until dims).map(d => planeComponent(table, p, d).toFloat).toArray)
       when(cosine_sim(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The float-plane family flattened for the one-pass kernel: same
+    * (table, plane, dim) derivation as [[srpBucket]], widened from
+    * float exactly as the cosine numerator widens it — buckets are
+    * bit-identical to the compositional form, so previously persisted
+    * SRP indexes stay valid.
+    */
+  private def planeMatrix(tables: Int, h: Int, dims: Int): Array[Double] =
+    Array.tabulate(tables * h * dims) { i =>
+      val t = i / (h * dims); val p = (i / dims) % h; val d = i % dims
+      planeComponent(t, p, d).toFloat.toDouble
+    }
+
   private[ext] def withBuckets(emb: DataFrame, h: Int, tables: Int, dims: Int): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        srpBucket(col("embedding"), t, h, dims)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(graft.functions.native.srp_buckets(
+        col("embedding"), planeMatrix(tables, h, dims), tables, h, dims))
+        .as(Seq("tbl", "bucket")))
 
   /** ANN via SRP-LSH: candidate ids from bucket collisions in any of
     * `tables` hash tables; exact cosine re-rank on the deduplicated
@@ -302,21 +324,27 @@ object Similarity {
 
   /** Map-side PQ encoding: argmin-L2 per subspace via argmax(dot − |c|²/2)
     * — codeword norms folded in driver-side so the per-row work is one
-    * dot product per codeword. Zero shuffle, zero row blowup.
+    * dot product per codeword. Zero shuffle, zero row blowup. Runs in
+    * the one-pass [[graft.functions.PqEncode]] kernel (m·codesPerSub
+    * compositional dot expressions exceeded the huge-method limit — the
+    * SrpBuckets lesson); codes are bit-identical to the compositional
+    * form, so persisted code tables stay valid.
     */
   private[ext] def pqEncodeCol(codebook: Array[Array[Array[Float]]],
                                subDims: Int, embCol: Column): Column = {
-    val halfNormSq: Array[Array[Double]] =
-      codebook.map(_.map(c => 0.5 * c.map(x => x.toDouble * x).sum))
-    def subvec(j: Int) = slice(embCol, j * subDims + 1, subDims)
-    array(codebook.indices.map { j =>
-      array_max(array(codebook(j).indices.map { c =>
-        struct(
-          (graft.functions.native.dot_product(subvec(j), typedLit(codebook(j)(c)))
-            - lit(halfNormSq(j)(c))).as("s"),
-          lit(c).as("c"))
-      }: _*)).getField("c")
-    }: _*)
+    val m = codebook.length
+    val codesPerSub = codebook(0).length
+    val flat = Array.tabulate(m * codesPerSub * subDims) { i =>
+      val j = i / (codesPerSub * subDims)
+      val c = (i / subDims) % codesPerSub
+      val d = i % subDims
+      codebook(j)(c)(d).toDouble
+    }
+    val halfNormSq = Array.tabulate(m * codesPerSub) { i =>
+      0.5 * codebook(i / codesPerSub)(i % codesPerSub)
+        .map(x => x.toDouble * x).sum
+    }
+    graft.functions.native.pq_encode(embCol, flat, halfNormSq, m, subDims, codesPerSub)
   }
 
   /** ADC search over an encoded `(n_id, n_label, codes)` table: per-query
@@ -329,19 +357,27 @@ object Similarity {
                                codebook: Array[Array[Array[Float]]], subDims: Int,
                                nQueries: Int, k: Int, rerank: Int): DataFrame = {
     val m = codebook.length
+    val codesPerSub = codebook(0).length
     val queries = collectQueries(emb, nQueries)
-    val adcPerQuery = queries.map { case (qid, qv) =>
-      val lut: Array[Array[Double]] = Array.tabulate(m)(j =>
-        Array.tabulate(codebook(j).length)(c =>
-          codebook(j)(c).zip(qv.slice(j * subDims, (j + 1) * subDims))
-            .map { case (a, b) => a.toDouble * b }.sum))
-      val score = (0 until m).map(j =>
-        element_at(typedLit(lut(j)), col("codes")(j) + lit(1))).reduce(_ + _)
-      struct(lit(qid).as("q_id"), score.as("adc"))
+    // flattened [query][subspace][code] dot-product tables, one
+    // reference object for the one-pass ADC kernel (nQueries·m
+    // compositional element_at lookups exceeded the huge-method limit)
+    val luts = Array.tabulate(queries.length * m * codesPerSub) { i =>
+      val q = i / (m * codesPerSub)
+      val j = (i / codesPerSub) % m
+      val c = i % codesPerSub
+      val qv = queries(q)._2
+      codebook(j)(c).zip(qv.slice(j * subDims, (j + 1) * subDims))
+        .map { case (a, b) => a.toDouble * b }.sum
     }
+    val qids = queries.map(_._1)
     val candidates = encoded
-      .select(col("n_id"), col("n_label"), explode(array(adcPerQuery.toSeq: _*)).as("qa"))
-      .select(col("qa.q_id").as("q_id"), col("n_id"), col("n_label"), col("qa.adc").as("adc"))
+      .select(col("n_id"), col("n_label"),
+        posexplode(graft.functions.native.pq_adc_scores(
+          col("codes"), luts, queries.length, m, codesPerSub))
+          .as(Seq("qi", "adc")))
+      .select(element_at(typedLit(qids), col("qi") + 1).as("q_id"),
+        col("n_id"), col("n_label"), col("adc"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cand_rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)))
@@ -422,23 +458,19 @@ object Similarity {
     (h(0) & 0xFF) - 128
   }
 
-  /** SRP bucket over micro-unit embeddings with md5-integer planes: bit
-    * p of the bucket id is the sign of an exact integer-valued dot
+  /** The md5-integer plane family flattened for the one-pass kernel:
+    * bit p of bucket t is the sign of an exact integer-valued dot
     * product (|coef| ≤ 128, |xu| ≤ 1e6, 64 dims → sums < 2^34 — exact
-    * in the double-accumulating codegen kernel). No rounding enters
-    * the bucket decision, so candidate generation is bit-identical
-    * across engines — the property that lets
-    * [[cosineNearDupPairsExact]] carry a full DuckDB oracle where the
-    * float-plane [[srpBucket]] variant cannot.
+    * in the double-accumulating kernel). No rounding enters the bucket
+    * decision, so candidate generation is bit-identical across engines
+    * — the property that lets [[cosineNearDupPairsExact]] carry a full
+    * DuckDB oracle where the float-plane family cannot.
     */
-  private def srpMd5Bucket(embMicro: Column, table: Int, h: Int,
-                           dims: Int): Column =
-    (0 until h).map { p =>
-      val plane = array((0 until dims).map(dm =>
-        lit(md5PlaneComponent(table, p, dm).toDouble)): _*)
-      when(graft.functions.native.dot_product(embMicro, plane) >= 0.0,
-        lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def md5PlaneMatrix(tables: Int, h: Int, dims: Int): Array[Double] =
+    Array.tabulate(tables * h * dims) { i =>
+      val t = i / (h * dims); val p = (i / dims) % h; val d = i % dims
+      md5PlaneComponent(t, p, d).toDouble
+    }
 
   /** Hash-verifiable embedding-cosine near-dup pairs: the
     * [[cosineNearDupPairs]] dataflow (SRP-bucket candidates → exact
@@ -454,11 +486,10 @@ object Similarity {
                               dims: Int = 64): DataFrame = {
     val prep = microPrep(emb).localCheckpoint()
     val withB = prep
-      .select(col("vec_id"), col("eu"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"),
-            srpMd5Bucket(col("eu"), t, h, dims).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(graft.functions.native.srp_buckets(
+          col("eu"), md5PlaneMatrix(tables, h, dims), tables, h, dims))
+          .as(Seq("tbl", "bucket")))
     val a = withB.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
     val b = withB.select(col("tbl"), col("bucket"), col("vec_id").as("b_id"))
     val candidates = a.join(b, Seq("tbl", "bucket"))

@@ -207,6 +207,261 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All `tables` SRP-LSH bucket ids of one embedding in ONE pass: bit p
+  * of bucket t is the sign of the dot product against plane (t, p) of a
+  * fixed plane matrix (flattened `[tables·h·dims]`, shipped as a
+  * codegen reference object, derived deterministically by the caller).
+  *
+  * Exists for generated-CODE-SIZE reasons, not expression-power ones: a
+  * per-plane formulation (`tables·h` separate dot/cosine expressions in
+  * one projection) inflates the stage's generated method past HotSpot's
+  * huge-method limit, and the whole projection executes as interpreted
+  * bytecode — measured 43 s for the 4×8-plane bucket pass over 200k
+  * vectors, vs ~1.4 s for a single-table (8-plane, sub-limit) version
+  * of the same code. This one tight loop keeps the method small at any
+  * (tables, h).
+  *
+  * Sign convention matches the previous `cosine_sim(emb, plane) >= 0`
+  * formulation bit-for-bit: the numerator is accumulated in the same
+  * element order at double precision, and dividing by the (positive)
+  * norms cannot change the sign — so buckets agree with every
+  * previously persisted SRP index.
+  */
+case class SrpBuckets(child: Expression, planes: Array[Double],
+                      tables: Int, h: Int, dims: Int)
+    extends UnaryExpression {
+  require(planes.length == tables * h * dims, "plane matrix shape mismatch")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val doubleInput = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_buckets expects array<float>/array<double>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(dims, arr.numElements())
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < h) {
+        val base = (t * h + p) * dims
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val x = if (doubleInput) arr.getDouble(d) else arr.getFloat(d).toDouble
+          dot += planes(base + d) * x
+          d += 1
+        }
+        if (dot >= 0.0) b |= (1L << p)
+        p += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("srpPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p")
+      val b = ctx.freshName("b"); val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot"); val d = ctx.freshName("d")
+      val getX =
+        if (doubleInput) s"$arr.getDouble($d)" else s"(double) $arr.getFloat($d)"
+      s"""
+         |int $n = java.lang.Math.min($dims, $arr.numElements());
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $b = 0L;
+         |  for (int $p = 0; $p < $h; $p++) {
+         |    int $base = ($t * $h + $p) * $dims;
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dot += $planesRef[$base + $d] * $getX;
+         |    }
+         |    if ($dot >= 0.0) $b |= (1L << $p);
+         |  }
+         |  $out[$t] = $b;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ encoding of one embedding in ONE pass: per subspace j, the argmax
+  * over codewords of (dot(subvector, codeword) − ½|codeword|²), ties to
+  * the HIGHER code index (the `array_max(struct(s, c))` order of the
+  * compositional form this replaces — codes stay bit-identical, so
+  * persisted code tables and their additive fingerprints remain valid).
+  * Codebook and folded half-norms ship as codegen reference objects.
+  *
+  * Same generated-code-size story as [[SrpBuckets]]: m·codesPerSub
+  * separate dot expressions in one projection (128 at the defaults)
+  * blow the stage past HotSpot's huge-method limit and the encode pass
+  * runs interpreted — measured 37 s → ~3 s for the 200k-vector PQ
+  * build.
+  */
+case class PqEncode(child: Expression, codebook: Array[Double],
+                    halfNormSq: Array[Double], m: Int, subDims: Int,
+                    codesPerSub: Int)
+    extends UnaryExpression {
+  require(codebook.length == m * codesPerSub * subDims, "codebook shape mismatch")
+  require(halfNormSq.length == m * codesPerSub, "norm table shape mismatch")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.NegativeInfinity
+      var bestC = 0
+      var c = 0
+      while (c < codesPerSub) {
+        val cb = (j * codesPerSub + c) * subDims
+        var dot = 0.0
+        var d = 0
+        val lim = math.max(0, math.min(subDims, n - j * subDims))
+        while (d < lim) {
+          dot += codebook(cb + d) * arr.getFloat(j * subDims + d).toDouble
+          d += 1
+        }
+        val s = dot - halfNormSq(j * codesPerSub + c)
+        if (s >= best) { best = s; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val nrmRef = ctx.addReferenceObj("pqHalfNorms", halfNormSq, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val cb = ctx.freshName("cb"); val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d"); val lim = ctx.freshName("lim")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  int $bestC = 0;
+         |  for (int $c = 0; $c < $codesPerSub; $c++) {
+         |    int $cb = ($j * $codesPerSub + $c) * $subDims;
+         |    double $dot = 0.0;
+         |    int $lim = java.lang.Math.max(0,
+         |      java.lang.Math.min($subDims, $n - $j * $subDims));
+         |    for (int $d = 0; $d < $lim; $d++) {
+         |      $dot += $cbRef[$cb + $d] * (double) $arr.getFloat($j * $subDims + $d);
+         |    }
+         |    double $s = $dot - $nrmRef[$j * $codesPerSub + $c];
+         |    if ($s >= $best) { $best = $s; $bestC = $c; }
+         |  }
+         |  $out[$j] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC scores of one PQ code row against every query's lookup table in
+  * ONE pass: out[q] = Σ_j lut[q][j][codes[j]], summed in subspace order
+  * (the left-fold order of the per-query `element_at` chain this
+  * replaces — scores identical). LUTs ship flattened as one reference
+  * object. Same huge-method rationale as [[PqEncode]]: nQueries·m
+  * separate element_at lookups (80 at the defaults) pushed the ADC scan
+  * to interpreted bytecode — measured 9.9 s → ~1 s over 200k code rows.
+  */
+case class PqAdcScores(child: Expression, luts: Array[Double],
+                       nQueries: Int, m: Int, codesPerSub: Int)
+    extends UnaryExpression {
+  require(luts.length == nQueries * m * codesPerSub, "lut shape mismatch")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_scores expects array<int> codes, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](nQueries)
+    var q = 0
+    while (q < nQueries) {
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        s += luts((q * m + j) * codesPerSub + codes.getInt(j))
+        j += 1
+      }
+      out(q) = s
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("adcLuts", luts, "double[]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val out = ctx.freshName("out"); val q = ctx.freshName("q")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      s"""
+         |double[] $out = new double[$nQueries];
+         |for (int $q = 0; $q < $nQueries; $q++) {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $lutRef[($q * $m + $j) * $codesPerSub + $codes.getInt($j)];
+         |  }
+         |  $out[$q] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** k-permutation MinHash signature of a shingle array, using the
   * Kirsch-Mitzenmacher construction (two xxhash64 evaluations per
   * element, g_i = h1 + i·h2) — one pass over the shingles instead of k.
@@ -548,6 +803,27 @@ object native {
 
   /** 64-bit SimHash of an array<long> of token hashes. */
   def simhash64(tokenHashes: Column): Column = toCol(SimHash64(ex(tokenHashes)))
+
+  /** All SRP-LSH bucket ids (array<long>, one per table) of a
+    * float/double embedding against a flattened plane matrix.
+    */
+  def srp_buckets(emb: Column, planes: Array[Double],
+                  tables: Int, h: Int, dims: Int): Column =
+    toCol(SrpBuckets(ex(emb), planes, tables, h, dims))
+
+  /** PQ codes (array<int>, one per subspace) of a float embedding
+    * against a flattened codebook with pre-folded half-norms.
+    */
+  def pq_encode(emb: Column, codebook: Array[Double], halfNormSq: Array[Double],
+                m: Int, subDims: Int, codesPerSub: Int): Column =
+    toCol(PqEncode(ex(emb), codebook, halfNormSq, m, subDims, codesPerSub))
+
+  /** Per-query ADC scores (array<double>) of a PQ code row against
+    * flattened per-query lookup tables.
+    */
+  def pq_adc_scores(codes: Column, luts: Array[Double],
+                    nQueries: Int, m: Int, codesPerSub: Int): Column =
+    toCol(PqAdcScores(ex(codes), luts, nQueries, m, codesPerSub))
 
   /** k-permutation MinHash signature of an array<string>. */
   def minhash_sig(shingles: Column, k: Int): Column = toCol(MinHashSignature(ex(shingles), k))
