@@ -36,6 +36,11 @@ object Warm {
     graft.ext.LanguageModel.ensureLm(spark,
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
       s"${Artifact.root(d)}/unigram_lm_seed")
+    // prime the session vocab memos: the first scorer against each LM
+    // would otherwise pay the one-time ledger netting inside its own
+    // per-query measurement
+    for (lm <- Seq("unigram_lm", "unigram_lm_target", "unigram_lm_seed"))
+      graft.ext.LanguageModel.warmVocab(spark, s"${Artifact.root(d)}/$lm")
     graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
       s"${Artifact.root(d)}/nbclass")
     graft.ext.LrClassifier.ensureLr(spark,

@@ -177,8 +177,27 @@ object BigramModel {
                                bg: DataFrame, nBigrams: Long,
                                stream: DataFrame)
 
+  /** Session memo over the model-side prep (netted vocab, smoothing
+    * constant, mapped bigram table): the JM and KN scorers share one
+    * artifact and both re-netted both ledgers per call (~1 s of driver
+    * actions each). Keyed by artifact meta — the additive fingerprint
+    * bumps on append/remove, so a mutated model re-nets — and the
+    * application id. The corpus-dependent `stream` stays per-call.
+    */
+  private val prepMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Long, DataFrame, Long)]
+
   private def scorePrep(spark: SparkSession, docs: DataFrame, dir: String,
                         vocabSize: Int): ScorePrep = {
+    val (v, vSize, dUni, bg, nBigrams) = prepMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}#$dir#$vocabSize#" +
+        Artifact.readMeta(spark, dir).getOrElse(""),
+      modelPrep(spark, dir, vocabSize))
+    ScorePrep(v, vSize, dUni, bg, nBigrams, tokenStream(docs, v))
+  }
+
+  private def modelPrep(spark: SparkSession, dir: String,
+                        vocabSize: Int): (DataFrame, Long, Long, DataFrame, Long) = {
     Artifact.requireKind(spark, dir, MetaPrefix)
     val v = spark.read.parquet(s"$dir/counts")
       .groupBy(col("token")).agg(sum(col("c")).as("c"))
@@ -202,14 +221,20 @@ object BigramModel {
       .select(mapSide("prev").as("prev"), mapSide("cur").as("cur"), col("c"))
       .groupBy(col("prev"), col("cur")).agg(sum(col("c")).as("c2"))
       .localCheckpoint()
-    // scoring terms: one (cur, prev) struct per token position, built
-    // in-row (the array is never carried through the explode)
+    (v, vSize, dUni, bg, bg.count())
+  }
+
+  /** The per-call corpus side: one (cur, prev) struct per token
+    * position, built in-row (the array is never carried through the
+    * explode), both sides mapped onto vocab ∪ {OOV}.
+    */
+  private def tokenStream(docs: DataFrame, v: DataFrame): DataFrame = {
     val terms = element_at(transform(array(TextAnalysis.tokens(col("text"))), toks =>
       transform(sequence(lit(1), size(toks)), i =>
         struct(element_at(toks, i).as("cur"),
           when(i === 1, lit(null).cast("string"))
             .otherwise(element_at(toks, i - 1)).as("prev")))), 1)
-    val stream = docs.select(col("doc_id"), explode(terms).as("t"))
+    docs.select(col("doc_id"), explode(terms).as("t"))
       .select(col("doc_id"), col("t.cur").as("cur"), col("t.prev").as("prev"))
       .join(broadcast(v.select(col("token").as("cur"), col("c").as("c1"))),
         Seq("cur"), "left")
@@ -220,7 +245,6 @@ object BigramModel {
           .otherwise(when(col("prev_in"), col("prev")).otherwise(lit(Oov))))
       .withColumn("cur_m",
         when(col("c1").isNotNull, col("cur")).otherwise(lit(Oov)))
-    ScorePrep(v, vSize, dUni, bg, bg.count(), stream)
   }
 
   /** The model join: a localCheckpointed table has no stats, so the

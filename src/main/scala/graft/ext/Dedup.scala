@@ -759,6 +759,40 @@ object Dedup {
     corpus.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** The BATCH-BOUNDED twin of [[applyDedup]] for streaming micro-batch
+    * admission: the within-batch pair graph is bounded by the batch
+    * (maxBucket-capped candidates over a bounded batch), so distributed
+    * iterative CC — whose cost at this size is the driver round-trips
+    * of its convergence checks, not the data — loses to collecting the
+    * EDGE LIST (pairs only, never documents) and running union-find on
+    * the driver. Same keeper rule (component-min doc_id), equality with
+    * [[applyDedup]] spec-pinned; the corpus-scale paths keep the
+    * distributed algorithms.
+    */
+  def applyDedupLocal(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (edges.isEmpty) corpus
+    else {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // root = min id
+      }
+      val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val losers = members.filter(m => find(m) != m)
+      import corpus.sparkSession.implicits._
+      corpus.join(broadcast(losers.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+    }
+  }
+
   /** N-gram Jaccard top-K most-similar pairs. Candidates come from the
     * r=4 banding (collision ∝ j⁴ — a top-K query only needs the
     * high-similarity head to collide, and the j² banding drowned the

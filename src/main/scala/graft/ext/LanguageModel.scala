@@ -192,11 +192,37 @@ object LanguageModel {
     * training corpus: scoring new data against a frozen corpus model is
     * the production serving shape.
     */
+  /** Session memo over the pinned serving vocab: every scoring call
+    * (perplexity queries, DSIR's two models, the streaming quality
+    * gate's per-micro-batch scoring) re-netted the count ledger — 3-4
+    * driver actions per call over a bounded table that only changes
+    * when the MODEL changes. Keyed by the artifact meta (the additive
+    * fingerprint bumps on every append/remove, so a mutated model
+    * re-nets) and the application id (a later session retrains rather
+    * than serving state bound to a stopped context).
+    */
+  private val vocabMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def vocabCached(spark: SparkSession, dir: String,
+                          vocabSize: Int): DataFrame =
+    vocabMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}#$dir#$vocabSize#" +
+        Artifact.readMeta(spark, dir).getOrElse(""),
+      vocab(spark, dir, vocabSize).localCheckpoint())
+
+  /** Pre-net the serving vocab into the session memo — called from the
+    * warm phase so the first scoring query against each model measures
+    * serve cost, not the one-time ledger netting.
+    */
+  def warmVocab(spark: SparkSession, dir: String, vocabSize: Int = 4096): Unit =
+    vocabCached(spark, dir, vocabSize)
+
   def score(spark: SparkSession, docs: DataFrame, dir: String,
             vocabSize: Int = 4096): DataFrame = {
     // the vocab is read twice (smoothing constant + join side): pin the
     // bounded table once instead of re-running the ledger aggregate
-    val v = vocab(spark, dir, vocabSize).localCheckpoint()
+    val v = vocabCached(spark, dir, vocabSize)
     val consts = v.agg((coalesce(sum(col("c")), lit(0L)) + count(lit(1)) + 1L).as("d"))
     docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .join(broadcast(v), Seq("token"), "left")

@@ -121,6 +121,24 @@ class DedupSpec extends SparkSuite {
     assert(marker.lastModified() != t1, "changed corpus must rebuild the pair table")
   }
 
+  test("applyDedupLocal equals applyDedup: same survivors, empty-graph identity") {
+    // the union-find twin must keep exactly the distributed keeper set
+    // (component-min doc_id) on a multi-component graph with chains
+    val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L), (9L, 10L), (3L, 9L))
+      .toDF("a_id", "b_id") // {1,2,3,9,10} and {5,7} → keep 1 and 5
+    val dist = Dedup.applyDedup(corpus, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val local = Dedup.applyDedupLocal(corpus, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local == Set(1L, 4L, 5L, 6L, 8L))
+    // empty pair graph: identity, no job machinery
+    val empty = pairs.filter(col("a_id") < 0)
+    assert(Dedup.applyDedupLocal(corpus, empty)
+      .select("doc_id").as[Long].collect().toSet == (1L to 10L).toSet)
+  }
+
   test("persisted group artifact: equals live star contraction, rebuilds transitively") {
     val pairDir = "target/dedupspec/groups_pairs"
     val gDir = "target/dedupspec/groups"
