@@ -2509,25 +2509,30 @@ object ExtQueries {
     // half-away-from-zero by INTEGER division — the round never
     // touches a double, so Spark decimal and DuckDB HUGEINT agree
     // bit-for-bit (the r7 mismatch was round-6 applied to a double).
+    // Moments in exact integer micro-units: per-ELEMENT rounding
+    // (xu = round6(x)·1e6 — the embed_drift_means chain), then pure
+    // integer product sums P = Σ xu_i·xu_j and the centering identity
+    // cov = (n·P − X_i·X_j)/(n²·1e12), round-6 as a half-away integral
+    // division — every quantity exact in both engines (the Spark side
+    // is a single treeAggregate over longs; Pca.momentsPass).
     "pca_covariance" ->
       """WITH e AS (
-        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), u AS (
+        |  SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
+        |    CAST(CAST(unnest(v) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xu
+        |  FROM e
         |), cells AS (
-        |  SELECT i, j,
-        |    CAST(SUM(CAST(CAST(v[i+1] * v[j+1] AS DECIMAL(18,6)) * 1000000
-        |      AS BIGINT)) AS HUGEINT) AS sprod_u,
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(a.xu * b.xu) AS HUGEINT) AS sprod_pu,
         |    COUNT(*) AS n
-        |  FROM e CROSS JOIN generate_series(0, 63) AS gi(i)
-        |         CROSS JOIN generate_series(0, 63) AS gj(j)
-        |  WHERE j >= i GROUP BY i, j
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2
         |), means AS (
-        |  SELECT i, CAST(SUM(CAST(CAST(v[i+1] AS DECIMAL(18,6)) * 1000000
-        |    AS BIGINT)) AS HUGEINT) AS sx_u
-        |  FROM e CROSS JOIN generate_series(0, 63) AS gi(i) GROUP BY i
+        |  SELECT i, CAST(SUM(xu) AS HUGEINT) AS sx_u FROM u GROUP BY i
         |), t AS (
         |  SELECT c.i, c.j,
-        |    CAST(c.n AS HUGEINT) * c.sprod_u * 1000000
-        |      - mi.sx_u * mj.sx_u AS num,
+        |    CAST(c.n AS HUGEINT) * c.sprod_pu - mi.sx_u * mj.sx_u AS num,
         |    CAST(c.n AS HUGEINT) * c.n * 1000000 AS den
         |  FROM cells c JOIN means mi ON mi.i = c.i JOIN means mj ON mj.i = c.j
         |)

@@ -37,81 +37,104 @@ object Pca {
   // the fixture dir is rewritten mid-app, use a fresh key.
   private def modelFor(spark: SparkSession, emb: DataFrame, key: String): Model =
     memo.getOrElseUpdate(s"${spark.sparkContext.applicationId}#$key", {
-      val (sxU, n) = meansPass(emb)
-      val cov = covMatrix(covarianceWithMeans(emb, sxU, n))
+      val (pU, sxU, n) = momentsPass(emb)
+      val cov = Array.ofDim[Double](Dims, Dims)
+      cellsFromMoments(pU, sxU, n).foreach { case (i, j, c) =>
+        cov(i)(j) = c; cov(j)(i) = c
+      }
       val (vals, vecs) = jacobiEigen(cov)
       Model(cov, vals, vecs,
         Array.tabulate(Dims)(i => sxU(i).toDouble / 1e6 / n))
     })
 
-  /** Exact per-dimension sums in 1e-6 ("micro") units plus the row
-    * count: one scan, 64 aggregated cells to the driver. Micro-units
-    * keep every later step (centering, round-6) in exact integer
-    * arithmetic — no double ever gets rounded, so the cells replay
-    * bit-for-bit in any engine with exact decimals.
-    * Also asserts every row carries all [[Dims]] dimensions (a short
-    * vector would silently shrink the count for its missing dims).
+  /** Exact first+second moments in ONE treeAggregate scan: per-element
+    * micro-units xu = round₆(x)·10⁶ (replicating Spark's
+    * double→decimal(18,6) cast — `BigDecimal.valueOf`, the
+    * shortest-string value, HALF_UP), then pure long accumulation of
+    * the d sums X and the d(d+1)/2 upper-tri product sums
+    * P = Σ xu_i·xu_j. Integer addition is associative, so the result
+    * is partitioning-independent EXACTLY — the same treeAggregate
+    * shape as [[covarianceFastMatrix]], which rounds differently and
+    * is therefore only ~1e-12 reproducible; here the gate path and the
+    * scale path finally share one dataflow and differ only in
+    * accumulator type. (The previous gate path exploded n·d(d+1)/2
+    * decimal cells through a hash aggregate — same exchange size, but
+    * 4.5 s of row machinery at sf0.1 vs ~0.4 s for this flops-bound
+    * fold.)
+    *
+    * Range: |xu| ≤ 10⁶·max|x|; with unit-scale embeddings the product
+    * sums overflow long only past ~10⁷ rows — beyond that, shard the
+    * fold or serve [[covarianceFastMatrix]] (the documented 100 TB
+    * path). Also asserts every row carries all [[Dims]] dimensions.
     */
-  def meansPass(emb: DataFrame): (Array[Long], Long) = {
-    val rows = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
-      .groupBy(col("i"))
-      .agg(sum((col("xi").cast("double").cast("decimal(18,6)") * lit(1000000L))
-          .cast("decimal(20,0)")).cast("decimal(38,0)").as("sx_u"),
-        count(lit(1)).as("n"))
-      .collect()
-    require(rows.length == Dims, s"expected $Dims dims, saw ${rows.length}")
-    val ns = rows.map(_.getLong(2)).distinct
-    require(ns.length == 1, s"ragged embedding lengths: per-dim counts $ns")
-    val sx = new Array[Long](Dims)
-    rows.foreach(r => sx(r.getInt(0)) = r.getDecimal(1).longValueExact)
-    (sx, ns.head)
+  def momentsPass(emb: DataFrame): (Array[Long], Array[Long], Long) = {
+    val d = Dims
+    val tri = d * (d + 1) / 2
+    val (p, x, n) = emb.select(col("embedding")).rdd
+      .map(_.getSeq[Float](0).toArray)
+      .treeAggregate((new Array[Long](tri), new Array[Long](d), 0L))(
+        { case ((p, x, n), v) =>
+          require(v.length == d, s"expected $d dims, saw ${v.length}")
+          val xu = new Array[Long](d)
+          var i = 0
+          while (i < d) {
+            xu(i) = java.math.BigDecimal.valueOf(v(i).toDouble)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .scaleByPowerOfTen(6).longValueExact
+            i += 1
+          }
+          var idx = 0
+          i = 0
+          while (i < d) {
+            x(i) += xu(i)
+            var j = i
+            while (j < d) { p(idx) += xu(i) * xu(j); idx += 1; j += 1 }
+            i += 1
+          }
+          (p, x, n + 1)
+        },
+        { case ((p1, x1, n1), (p2, x2, n2)) =>
+          var k = 0
+          while (k < tri) { p1(k) += p2(k); k += 1 }
+          var i = 0
+          while (i < d) { x1(i) += x2(i); i += 1 }
+          (p1, x1, n1 + n2)
+        })
+    require(n > 0, "empty embedding table")
+    (p, x, n)
   }
 
-  /** Upper-triangular covariance cells (i <= j, 0-based), round-6.
-    * Shape: the double explode materializes n·d(d+1)/2 cells but they
-    * partial-aggregate to 2080 per partition before the exchange —
-    * the shuffle is sketch-sized, not corpus-sized.
+  /** The centering identity on exact integers, driver-side BigInt (2080
+    * cells — trivial): cov = (n·P − X_i·X_j)/(n²·10¹²), so the round-6
+    * cell is halfaway(n·P − X_i·X_j, n²·10⁶)/10⁶ — replayed
+    * token-for-token in the DuckDB oracle (HUGEINT there). Rounding a
+    * ratio of exact integers is engine-independent; rounding a double
+    * is not (that was the r7 `pca_covariance` hash mismatch).
+    */
+  private def cellsFromMoments(pU: Array[Long], sxU: Array[Long],
+                               n: Long): IndexedSeq[(Int, Int, Double)] = {
+    val bn = BigInt(n)
+    val den = bn * bn * BigInt(1000000L)
+    var idx = -1
+    for (i <- 0 until Dims; j <- i until Dims) yield {
+      idx += 1
+      val num = bn * BigInt(pU(idx)) - BigInt(sxU(i)) * BigInt(sxU(j))
+      val r =
+        if (num < 0) -((-num * 2 + den) / (den * 2))
+        else (num * 2 + den) / (den * 2)
+      (i, j, r.toDouble / 1e6)
+    }
+  }
+
+  /** Upper-triangular covariance cells (i <= j, 0-based), round-6, as a
+    * DataFrame — one [[momentsPass]] scan, cells finished on the
+    * driver.
     */
   def covariance(emb: DataFrame): DataFrame = {
-    val (sxU, n) = meansPass(emb)
-    covarianceWithMeans(emb, sxU, n)
-  }
-
-  /** The centering identity in exact integer micro-units:
-    * cov = (n·sprod − sx_i·sx_j) / n², so with P = sprod·1e6,
-    * X = sx·1e6 the round-6 cell is
-    * round_half_away(n·P·1e6 − X_i·X_j, n²·1e6) / 1e6 — one decimal
-    * (38,0) chain plus an integral division, replayed token-for-token
-    * in the DuckDB oracle (HUGEINT there). Rounding a ratio of exact
-    * integers is engine-independent; rounding a double is not (that
-    * was the r7 `pca_covariance` hash mismatch).
-    */
-  private def covarianceWithMeans(emb: DataFrame, sxU: Array[Long],
-                                  n: Long): DataFrame = {
-    val sxLit = typedLit(sxU.toSeq)
-    val big = "decimal(38,0)"
-    emb
-      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"),
-        explode(sequence(col("i"), lit(Dims - 1))).as("j"), col("embedding"))
-      .select(col("i"), col("j"),
-        ((col("xi").cast("double") *
-            element_at(col("embedding"), col("j") + 1).cast("double"))
-          .cast("decimal(18,6)") * lit(1000000L)).cast("decimal(20,0)").as("p_u"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p_u")).cast(big).as("sprod_u"))
-      .withColumn("num",
-        lit(n).cast(big) * col("sprod_u") * lit(1000000L).cast(big)
-          - element_at(sxLit, col("i") + 1).cast(big)
-            * element_at(sxLit, col("j") + 1).cast(big))
-      .withColumn("den", lit(n).cast(big) * lit(n).cast(big) * lit(1000000L).cast(big))
-      .withColumn("r_u", expr(
-        "CASE WHEN num < 0 THEN -((2 * (-num) + den) div (2 * den)) " +
-          "ELSE (2 * num + den) div (2 * den) END"))
-      .select(col("i"), col("j"),
-        (col("r_u").cast("double") / lit(1000000.0)).as("cov"))
-      .orderBy(col("i"), col("j"))
+    val (pU, sxU, n) = momentsPass(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cellsFromMoments(pU, sxU, n).toDF("i", "j", "cov")
   }
 
   /** Deterministic cyclic Jacobi on the symmetric round-6 covariance:
