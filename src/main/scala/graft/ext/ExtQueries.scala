@@ -1791,6 +1791,53 @@ object ExtQueries {
     // The oracle keys on the k-gram STRINGS where the Spark side keys
     // on their 64-bit hashes (collision odds ~n²/2⁶⁴ — the same trade
     // candidatePairs documents); coverage arithmetic is identical.
+    // The ExactSubstr REWRITE replayed end-to-end: same cross-document
+    // k-gram test and least-(doc_id,pos) keeper as the spans oracle
+    // (gram strings here vs xxhash64 on the engine side — identical
+    // modulo 2^-64 collisions, the accepted spans-oracle argument),
+    // same per-token keeper-vs-redundant resolution, and the rewrite
+    // reassembled by string_agg over surviving token positions.
+    "dedup_substring_rewrite" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p FROM documents
+        |), kg AS (
+        |  SELECT doc_id, i AS pos, array_to_string(p[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, p, unnest(generate_series(1, len(p) - 7)) AS i
+        |        FROM parts)
+        |), keepers AS (
+        |  SELECT g,
+        |    (min(struct_pack(d := doc_id, p := pos))).d AS kd,
+        |    (min(struct_pack(d := doc_id, p := pos))).p AS kp
+        |  FROM kg GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+        |), dropset AS (
+        |  SELECT doc_id, tpos FROM (
+        |    SELECT k2.doc_id, k2.pos + u.o AS tpos,
+        |      (k2.doc_id = ke.kd AND k2.pos = ke.kp) AS is_keeper
+        |    FROM kg k2 JOIN keepers ke USING (g)
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) u
+        |  ) t GROUP BY doc_id, tpos HAVING NOT bool_or(is_keeper)
+        |), dcnt AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dropped
+        |  FROM dropset GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id, unnest(p) AS tok, generate_subscripts(p, 1) AS ti
+        |  FROM parts
+        |), rewrite AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.ti) AS text_rewrite
+        |  FROM toks t
+        |  LEFT JOIN dropset ds ON ds.doc_id = t.doc_id AND ds.tpos = t.ti
+        |  WHERE ds.tpos IS NULL
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(c.n_dropped, 0) AS n_dropped,
+        |  COALESCE(r.text_rewrite, '') AS text_rewrite
+        |FROM documents d
+        |LEFT JOIN dcnt c USING (doc_id)
+        |LEFT JOIN rewrite r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_substring_spans" ->
       """WITH parts AS (
         |  SELECT doc_id, string_split(text, ' ') AS p FROM documents

@@ -222,12 +222,22 @@ object Similarity {
     * keep the top m cell ids. Struct sort orders by (sim, cell) asc, so
     * reverse gives sim-desc with cell-desc tiebreak — deterministic.
     */
+  /** Top-m cells by cosine, (score desc, cid desc) — served by the
+    * one-pass [[graft.functions.TopCells]] kernel (nCells compositional
+    * cosine expressions + array_sort blew the huge-method limit at the
+    * default 16 cells; assignments are bit-identical to the
+    * compositional form, so persisted IVF/IVF-PQ tables stay valid).
+    * Centroids widen float→double exactly as the cosine kernel widens
+    * elements.
+    */
   private[ext] def topCellsCol(centroids: Array[(Long, Array[Float])],
                                vecCol: Column, m: Int): Column = {
-    val scored = array(centroids.toSeq.map { case (cid, vec) =>
-      struct(cosine(vecCol, typedLit(vec)).as("s"), lit(cid).as("c"))
-    }: _*)
-    slice(reverse(array_sort(scored)), 1, m).getField("c")
+    val dims = centroids.head._2.length
+    val cids = centroids.map(_._1)
+    val flat = Array.tabulate(centroids.length * dims)(i =>
+      centroids(i / dims)._2(i % dims).toDouble)
+    graft.functions.native.top_cells(vecCol, cids, flat,
+      centroids.length, dims, m)
   }
 
   /** The bounded query-vector collect (`vec_id < nQueries`) — the one

@@ -305,6 +305,145 @@ case class SrpBuckets(child: Expression, planes: Array[Double],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-m IVF cells of one embedding in ONE pass: cosine against every
+  * centroid of a flattened [nCells][dims] matrix (reference object),
+  * returning the m best cell ids ordered by (cosine desc, cell_id
+  * desc) — the exact total order of the compositional
+  * `slice(reverse(array_sort(struct(cos, cid))), 1, m)` form this
+  * replaces (Catalyst compares doubles via `Double.compare`; ties on
+  * the score fall to the LARGER cell id). Per-cell arithmetic is the
+  * [[CosineSimilarity]] loop verbatim (dot/na/nb accumulated over
+  * min(dims, len) in index order, zero denominator → 0.0), so cell
+  * assignments are bit-identical and persisted IVF/IVF-PQ assignment
+  * tables stay valid.
+  *
+  * Same generated-code-size rationale as [[SrpBuckets]]: nCells
+  * compositional cosine expressions plus an array_sort in one
+  * projection pushes the stage past the huge-method limit at the
+  * default 16 cells — the assignment pass ran interpreted.
+  */
+case class TopCells(child: Expression, cids: Array[Long],
+                    cents: Array[Double], nCells: Int, dims: Int, m: Int)
+    extends UnaryExpression {
+  require(cids.length == nCells && cents.length == nCells * dims,
+    "centroid matrix shape mismatch")
+  require(m > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val doubleInput = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_cells expects array<float>/array<double>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val lim = math.min(dims, arr.numElements())
+    val x = new Array[Double](lim)
+    var i = 0
+    while (i < lim) {
+      x(i) = if (doubleInput) arr.getDouble(i) else arr.getFloat(i).toDouble
+      i += 1
+    }
+    var na = 0.0
+    i = 0
+    while (i < lim) { na += x(i) * x(i); i += 1 }
+    val s = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var dot = 0.0; var nb = 0.0
+      val base = c * dims
+      var d = 0
+      while (d < lim) {
+        val y = cents(base + d)
+        dot += x(d) * y; nb += y * y
+        d += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      s(c) = if (denom == 0.0) 0.0 else dot / denom
+      c += 1
+    }
+    val order = Array.tabulate(nCells)(identity)
+    // selection sort by (score desc, cid desc) — nCells is small
+    var a = 0
+    while (a < math.min(m, nCells)) {
+      var best = a
+      var b = a + 1
+      while (b < nCells) {
+        val cmp = java.lang.Double.compare(s(order(b)), s(order(best)))
+        if (cmp > 0 || (cmp == 0 && cids(order(b)) > cids(order(best)))) best = b
+        b += 1
+      }
+      val t = order(a); order(a) = order(best); order(best) = t
+      a += 1
+    }
+    new GenericArrayData(
+      Array.tabulate(math.min(m, nCells))(k => cids(order(k))))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val cidsRef = ctx.addReferenceObj("ivfCids", cids, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val lim = ctx.freshName("lim"); val x = ctx.freshName("x")
+      val na = ctx.freshName("na"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot"); val nb = ctx.freshName("nb")
+      val base = ctx.freshName("base"); val d = ctx.freshName("d")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      val order = ctx.freshName("order"); val outN = ctx.freshName("outN")
+      val a = ctx.freshName("a"); val b = ctx.freshName("b")
+      val best = ctx.freshName("best"); val cmp = ctx.freshName("cmp")
+      val t = ctx.freshName("t"); val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val getX = if (doubleInput) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+      s"""
+         |int $lim = java.lang.Math.min($dims, $arr.numElements());
+         |double[] $x = new double[$lim];
+         |for (int $i = 0; $i < $lim; $i++) { $x[$i] = $getX; }
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $lim; $i++) { $na += $x[$i] * $x[$i]; }
+         |double[] $s = new double[$nCells];
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  double $dot = 0.0, $nb = 0.0;
+         |  int $base = $c * $dims;
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    double $y = $centsRef[$base + $d];
+         |    $dot += $x[$d] * $y; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  $s[$c] = $denom == 0.0 ? 0.0 : $dot / $denom;
+         |}
+         |int[] $order = new int[$nCells];
+         |for (int $i = 0; $i < $nCells; $i++) { $order[$i] = $i; }
+         |int $outN = java.lang.Math.min($m, $nCells);
+         |for (int $a = 0; $a < $outN; $a++) {
+         |  int $best = $a;
+         |  for (int $b = $a + 1; $b < $nCells; $b++) {
+         |    int $cmp = java.lang.Double.compare($s[$order[$b]], $s[$order[$best]]);
+         |    if ($cmp > 0 || ($cmp == 0 &&
+         |        $cidsRef[$order[$b]] > $cidsRef[$order[$best]])) $best = $b;
+         |  }
+         |  int $t = $order[$a]; $order[$a] = $order[$best]; $order[$best] = $t;
+         |}
+         |long[] $out = new long[$outN];
+         |for (int $k = 0; $k < $outN; $k++) { $out[$k] = $cidsRef[$order[$k]]; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** PQ encoding of one embedding in ONE pass: per subspace j, the argmax
   * over codewords of (dot(subvector, codeword) − ½|codeword|²), ties to
   * the HIGHER code index (the `array_max(struct(s, c))` order of the
@@ -810,6 +949,13 @@ object native {
   def srp_buckets(emb: Column, planes: Array[Double],
                   tables: Int, h: Int, dims: Int): Column =
     toCol(SrpBuckets(ex(emb), planes, tables, h, dims))
+
+  /** Top-m IVF cell ids (array<long>, cosine desc / cid desc) of a
+    * float/double embedding against a flattened centroid matrix.
+    */
+  def top_cells(emb: Column, cids: Array[Long], cents: Array[Double],
+                nCells: Int, dims: Int, m: Int): Column =
+    toCol(TopCells(ex(emb), cids, cents, nCells, dims, m))
 
   /** PQ codes (array<int>, one per subspace) of a float embedding
     * against a flattened codebook with pre-folded half-norms.
