@@ -174,29 +174,47 @@ object Classifier {
     * distribution sums to exactly 1, so scores are comparable across
     * labels. The scored frame may be any batch, not just the seed.
     */
+  /** Session memo over the netted model tables (the LM/bigram serving
+    * discipline): scores+predict re-netted both ledgers per call.
+    * Keyed by artifact meta (append/remove bump the additive
+    * fingerprint) and application id.
+    */
+  private val prepMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, DataFrame)]
+
+  private def servingPrep(spark: SparkSession, dir: String,
+                          vocabSize: Int): (DataFrame, Long, DataFrame) =
+    prepMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}#$dir#$vocabSize#" +
+        Artifact.readMeta(spark, dir).getOrElse(""), {
+      Artifact.requireKind(spark, dir, MetaPrefix)
+      // net the ledgers once; every derived table below reads these
+      val counts = spark.read.parquet(s"$dir/counts")
+        .groupBy(col("label"), col("token")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0).localCheckpoint()
+      val priors = spark.read.parquet(s"$dir/docs")
+        .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+        .filter(col("n_docs") > 0).localCheckpoint()
+      val v = counts.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+        .orderBy(col("ct").desc, col("token")).limit(vocabSize)
+        .select(col("token")).localCheckpoint()
+      val vSize = v.count()
+      val total = priors.agg(sum(col("n_docs"))).head().getLong(0)
+      val inVocab = counts.join(v, Seq("token"), "left_semi").localCheckpoint()
+      // per-label smoothing denominator + log prior: |labels| rows
+      val labelStats = priors
+        .join(inVocab.groupBy(col("label")).agg(sum(col("c")).as("cv")),
+          Seq("label"), "left")
+        .select(col("label"),
+          (coalesce(col("cv"), lit(0L)) + lit(vSize) + 1L).cast("double").as("d"),
+          log(col("n_docs").cast("double") / lit(total.toDouble)).as("logprior"))
+        .localCheckpoint()
+      (inVocab, vSize, labelStats)
+    })
+
   def score(spark: SparkSession, docs: DataFrame, dir: String,
             vocabSize: Int = 4096): DataFrame = {
-    Artifact.requireKind(spark, dir, MetaPrefix)
-    // net the ledgers once; every derived table below reads these
-    val counts = spark.read.parquet(s"$dir/counts")
-      .groupBy(col("label"), col("token")).agg(sum(col("c")).as("c"))
-      .filter(col("c") > 0).localCheckpoint()
-    val priors = spark.read.parquet(s"$dir/docs")
-      .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
-      .filter(col("n_docs") > 0).localCheckpoint()
-    val v = counts.groupBy(col("token")).agg(sum(col("c")).as("ct"))
-      .orderBy(col("ct").desc, col("token")).limit(vocabSize)
-      .select(col("token")).localCheckpoint()
-    val vSize = v.count()
-    val total = priors.agg(sum(col("n_docs"))).head().getLong(0)
-    val inVocab = counts.join(v, Seq("token"), "left_semi").localCheckpoint()
-    // per-label smoothing denominator + log prior: |labels| rows
-    val labelStats = priors
-      .join(inVocab.groupBy(col("label")).agg(sum(col("c")).as("cv")),
-        Seq("label"), "left")
-      .select(col("label"),
-        (coalesce(col("cv"), lit(0L)) + lit(vSize) + 1L).cast("double").as("d"),
-        log(col("n_docs").cast("double") / lit(total.toDouble)).as("logprior"))
+    val (inVocab, _, labelStats) = servingPrep(spark, dir, vocabSize)
     // token stream × |labels| via bounded broadcasts; a (token, label)
     // hole in the count table is c=0 — same (0+1)/D as OOV, by design
     docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))

@@ -856,16 +856,20 @@ object ExtQueries {
   private val bpeMerges = 8
 
   /** Full logistic-regression training replay in generated SQL (the
-    * LrClassifier determinism contract): 12-dp-snapped features, exact
-    * DECIMAL(32,12) folds for margins/gradients, σ snapped to 12 dp at
-    * the boundary, round-12 weight updates — iteration r's CTEs read
-    * only iteration r-1's, exactly like the Spark driver loop. Ends
-    * with `am` = per-doc margin for the WHOLE corpus under the final
-    * weights w{iters}/b{iters}.
+    * LrClassifier determinism contract): the whole loop on the 1e-6
+    * INTEGER grid — features/margin terms/gradient terms as half-away
+    * integral divisions over exact BIGINT products, updates likewise —
+    * with sigma's 6-dp snap as the single double-input round.
+    * Iteration r's CTEs read only iteration r-1's, exactly like the
+    * Spark driver loop. Ends with `am` = per-doc margin micro-units
+    * for the WHOLE corpus under the final weights w{iters}/b{iters}.
     */
   private def lrSql(iters: Int): String = {
+    def ha(num: String, den: String): String =
+      s"CASE WHEN ($num) < 0 THEN -((($num) * -2 + ($den)) // (($den) * 2)) " +
+        s"ELSE (($num) * 2 + ($den)) // (($den) * 2) END"
     val sb = new StringBuilder(
-      """WITH seed0 AS MATERIALIZED (
+      s"""WITH seed0 AS MATERIALIZED (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
         |), stoks AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM seed0
@@ -886,45 +890,45 @@ object ExtQueries {
         |      THEN 1.0 ELSE 0.0 END AS y
         |  FROM stoks t LEFT JOIN vc USING (token) GROUP BY t.doc_id
         |), seed AS MATERIALIZED (
-        |  SELECT s.doc_id, s.text, y.y FROM seed0 s JOIN ylab y USING (doc_id)
+        |  SELECT s.doc_id, y.y FROM seed0 s JOIN ylab y USING (doc_id)
         |), sdl AS MATERIALIZED (
         |  SELECT doc_id, COUNT(*) AS l FROM stoks GROUP BY doc_id
         |), feat AS MATERIALIZED (
-        |  SELECT stc.doc_id, stc.token, round(stc.c * 1.0 / sdl.l, 12) AS f
+        |  SELECT stc.doc_id, stc.token,
+        |    ${ha("stc.c * 1000000", "sdl.l")} AS fu
         |  FROM stc JOIN v USING (token) JOIN sdl USING (doc_id)
         |), nn AS MATERIALIZED (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seed
+        |  SELECT COUNT(*) AS n FROM seed
         |), w0 AS MATERIALIZED (
-        |  SELECT token, CAST(0 AS DOUBLE) AS w FROM v
+        |  SELECT token, CAST(0 AS BIGINT) AS wu FROM v
         |), b0 AS MATERIALIZED (
-        |  SELECT CAST(0 AS DOUBLE) AS b
+        |  SELECT CAST(0 AS BIGINT) AS bu
         |)""".stripMargin)
     for (r <- 1 to iters) {
       sb ++= s""", e$r AS MATERIALIZED (
                 |  SELECT s.doc_id,
-                |    round(1.0 / (1.0 + exp(-((SELECT b FROM b${r - 1})
-                |      + COALESCE(t.s, 0.0)))), 12) - s.y AS err
+                |    CAST(CAST(round(1.0 / (1.0 + exp(-(CAST((SELECT bu FROM b${r - 1})
+                |        + COALESCE(t.su, 0) AS DOUBLE) / 1000000.0))), 6) - s.y
+                |      AS DECIMAL(13,6)) * 1000000 AS BIGINT) AS eu
                 |  FROM seed s LEFT JOIN (
                 |    SELECT f.doc_id,
-                |      CAST(SUM(CAST(round(w.w * f.f, 12) AS DECIMAL(32,12)))
-                |        AS DOUBLE) AS s
+                |      SUM(${ha("w.wu * f.fu", "1000000")}) AS su
                 |    FROM feat f JOIN w${r - 1} w USING (token)
                 |    GROUP BY f.doc_id) t
                 |  USING (doc_id)
                 |), g$r AS MATERIALIZED (
                 |  SELECT f.token,
-                |    CAST(SUM(CAST(round(e.err * f.f, 12) AS DECIMAL(32,12)))
-                |      AS DOUBLE) AS g
+                |    SUM(${ha("e.eu * f.fu", "1000000")}) AS g
                 |  FROM feat f JOIN e$r e USING (doc_id) GROUP BY f.token
                 |), w$r AS MATERIALIZED (
                 |  SELECT w.token,
-                |    round(w.w - (2048.0 * COALESCE(g.g, 0.0)) / (SELECT n FROM nn),
-                |      12) AS w
+                |    CAST(w.wu - (${ha("2048 * COALESCE(g.g, 0)", "(SELECT n FROM nn)")})
+                |      AS BIGINT) AS wu
                 |  FROM w${r - 1} w LEFT JOIN g$r g USING (token)
                 |), b$r AS MATERIALIZED (
-                |  SELECT round((SELECT b FROM b${r - 1}) -
-                |    (32.0 * (SELECT CAST(SUM(CAST(err AS DECIMAL(32,12)))
-                |      AS DOUBLE) FROM e$r)) / (SELECT n FROM nn), 12) AS b
+                |  SELECT CAST((SELECT bu FROM b${r - 1}) -
+                |    (${ha(s"32 * (SELECT SUM(eu) FROM e$r)", "(SELECT n FROM nn)")})
+                |    AS BIGINT) AS bu
                 |)""".stripMargin
     }
     sb ++= s""", atoks AS MATERIALIZED (
@@ -936,11 +940,10 @@ object ExtQueries {
               |  SELECT doc_id, token, COUNT(*) AS c FROM atoks GROUP BY 1, 2
               |), am AS MATERIALIZED (
               |  SELECT d.doc_id,
-              |    (SELECT b FROM b$iters) + COALESCE(t.s, 0.0) AS m
+              |    (SELECT bu FROM b$iters) + COALESCE(t.su, 0) AS mu
               |  FROM documents d LEFT JOIN (
               |    SELECT a.doc_id,
-              |      CAST(SUM(CAST(round(w.w * round(a.c * 1.0 / adl.l, 12), 12)
-              |        AS DECIMAL(32,12))) AS DOUBLE) AS s
+              |      SUM(${ha(s"w.wu * (${ha("a.c * 1000000", "adl.l")})", "1000000")}) AS su
               |    FROM atc a JOIN w$iters w USING (token)
               |    JOIN adl USING (doc_id)
               |    GROUP BY a.doc_id) t USING (doc_id)
@@ -2062,8 +2065,9 @@ object ExtQueries {
 
     "classify_lr_scores" -> (lrSql(lrIters) +
       """
-        |SELECT doc_id, round(m, 6) AS margin,
-        |  round(1.0 / (1.0 + exp(-m)), 6) AS p
+        |SELECT doc_id,
+        |  round(CAST(mu AS DOUBLE) / 1000000.0, 6) AS margin,
+        |  round(1.0 / (1.0 + exp(-(CAST(mu AS DOUBLE) / 1000000.0))), 6) AS p
         |FROM am ORDER BY doc_id""".stripMargin),
 
     "classify_lr_pred" -> (lrSql(lrIters) +
@@ -2072,8 +2076,9 @@ object ExtQueries {
         |  CASE WHEN p >= 0.5 THEN 'keep' ELSE 'drop' END AS pred_label,
         |  p, margin
         |FROM (
-        |  SELECT doc_id, round(m, 6) AS margin,
-        |    round(1.0 / (1.0 + exp(-m)), 6) AS p
+        |  SELECT doc_id,
+        |    round(CAST(mu AS DOUBLE) / 1000000.0, 6) AS margin,
+        |    round(1.0 / (1.0 + exp(-(CAST(mu AS DOUBLE) / 1000000.0))), 6) AS p
         |  FROM am)
         |ORDER BY doc_id""".stripMargin),
 

@@ -26,19 +26,23 @@ import org.apache.spark.sql.functions._
   * chance).
   *
   * The determinism contract (every engine, every partitioning, every
-  * replay lands on bit-identical weights):
-  *  - features snap to the 12-dp grid (one double division + HALF_UP
-  *    round — both engines agree);
-  *  - every cross-row sum (margins, gradients) snaps its terms to
-  *    12 dp and accumulates as exact DECIMAL(32,12) — the GraphRank
-  *    discipline, order-independent by construction;
-  *  - σ output snaps to 12 dp immediately, so a last-ulp exp()
-  *    difference between libm implementations dies at the boundary
-  *    instead of compounding across iterations;
-  *  - weight updates round to 12 dp — iteration t+1 starts from
-  *    identical weights everywhere. Rounding is part of the
-  *    algorithm, not cosmetics (the [[Clustering]] centroid
-  *    contract).
+  * replay lands on bit-identical weights): the ENTIRE loop runs on the
+  * 10⁻⁶ INTEGER grid — features F = halfaway(c·10⁶, l), margin and
+  * gradient terms halfaway(a·b, 10⁶) over exact long products (all ≤
+  * 10¹⁶, inside long/BIGINT in both engines), updates
+  * w − halfaway(lr·g, n) — where halfaway is the pca_covariance
+  * half-away-from-zero integral division. Integer arithmetic is the
+  * point, not a flourish: rounding a DOUBLE to k decimals is
+  * engine-dependent near half-grid boundaries (Spark rounds the
+  * shortest-decimal representation, DuckDB rounds the scaled binary;
+  * measured ~5e-6 disagreement per op at k=12 — a near-certain hit
+  * across one sf0.1 training run — and ~50% per EXACT-half tie, which
+  * iteration 1 mass-produces via err = ±0.5 times odd-grid features).
+  * The one double-input round left is σ's 6-dp snap, whose input is a
+  * continuous function of an exact integer — boundary hits are
+  * measure-zero-ish (~1e-10/op), the same class as every round-6
+  * output in the repo. Rounding is part of the algorithm, not
+  * cosmetics (the [[Clustering]] centroid contract).
   *
   * Hyperparameters are pinned dyadic (lr=2048, lrBias=32, 16 steps):
   * the hairline teacher margins (mean_nll spans only ~0.35 nats) need
@@ -104,18 +108,49 @@ object LrClassifier {
           .otherwise(lit(0.0)).as("y"))
   }
 
-  /** Exact order-independent sum of 12-dp-snapped doubles. */
-  private def dsum12(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(32,12)")).cast("double")
+  /** Half-away-from-zero integral division of two long columns (den >
+    * 0) — the pca_covariance rounding pattern; positive operands make
+    * Spark's truncating `DIV` and DuckDB's flooring `//` agree.
+    */
+  private def halfAway(num: org.apache.spark.sql.Column,
+                       den: org.apache.spark.sql.Column) = {
+    import graft.functions.native.long_div
+    when(num < 0L, -long_div(num * -2L + den, den * 2L))
+      .otherwise(long_div(num * 2L + den, den * 2L))
+  }
+
+  /** Per-(doc, vocab-token) feature in integer micro-units:
+    * F = halfaway(c·10⁶, l) — exact integer division, no double ever
+    * rounds (c, l are counts).
+    */
+  private def featU(tc: DataFrame, vdf: DataFrame, docLen: DataFrame) =
+    tc.join(vdf, Seq("token"), "left_semi")
+      .join(docLen, Seq("doc_id"))
+      .select(col("doc_id"), col("token"),
+        halfAway(col("c") * 1000000L, col("l")).as("fu"))
+
+  /** Per-doc margin in micro-units from a weight table `(token, wu)`:
+    * Σ halfaway(wu·fu, 10⁶) — every term an exact integer (|wu| ≤ 10¹⁰,
+    * fu ≤ 10⁶ → products ≤ 10¹⁶, inside long/BIGINT in both engines).
+    */
+  private def marginU(feats: DataFrame, wdf: DataFrame) =
+    feats.join(wdf, Seq("token"))
+      .select(col("doc_id"), halfAway(col("wu") * col("fu"), lit(1000000L)).as("tu"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tu")).as("su"))
+
+  private def sigma6(mu: org.apache.spark.sql.Column) =
+    round(lit(1.0) / (lit(1.0) + exp(-(mu.cast("double") / lit(1000000.0)))), 6)
 
   /** Train on a labeled seed `(doc_id, text, y)`; returns the vocab
-    * order, the weight map, and the bias. Pure driver-bounded state:
-    * one (vocabSize)-entry map between iterations.
+    * order, the micro-unit weight map, and the micro-unit bias (value =
+    * unit/10⁶). Pure driver-bounded state: one (vocabSize)-entry map
+    * between iterations.
     */
   def train(spark: SparkSession, labeled: DataFrame,
             vocabSize: Int = 256, iters: Int = 16,
-            lr: Double = 2048.0,
-            lrBias: Double = 32.0): (Seq[String], Map[String, Double], Double) = {
+            lr: Long = 2048L,
+            lrBias: Long = 32L): (Seq[String], Map[String, Long], Long) = {
     import spark.implicits._
     val toks = labeled
       .select(col("doc_id"), col("y"),
@@ -126,85 +161,80 @@ object LrClassifier {
       .orderBy(col("ct").desc, col("token")).limit(vocabSize)
       .select(col("token")).as[String].collect().toSeq
     val vdf = broadcast(vocab.toDF("token"))
-    val feat = tc.join(vdf, Seq("token"), "left_semi")
-      .join(docLen, Seq("doc_id"))
-      .select(col("doc_id"), col("token"),
-        round(col("c").cast("double") / col("l"), 12).as("f"))
-      .localCheckpoint()
+    val feats = featU(tc, vdf, docLen).localCheckpoint()
     val ids = labeled.select(col("doc_id"), col("y")).localCheckpoint()
     val n = ids.count()
-    var w = vocab.map(_ -> 0.0).toMap
-    var b = 0.0
+    def halfAwayL(num: Long, den: Long): Long =
+      if (num < 0) -((-num * 2 + den) / (den * 2)) else (num * 2 + den) / (den * 2)
+    var w = vocab.map(_ -> 0L).toMap
+    var b = 0L
     for (_ <- 1 to iters) {
-      val wdf = broadcast(w.toSeq.toDF("token", "w"))
-      // margins: per-doc exact decimal fold of 12-dp terms; docs with
-      // no vocab token score the bare bias
-      val err = ids.join(
-          feat.join(wdf, Seq("token"))
-            .groupBy(col("doc_id"))
-            .agg(dsum12(round(col("w") * col("f"), 12)).as("s")),
-          Seq("doc_id"), "left")
+      val wdf = broadcast(w.toSeq.toDF("token", "wu"))
+      // errors in micro-units: σ is the ONE double-input round of the
+      // whole loop (its argument is an exact integer scaled once), and
+      // its output lands back on the integer grid immediately
+      val err = ids.join(marginU(feats, wdf), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          (round(lit(1.0) / (lit(1.0) +
-              exp(-(lit(b) + coalesce(col("s"), lit(0.0))))), 12) - col("y"))
-            .as("err"))
+          ((sigma6(lit(b) + coalesce(col("su"), lit(0L))) - col("y"))
+            .cast("decimal(13,6)") * 1000000L).cast("long").as("eu"))
         .localCheckpoint()
-      val grads = feat.join(err, Seq("doc_id"))
-        .groupBy(col("token"))
-        .agg(dsum12(round(col("err") * col("f"), 12)).as("g"))
-        .as[(String, Double)].collect().toMap
-      val gb = err.agg(dsum12(col("err"))).head().getDouble(0)
+      val grads = feats.join(err, Seq("doc_id"))
+        .select(col("token"), halfAway(col("eu") * col("fu"), lit(1000000L)).as("gu"))
+        .groupBy(col("token")).agg(sum(col("gu")).as("g"))
+        .as[(String, Long)].collect().toMap
+      val gb = err.agg(sum(col("eu"))).head().getLong(0)
       w = w.map { case (t, wt) =>
-        t -> BigDecimal(wt - (lr * grads.getOrElse(t, 0.0)) / n)
-          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+        t -> (wt - halfAwayL(lr * grads.getOrElse(t, 0L), n))
       }
-      b = BigDecimal(b - (lrBias * gb) / n)
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      b = b - halfAwayL(lrBias * gb, n)
     }
     (vocab, w, b)
   }
 
-  /** Build-if-needed LR model artifact: `weights` (token, w) + `bias`
-    * (single row), guarded by the seed content fingerprint.
+  /** Build-if-needed LR model artifact: `weights` (token, wu) + `bias`
+    * (single row, micro-units), guarded by the seed content
+    * fingerprint.
     */
   def ensureLr(spark: SparkSession, labeled: DataFrame, dir: String,
                vocabSize: Int = 256, iters: Int = 16,
-               lr: Double = 2048.0, lrBias: Double = 32.0): String =
+               lr: Long = 2048L, lrBias: Long = 32L): String =
     Artifact.ensure(spark, dir,
       MetaPrefix + s"unit=ws v=$vocabSize iters=$iters lr=$lr lrb=$lrBias fp=" +
         Artifact.fingerprint(labeled, col("doc_id"), col("text"), col("y"))) {
       import spark.implicits._
       val (_, w, b) = train(spark, labeled, vocabSize, iters, lr, lrBias)
-      w.toSeq.toDF("token", "w").coalesce(1)
+      w.toSeq.toDF("token", "wu").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/weights")
-      Seq(b).toDF("b").coalesce(1)
+      Seq(b).toDF("bu").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/bias")
     }
 
   /** Score documents against the stored model: `(doc_id, margin, p)`,
     * margin = b + w·f and p = σ(margin), both reported at 6 dp. One
     * corpus pass: explode, broadcast-join the 256-row weight table,
-    * partial-aggregated per-doc fold.
+    * partial-aggregated per-doc fold — all in exact micro-units until
+    * the terminal σ/round.
     */
   def score(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
     Artifact.requireKind(spark, dir, MetaPrefix)
     val w = broadcast(spark.read.parquet(s"$dir/weights"))
-    val b = spark.read.parquet(s"$dir/bias").head().getDouble(0)
+    val b = spark.read.parquet(s"$dir/bias").head().getLong(0)
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("token"))
     val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("l"))
-    val feat = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
-      .join(w, Seq("token"))
-      .join(docLen, Seq("doc_id"))
-      .select(col("doc_id"),
-        round(col("w") * round(col("c").cast("double") / col("l"), 12), 12).as("t"))
+    val tc = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val su = marginU(
+      tc.join(docLen, Seq("doc_id"))
+        .select(col("doc_id"), col("token"),
+          halfAway(col("c") * 1000000L, col("l")).as("fu")),
+      w)
     docs.select(col("doc_id"))
-      .join(feat.groupBy(col("doc_id")).agg(dsum12(col("t")).as("s")),
-        Seq("doc_id"), "left")
+      .join(su, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (lit(b) + coalesce(col("s"), lit(0.0))).as("m"))
-      .select(col("doc_id"), round(col("m"), 6).as("margin"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("p"))
+        (lit(b) + coalesce(col("su"), lit(0L))).as("mu"))
+      .select(col("doc_id"),
+        round(col("mu").cast("double") / lit(1000000.0), 6).as("margin"),
+        sigma6(col("mu")).as("p"))
   }
 
   /** The filter decision: keep iff p ≥ 1/2 (dyadic threshold — the

@@ -943,6 +943,13 @@ object native {
   /** 64-bit SimHash of an array<long> of token hashes. */
   def simhash64(tokenHashes: Column): Column = toCol(SimHash64(ex(tokenHashes)))
 
+  /** Integral division (the SQL `DIV` operator) as a Column function —
+    * exact long quotients where `floor(a / b)` on doubles would lose
+    * precision past 2^53.
+    */
+  def long_div(a: Column, b: Column): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(ex(a), ex(b)))
+
   /** All SRP-LSH bucket ids (array<long>, one per table) of a
     * float/double embedding against a flattened plane matrix.
     */

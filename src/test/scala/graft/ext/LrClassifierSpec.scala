@@ -15,11 +15,10 @@ class LrClassifierSpec extends SparkSuite {
     assert(v1 == v2)
     assert(w1 == w2, "weight maps must be identical across trainings")
     assert(b1 == b2)
-    // 12-dp grid contract: every weight is exactly representable on it
-    w1.values.foreach { w =>
-      assert(BigDecimal(w).setScale(12, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble == w, s"weight off the 12-dp grid: $w")
-    }
+    // integer micro-unit contract: weights ARE longs on the 1e-6 grid
+    // (no double enters the update path), bounded well inside the
+    // exact-product range the halfaway arithmetic assumes
+    w1.values.foreach(wu => assert(math.abs(wu) < (1L << 40), s"wu=$wu"))
   }
 
   test("a learnable planted signal is actually learned") {
