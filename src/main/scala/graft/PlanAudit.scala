@@ -20,7 +20,9 @@ object PlanAudit {
         "classify_nb_pred", "dsir_select", "search_bm25", "dedup_paragraphs",
         "decontaminate_bloom", "cluster_kmeans_assign", "bpe_encode_stats",
         "dedup_canonical_rank", "corpus_source_overlap",
-        "corpus_source_scorecard", "embed_drift_means")
+        "corpus_source_scorecard", "embed_drift_means",
+        "classify_lr_pred", "quality_perplexity_kn", "dedup_embed_cosine",
+        "dedup_semantic", "dedup_simhash", "dedup_substring_rewrite")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
