@@ -361,6 +361,13 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))),
 
+    // Temperature-scaled domain sampling weights (tau=1/2, the
+    // mT5/XLM-R multilingual recipe): sqrt keeps the power correctly
+    // rounded in every engine; weights normalized over an exact
+    // decimal sum of round-6 terms.
+    "train_temperature_mix" -> ((s, d) =>
+      TrainingSet.temperatureMix(Tables.documents(s, d))),
+
     // Contamination-safe holdout split: deterministic validation
     // sample + near-dup leakage guard off the persisted pair artifact.
     // The oracle recomputes the pair graph with exact all-pairs Jaccard
@@ -2199,6 +2206,29 @@ object ExtQueries {
         |SELECT n.doc_id, n.lang, CAST(c.copy AS BIGINT) AS copy
         |FROM n JOIN (SELECT unnest(range(1, 5)) AS copy) c ON c.copy <= n.n_copies
         |ORDER BY doc_id, copy""".stripMargin,
+
+    "train_temperature_mix" ->
+      """WITH dom AS (
+        |  SELECT lang AS domain, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM dom
+        |), s AS (
+        |  SELECT domain, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share,
+        |    round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)),
+        |      6) AS s6
+        |  FROM dom CROSS JOIN tot
+        |), z AS (
+        |  SELECT CAST(SUM(CAST(s6 AS DECIMAL(32,6))) AS DOUBLE) AS z FROM s
+        |)
+        |SELECT domain, n_docs, n_tokens,
+        |  round(share, 6) AS share,
+        |  round(s6 / z, 6) AS weight,
+        |  round((s6 / z) / share, 6) AS upsample
+        |FROM s CROSS JOIN z
+        |ORDER BY domain""".stripMargin,
 
     "train_holdout_split" ->
       """WITH sh AS (

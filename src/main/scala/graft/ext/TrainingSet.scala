@@ -112,6 +112,42 @@ object TrainingSet {
       .drop("n_copies")
   }
 
+  /** Temperature-scaled domain sampling weights (the mT5/XLM-R
+    * multilingual recipe): p(d) ∝ share(d)^τ with τ = 1/2, which
+    * upsamples low-resource domains relative to their raw token share
+    * without letting any domain dominate — the standard knob between
+    * τ=1 (proportional, head domains swamp) and τ=0 (uniform,
+    * low-resource noise swamps). Reports, per domain: volume, raw
+    * token share, the temperature-scaled sampling weight, and the
+    * implied upsampling factor weight/share a sampler applies.
+    *
+    * τ is pinned at 1/2 so the power is `sqrt` — correctly rounded
+    * IEEE in every engine, unlike `pow(x, τ)` for general τ whose libm
+    * results differ in ulps. Determinism: counts are exact integers;
+    * share is one double division of exact integers; each √share
+    * snaps to 6 dp and the normalizer is their exact DECIMAL(32,6)
+    * sum; weight and upsample are single double divisions, round-6.
+    * One dimension-sized groupBy — the corpus is scanned once and
+    * never shuffled beyond the per-domain partial aggregates.
+    */
+  def temperatureMix(docs: DataFrame, domainCol: String = "lang"): DataFrame = {
+    val byDom = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col("text"))).as("n_tokens"))
+    val tot = byDom.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val withShare = byDom.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("s6", round(sqrt(col("share")), 6))
+    val z = withShare
+      .agg(sum(col("s6").cast("decimal(32,6)")).cast("double").as("z"))
+    withShare.crossJoin(broadcast(z))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("s6") / col("z"), 6).as("weight"),
+        round((col("s6") / col("z")) / col("share"), 6).as("upsample"))
+      .orderBy(col("domain"))
+  }
+
   /** Contamination-safe train/holdout split. Assignment is pure id
     * arithmetic: documents whose [[shuffleKey]] residue falls below
     * `valPermille`/1000 of the key space become `validation`; the rest

@@ -66,6 +66,29 @@ class TrainingSetSpec extends SparkSuite {
     assert(en.count(id => kept.contains(id)) == en.count(id => key(id) < 32760L))
   }
 
+  test("temperatureMix: hand-computed weights, tau=1/2 flattens the head") {
+    // two domains 9:1 by tokens: share 0.9/0.1, sqrt 0.948683/0.316228,
+    // z = 1.264911; the low-resource domain's weight (0.25) is 2.5x its
+    // raw share while the head drops below its share
+    val df = Seq(
+      (1L, ("tok " * 90).trim, "big"),
+      (2L, ("tok " * 10).trim, "small")
+    ).toDF("doc_id", "text", "lang")
+    val rows = TrainingSet.temperatureMix(df).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("big", "small"))
+    val big = rows(0); val small = rows(1)
+    assert(big.getLong(2) == 90L && small.getLong(2) == 10L)
+    assert(math.abs(small.getDouble(4) - 0.25) < 1e-6, small.toString)
+    assert(small.getDouble(5) > 1.0, "low-resource domain must upsample")
+    assert(big.getDouble(5) < 1.0, "head domain must downsample")
+    // weights form a distribution (round-6 noise only)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+    // every fixture domain present, deterministic across runs
+    val a = TrainingSet.temperatureMix(docs).collect().toSeq
+    val b = TrainingSet.temperatureMix(docs).collect().toSeq
+    assert(a == b)
+  }
+
   test("holdoutSplit: deterministic val sample, near-dups of val docs never reach train") {
     val pairDir = "target/trainspec/neardup"
     deleteRecursively(pairDir)
