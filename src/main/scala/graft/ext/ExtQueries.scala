@@ -638,8 +638,8 @@ object ExtQueries {
 
     // SQ8 embedding quantization report — the 4x storage-compression
     // stage next to PQ's 32x: per-dim min/max broadcast back over one
-    // map pass; per-vector reconstruction MSE / max-abs error at
-    // decimal(32,12) (err^2 lives at 1e-7).
+    // map pass; per-vector reconstruction MSE / max-abs error via
+    // 9-dp-snapped err squared in exact decimal (err^2 lives at 1e-7).
     "embed_sq8_error" -> ((s, d) =>
       Similarity.sq8ReconError(Tables.embeddings(s, d))),
 
@@ -963,7 +963,7 @@ object ExtQueries {
   /** PageRank-canonical replay: the dedup_groups recursive-CC prefix
     * (same shingles, threshold, edges, reach) plus `iters` generated
     * SIMILARITY-WEIGHTED rank iterations under the GraphRank
-    * determinism contract — w = round(jaccard, 12), weighted degrees
+    * determinism contract — w = round(jaccard, 9), weighted degrees
     * and round-12 per-edge terms summed exactly as DECIMAL(32,12),
     * teleport and damping as independent double literals.
     */
@@ -982,9 +982,9 @@ object ExtQueries {
         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  ) t WHERE j >= 0.35
         |), edges AS (
-        |  SELECT a_id AS src, b_id AS dst, round(j, 12) AS w FROM pairs
+        |  SELECT a_id AS src, b_id AS dst, round(j, 9) AS w FROM pairs
         |  UNION ALL
-        |  SELECT b_id AS src, a_id AS dst, round(j, 12) AS w FROM pairs
+        |  SELECT b_id AS src, a_id AS dst, round(j, 9) AS w FROM pairs
         |), reach(id, label) AS (
         |  SELECT src, src FROM edges
         |  UNION
@@ -1005,8 +1005,8 @@ object ExtQueries {
                 |  SELECT e.dst AS id,
                 |    round(CAST(0.15 AS DOUBLE) * (CAST(1 AS DOUBLE) / nn.n) +
                 |      CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(
-                |        round(p.p * (e.w / nd.wdeg), 12)
-                |        AS DECIMAL(32,12))) AS DOUBLE), 12) AS p
+                |        round(p.p * (e.w / nd.wdeg), 9)
+                |        AS DECIMAL(32,12))) AS DOUBLE), 9) AS p
                 |  FROM edges e
                 |  JOIN p${t - 1} p ON e.src = p.id
                 |  JOIN nodes nd ON nd.id = e.src
@@ -2561,8 +2561,10 @@ object ExtQueries {
 
     // SQ8 replayed exactly: float extrema are exact, the quantize /
     // dequantize chain is pinned double arithmetic on non-negative
-    // round inputs (HALF_UP = away-from-zero there), err^2 summed at
-    // decimal(32,12), round-12 outputs.
+    // round inputs (HALF_UP = away-from-zero there); err snaps to the
+    // 9-dp grid and is SQUARED in exact decimal arithmetic — a fine
+    // (12-dp) cast of the raw double err^2 flaked 3 cells in 320k at
+    // sf0.1 (engine-dependent boundary rounding).
     "embed_sq8_error" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2580,9 +2582,10 @@ object ExtQueries {
         |  FROM x JOIN st USING (i)
         |)
         |SELECT vec_id,
-        |  round(CAST(SUM(CAST(err * err AS DECIMAL(32,12))) AS DOUBLE)
-        |    / COUNT(*), 12) AS mse,
-        |  round(MAX(ABS(err)), 12) AS max_abs_err
+        |  round(CAST(SUM(CAST(CAST(round(err, 9) AS DECIMAL(12,9))
+        |      * CAST(round(err, 9) AS DECIMAL(12,9)) AS DECIMAL(32,18)))
+        |    AS DOUBLE) / COUNT(*), 12) AS mse,
+        |  MAX(round(ABS(err), 9)) AS max_abs_err
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Covariance replayed cell-for-cell in exact integer micro-units:

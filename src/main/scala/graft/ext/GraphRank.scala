@@ -21,12 +21,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Determinism contract (the oracle replays every iteration in SQL):
   *  - node set = every doc in a ≥-threshold pair; undirected edges both
-  *    directions with w = round(jaccard, 12) (the stored Jaccard is the
+  *    directions with w = round(jaccard, 9) (the stored Jaccard is the
   *    same integer-ratio division the oracle recomputes — bit-equal);
   *  - wdeg(u) = Σ w over u's edges, summed EXACTLY as DECIMAL(32,12);
   *  - p₀ = 1/N (one IEEE division, identical everywhere);
-  *  - p_{t+1}(v) = round(0.15·(1/N) + 0.85·Σ_{u→v} term, 12) with
-  *    term = round(p_t(u) · (w/wdeg(u)), 12), again summed exactly as
+  *  - p_{t+1}(v) = round(0.15·(1/N) + 0.85·Σ_{u→v} term, 9) with
+  *    term = round(p_t(u) · (w/wdeg(u)), 9), again summed exactly as
   *    DECIMAL(32,12) — order-independent, so the result is identical
   *    under any partitioning and aggregation order. 0.15 and 0.85 are
   *    independent literals on both sides (never computed as 1−d:
@@ -49,9 +49,9 @@ object GraphRank {
     */
   def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"),
-        round(col("jaccard"), 12).as("w"))
+        round(col("jaccard"), 9).as("w"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"),
-        round(col("jaccard"), 12).as("w")))
+        round(col("jaccard"), 9).as("w")))
       .localCheckpoint()
     val deg = edges.groupBy(col("src"))
       .agg(sum(col("w").cast(Fixed)).cast("double").as("wdeg"))
@@ -63,9 +63,9 @@ object GraphRank {
         .select(col("id"), col("p"), col("wdeg"))
       rank = edges.join(pd, edges("src") === pd("id"))
         .select(col("dst"),
-          round(col("p") * (col("w") / col("wdeg")), 12).cast(Fixed).as("term"))
+          round(col("p") * (col("w") / col("wdeg")), 9).cast(Fixed).as("term"))
         .groupBy(col("dst"))
-        .agg(round(lit(tele) + lit(0.85) * sum(col("term")).cast("double"), 12)
+        .agg(round(lit(tele) + lit(0.85) * sum(col("term")).cast("double"), 9)
           .as("p"))
         .select(col("dst").as("id"), col("p"))
         .localCheckpoint()

@@ -620,9 +620,10 @@ object Similarity {
     *
     * Determinism: lo/hi are exact float extrema; every ratio is one
     * pinned double expression; (x−lo)/scale ≥ 0 so HALF_UP and
-    * away-from-zero rounding agree; error sums go through
-    * decimal(32,12) (the GraphRank precision) because err² lives at
-    * 1e-7 where the money decimal would flatten to zero.
+    * away-from-zero rounding agree; err snaps to the 9-dp grid and is
+    * squared in exact decimal arithmetic (err² lives at 1e-7, and a
+    * fine-decimal cast of the raw double was the one boundary-flaky
+    * step).
     */
   def sq8ReconError(emb: DataFrame): DataFrame = {
     val x = emb.select(col("vec_id"),
@@ -636,15 +637,21 @@ object Similarity {
     val recon = when(col("hi") === col("lo"), col("lo"))
       .otherwise(col("lo") + code * scale)
     val err = col("x") - recon
+    // err snaps to the 9-dp grid (double-input rounds are
+    // engine-dependent near half-grid boundaries with a window ∝ the
+    // grid — ~5e-6/op at 12 dp was enough to flake 3 of 320k cells at
+    // sf0.1, negligible at 9); the SQUARE then runs in exact decimal
+    // arithmetic so no double is ever rounded at fine precision
+    val e9 = round(err, 9).cast("decimal(12,9)")
     x.join(broadcast(stats), Seq("i"))
-      .select(col("vec_id"), err.as("err"))
+      .select(col("vec_id"), (e9 * e9).cast("decimal(32,18)").as("esq"),
+        round(abs(err), 9).as("aerr"))
       .groupBy(col("vec_id"))
       .agg(
         // divisor = the vector's actual element count, not an assumed
         // dimensionality — MSE stays right for non-64-dim embeddings
-        round(sum((col("err") * col("err")).cast(DecimalType(32, 12)))
-          .cast("double") / count(lit(1)), 12).as("mse"),
-        round(max(abs(col("err"))), 12).as("max_abs_err"))
+        round(sum(col("esq")).cast("double") / count(lit(1)), 12).as("mse"),
+        max(col("aerr")).as("max_abs_err"))
       .orderBy(col("vec_id"))
   }
 }

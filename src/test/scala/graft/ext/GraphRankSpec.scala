@@ -20,13 +20,13 @@ class GraphRankSpec extends SparkSuite {
   test("hand-computed single iteration on the path graph") {
     val p = GraphRank.pagerank(pairsDF((1L, 2L), (2L, 3L)), iters = 1)
       .as[(Long, Double)].collect().toMap
-    def r12(x: Double) = BigDecimal(x)
-      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val third = 1.0 / 3
     val tele = 0.15 * third
     // node 2 receives both leaves' full mass; leaves get half the hub's
-    assert(p(2L) == r12(tele + 0.85 * (r12(third) + r12(third))))
-    assert(p(1L) == r12(tele + 0.85 * r12(third / 2)))
+    assert(p(2L) == r9(tele + 0.85 * (r9(third) + r9(third))))
+    assert(p(1L) == r9(tele + 0.85 * r9(third / 2)))
   }
 
   test("rank is invariant under input partitioning") {
