@@ -46,6 +46,9 @@ object Warm {
     graft.ext.LrClassifier.ensureLr(spark,
       graft.ext.LrClassifier.fixtureSeed(docs), s"${Artifact.root(d)}/lrclass")
     graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm")
+    // same memo priming for the classifier and bigram serving preps
+    graft.ext.Classifier.warmServing(spark, s"${Artifact.root(d)}/nbclass")
+    graft.ext.BigramModel.warmServing(spark, s"${Artifact.root(d)}/bigram_lm")
     graft.ext.InvertedIndex.ensureIndex(spark, docs, s"${Artifact.root(d)}/invindex")
     // session-memoized (not persisted — see Bpe's class doc): trained
     // here so no bpe_* query pays the training cost as first consumer

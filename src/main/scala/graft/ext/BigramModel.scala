@@ -187,6 +187,16 @@ object BigramModel {
   private val prepMemo =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Long, DataFrame, Long)]
 
+  /** Pre-net the model side into the session memo — warm-phase hook so
+    * the first scorer (JM or KN) measures serve cost, not the one-time
+    * two-ledger netting (the [[LanguageModel.warmVocab]] discipline).
+    */
+  def warmServing(spark: SparkSession, dir: String, vocabSize: Int = 4096): Unit =
+    prepMemo.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}#$dir#$vocabSize#" +
+        Artifact.readMeta(spark, dir).getOrElse(""),
+      modelPrep(spark, dir, vocabSize))
+
   private def scorePrep(spark: SparkSession, docs: DataFrame, dir: String,
                         vocabSize: Int): ScorePrep = {
     val (v, vSize, dUni, bg, nBigrams) = prepMemo.getOrElseUpdate(

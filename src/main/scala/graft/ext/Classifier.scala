@@ -182,6 +182,13 @@ object Classifier {
   private val prepMemo =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, DataFrame)]
 
+  /** Pre-net the serving tables into the session memo — warm-phase
+    * hook so the first scorer measures serve cost, not the one-time
+    * ledger netting (the [[LanguageModel.warmVocab]] discipline).
+    */
+  def warmServing(spark: SparkSession, dir: String, vocabSize: Int = 4096): Unit =
+    servingPrep(spark, dir, vocabSize)
+
   private def servingPrep(spark: SparkSession, dir: String,
                           vocabSize: Int): (DataFrame, Long, DataFrame) =
     prepMemo.getOrElseUpdate(
