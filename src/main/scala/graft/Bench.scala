@@ -1,5 +1,9 @@
 package graft
+
 object Bench {
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,11 +39,38 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val good = results.filter(_._2 >= 0)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def jsonLine(qs: Seq[(String, Double)], extra: String): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_sec":${fmt(buildSec)},"n_queries":${results.size},"errors":$errs$extra,"queries":$m,"sf":"$sfDir"}"""
+    }
+    // Full per-query detail: one file + one (long) line for humans and
+    // the builder's own records.
+    val fullLine = jsonLine(results, "")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      fullLine.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    println(fullLine)
+    // The LAST stdout line is the gate contract. The driver keeps only
+    // the final ~2000 bytes of sbt output (sbt appends its own
+    // "[success]" trailer after us), and the full 130-query line is
+    // ~5 KB — every BENCH_r1..r9 capture truncated it mid-line and
+    // parsed nothing. So the final line is a compact summary (total,
+    // build, errors, the most expensive queries) sized well under the
+    // window; full detail lives in bench_full.json (cwd).
+    val budget = 1400
+    val top = results.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 200 + errs.length // fixed fields + slack
+    for ((k, v) <- top if used + k.length + 12 < budget) {
+      kept += ((k, v)); used += k.length + 12
+    }
+    println(jsonLine(kept.sortBy(-_._2).toSeq,
+      s""","detail":"bench_full.json""""))
     spark.stop()
   }
 }

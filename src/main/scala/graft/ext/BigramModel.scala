@@ -183,26 +183,31 @@ object BigramModel {
     * actions each). Keyed by artifact meta — the additive fingerprint
     * bumps on append/remove, so a mutated model re-nets — and the
     * application id. The corpus-dependent `stream` stays per-call.
+    * Stale entries for a mutated artifact are evicted and unpersisted
+    * by [[ServingMemo]].
     */
-  private val prepMemo =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Long, DataFrame, Long)]
+  private val prepMemo = scala.collection.concurrent.TrieMap
+    .empty[String, ServingMemo.Entry[(DataFrame, Long, Long, DataFrame, Long)]]
+
+  private def prepCached(spark: SparkSession, dir: String,
+                         vocabSize: Int): (DataFrame, Long, Long, DataFrame, Long) =
+    ServingMemo.cached(prepMemo,
+      s"${spark.sparkContext.applicationId}#$dir#$vocabSize",
+      Artifact.readMeta(spark, dir).getOrElse("")) {
+      val p = modelPrep(spark, dir, vocabSize)
+      ServingMemo.Entry(p, Seq(p._1, p._4))
+    }
 
   /** Pre-net the model side into the session memo — warm-phase hook so
     * the first scorer (JM or KN) measures serve cost, not the one-time
     * two-ledger netting (the [[LanguageModel.warmVocab]] discipline).
     */
   def warmServing(spark: SparkSession, dir: String, vocabSize: Int = 4096): Unit =
-    prepMemo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}#$dir#$vocabSize#" +
-        Artifact.readMeta(spark, dir).getOrElse(""),
-      modelPrep(spark, dir, vocabSize))
+    prepCached(spark, dir, vocabSize)
 
   private def scorePrep(spark: SparkSession, docs: DataFrame, dir: String,
                         vocabSize: Int): ScorePrep = {
-    val (v, vSize, dUni, bg, nBigrams) = prepMemo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}#$dir#$vocabSize#" +
-        Artifact.readMeta(spark, dir).getOrElse(""),
-      modelPrep(spark, dir, vocabSize))
+    val (v, vSize, dUni, bg, nBigrams) = prepCached(spark, dir, vocabSize)
     ScorePrep(v, vSize, dUni, bg, nBigrams, tokenStream(docs, v))
   }
 

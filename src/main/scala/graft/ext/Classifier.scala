@@ -177,10 +177,11 @@ object Classifier {
   /** Session memo over the netted model tables (the LM/bigram serving
     * discipline): scores+predict re-netted both ledgers per call.
     * Keyed by artifact meta (append/remove bump the additive
-    * fingerprint) and application id.
+    * fingerprint) and application id. Stale entries for a mutated
+    * artifact are evicted and unpersisted by [[ServingMemo]].
     */
-  private val prepMemo =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, DataFrame)]
+  private val prepMemo = scala.collection.concurrent.TrieMap
+    .empty[String, ServingMemo.Entry[(DataFrame, Long, DataFrame)]]
 
   /** Pre-net the serving tables into the session memo — warm-phase
     * hook so the first scorer measures serve cost, not the one-time
@@ -191,9 +192,9 @@ object Classifier {
 
   private def servingPrep(spark: SparkSession, dir: String,
                           vocabSize: Int): (DataFrame, Long, DataFrame) =
-    prepMemo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}#$dir#$vocabSize#" +
-        Artifact.readMeta(spark, dir).getOrElse(""), {
+    ServingMemo.cached(prepMemo,
+      s"${spark.sparkContext.applicationId}#$dir#$vocabSize",
+      Artifact.readMeta(spark, dir).getOrElse("")) {
       Artifact.requireKind(spark, dir, MetaPrefix)
       // net the ledgers once; every derived table below reads these
       val counts = spark.read.parquet(s"$dir/counts")
@@ -216,8 +217,11 @@ object Classifier {
           (coalesce(col("cv"), lit(0L)) + lit(vSize) + 1L).cast("double").as("d"),
           log(col("n_docs").cast("double") / lit(total.toDouble)).as("logprior"))
         .localCheckpoint()
-      (inVocab, vSize, labelStats)
-    })
+      // the derived serving tables are materialized — the intermediate
+      // checkpoints would otherwise stay cached for the session
+      Seq(counts, priors, v).foreach(_.unpersist())
+      ServingMemo.Entry((inVocab, vSize, labelStats), Seq(inVocab, labelStats))
+    }
 
   def score(spark: SparkSession, docs: DataFrame, dir: String,
             vocabSize: Int = 4096): DataFrame = {

@@ -90,7 +90,7 @@ object CorpusAudit {
   }
 
   def sourceOverlap(docs: DataFrame, w: Int = 8,
-                    maxBroadcastCandidates: Long = 64L * 1024 * 1024): DataFrame = {
+                    maxBroadcastCandidates: Long = 0L): DataFrame = {
     // The expensive set aggregation runs only on the multi-source
     // survivors — bounded by the TRUE cross-source overlap (the
     // audit's own signal), not the corpus. The semi-join is HINTED
@@ -106,13 +106,21 @@ object CorpusAudit {
     // candidate set that would blow the driver broadcast limit and
     // fail the audit precisely in its alarm regime. So the candidates
     // are materialized once (localCheckpoint — executor-resident, not
-    // driver), counted, and above `maxBroadcastCandidates` (~8 bytes ×
-    // 64M ≈ 512 MB serialized rows, safely under the 8 GB broadcast
-    // hard cap) the semi-join falls back to a shuffle-hash join: the
-    // audit degrades to slow instead of failing.
+    // driver), counted, and above `maxBroadcastCandidates` the
+    // semi-join falls back to a shuffle-hash join: the audit degrades
+    // to slow instead of failing. The default threshold derives from
+    // the driver/executor heap (maxMemory/64 at ~32 bytes per built
+    // broadcast-hash-map entry, clamped to [4M, 64M] rows): the 8 GB
+    // broadcast hard cap is NOT the binding limit — a default-sized
+    // driver OOMs building a 64M-row relation well before it (r9
+    // advice), so the guard has to track the heap actually present.
     val cand = overlapCandidates(docs, w).localCheckpoint()
+    val maxCand =
+      if (maxBroadcastCandidates > 0L) maxBroadcastCandidates
+      else math.max(4L * 1024 * 1024,
+        math.min(64L * 1024 * 1024, Runtime.getRuntime.maxMemory / 64 / 32))
     val semiRight =
-      if (cand.count() <= maxBroadcastCandidates) broadcast(cand)
+      if (cand.count() <= maxCand) broadcast(cand)
       else cand.hint("shuffle_hash")
     val multi = gramKeys(docs, w)
       .join(semiRight, Seq("hk"), "left_semi")

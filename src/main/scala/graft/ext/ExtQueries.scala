@@ -507,10 +507,10 @@ object ExtQueries {
     }),
 
     // Learned quality filter (binary logistic regression, the
-    // fastText-style model pipelines actually deploy): 4 full-batch
-    // GD steps over the labeled seed with pinned 12-dp arithmetic —
-    // the oracle replays the ENTIRE training loop in generated SQL
-    // (the k-means/BPE pattern) and the corpus scores hash-match.
+    // fastText-style model pipelines actually deploy): 16 full-batch
+    // GD steps over the labeled seed on the 10^-6 integer micro-unit
+    // grid — the oracle replays the ENTIRE training loop in generated
+    // SQL (the k-means/BPE pattern) and the corpus scores hash-match.
     "classify_lr_scores" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = LrClassifier.ensureLr(s, LrClassifier.fixtureSeed(docs),

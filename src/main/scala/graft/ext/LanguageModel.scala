@@ -199,17 +199,20 @@ object LanguageModel {
     * when the MODEL changes. Keyed by the artifact meta (the additive
     * fingerprint bumps on every append/remove, so a mutated model
     * re-nets) and the application id (a later session retrains rather
-    * than serving state bound to a stopped context).
+    * than serving state bound to a stopped context). Stale entries for
+    * a mutated artifact are evicted and unpersisted by [[ServingMemo]].
     */
   private val vocabMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, ServingMemo.Entry[DataFrame]]
 
   private def vocabCached(spark: SparkSession, dir: String,
                           vocabSize: Int): DataFrame =
-    vocabMemo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}#$dir#$vocabSize#" +
-        Artifact.readMeta(spark, dir).getOrElse(""),
-      vocab(spark, dir, vocabSize).localCheckpoint())
+    ServingMemo.cached(vocabMemo,
+      s"${spark.sparkContext.applicationId}#$dir#$vocabSize",
+      Artifact.readMeta(spark, dir).getOrElse("")) {
+      val v = vocab(spark, dir, vocabSize).localCheckpoint()
+      ServingMemo.Entry(v, Seq(v))
+    }
 
   /** Pre-net the serving vocab into the session memo — called from the
     * warm phase so the first scoring query against each model measures

@@ -130,8 +130,11 @@ object LrClassifier {
         halfAway(col("c") * 1000000L, col("l")).as("fu"))
 
   /** Per-doc margin in micro-units from a weight table `(token, wu)`:
-    * Σ halfaway(wu·fu, 10⁶) — every term an exact integer (|wu| ≤ 10¹⁰,
-    * fu ≤ 10⁶ → products ≤ 10¹⁶, inside long/BIGINT in both engines).
+    * Σ halfaway(wu·fu, 10⁶) — every term an exact integer. Bound:
+    * per-step weight updates are ≤ lr·10⁶, so |wu| ≤ iters·lr·10⁶
+    * (~3.3·10¹⁰ at the default lr=2048, 16 steps); with fu ≤ 10⁶ the
+    * products stay ≤ ~3.3·10¹⁶ < 2⁶³ — inside long/BIGINT in both
+    * engines for any lr·iters up to ~9·10⁶.
     */
   private def marginU(feats: DataFrame, wdf: DataFrame) =
     feats.join(wdf, Seq("token"))

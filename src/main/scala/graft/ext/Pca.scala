@@ -63,43 +63,94 @@ object Pca {
     * fold.)
     *
     * Range: |xu| ≤ 10⁶·max|x|; with unit-scale embeddings the product
-    * sums overflow long only past ~10⁷ rows — beyond that, shard the
-    * fold or serve [[covarianceFastMatrix]] (the documented 100 TB
-    * path). Also asserts every row carries all [[Dims]] dimensions.
+    * sums stay inside long up to ~10⁷ rows (worst case). The fold is
+    * OVERFLOW-CHECKED — every accumulate is `Math.addExact` /
+    * `Math.multiplyExact`, so past the bound it fails loudly instead
+    * of silently corrupting covariance — and on overflow the pass
+    * reruns once with BigInteger accumulators: still exact, still
+    * partitioning-independent, ~3× slower, unbounded range (the
+    * moments surface as BigInt; [[cellsFromMoments]] works in BigInt
+    * regardless). The double-precision 100 TB serving path remains
+    * [[covarianceFastMatrix]]. Also asserts every row carries all
+    * [[Dims]] dimensions.
     */
-  def momentsPass(emb: DataFrame): (Array[Long], Array[Long], Long) = {
+  def momentsPass(emb: DataFrame): (Array[BigInt], Array[BigInt], Long) = {
     val d = Dims
     val tri = d * (d + 1) / 2
-    val (p, x, n) = emb.select(col("embedding")).rdd
+    val src = emb.select(col("embedding")).rdd
       .map(_.getSeq[Float](0).toArray)
-      .treeAggregate((new Array[Long](tri), new Array[Long](d), 0L))(
+    def unitRow(v: Array[Float]): Array[Long] = {
+      require(v.length == d, s"expected $d dims, saw ${v.length}")
+      val xu = new Array[Long](d)
+      var i = 0
+      while (i < d) {
+        xu(i) = java.math.BigDecimal.valueOf(v(i).toDouble)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .scaleByPowerOfTen(6).longValueExact
+        i += 1
+      }
+      xu
+    }
+    def longFold(): (Array[BigInt], Array[BigInt], Long) = {
+      val (p, x, n) = src.treeAggregate((new Array[Long](tri), new Array[Long](d), 0L))(
         { case ((p, x, n), v) =>
-          require(v.length == d, s"expected $d dims, saw ${v.length}")
-          val xu = new Array[Long](d)
+          val xu = unitRow(v)
+          var idx = 0
           var i = 0
           while (i < d) {
-            xu(i) = java.math.BigDecimal.valueOf(v(i).toDouble)
-              .setScale(6, java.math.RoundingMode.HALF_UP)
-              .scaleByPowerOfTen(6).longValueExact
-            i += 1
-          }
-          var idx = 0
-          i = 0
-          while (i < d) {
-            x(i) += xu(i)
+            x(i) = Math.addExact(x(i), xu(i))
             var j = i
-            while (j < d) { p(idx) += xu(i) * xu(j); idx += 1; j += 1 }
+            while (j < d) {
+              p(idx) = Math.addExact(p(idx), Math.multiplyExact(xu(i), xu(j)))
+              idx += 1; j += 1
+            }
             i += 1
           }
           (p, x, n + 1)
         },
         { case ((p1, x1, n1), (p2, x2, n2)) =>
           var k = 0
-          while (k < tri) { p1(k) += p2(k); k += 1 }
+          while (k < tri) { p1(k) = Math.addExact(p1(k), p2(k)); k += 1 }
           var i = 0
-          while (i < d) { x1(i) += x2(i); i += 1 }
+          while (i < d) { x1(i) = Math.addExact(x1(i), x2(i)); i += 1 }
           (p1, x1, n1 + n2)
         })
+      (p.map(BigInt(_)), x.map(BigInt(_)), n)
+    }
+    def bigFold(): (Array[BigInt], Array[BigInt], Long) = {
+      import java.math.BigInteger
+      val (pB, xB, n) = src.treeAggregate(
+        (Array.fill(tri)(BigInteger.ZERO), Array.fill(d)(BigInteger.ZERO), 0L))(
+        { case ((p, x, n), v) =>
+          val xu = unitRow(v)
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            val bi = BigInteger.valueOf(xu(i))
+            x(i) = x(i).add(bi)
+            var j = i
+            while (j < d) {
+              p(idx) = p(idx).add(bi.multiply(BigInteger.valueOf(xu(j))))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          (p, x, n + 1)
+        },
+        { case ((p1, x1, n1), (p2, x2, n2)) =>
+          var k = 0
+          while (k < tri) { p1(k) = p1(k).add(p2(k)); k += 1 }
+          var i = 0
+          while (i < d) { x1(i) = x1(i).add(x2(i)); i += 1 }
+          (p1, x1, n1 + n2)
+        })
+      (pB.map(BigInt(_)), xB.map(BigInt(_)), n)
+    }
+    def isOverflow(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[ArithmeticException] || isOverflow(t.getCause))
+    val (p, x, n) =
+      try longFold()
+      catch { case e: Throwable if isOverflow(e) => bigFold() }
     require(n > 0, "empty embedding table")
     (p, x, n)
   }
@@ -111,14 +162,14 @@ object Pca {
     * ratio of exact integers is engine-independent; rounding a double
     * is not (that was the r7 `pca_covariance` hash mismatch).
     */
-  private def cellsFromMoments(pU: Array[Long], sxU: Array[Long],
+  private def cellsFromMoments(pU: Array[BigInt], sxU: Array[BigInt],
                                n: Long): IndexedSeq[(Int, Int, Double)] = {
     val bn = BigInt(n)
     val den = bn * bn * BigInt(1000000L)
     var idx = -1
     for (i <- 0 until Dims; j <- i until Dims) yield {
       idx += 1
-      val num = bn * BigInt(pU(idx)) - BigInt(sxU(i)) * BigInt(sxU(j))
+      val num = bn * pU(idx) - sxU(i) * sxU(j)
       val r =
         if (num < 0) -((-num * 2 + den) / (den * 2))
         else (num * 2 + den) / (den * 2)
