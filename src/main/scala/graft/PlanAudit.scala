@@ -22,7 +22,8 @@ object PlanAudit {
         "dedup_canonical_rank", "corpus_source_overlap",
         "corpus_source_scorecard", "embed_drift_means",
         "classify_lr_pred", "quality_perplexity_kn", "dedup_embed_cosine",
-        "dedup_semantic", "dedup_simhash", "dedup_substring_rewrite")
+        "dedup_semantic", "dedup_simhash", "dedup_substring_rewrite",
+        "a9_kmv_distinct", "a13_retention_cohorts", "a14_event_funnel")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -56,6 +56,31 @@ object AnalyticsQueries {
           col("listen_count"), col("unique_listeners"))
         .orderBy(col("event_type"), col("date"))),
 
+    // A1 approximate-distinct, deterministic twin: KMV / theta-sketch
+    // estimator from md5-derived 60-bit hashes — unlike HLL (a9,
+    // engine-private registers) every step up to one terminal double
+    // division is integer-exact, so the DuckDB oracle replays it
+    // hash-for-hash (k=32 so the estimator branch runs at gate
+    // scale; uniq_exact rides alongside). KpiSpec pins the error.
+    "a9_kmv_distinct" -> ((s, d) =>
+      Kpis.genreKpisKmv(Enrich.enriched(s, d))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("event_type"), col("date"))),
+
+    // Daily retention cohorts over events: first-activity day per user
+    // × day offset, active count + retained share. The engagement
+    // report of the reference's analytics family, exact end to end.
+    "a13_retention_cohorts" -> ((s, d) =>
+      Kpis.retentionCohorts(Tables.events(s, d))
+        .withColumn("cohort", col("cohort").cast("string"))
+        .orderBy(col("cohort"), col("day_offset"))),
+
+    // Ordered conversion funnel view → click → purchase: per-user
+    // conditional-min aggregate, strict earliest-occurrence ordering,
+    // then one global roll-up row per step.
+    "a14_event_funnel" -> ((s, d) =>
+      Kpis.eventFunnel(Tables.events(s, d)).orderBy(col("step"))),
+
     // P9 + A1: single-day scoped variant (PROCESS_DATE semantics). The
     // process date (earliest event day) is computed in-plan — a 1-row
     // aggregate broadcast-joined onto the fact — instead of a driver-side
@@ -462,6 +487,76 @@ object AnalyticsQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // KMV replayed hash-for-hash: same md5-prefix 60-bit integers,
+    // same k-th-smallest order statistic, one terminal correctly-
+    // rounded double division (k=256 → 255·2⁶⁰ numerator, exact in
+    // double: 8 significant bits).
+    "a9_kmv_distinct" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT e.event_type, CAST(e.ts AS DATE) AS date,
+        |    CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |), r AS (
+        |  SELECT event_type, date, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, date ORDER BY h) AS rn
+        |  FROM dh
+        |), g AS (
+        |  SELECT event_type, date, COUNT(*) AS uniq_exact,
+        |    MAX(CASE WHEN rn = 32 THEN h END) AS hk
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(date AS VARCHAR) AS date, uniq_exact,
+        |  CASE WHEN uniq_exact < 32 THEN CAST(uniq_exact AS DOUBLE)
+        |       ELSE round(31.0 * 1152921504606846976 / CAST(hk AS DOUBLE), 6)
+        |  END AS uniq_kmv
+        |FROM g ORDER BY event_type, date""".stripMargin,
+
+    "a13_retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS cohort FROM uw GROUP BY 1
+        |), sz AS (
+        |  SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY 1
+        |), act AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, uw.day) AS INT) AS day_offset,
+        |    COUNT(*) AS n_active
+        |  FROM uw JOIN f USING (user_id) GROUP BY 1, 2
+        |)
+        |SELECT CAST(a.cohort AS VARCHAR) AS cohort, a.day_offset, a.n_active,
+        |  round(a.n_active / s.cohort_size, 6) AS retention
+        |FROM act a JOIN sz s USING (cohort)
+        |ORDER BY cohort, day_offset""".stripMargin,
+
+    "a14_event_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |                  AND t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |                  AND t_purchase IS NOT NULL AND t_view < t_click
+        |                  AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |  FROM m
+        |)
+        |SELECT 1 AS step, 'view' AS event_type, n_view AS n_users,
+        |  CASE WHEN n_view > 0 THEN round(n_view / n_view, 6) END AS conversion FROM tot
+        |UNION ALL
+        |SELECT 2, 'click', n_click,
+        |  CASE WHEN n_view > 0 THEN round(n_click / n_view, 6) END FROM tot
+        |UNION ALL
+        |SELECT 3, 'purchase', n_purchase,
+        |  CASE WHEN n_view > 0 THEN round(n_purchase / n_view, 6) END FROM tot
+        |ORDER BY step""".stripMargin,
 
     "p9_kpis_one_day" ->
       """SELECT e.event_type, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS date,

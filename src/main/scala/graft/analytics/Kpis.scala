@@ -96,4 +96,110 @@ object Kpis {
     topKPerGroup(counted,
       Seq(col("date")), col("total_plays"), Seq(col("event_type")), k)
   }
+
+  /** A1 distinct-count via a deterministic KMV (k-minimum-values /
+    * theta-sketch family, Bar-Yossef et al. 2002) estimator — the
+    * oracle-verifiable twin of [[genreKpisApprox]]'s HLL: per group,
+    * hash each user to a 60-bit integer (md5 prefix — both engines
+    * compute the identical value), keep the k-th smallest distinct
+    * hash h_k, and estimate distinct = (k−1)·2⁶⁰/h_k (exact distinct
+    * when a group has fewer than k). Every step is integer-exact up to
+    * one terminal correctly-rounded double division, so DuckDB replays
+    * it hash-for-hash — unlike HLL, whose registers are engine-private.
+    * rse ≈ 1/√(k−2); the default k=32 (rse ≈ 18%) is chosen so the
+    * ESTIMATOR branch actually executes at gate scale (sf0.01 groups
+    * hold ~50–100 distinct users) — production would run k≥256, and
+    * the exact count rides alongside in `uniq_exact` either way.
+    *
+    * Scale shape: the dedup on (group, hash) and the per-group order
+    * statistic are one shuffle each on the same keys. The window is
+    * rank-bounded per group, and the alternative at 100 TB — keeping
+    * only k minima per partition and merging — is what a sketch
+    * library does; for pure speed at scale [[genreKpisApprox]] (HLL,
+    * map-side partial merge) remains the documented serving path, with
+    * this as the deterministic gate twin (the Pca exact/fast pattern).
+    */
+  def genreKpisKmv(enriched: DataFrame, k: Int = 32): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val dh = enriched
+      .select(col("event_type"), col("date"), h.as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type"), col("date")).orderBy(col("h"))
+    dh.withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"), col("date"))
+      .agg(count(lit(1)).as("uniq_exact"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(col("event_type"), col("date"), col("uniq_exact"),
+        when(col("uniq_exact") < k, col("uniq_exact").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble * 1152921504606846976.0d) /
+              col("hk").cast("double"), 6))
+          .as("uniq_kmv"))
+  }
+
+  /** Daily retention cohorts over the event stream — the engagement
+    * report every activity pipeline ships: users grouped by
+    * first-activity day, then for each later day the count still
+    * active and the retained share of the cohort. All exact integer
+    * aggregation plus one terminal division. (Day granularity rather
+    * than the classic week: the fixture spans 30 days, so weeks would
+    * collapse to a single cohort and verify nothing.)
+    *
+    * Scale shape: distinct (user, day) shuffles once on user for the
+    * cohort min, once on (cohort, offset) for the report — no window
+    * over the full stream. The first-week table is users-sized and
+    * already partitioned by user_id from its groupBy, so the join back
+    * reuses that exchange (AQE broadcasts it instead when users fit);
+    * the per-cohort size table is weeks-sized and hinted broadcast.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sized = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    uw.join(first, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("int").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sized), Seq("cohort"))
+      .select(col("cohort"), col("day_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  /** Ordered conversion funnel over the event stream (view → click →
+    * purchase by default): a user converts through step i when their
+    * earliest step-i event is strictly later than their earliest
+    * step-(i−1) event — the standard loose-ordering funnel semantics.
+    * One conditional-min aggregate per user, then a global roll-up:
+    * two shuffles total, no self-joins, no windows over the stream.
+    */
+  def eventFunnel(events: DataFrame,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val stepMins = steps.map(st =>
+      min(when(col("event_type") === st, col("ts"))).as(s"t_$st"))
+    val mins = events
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .agg(stepMins.head, stepMins.tail: _*)
+    val reached = steps.indices.map { i =>
+      // reached step i = every prior step seen, in strictly increasing
+      // earliest-occurrence order
+      val conds = (0 to i).map(j => col(s"t_${steps(j)}").isNotNull) ++
+        (1 to i).map(j => col(s"t_${steps(j - 1)}") < col(s"t_${steps(j)}"))
+      sum(when(conds.reduce(_ && _), 1L).otherwise(0L)).as(s"n_${steps(i)}")
+    }
+    val totals = mins.agg(reached.head, reached.tail: _*)
+    // unpivot to one row per step with the conversion rate vs step 1
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("step"), lit(st).as("event_type"),
+        col(s"n_$st").as("n_users"),
+        when(col(s"n_${steps.head}") > 0,
+          round(col(s"n_$st").cast("double") /
+            col(s"n_${steps.head}").cast("double"), 6)).as("conversion"))
+    }
+    totals.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

@@ -72,4 +72,69 @@ class KpiSpec extends SparkSuite {
     val plan = Enrich.enriched(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("KMV distinct: exact below k, estimator within 4·rse above k") {
+    val enriched = Enrich.enriched(spark, sfDir)
+    // k above every group's distinct count → pure exact branch
+    val allExact = Kpis.genreKpisKmv(enriched, k = 100000).collect()
+    allExact.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble,
+        s"below-k group must report exact: $r")
+    }
+    // estimator branch on a synthetic 20k-distinct group at the
+    // production k=256: KMV rse = 1/sqrt(k-2) ≈ 6.3%, allow 4 sigma
+    val k = 256
+    val n = 20000
+    val big = spark.range(n.toLong)
+      .select(lit("g").as("event_type"), lit("2024-01-01").as("date"),
+        col("id").as("user_id"))
+    val est = Kpis.genreKpisKmv(big, k = k).collect()
+    assert(est.length == 1 && est.head.getLong(2) == n.toLong)
+    val bound = 4.0 / math.sqrt(k - 2.0)
+    val a = est.head.getDouble(3)
+    assert(math.abs(n - a) / n <= bound, s"KMV off by >$bound: exact=$n est=$a")
+  }
+
+  test("retention cohorts: offset-0 is the full cohort, counts never exceed it") {
+    val out = Kpis.retentionCohorts(Tables.events(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    val byCohort = out.groupBy(_.getDate(0))
+    byCohort.foreach { case (_, rows) =>
+      val r0 = rows.find(_.getInt(1) == 0).get
+      assert(r0.getDouble(3) == 1.0, "day-0 retention must be 1")
+      rows.foreach { r =>
+        assert(r.getLong(2) <= r0.getLong(2), "active count cannot exceed cohort size")
+        assert(r.getDouble(3) <= 1.0 && r.getDouble(3) > 0.0)
+      }
+    }
+    // cohort sizes partition the user base exactly
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val sized = byCohort.values.map(_.find(_.getInt(1) == 0).get.getLong(2)).sum
+    assert(sized == users, s"cohorts must partition users: $sized != $users")
+  }
+
+  test("event funnel: monotone non-increasing, step-1 conversion is 1") {
+    val out = Kpis.eventFunnel(Tables.events(spark, sfDir))
+      .orderBy(col("step")).collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("view", "click", "purchase"))
+    val counts = out.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must be monotone: ${counts.toSeq}")
+    assert(out.head.getDouble(3) == 1.0)
+    // hand-checkable micro-fixture: strict ordering semantics
+    val tiny = Seq(
+      // u1 converts fully; u2 views only; u3 clicks before viewing (no
+      // click credit); u4 view→click but purchase precedes click
+      (1L, "view", "2024-01-01 00:00:00"), (1L, "click", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      (2L, "view", "2024-01-01 00:00:00"),
+      (3L, "click", "2024-01-01 00:00:00"), (3L, "view", "2024-01-01 01:00:00"),
+      (4L, "view", "2024-01-01 00:00:00"), (4L, "purchase", "2024-01-01 00:30:00"),
+      (4L, "click", "2024-01-01 01:00:00")
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val t = Kpis.eventFunnel(tiny).orderBy(col("step")).collect()
+    assert(t.map(_.getLong(2)).toSeq == Seq(4L, 2L, 1L),
+      s"strict-order semantics: ${t.toSeq}")
+  }
 }
