@@ -66,6 +66,9 @@ object Warm {
     // build AND the load-once materialization (the day layout's many
     // partition directories make per-query listing the dominant cost)
     graft.serve.KeyValue.dailyStoreCached(spark, d)
+    // curated-ingest lifecycle (stream_curated_corpus): root seeded +
+    // wire spool streamed once here; the query measures replay+serve
+    graft.stream.StreamQueries.ensureCurated(spark, d)
     (System.nanoTime() - t0) / 1e9
   }
 }
