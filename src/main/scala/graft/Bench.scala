@@ -39,22 +39,33 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val good = results.filter(_._2 >= 0)
-    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
+    // Failed-query names, capped to the byte budget: with many
+    // failures the raw array alone could overflow the driver's ~2KB
+    // capture window exactly when its content matters most, so emit
+    // the first few names plus a count of the rest.
+    val sortedErrs = errors.sorted
+    val shownErrs = sortedErrs.take(5)
+    val errItems = shownErrs.map("\"" + _ + "\"") ++
+      (if (sortedErrs.size > shownErrs.size)
+         Seq("\"+" + (sortedErrs.size - shownErrs.size) + " more\"")
+       else Nil)
+    val errs = errItems.mkString("[", ",", "]")
     def jsonLine(qs: Seq[(String, Double)], extra: String): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_sec":${fmt(buildSec)},"n_queries":${results.size},"errors":$errs$extra,"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_sec":${fmt(buildSec)},"n_queries":${results.size},"n_errors":${sortedErrs.size},"errors":$errs$extra,"queries":$m,"sf":"$sfDir"}"""
     }
-    // Full per-query detail: one file + one (long) line for humans and
-    // the builder's own records.
-    val fullLine = jsonLine(results, "")
+    // Full per-query detail goes ONLY to bench_full.json (cwd): a
+    // second stdout copy of the ~5 KB line risks landing inside the
+    // driver's 2 KB tail window on a short suite and truncating the
+    // line that matters.
+    val fullLine = jsonLine(results, "") + "\n"
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullLine.getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
     }
-    println(fullLine)
     // The LAST stdout line is the gate contract. The driver keeps only
     // the final ~2000 bytes of sbt output (sbt appends its own
     // "[success]" trailer after us), and the full 130-query line is

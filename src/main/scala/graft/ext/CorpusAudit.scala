@@ -89,8 +89,13 @@ object CorpusAudit {
       .select(col("hk"))
   }
 
+  /** `maxBroadcastCandidates`: max candidate rows to broadcast in the
+    * semi-join below. Negative (the default) auto-derives the cap from
+    * the actual heap; `0` keeps its natural meaning — never broadcast,
+    * always the shuffle-hash fallback.
+    */
   def sourceOverlap(docs: DataFrame, w: Int = 8,
-                    maxBroadcastCandidates: Long = 0L): DataFrame = {
+                    maxBroadcastCandidates: Long = -1L): DataFrame = {
     // The expensive set aggregation runs only on the multi-source
     // survivors — bounded by the TRUE cross-source overlap (the
     // audit's own signal), not the corpus. The semi-join is HINTED
@@ -115,8 +120,12 @@ object CorpusAudit {
     // driver OOMs building a 64M-row relation well before it (r9
     // advice), so the guard has to track the heap actually present.
     val cand = overlapCandidates(docs, w).localCheckpoint()
+    // Sentinel: negative = auto-derive from heap; 0 and positive are
+    // taken literally (0 = never broadcast) — overloading 0 as the
+    // auto sentinel would silently re-enable broadcasting for a caller
+    // that asked to disable it (r10 advice).
     val maxCand =
-      if (maxBroadcastCandidates > 0L) maxBroadcastCandidates
+      if (maxBroadcastCandidates >= 0L) maxBroadcastCandidates
       else math.max(4L * 1024 * 1024,
         math.min(64L * 1024 * 1024, Runtime.getRuntime.maxMemory / 64 / 32))
     val semiRight =

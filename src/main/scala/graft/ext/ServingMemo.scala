@@ -26,26 +26,52 @@ object ServingMemo {
   private def release(e: Entry[_]): Unit =
     e.pins.foreach(f => try f.unpersist() catch { case _: Throwable => () })
 
+  // One lock object per prefix: `putIfAbsent` (atomic on TrieMap, unlike
+  // getOrElseUpdate whose thunk can run twice) guarantees every caller
+  // of the same prefix synchronizes on the SAME object.
+  private val locks = TrieMap.empty[String, AnyRef]
+  private def lockFor(prefix: String): AnyRef = {
+    locks.putIfAbsent(prefix, new Object)
+    locks(prefix)
+  }
+
   /** Look up `prefix#metaKey`; on miss, evict stale same-prefix
-    * entries (unpersisting their pins), build, and insert. A racing
-    * duplicate build is released, never leaked: `putIfAbsent` keeps
-    * the winner.
+    * entries (unpersisting their pins), build, and insert.
+    *
+    * The miss path is SERIALIZED per prefix (r10 advice): without the
+    * lock, a build started under an old metaKey could insert AFTER a
+    * newer-meta insert already evicted the prefix — resurrecting a
+    * stale entry whose pins stay cached until the next mutation — and
+    * two racing builds would both run. With it, evict+build+insert is
+    * atomic per prefix, so the newest metaKey always wins and each
+    * entry is built once.
+    *
+    * Residual caveat (documented, not fixed): the lock-free HIT path
+    * means a caller still lazily executing against an entry can see its
+    * localCheckpointed pins unpersisted by a concurrent same-prefix
+    * mutation — lineage is truncated, so that job fails rather than
+    * recomputes. Serving and mutation are not expected to overlap on
+    * one artifact within a session; a failed reader retries against
+    * the fresh entry.
     */
   def cached[V](memo: TrieMap[String, Entry[V]], prefix: String,
                 metaKey: String)(build: => Entry[V]): V = {
     val full = prefix + "#" + metaKey
     memo.get(full) match {
       case Some(e) => e.value
-      case None =>
-        memo.keysIterator
-          .filter(k => k.startsWith(prefix + "#") && k != full)
-          .toList
-          .foreach(k => memo.remove(k).foreach(release))
-        val e = build
-        memo.putIfAbsent(full, e) match {
-          case Some(prev) => release(e); prev.value
-          case None => e.value
+      case None => lockFor(prefix).synchronized {
+        memo.get(full) match {
+          case Some(e) => e.value
+          case None =>
+            memo.keysIterator
+              .filter(k => k.startsWith(prefix + "#") && k != full)
+              .toList
+              .foreach(k => memo.remove(k).foreach(release))
+            val e = build
+            memo.put(full, e)
+            e.value
         }
+      }
     }
   }
 }

@@ -27,6 +27,18 @@ object StreamQueries {
   private val curatedMemo = scala.collection.concurrent.TrieMap
     .empty[String, (String, String, String, org.apache.spark.sql.types.StructType)]
 
+  // One lock per memo key: TrieMap.getOrElseUpdate can evaluate its
+  // thunk concurrently, and this thunk has side effects (it deletes and
+  // re-streams the shared non-temp root) — two racing callers would
+  // interleave seed/ingest writes and corrupt the corpus (r10 advice).
+  // putIfAbsent is atomic, so all callers of a key share one object.
+  private val curatedLocks =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  private def curatedLockFor(key: String): AnyRef = {
+    curatedLocks.putIfAbsent(key, new Object)
+    curatedLocks(key)
+  }
+
   /** Build the curated-ingest lifecycle once per (app, fixture): reset
     * the root, seed it with the doc_id%10≠0 slice, shape the remaining
     * slice into Kafka wire rows IN-PLAN (two topic partitions keyed on
@@ -39,8 +51,20 @@ object StreamQueries {
     * measures replay+serve against the returned root/spool.
     */
   def ensureCurated(s: SparkSession, d: String): (String, String, String,
-      org.apache.spark.sql.types.StructType) =
-    curatedMemo.getOrElseUpdate(s"${s.sparkContext.applicationId}#$d", {
+      org.apache.spark.sql.types.StructType) = {
+    val key = s"${s.sparkContext.applicationId}#$d"
+    curatedMemo.get(key) match {
+      case Some(v) => v
+      case None => curatedLockFor(key).synchronized {
+        ensureCuratedLocked(s, d, key)
+      }
+    }
+  }
+
+  // Runs under the per-key lock: at most one delete+seed+stream per key.
+  private def ensureCuratedLocked(s: SparkSession, d: String, key: String):
+      (String, String, String, org.apache.spark.sql.types.StructType) =
+    curatedMemo.getOrElseUpdate(key, {
       import graft.ext.{Artifact, LanguageModel}
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val seed = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
