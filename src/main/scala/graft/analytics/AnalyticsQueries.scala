@@ -489,9 +489,10 @@ object AnalyticsQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     // KMV replayed hash-for-hash: same md5-prefix 60-bit integers,
-    // same k-th-smallest order statistic, one terminal correctly-
-    // rounded double division (k=256 → 255·2⁶⁰ numerator, exact in
-    // double: 8 significant bits).
+    // same k-th-smallest order statistic, and the estimate itself a
+    // half-up INTEGRAL division — hu(31·2⁶⁰ / hk) = (31·2⁶¹ + hk) //
+    // (2·hk), carried in HUGEINT because the numerator overflows a
+    // BIGINT. No double-rounding grid anywhere.
     "a9_kmv_distinct" ->
       """WITH dh AS (
         |  SELECT DISTINCT e.event_type, CAST(e.ts AS DATE) AS date,
@@ -507,8 +508,9 @@ object AnalyticsQueries {
         |  FROM r GROUP BY 1, 2
         |)
         |SELECT event_type, CAST(date AS VARCHAR) AS date, uniq_exact,
-        |  CASE WHEN uniq_exact < 32 THEN CAST(uniq_exact AS DOUBLE)
-        |       ELSE round(31.0 * 1152921504606846976 / CAST(hk AS DOUBLE), 6)
+        |  CASE WHEN uniq_exact < 32 THEN uniq_exact
+        |       ELSE CAST((CAST('71481133285624512512' AS HUGEINT) + hk)
+        |                 // (2 * hk) AS BIGINT)
         |  END AS uniq_kmv
         |FROM g ORDER BY event_type, date""".stripMargin,
 
@@ -526,7 +528,10 @@ object AnalyticsQueries {
         |  FROM uw JOIN f USING (user_id) GROUP BY 1, 2
         |)
         |SELECT CAST(a.cohort AS VARCHAR) AS cohort, a.day_offset, a.n_active,
-        |  round(a.n_active / s.cohort_size, 6) AS retention
+        |  (2 * a.n_active * 1000000 + s.cohort_size) // (2 * s.cohort_size)
+        |    AS retention_ppm,
+        |  ((2 * a.n_active * 1000000 + s.cohort_size) // (2 * s.cohort_size))
+        |    / 1000000.0 AS retention
         |FROM act a JOIN sz s USING (cohort)
         |ORDER BY cohort, day_offset""".stripMargin,
 
@@ -549,13 +554,26 @@ object AnalyticsQueries {
         |  FROM m
         |)
         |SELECT 1 AS step, 'view' AS event_type, n_view AS n_users,
-        |  CASE WHEN n_view > 0 THEN round(n_view / n_view, 6) END AS conversion FROM tot
+        |  CASE WHEN n_view > 0
+        |       THEN (2 * n_view * 1000000 + n_view) // (2 * n_view) END
+        |    AS conversion_ppm,
+        |  CASE WHEN n_view > 0
+        |       THEN ((2 * n_view * 1000000 + n_view) // (2 * n_view)) / 1000000.0
+        |  END AS conversion FROM tot
         |UNION ALL
         |SELECT 2, 'click', n_click,
-        |  CASE WHEN n_view > 0 THEN round(n_click / n_view, 6) END FROM tot
+        |  CASE WHEN n_view > 0
+        |       THEN (2 * n_click * 1000000 + n_view) // (2 * n_view) END,
+        |  CASE WHEN n_view > 0
+        |       THEN ((2 * n_click * 1000000 + n_view) // (2 * n_view)) / 1000000.0
+        |  END FROM tot
         |UNION ALL
         |SELECT 3, 'purchase', n_purchase,
-        |  CASE WHEN n_view > 0 THEN round(n_purchase / n_view, 6) END FROM tot
+        |  CASE WHEN n_view > 0
+        |       THEN (2 * n_purchase * 1000000 + n_view) // (2 * n_view) END,
+        |  CASE WHEN n_view > 0
+        |       THEN ((2 * n_purchase * 1000000 + n_view) // (2 * n_view)) / 1000000.0
+        |  END FROM tot
         |ORDER BY step""".stripMargin,
 
     "p9_kpis_one_day" ->

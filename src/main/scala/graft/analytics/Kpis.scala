@@ -103,9 +103,11 @@ object Kpis {
     * hash each user to a 60-bit integer (md5 prefix — both engines
     * compute the identical value), keep the k-th smallest distinct
     * hash h_k, and estimate distinct = (k−1)·2⁶⁰/h_k (exact distinct
-    * when a group has fewer than k). Every step is integer-exact up to
-    * one terminal correctly-rounded double division, so DuckDB replays
-    * it hash-for-hash — unlike HLL, whose registers are engine-private.
+    * when a group has fewer than k). Every step is integer-exact —
+    * the estimate itself is a half-up INTEGRAL division carried out in
+    * DECIMAL(38,0)/HUGEINT (the numerator 2·(k−1)·2⁶⁰ overflows a
+    * long), so DuckDB replays it hash-for-hash with no double-rounding
+    * grid anywhere — unlike HLL, whose registers are engine-private.
     * rse ≈ 1/√(k−2); the default k=32 (rse ≈ 18%) is chosen so the
     * ESTIMATOR branch actually executes at gate scale (sf0.01 groups
     * hold ~50–100 distinct users) — production would run k≥256, and
@@ -126,15 +128,18 @@ object Kpis {
       .select(col("event_type"), col("date"), h.as("h"))
       .distinct()
     val w = Window.partitionBy(col("event_type"), col("date")).orderBy(col("h"))
+    // half-up((k−1)·2⁶⁰ / hk) on exact integers: hu(N/d) = (2N+d) div 2d.
+    // 2N = (k−1)·2⁶¹ needs 128-bit intermediates — DECIMAL(38,0) here,
+    // HUGEINT in the oracle; the quotient is back under 2⁶³.
+    val num2 = (BigInt(k - 1) * BigInt(2).pow(61)).toString
     dh.withColumn("rn", row_number().over(w))
       .groupBy(col("event_type"), col("date"))
       .agg(count(lit(1)).as("uniq_exact"),
         max(when(col("rn") === k, col("h"))).as("hk"))
       .select(col("event_type"), col("date"), col("uniq_exact"),
-        when(col("uniq_exact") < k, col("uniq_exact").cast("double"))
-          .otherwise(round(
-            lit((k - 1).toDouble * 1152921504606846976.0d) /
-              col("hk").cast("double"), 6))
+        when(col("uniq_exact") < k, col("uniq_exact"))
+          .otherwise(expr(
+            s"CAST((CAST('$num2' AS DECIMAL(38,0)) + hk) DIV (2 * hk) AS BIGINT)"))
           .as("uniq_kmv"))
   }
 
@@ -142,7 +147,12 @@ object Kpis {
     * report every activity pipeline ships: users grouped by
     * first-activity day, then for each later day the count still
     * active and the retained share of the cohort. All exact integer
-    * aggregation plus one terminal division. (Day granularity rather
+    * aggregation; the share is computed as half-up integer micro-units
+    * (`retention_ppm`) — round(double, 6) is engine-dependent at 7-dp
+    * tie ratios like 3/640 (Spark rounds the shortest-decimal
+    * representation, DuckDB the scaled binary) — with the double
+    * `retention` derived by ONE correctly-rounded division ppm/10⁶,
+    * identical in every engine. (Day granularity rather
     * than the classic week: the fixture spans 30 days, so weeks would
     * collapse to a single cohort and verify nothing.)
     *
@@ -165,8 +175,10 @@ object Kpis {
       .agg(count(lit(1)).as("n_active"))
       .join(broadcast(sized), Seq("cohort"))
       .select(col("cohort"), col("day_offset"), col("n_active"),
-        round(col("n_active").cast("double") / col("cohort_size"), 6)
-          .as("retention"))
+        expr("(2 * n_active * 1000000 + cohort_size) DIV (2 * cohort_size)")
+          .as("retention_ppm"))
+      .withColumn("retention",
+        col("retention_ppm").cast("double") / lit(1000000.0))
   }
 
   /** Ordered conversion funnel over the event stream (view → click →
@@ -192,13 +204,16 @@ object Kpis {
       sum(when(conds.reduce(_ && _), 1L).otherwise(0L)).as(s"n_${steps(i)}")
     }
     val totals = mins.agg(reached.head, reached.tail: _*)
-    // unpivot to one row per step with the conversion rate vs step 1
+    // unpivot to one row per step with the conversion rate vs step 1 —
+    // half-up integer micro-units (the retention_ppm discipline: no
+    // round(double, 6) on a ratio), double derived as ppm/10⁶
     val rows = steps.zipWithIndex.map { case (st, i) =>
+      val ppm = when(col(s"n_${steps.head}") > 0, expr(
+        s"(2 * n_$st * 1000000 + n_${steps.head}) DIV (2 * n_${steps.head})"))
       struct(lit(i + 1).as("step"), lit(st).as("event_type"),
         col(s"n_$st").as("n_users"),
-        when(col(s"n_${steps.head}") > 0,
-          round(col(s"n_$st").cast("double") /
-            col(s"n_${steps.head}").cast("double"), 6)).as("conversion"))
+        (ppm.cast("double") / lit(1000000.0)).as("conversion"),
+        ppm.as("conversion_ppm"))
     }
     totals.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }

@@ -78,7 +78,7 @@ class KpiSpec extends SparkSuite {
     // k above every group's distinct count → pure exact branch
     val allExact = Kpis.genreKpisKmv(enriched, k = 100000).collect()
     allExact.foreach { r =>
-      assert(r.getDouble(3) == r.getLong(2).toDouble,
+      assert(r.getLong(3) == r.getLong(2),
         s"below-k group must report exact: $r")
     }
     // estimator branch on a synthetic 20k-distinct group at the
@@ -91,7 +91,7 @@ class KpiSpec extends SparkSuite {
     val est = Kpis.genreKpisKmv(big, k = k).collect()
     assert(est.length == 1 && est.head.getLong(2) == n.toLong)
     val bound = 4.0 / math.sqrt(k - 2.0)
-    val a = est.head.getDouble(3)
+    val a = est.head.getLong(3).toDouble
     assert(math.abs(n - a) / n <= bound, s"KMV off by >$bound: exact=$n est=$a")
   }
 
@@ -101,10 +101,12 @@ class KpiSpec extends SparkSuite {
     val byCohort = out.groupBy(_.getDate(0))
     byCohort.foreach { case (_, rows) =>
       val r0 = rows.find(_.getInt(1) == 0).get
-      assert(r0.getDouble(3) == 1.0, "day-0 retention must be 1")
+      assert(r0.getDouble(4) == 1.0, "day-0 retention must be 1")
       rows.foreach { r =>
         assert(r.getLong(2) <= r0.getLong(2), "active count cannot exceed cohort size")
-        assert(r.getDouble(3) <= 1.0 && r.getDouble(3) > 0.0)
+        assert(r.getDouble(4) <= 1.0 && r.getDouble(4) > 0.0)
+        assert(r.getLong(3) == math.round(r.getDouble(4) * 1e6),
+          "ppm and double shares must agree")
       }
     }
     // cohort sizes partition the user base exactly
