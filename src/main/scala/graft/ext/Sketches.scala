@@ -28,12 +28,23 @@ object Sketches {
   /** Bucket index for hash row `i` from an ALREADY-computed md5 hex
     * column: chars (2i+1, 2i+2) parsed as one byte → 0..255. Rows use
     * disjoint md5 bytes, the standard cheap stand-in for d independent
-    * hashes; hashing once and slicing d times (instead of d md5 calls
-    * per token) is what keeps the build pass digest-bound, not
-    * d×digest-bound.
+    * hashes. This compositional form is what the DuckDB oracle
+    * replays; the HOT path uses [[graft.functions.native.cms_buckets]]
+    * — one digest + byte-mask loop per token instead of d (substring +
+    * base-conv) sub-trees, the same native-kernel treatment the
+    * SRP/PQ families got after the compositional trees hit HotSpot
+    * huge-method no-compile fallbacks at the 100× point. Bit-identical
+    * by construction (bucket i IS md5 byte i); `SketchesSpec` pins the
+    * parity. Kept package-visible for that spec.
     */
-  private def bucketOf(hex: Column, i: Int): Column =
+  private[ext] def bucketOf(hex: Column, i: Int): Column =
     conv(substring(hex, 2 * i + 1, 2), 16, 10).cast("long")
+
+  /** The compositional (md5-hex) bucket array — the oracle-shaped twin
+    * of the native kernel, used only by the parity spec.
+    */
+  private[graft] def bucketsHex(term: Column, d: Int): Column =
+    array((0 until d).map(i => bucketOf(md5(term), i)): _*)
 
   /** Token stream of the corpus (one row per occurrence). */
   def tokenStream(docs: DataFrame): DataFrame =
@@ -41,9 +52,9 @@ object Sketches {
 
   /** The d×w sketch as a table (row_i, bucket, c). */
   def cmsBuild(toks: DataFrame, d: Int = 4): DataFrame =
-    toks.select(md5(col("term")).as("h"))
-      .select(posexplode(array((0 until d).map(i =>
-        bucketOf(col("h"), i)): _*)).as(Seq("row_i", "bucket")))
+    toks
+      .select(posexplode(graft.functions.native.cms_buckets(col("term"), d))
+        .as(Seq("row_i", "bucket")))
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
@@ -63,10 +74,9 @@ object Sketches {
     val toks = tokenStream(docs)
     val sketch = cmsBuild(toks, d)
     val probes = heavyHitters(toks, k)
-      .withColumn("h", md5(col("term")))
       .select(col("term"), col("n").as("n_exact"),
-        posexplode(array((0 until d).map(i =>
-          bucketOf(col("h"), i)): _*)).as(Seq("row_i", "bucket")))
+        posexplode(graft.functions.native.cms_buckets(col("term"), d))
+          .as(Seq("row_i", "bucket")))
     probes.join(broadcast(sketch), Seq("row_i", "bucket"))
       .groupBy(col("term"), col("n_exact"))
       .agg(min(col("c")).as("n_est"))

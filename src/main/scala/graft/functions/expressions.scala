@@ -824,6 +824,51 @@ case class RollingMinHash(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The d count-min-sketch bucket indices of a term in ONE digest call:
+  * bucket i is byte i of md5(term) (0..255) — bit-identical to the
+  * composable form `conv(substring(md5(term), 2i+1, 2), 16, 10)`,
+  * which the DuckDB oracle replays, but without the d×(substring +
+  * base-conv) expression sub-trees per token. The compositional tree
+  * is the same per-row huge-method family that hit HotSpot
+  * no-compile fallbacks at the 100× point for SRP/PQ; this is one
+  * tight digest + byte-mask loop, d ≤ 16 (md5 is 16 bytes).
+  */
+case class CmsBuckets(child: Expression, d: Int)
+    extends UnaryExpression {
+  require(d >= 1 && d <= 16, s"CMS depth must be in [1,16]: $d")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_buckets needs a string term, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val dg = org.apache.commons.codec.digest.DigestUtils.md5(
+      v.asInstanceOf[UTF8String].getBytes)
+    val out = new Array[Long](d)
+    var i = 0
+    while (i < d) { out(i) = (dg(i) & 0xff).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, term => {
+      val dg = ctx.freshName("dg"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $dg = org.apache.commons.codec.digest.DigestUtils.md5($term.getBytes());
+         |long[] $out = new long[$d];
+         |for (int $i = 0; $i < $d; $i++) $out[$i] = (long) ($dg[$i] & 0xff);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Gopher-repetition statistics of a token array in one pass:
   * `struct(n_tokens, n_distinct, top_token, top_bigram)` where
   * `top_token`/`top_bigram` are the highest exact multiplicities of a
@@ -989,6 +1034,9 @@ object native {
 
   /** One-pass repetition stats of an array<string> of tokens. */
   def repetition_stats(tokens: Column): Column = toCol(TokenRepetitionStats(ex(tokens)))
+
+  /** d CMS bucket indices (md5 bytes 0..d−1) of a string term. */
+  def cms_buckets(term: Column, d: Int): Column = toCol(CmsBuckets(ex(term), d))
 
   /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
     * column: Spark's own `BloomFilterAggregate` (the engine's

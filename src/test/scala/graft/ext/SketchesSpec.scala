@@ -30,6 +30,25 @@ class SketchesSpec extends SparkSuite {
     toks.unpersist()
   }
 
+  test("native cms_buckets kernel == md5-hex compositional twin, every token") {
+    // the hot path computes buckets as raw digest bytes; the oracle
+    // replays hex-substring parses — pin that they never diverge
+    val terms = Sketches.tokenStream(docs).distinct()
+    val mismatches = terms
+      .select(col("term"),
+        graft.functions.native.cms_buckets(col("term"), 4).as("kb"),
+        Sketches.bucketsHex(col("term"), 4).as("hb"))
+      .filter(col("kb") =!= col("hb"))
+      .count()
+    assert(mismatches == 0L, s"kernel/hex bucket divergence on $mismatches terms")
+    // and on non-ASCII terms (digest runs over UTF-8 bytes)
+    val uni = Seq("héllo", "日本語", "emoji🙂", "ß").toDF("term")
+    assert(uni.select(
+        (graft.functions.native.cms_buckets(col("term"), 16) ===
+          Sketches.bucketsHex(col("term"), 16)).as("ok"))
+      .collect().forall(_.getBoolean(0)))
+  }
+
   test("single-term stream estimates exactly (no collisions possible)") {
     val docs1 = Seq((0L, "alpha alpha alpha", "en", "t", 17L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
