@@ -69,6 +69,28 @@ object Warm {
     // curated-ingest lifecycle (stream_curated_corpus): root seeded +
     // wire spool streamed once here; the query measures replay+serve
     graft.stream.StreamQueries.ensureCurated(spark, d)
+    // One untimed steady-state serve per remaining artifact/expression
+    // family (r10 advice #1): the fixture-table page-cache warmup above
+    // fixed the document-table families, but on a fresh host the FIRST
+    // serve of several families still pays one-time JIT / datasource
+    // init / directory-listing cost inside its measured window — the
+    // round-10 gate charged tokens_cms_estimate 5.25 s vs 0.73 s in the
+    // builder's same-commit run (search_bm25 3.3 vs 0.9, train_* 4-5×).
+    // Running the actual registered query once here moves that cost
+    // into build_sec, so the per-query numbers measure the plan.
+    for (q <- Seq(
+        "tokens_cms_estimate",    // CMS kernel + token-stream codegen
+        "tokens_heavy_hitters",   // exact top-k twin of the same stream
+        "search_bm25",            // inverted-index bucket read
+        "train_holdout_split",    // near-dup pair artifact read + split
+        "train_pack",             // pack window codegen
+        "train_shard_manifest",   // shard-directory listing + footer reads
+        "p5_p8_validate_events",  // validate-chain codegen
+        "s7_binary_source",       // binaryFile datasource init
+        "s5_avro_roundtrip",      // avro datasource init
+        "s6_schema_evolution"))   // mergeSchema listing path
+      try GraftSession.forceAndCount(SparkEntry.queries(q)(spark, d))
+      catch { case _: Throwable => () } // warm-only: Bench reports real failures
     (System.nanoTime() - t0) / 1e9
   }
 }
