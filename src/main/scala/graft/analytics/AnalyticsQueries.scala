@@ -81,6 +81,15 @@ object AnalyticsQueries {
     "a14_event_funnel" -> ((s, d) =>
       Kpis.eventFunnel(Tables.events(s, d)).orderBy(col("step"))),
 
+    // K-step funnel with windowed ordering: signup → view → click →
+    // purchase, each step within 7 days of the previous anchor. One
+    // shuffle (per-user sorted step lists), sequential anchor chain as
+    // in-row array expressions.
+    "a15_funnel_windowed" -> ((s, d) =>
+      Kpis.funnelWindowed(Tables.events(s, d),
+        steps = Seq("signup", "view", "click", "purchase"), maxGapDays = 7)
+        .orderBy(col("step"))),
+
     // P9 + A1: single-day scoped variant (PROCESS_DATE semantics). The
     // process date (earliest event day) is computed in-plan — a 1-row
     // aggregate broadcast-joined onto the fact — instead of a driver-side
@@ -575,6 +584,58 @@ object AnalyticsQueries {
         |       THEN ((2 * n_purchase * 1000000 + n_view) // (2 * n_view)) / 1000000.0
         |  END FROM tot
         |ORDER BY step""".stripMargin,
+
+    // The windowed chain replayed with the same list semantics: per
+    // user one sorted timestamp list per step (empty-set aggregates are
+    // NULL in DuckDB vs empty arrays in Spark — both make list_min /
+    // array_min NULL, so non-reachers agree), then the sequential
+    // anchors as scalar list expressions.
+    "a15_funnel_windowed" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS a_signup,
+        |    list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS a_view,
+        |    list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS a_click,
+        |    list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS a_purchase
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        |  GROUP BY user_id
+        |), s1 AS (
+        |  SELECT *, list_min(a_signup) AS t_signup FROM f
+        |), s2 AS (
+        |  SELECT *, CASE WHEN t_signup IS NULL THEN NULL ELSE
+        |    list_min(list_filter(a_view, x -> x > t_signup
+        |      AND x <= t_signup + INTERVAL 7 DAY)) END AS t_view FROM s1
+        |), s3 AS (
+        |  SELECT *, CASE WHEN t_view IS NULL THEN NULL ELSE
+        |    list_min(list_filter(a_click, x -> x > t_view
+        |      AND x <= t_view + INTERVAL 7 DAY)) END AS t_click FROM s2
+        |), s4 AS (
+        |  SELECT *, CASE WHEN t_click IS NULL THEN NULL ELSE
+        |    list_min(list_filter(a_purchase, x -> x > t_click
+        |      AND x <= t_click + INTERVAL 7 DAY)) END AS t_purchase FROM s3
+        |), tot AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |    CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |  FROM s4
+        |), seg AS (
+        |  SELECT 1 AS step, 'signup' AS event_type, n_signup AS n_users,
+        |    n_signup AS n_first FROM tot
+        |  UNION ALL SELECT 2, 'view', n_view, n_signup FROM tot
+        |  UNION ALL SELECT 3, 'click', n_click, n_signup FROM tot
+        |  UNION ALL SELECT 4, 'purchase', n_purchase, n_signup FROM tot
+        |)
+        |SELECT step, event_type, n_users,
+        |  CASE WHEN n_first > 0
+        |    THEN ((2 * n_users * 1000000 + n_first) // (2 * n_first)) / 1000000.0
+        |  END AS conversion,
+        |  CASE WHEN n_first > 0
+        |    THEN (2 * n_users * 1000000 + n_first) // (2 * n_first)
+        |  END AS conversion_ppm
+        |FROM seg ORDER BY step""".stripMargin,
 
     "p9_kpis_one_day" ->
       """SELECT e.event_type, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS date,

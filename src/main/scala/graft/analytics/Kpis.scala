@@ -217,4 +217,55 @@ object Kpis {
     }
     totals.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** K-step funnel with WINDOWED ordering — the general form of
+    * [[eventFunnel]] real funnel analysis needs: the step list is a
+    * parameter, and a user advances from step i−1 to step i only via
+    * an event STRICTLY after their step-(i−1) anchor and within
+    * `maxGapDays` of it (conversion-within-N semantics). The anchor
+    * chain is sequential (t_i depends on t_{i−1}), so it cannot be one
+    * conditional-min aggregate; instead ONE groupBy collects each
+    * user's per-step sorted timestamp lists (bounded by that user's
+    * own event count) and the chain evaluates as per-row higher-order
+    * array expressions — still a single shuffle over the stream, no
+    * self-joins, no k passes. Output matches [[eventFunnel]]:
+    * (step, event_type, n_users, conversion, conversion_ppm).
+    */
+  def funnelWindowed(events: DataFrame,
+                     steps: Seq[String] = Seq("view", "click", "purchase"),
+                     maxGapDays: Int = 7): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
+    require(maxGapDays > 0, s"conversion window must be positive: $maxGapDays")
+    val arrays = steps.map(st =>
+      sort_array(collect_list(when(col("event_type") === st, col("ts"))))
+        .as(s"a_$st"))
+    var cur = events
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .agg(arrays.head, arrays.tail: _*)
+      // anchor of step 1: the user's earliest step-1 event
+      .withColumn(s"t_${steps.head}", array_min(col(s"a_${steps.head}")))
+    for (i <- 1 until steps.size) {
+      val prev = col(s"t_${steps(i - 1)}")
+      // earliest step-i event in (t_{i-1}, t_{i-1} + gap]; a null
+      // anchor nulls the lambda predicate, so the filter empties and
+      // array_min returns null — non-reachers propagate for free
+      cur = cur.withColumn(s"t_${steps(i)}",
+        array_min(filter(col(s"a_${steps(i)}"),
+          x => x > prev &&
+            x <= prev + expr(s"INTERVAL $maxGapDays DAYS"))))
+    }
+    val reached = steps.map(st =>
+      sum(when(col(s"t_$st").isNotNull, 1L).otherwise(0L)).as(s"n_$st"))
+    val totals = cur.agg(reached.head, reached.tail: _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      val ppm = when(col(s"n_${steps.head}") > 0, expr(
+        s"(2 * n_$st * 1000000 + n_${steps.head}) DIV (2 * n_${steps.head})"))
+      struct(lit(i + 1).as("step"), lit(st).as("event_type"),
+        col(s"n_$st").as("n_users"),
+        (ppm.cast("double") / lit(1000000.0)).as("conversion"),
+        ppm.as("conversion_ppm"))
+    }
+    totals.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

@@ -315,6 +315,18 @@ object ExtQueries {
           min(col("score")).as("min_chars"), max(col("score")).as("max_chars"))
         .orderBy(col("lang"), col("bucket"))),
 
+    // URL/domain curation (C4/RefinedWeb stage): per-domain doc/char
+    // concentration with half-up ppm shares — map-only extraction, one
+    // partial-aggregated shuffle on domain.
+    "curate_domain_stats" -> ((s, d) =>
+      Curation.domainStats(Tables.documents(s, d)).orderBy(col("domain"))),
+
+    // Block/allow-list corpus rewrite: broadcast anti-join against the
+    // blocklist table + a pushable allow-pattern predicate.
+    "curate_domain_filter" -> ((s, d) =>
+      Curation.domainFilter(Tables.documents(s, d),
+        Curation.fixtureBlocklist(s)).orderBy(col("doc_id"))),
+
     // Perplexity quality scoring (CCNet): per-doc mean NLL against the
     // PERSISTED corpus unigram model (built once per corpus
     // fingerprint, O(batch)-appendable). Scoring is an exploded token
@@ -352,6 +364,17 @@ object ExtQueries {
     "train_pack" -> ((s, d) =>
       TrainingSet.pack(Tables.documents(s, d), budget = 512L, nShards = 8)
         .orderBy(col("doc_id"))),
+
+    // Same packing dataflow budgeted by the TRAINED BPE tokenizer's
+    // subword counts — bins hold ~budget model tokens, the unit the
+    // export actually feeds a trainer. The oracle re-trains the
+    // tokenizer (all 8 merge rounds) and re-derives every boundary.
+    "train_pack_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (merges, state) = Bpe.trained(s, docs, d)
+      TrainingSet.packBpe(docs, state, merges, budget = 512L, nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
 
     // Domain re-weighting to a target mixture: deterministic
     // replicate/downsample per language (bounded in-row explode).
@@ -524,6 +547,18 @@ object ExtQueries {
       val dir = LrClassifier.ensureLr(s, LrClassifier.fixtureSeed(docs),
         s"${Artifact.root(d)}/lrclass")
       LrClassifier.predict(s, docs, dir).orderBy(col("doc_id"))
+    }),
+
+    // Teacher-agreement calibration report (the ANN recall-report
+    // discipline for the learned filter): per-segment agreement vs the
+    // perplexity teacher, with floors and a pass column — so the
+    // distillation quality claim is pinned by the correctness gate,
+    // not only by LrClassifierSpec.
+    "classify_lr_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = LrClassifier.ensureLr(s, LrClassifier.fixtureSeed(docs),
+        s"${Artifact.root(d)}/lrclass")
+      LrClassifier.agreementReport(s, docs, dir).orderBy(col("segment"))
     }),
 
     // DSIR importance selection (Xie et al. 2023): weight every doc by
@@ -1751,6 +1786,47 @@ object ExtQueries {
         |FROM s JOIN thr USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
+    // The same deterministic fixture URL re-derived in SQL; shares on
+    // the half-up ppm grid, char share in HUGEINT (the Spark side uses
+    // DECIMAL(38,0) — 100 TB char sums overflow a long when scaled).
+    "curate_domain_stats" ->
+      """WITH u AS (
+        |  SELECT regexp_extract(
+        |      'https://' || source || '.example.com/' || lang || '/'
+        |        || CAST(doc_id % 97 AS VARCHAR),
+        |      '^[a-z]+://([^/]+)/', 1) AS domain,
+        |    n_chars
+        |  FROM documents
+        |), g AS (
+        |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM u GROUP BY domain
+        |), t AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS tot_chars FROM g
+        |)
+        |SELECT domain, n_docs, n_chars,
+        |  (2 * n_docs * 1000000 + tot_docs) // (2 * tot_docs) AS doc_share_ppm,
+        |  CAST((2 * CAST(n_chars AS HUGEINT) * 1000000 + tot_chars)
+        |       // (2 * tot_chars) AS BIGINT) AS char_share_ppm
+        |FROM g CROSS JOIN t ORDER BY domain""".stripMargin,
+
+    "curate_domain_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/'
+        |      || CAST(doc_id % 97 AS VARCHAR) AS url
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain,
+        |    url
+        |  FROM u
+        |)
+        |SELECT doc_id, domain, url FROM w
+        |WHERE regexp_matches(domain, '^[a-z0-9.-]+\.example\.com$')
+        |  AND domain NOT IN ('src0.example.com', 'src13.example.com')
+        |ORDER BY doc_id""".stripMargin,
+
     // Unigram-LM perplexity: the oracle re-trains the model from the
     // raw corpus (the artifact the Spark side serves from is built from
     // the same rows). Integer counts and a round-6 mean NLL — the same
@@ -2089,6 +2165,50 @@ object ExtQueries {
         |  FROM am)
         |ORDER BY doc_id""".stripMargin),
 
+    // The report replays the whole training loop (am = final margins),
+    // re-scores the TEACHER over the full corpus from the same seed
+    // vocab (vc/dd) the loop materialized, and aggregates agreement on
+    // the half-up ppm grid.
+    "classify_lr_report" -> (lrSql(lrIters) +
+      """
+        |, tkeep AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN round(SUM(-ln((COALESCE(vc.ct, 0) + 1) * 1.0 /
+        |        (SELECT d FROM dd))) / COUNT(*), 6) <= 3.40625
+        |      THEN 1 ELSE 0 END AS tk
+        |  FROM atoks t LEFT JOIN vc USING (token) GROUP BY t.doc_id
+        |), flags AS (
+        |  SELECT (d.doc_id % 5 = 0) AS is_seed,
+        |    (COALESCE(t.tk, 0) =
+        |      CASE WHEN round(1.0 / (1.0 + exp(-(CAST(a.mu AS DOUBLE)
+        |        / 1000000.0))), 6) >= 0.5 THEN 1 ELSE 0 END) AS agree
+        |  FROM documents d
+        |  LEFT JOIN tkeep t USING (doc_id)
+        |  JOIN am a USING (doc_id)
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) AS a_all,
+        |    CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
+        |    CAST(SUM(CASE WHEN is_seed AND agree THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a_seed
+        |  FROM flags
+        |), seg AS (
+        |  SELECT 'all' AS segment, n_all AS n_docs, a_all AS n_agree,
+        |    CAST(780000 AS BIGINT) AS floor_ppm FROM tot
+        |  UNION ALL
+        |  SELECT 'seed', n_seed, a_seed, 800000 FROM tot
+        |  UNION ALL
+        |  SELECT 'holdout', n_all - n_seed, a_all - a_seed, 760000 FROM tot
+        |)
+        |SELECT segment, n_docs, n_agree,
+        |  CAST((2 * n_agree * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+        |    AS agreement_ppm,
+        |  ((2 * n_agree * 1000000 + n_docs) // (2 * n_docs)) / 1000000.0
+        |    AS agreement,
+        |  floor_ppm,
+        |  (2 * n_agree * 1000000 + n_docs) // (2 * n_docs) >= floor_ppm AS pass
+        |FROM seg ORDER BY segment""".stripMargin),
+
     "classify_nb_pred" ->
       """WITH seed AS (
         |  SELECT doc_id, text, lang AS label FROM documents WHERE doc_id % 5 = 0
@@ -2187,6 +2307,32 @@ object ExtQueries {
         |  token_offset // 512 AS bin,
         |  n_tokens, token_offset
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "train_pack_bpe" -> (bpeRoundsSql(bpeMerges) +
+      """
+        |, enc AS (
+        |  SELECT d.doc_id, CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |  ) d JOIN symsN v USING (w)
+        |  WHERE d.w <> '' GROUP BY d.doc_id
+        |), t AS (
+        |  SELECT doc_id, COALESCE(e.n_tokens, 0) AS n_tokens,
+        |    doc_id % 8 AS shard,
+        |    (doc_id * 40503) % 65521 AS sk
+        |  FROM documents LEFT JOIN enc e USING (doc_id)
+        |), o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, shard,
+        |  token_offset // 512 AS bin,
+        |  n_tokens, token_offset
+        |FROM o ORDER BY doc_id""".stripMargin),
 
     "train_mixture" ->
       """WITH w AS (

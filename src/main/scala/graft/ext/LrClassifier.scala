@@ -249,4 +249,64 @@ object LrClassifier {
         when(col("p") >= 0.5, lit("keep")).otherwise(lit("drop"))
           .as("pred_label"),
         col("p"), col("margin"))
+
+  /** Regression floors for [[agreementReport]] — alarms, not targets:
+    * measured operating points are 0.836/0.890/0.823 (all/seed/
+    * holdout) at sf0.01 and 0.809/0.827/0.805 at sf0.1, against a
+    * ~0.53 majority baseline, so
+    * a floor trip means the training loop or the teacher gate broke,
+    * not that the corpus drifted a point. Micro-units (ppm).
+    */
+  val defaultAgreementFloors: Map[String, Long] =
+    Map("all" -> 780000L, "seed" -> 800000L, "holdout" -> 760000L)
+
+  /** Teacher-agreement calibration report — the ANN recall-report
+    * discipline applied to the learned filter: the distillation
+    * quality claim (student σ(w·f+b) vs the unigram-LM perplexity
+    * teacher it was trained to imitate) lands IN the data the
+    * correctness gate snapshots, with per-segment floors and a pass
+    * column, instead of living only in a spec. Segments: `seed` (the
+    * doc_id%5=0 training slice), `holdout` (everything else — the
+    * honest generalization number), `all`.
+    *
+    * Agreement is a half-up integer micro-unit ratio (the
+    * retention_ppm discipline); the double is derived by one
+    * correctly-rounded ppm/10⁶ division. One corpus pass for the
+    * teacher re-score + one for the student + a single global
+    * aggregate — the unpivot is 3 in-row structs, never a shuffle.
+    */
+  def agreementReport(spark: SparkSession, docs: DataFrame, dir: String,
+                      floors: Map[String, Long] = defaultAgreementFloors): DataFrame = {
+    val seed = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(col("doc_id"), col("text"))
+    val teacher = teacherNll(docs, seed, 256)
+      .select(col("doc_id"),
+        (col("mean_nll") <= lit(TeacherThreshold)).as("tkeep"))
+    val student = predict(spark, docs, dir)
+      .select(col("doc_id"), (col("pred_label") === "keep").as("skeep"))
+    val flags = docs
+      .select(col("doc_id"), (pmod(col("doc_id"), lit(5L)) === 0L).as("is_seed"))
+      .join(teacher, Seq("doc_id"), "left") // token-free docs: teacher drops
+      .join(student, Seq("doc_id"))
+      .select(col("is_seed"),
+        (coalesce(col("tkeep"), lit(false)) === col("skeep")).as("agree"))
+    val tot = flags.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("agree"), 1L).otherwise(0L)).as("a_all"),
+      sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seed"),
+      sum(when(col("is_seed") && col("agree"), 1L).otherwise(0L)).as("a_seed"))
+      .withColumn("n_holdout", col("n_all") - col("n_seed"))
+      .withColumn("a_holdout", col("a_all") - col("a_seed"))
+    val rows = Seq("all", "seed", "holdout").map { seg =>
+      val ppm = expr(s"(2 * a_$seg * 1000000 + n_$seg) DIV (2 * n_$seg)")
+      val floor = floors.getOrElse(seg, 0L)
+      struct(lit(seg).as("segment"),
+        col(s"n_$seg").as("n_docs"), col(s"a_$seg").as("n_agree"),
+        ppm.as("agreement_ppm"),
+        (ppm.cast("double") / lit(1000000.0)).as("agreement"),
+        lit(floor).as("floor_ppm"),
+        (ppm >= lit(floor)).as("pass"))
+    }
+    tot.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

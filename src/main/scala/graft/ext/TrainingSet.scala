@@ -63,14 +63,26 @@ object TrainingSet {
     * which is exactly what a sequence-packing loader needs to slice
     * without re-counting.
     */
-  def pack(docs: DataFrame, budget: Long = 512L, nShards: Int = 8): DataFrame = {
+  def pack(docs: DataFrame, budget: Long = 512L, nShards: Int = 8): DataFrame =
+    packCounts(
+      docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+      budget, nShards)
+
+  /** [[pack]] with the budget unit supplied as a precomputed
+    * `(doc_id, n_tokens)` frame — the seam that lets the SAME packing
+    * dataflow budget by whatever the downstream trainer counts:
+    * whitespace tokens ([[pack]]) or the trained BPE tokenizer's
+    * subword counts ([[packBpe]]).
+    */
+  def packCounts(counted: DataFrame, budget: Long = 512L,
+                 nShards: Int = 8): DataFrame = {
     require(budget > 0L, s"token budget must be positive: $budget")
     require(nShards > 0, s"shard count must be positive: $nShards")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("sk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+    counted
+      .select(col("doc_id"), col("n_tokens"),
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         shuffleKey(col("doc_id")).as("sk"))
       .withColumn("token_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -79,6 +91,30 @@ object TrainingSet {
       .select(col("doc_id"), col("shard"),
         expr(s"token_offset div ${budget}L").as("bin"),
         col("n_tokens"), col("token_offset"))
+  }
+
+  /** Token-budget packing where the budget unit is the TRAINED BPE
+    * tokenizer's subword count per document ([[Bpe.encodeStats]]) —
+    * what the export actually feeds a trainer, so bins hold ~`budget`
+    * model tokens rather than whitespace-token proxies. Integer counts
+    * from the same replayable merge sequence as `bpe_encode_stats`, so
+    * every shard boundary is oracle-verifiable. Documents with no
+    * words (empty text) pack with n_tokens = 0.
+    *
+    * Scale shape: identical to [[pack]] — the encode is one explode +
+    * a vocabulary join (planner picks broadcast) + a per-doc sum, and
+    * the packing stays a per-shard prefix sum with NO global sort.
+    */
+  def packBpe(docs: DataFrame, state: DataFrame,
+              merges: Seq[graft.ext.Bpe.Merge],
+              budget: Long = 512L, nShards: Int = 8): DataFrame = {
+    val counts = graft.ext.Bpe.encodeStats(docs, state, merges)
+      .select(col("doc_id"), col("n_tokens"))
+    packCounts(
+      docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens")),
+      budget, nShards)
   }
 
   /** Re-weight domains to a target mixture: every document of domain d

@@ -139,4 +139,31 @@ class KpiSpec extends SparkSuite {
     assert(t.map(_.getLong(2)).toSeq == Seq(4L, 2L, 1L),
       s"strict-order semantics: ${t.toSeq}")
   }
+
+  test("funnelWindowed: gap window enforced, in-window anchor chosen, ppm exact") {
+    val tiny = Seq(
+      // u1: full conversion inside the 7-day windows
+      (1L, "view", "2024-01-01 00:00:00"), (1L, "click", "2024-01-03 00:00:00"),
+      (1L, "purchase", "2024-01-08 00:00:00"),
+      // u2: click 10 days after view — outside the window, no credit
+      (2L, "view", "2024-01-01 00:00:00"), (2L, "click", "2024-01-11 00:00:00"),
+      // u3: two clicks; the OUT-of-window one is ignored, the in-window
+      // one anchors, and the purchase within 7 days of IT converts
+      (3L, "view", "2024-01-01 00:00:00"), (3L, "click", "2024-01-20 00:00:00"),
+      (3L, "click", "2024-01-05 00:00:00"), (3L, "purchase", "2024-01-10 00:00:00"),
+      // u4: click at the exact same instant as view — strictly-after
+      // required, no credit
+      (4L, "view", "2024-01-01 00:00:00"), (4L, "click", "2024-01-01 00:00:00")
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val t = Kpis.funnelWindowed(tiny, Seq("view", "click", "purchase"), 7)
+      .orderBy(col("step")).collect()
+    assert(t.map(_.getLong(2)).toSeq == Seq(4L, 2L, 2L),
+      s"windowed semantics: ${t.toSeq}")
+    // ppm is the half-up integer of n/step1; double exactly ppm/1e6
+    t.foreach { r =>
+      val ppm = (2 * r.getLong(2) * 1000000L + 4L) / 8L
+      assert(r.getLong(4) == ppm && r.getDouble(3) == ppm.toDouble / 1e6)
+    }
+  }
 }

@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Domain curation invariants beyond the oracle replay: extraction,
+  * share accounting, and both filter sides on a planted fixture.
+  */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+
+  test("domainStats: shares account for the whole corpus") {
+    val rows = Curation.domainStats(docs).collect()
+    assert(rows.length == 20, "one row per synthetic source host")
+    val nd = docs.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nd)
+    // half-up ppm shares sum to 1e6 within one rounding unit per row
+    val docShare = rows.map(_.getAs[Long]("doc_share_ppm")).sum
+    assert(math.abs(docShare - 1000000L) <= rows.length,
+      s"doc shares must cover the corpus: $docShare")
+    val charShare = rows.map(_.getAs[Long]("char_share_ppm")).sum
+    assert(math.abs(charShare - 1000000L) <= rows.length)
+  }
+
+  test("domainFilter: blocklist drops, allow pattern drops, rest survives") {
+    val planted = Seq(
+      (1L, "t", "en", "src5", 5L),   // survives
+      (2L, "t", "en", "src0", 5L),   // blocked host
+      (3L, "t", "en", "evil", 5L)    // evil.example.com — NOT blocked
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Curation.domainFilter(planted, Curation.fixtureBlocklist(spark))
+      .collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(kept.forall(_.getAs[String]("domain").endsWith(".example.com")))
+    // a host outside the allow pattern is dropped even if unblocked
+    val foreign = Seq((4L, "t", "en", "bad_host!", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Curation.domainFilter(foreign,
+      Curation.fixtureBlocklist(spark)).count() == 0L)
+  }
+
+  test("domainFilter plan: blocklist side broadcasts, no shuffle on the corpus") {
+    val plan = Curation.domainFilter(docs, Curation.fixtureBlocklist(spark))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"blocklist must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
+  }
+}

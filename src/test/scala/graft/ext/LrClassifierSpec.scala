@@ -71,6 +71,33 @@ class LrClassifierSpec extends SparkSuite {
     deleteRecursively(dir)
   }
 
+  test("agreementReport: segments partition the corpus, floors pass, ppm exact") {
+    val dir = s"target/test_lrclass_rep_${System.nanoTime()}"
+    val adir = LrClassifier.ensureLr(spark, LrClassifier.fixtureSeed(docs), dir)
+    val rep = LrClassifier.agreementReport(spark, docs, adir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet == Set("all", "seed", "holdout"))
+    val (all, seed, hold) = (rep("all"), rep("seed"), rep("holdout"))
+    assert(seed.getLong(1) + hold.getLong(1) == all.getLong(1))
+    assert(seed.getLong(2) + hold.getLong(2) == all.getLong(2))
+    rep.values.foreach { r =>
+      // ppm is the half-up integer form of n_agree/n_docs; the double
+      // is exactly ppm/1e6; pass is the integer floor compare
+      val (n, a, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ppm == (2 * a * 1000000L + n) / (2 * n))
+      assert(r.getDouble(4) == ppm.toDouble / 1e6)
+      assert(r.getBoolean(6) == (ppm >= r.getLong(5)))
+    }
+    // the absolute floors are calibrated for the GATE scales (sf0.01 /
+    // sf0.1, where the correctness snapshot pins pass=true); on this
+    // 50-doc fixture (10 seed docs) just require better-than-chance
+    // agreement — the beats-majority claim is pinned by the
+    // "fixture distillation" test above on the seed segment
+    assert(all.getLong(3) > 550000L,
+      s"all-segment agreement must beat chance: ${all.getLong(3)} ppm")
+    deleteRecursively(dir)
+  }
+
   test("artifact: fingerprint-guarded rebuild, kind check") {
     val dir = s"target/test_lrclass_art_${System.nanoTime()}"
     val seed = LrClassifier.fixtureSeed(docs)

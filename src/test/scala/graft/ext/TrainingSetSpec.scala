@@ -40,6 +40,32 @@ class TrainingSetSpec extends SparkSuite {
       s"bins must not exceed budget + one document (${budget + maxDoc})")
   }
 
+  test("packBpe: budget unit is the trained tokenizer's count, same prefix-sum contract") {
+    val (merges, state) = Bpe.trained(spark, docs, sfDir)
+    val out = TrainingSet.packBpe(docs, state, merges, budget = 256L, nShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val bpeCounts = Bpe.encodeStats(docs, state, merges)
+      .select(col("doc_id"), col("n_tokens")).as[(Long, Long)].collect().toMap
+    assert(out.length == docs.count(), "every document is packed exactly once")
+    out.foreach { case (id, _, _, n, _) =>
+      assert(n == bpeCounts.getOrElse(id, 0L),
+        s"doc $id must pack by its BPE count")
+    }
+    // BPE splits words into >= 1 subwords, so the model-token budget
+    // unit is never below the whitespace unit — and offsets/bins are
+    // the same exact prefix-sum contract as pack()
+    val ws = docs.select(col("doc_id"), TrainingSet.tokenCount(col("text")))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, _, n, _) => assert(n >= ws(id)) }
+    out.groupBy(_._2).foreach { case (_, members) =>
+      var off = 0L
+      members.sortBy(m => (key(m._1), m._1)).foreach { case (id, _, bin, n, o) =>
+        assert(o == off && bin == off / 256L, s"doc $id offset/bin mismatch")
+        off += n
+      }
+    }
+  }
+
   test("mixture: per-document copy counts are the exact deterministic weight function") {
     val weights = Map("en" -> 0.5, "fr" -> 2.0, "de" -> 1.25, "es" -> 1.0, "zh" -> 3.5)
     val out = TrainingSet.mixture(docs, weights)
