@@ -17,7 +17,7 @@ object KpiScale {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
     val names = Seq("a1_genre_kpis", "a9_kmv_distinct",
-      "a13_retention_cohorts", "a14_event_funnel")
+      "a13_retention_cohorts", "a14_event_funnel", "a15_funnel_windowed")
     for (d <- dirs) {
       // untimed warm read of the inputs (page cache + footer listing)
       Tables.events(spark, d).foreach(_ => ())
@@ -29,8 +29,22 @@ object KpiScale {
         GraftSession.forceAndCount(fn(spark, d))
         n -> (System.nanoTime() - t0) / 1e9
       }
+      // KMV error-bound check at the PRODUCTION k=256 (the registered
+      // query's k=32 exercises the estimator branch at gate scale; the
+      // spec claim to verify at scale is 4·rse = 4/√254 ≈ 25.1% for
+      // k=256): max relative error across estimator-branch groups.
+      val kmv = graft.analytics.Kpis
+        .genreKpisKmv(graft.analytics.Enrich.enriched(spark, d), k = 256)
+        .filter(col("uniq_exact") >= 256)
+        .select(
+          max(abs(col("uniq_kmv") - col("uniq_exact"))
+            / col("uniq_exact")).as("maxerr"),
+          count(lit(1)).as("n"))
+        .head()
+      val (maxErr, nEst) =
+        (if (kmv.isNullAt(0)) -1.0 else kmv.getDouble(0), kmv.getLong(1))
       val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
-      println(s"""{"dir":"$d",$qs}""")
+      println(f"""{"dir":"$d",$qs,"kmv256_groups":$nEst,"kmv256_max_relerr":$maxErr%.4f,"kmv256_bound":0.2510}""")
     }
     spark.stop()
   }

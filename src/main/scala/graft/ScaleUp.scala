@@ -76,8 +76,36 @@ object ScaleUp {
       .drop("rep")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: replicate with shifted ids and a one-hour-per-replica
+    // timestamp stagger — factor× more activity from the SAME users
+    // (dims stay shared, so enrichment joins keep matching), replicas
+    // landing on nearby but not identical instants: distinct-(user,
+    // day) structure grows a little, per-occurrence volume grows
+    // factor× — the realistic event-growth shape for the KMV /
+    // retention / funnel family. ts rides as the raw nanos long
+    // (nanosAsLong=true session), so the stagger is plain long math
+    // and Tables.normalizeEvents keeps handling the re-read.
+    // The slot may hold a symlink from the earlier linked layout —
+    // remove it as a LINK first (Fs.deleteTree never follows), or the
+    // overwrite write would reach through into the source fixture.
+    Fs.deleteTree(s"$out/events.parquet")
+    val evShift = maxOf("events", "event_id")
+    val evRaw = spark.read.parquet(s"$src/events.parquet")
+      .select(col("*"), reps)
+      .withColumn("event_id", col("event_id") + col("rep") * evShift)
+    val evShifted = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRaw.withColumn("ts",
+          col("ts") + col("rep") * lit(3600L * 1000L * 1000L * 1000L))
+      case _ =>
+        evRaw.withColumn("ts",
+          col("ts") + expr("make_interval(0, 0, 0, 0, rep, 0, 0)"))
+    }
+    evShifted.drop("rep")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     // everything else links back to the source fixture
-    Seq("region", "nation", "customer", "supplier", "part", "events")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         val link = java.nio.file.Paths.get(s"$out/$t.parquet")
         // a previous run (or a layout change between replicated and
