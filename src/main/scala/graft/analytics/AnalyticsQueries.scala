@@ -90,6 +90,13 @@ object AnalyticsQueries {
         steps = Seq("signup", "view", "click", "purchase"), maxGapDays = 7)
         .orderBy(col("step"))),
 
+    // Batch sessionization (offline twin of the streaming session
+    // windows): 30-min-gap sessions per user, one shuffle, epoch-micro
+    // integer timestamps so the compare has no formatting grid.
+    "a16_user_sessions" -> ((s, d) =>
+      Kpis.userSessions(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_seq"))),
+
     // P9 + A1: single-day scoped variant (PROCESS_DATE semantics). The
     // process date (earliest event day) is computed in-plan — a 1-row
     // aggregate broadcast-joined onto the fact — instead of a driver-side
@@ -636,6 +643,37 @@ object AnalyticsQueries {
         |    THEN (2 * n_users * 1000000 + n_first) // (2 * n_first)
         |  END AS conversion_ppm
         |FROM seg ORDER BY step""".stripMargin,
+
+    // Epoch-micro longs end to end: DuckDB's epoch_us on TIMESTAMP_NS
+    // equals Spark's unix_micros on the micros-normalized read (the
+    // fixture's nanos are whole micros), and every window below is
+    // integer-keyed.
+    "a16_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, us,
+        |    LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |  FROM e
+        |), st AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS is_start,
+        |    event_id
+        |  FROM m
+        |), sq AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM st
+        |)
+        |SELECT user_id, session_seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  MAX(us) - MIN(us) AS duration_us
+        |FROM sq GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "p9_kpis_one_day" ->
       """SELECT e.event_type, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS date,

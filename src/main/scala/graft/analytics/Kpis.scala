@@ -218,6 +218,41 @@ object Kpis {
     totals.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Batch sessionization of the event stream — the offline twin of
+    * the streaming session windows ([[graft.stream.Sessions]]): a new
+    * session starts at a user's first event or after a gap >
+    * `gapMinutes`; output is one row per session with its event count
+    * and exact duration. Timestamps leave as epoch-micro longs
+    * (`start_us`/`end_us`/`duration_us`) — pure integers, so the
+    * oracle compares exactly with no cross-engine timestamp-formatting
+    * grid.
+    *
+    * Scale shape: one shuffle on user_id feeding both windows (lag and
+    * the running is-start sum share the same partitioning and sort)
+    * plus the groupBy on (user, session) which AQE-reuses that
+    * exchange; per-user state is a sort, never a collect. Session
+    * count per user is data-bounded, not corpus-bounded.
+    */
+  def userSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"session gap must be positive: $gapMinutes")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_start",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_start"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+  }
+
   /** K-step funnel with WINDOWED ordering — the general form of
     * [[eventFunnel]] real funnel analysis needs: the step list is a
     * parameter, and a user advances from step i−1 to step i only via

@@ -149,6 +149,35 @@ object Bpe {
     * from-scratch [[applyMerges]] fold, so held-out text counts
     * correctly instead of silently dropping at the join.
     */
+  /** Tokenizer fertility report per language — the quality number a
+    * tokenizer review actually reads (how many subwords a word costs,
+    * how many chars a token carries, per language): docs × the trained
+    * tokenizer's per-doc counts, rolled up by lang with half-up ppm
+    * ratios. Ratios are carried in DECIMAL(38,0) (HUGEINT in the
+    * oracle): corpus char sums × 2·10⁶ overflow a long at 100 TB.
+    * Documents with no words contribute chars but no tokens — they
+    * ride via the LEFT join with zero counts, so the char column still
+    * audits the whole corpus.
+    */
+  def fertility(docs: DataFrame, state: DataFrame,
+                merges: Seq[Merge]): DataFrame = {
+    val counts = encodeStats(docs, state, merges)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(counts, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(coalesce(col("n_words"), lit(0L))).as("n_words"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_tokens"),
+        expr("""CAST((2 * CAST(n_chars AS DECIMAL(38,0)) * 1000000 + n_tokens)
+                DIV (2 * n_tokens) AS BIGINT)""").as("chars_per_token_ppm"),
+        expr("""CAST((2 * CAST(n_tokens AS DECIMAL(38,0)) * 1000000 + n_words)
+                DIV (2 * n_words) AS BIGINT)""").as("tokens_per_word_ppm"))
+  }
+
   def encodeStats(docs: DataFrame, state: DataFrame,
                   merges: Seq[Merge]): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -89,4 +89,24 @@ object Curation {
     import spark.implicits._
     Seq("src0.example.com", "src13.example.com").toDF("domain")
   }
+
+  /** Per-domain document cap (the RefinedWeb/C4 concentration guard
+    * [[domainStats]] informs): keep at most `maxPerDomain` documents
+    * per domain, ranked by a deterministic quality proxy (longest
+    * first, doc_id tie-break). The rank-filter shape is the P10
+    * family: Spark's WindowGroupLimit pushes the per-partition top-k
+    * below the window sort, so a boilerplate-heavy domain with 10⁹
+    * documents never fully sorts — each map task keeps its own top
+    * `maxPerDomain` before the exchange.
+    */
+  def domainCap(docs: DataFrame, maxPerDomain: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .withColumn("domain", domainOf(fixtureUrl))
+      .withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= maxPerDomain)
+      .select(col("doc_id"), col("domain"), col("domain_rank"), col("n_chars"))
+  }
 }

@@ -327,6 +327,13 @@ object ExtQueries {
       Curation.domainFilter(Tables.documents(s, d),
         Curation.fixtureBlocklist(s)).orderBy(col("doc_id"))),
 
+    // Per-domain concentration cap: top-`maxPerDomain` by the quality
+    // proxy via the rank-filter (WindowGroupLimit) shape — no full
+    // per-domain sort.
+    "curate_domain_cap" -> ((s, d) =>
+      Curation.domainCap(Tables.documents(s, d), maxPerDomain = 10)
+        .orderBy(col("domain"), col("domain_rank"))),
+
     // Perplexity quality scoring (CCNet): per-doc mean NLL against the
     // PERSISTED corpus unigram model (built once per corpus
     // fingerprint, O(batch)-appendable). Scoring is an exploded token
@@ -797,6 +804,13 @@ object ExtQueries {
     "bpe_encode_stats" -> ((s, d) => {
       val (merges, state) = Bpe.trained(s, Tables.documents(s, d), d)
       Bpe.encodeStats(Tables.documents(s, d), state, merges)
+    }),
+
+    // Tokenizer fertility per language (chars/token, subwords/word on
+    // the half-up ppm grid) — the review table for tokenizer quality.
+    "bpe_fertility" -> ((s, d) => {
+      val (merges, state) = Bpe.trained(s, Tables.documents(s, d), d)
+      Bpe.fertility(Tables.documents(s, d), state, merges).orderBy(col("lang"))
     })
   )
 
@@ -1095,6 +1109,30 @@ object ExtQueries {
         |) d JOIN symsN v USING (w)
         |WHERE d.w <> ''
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    "bpe_fertility" -> (bpeRoundsSql(bpeMerges) +
+      """
+        |, enc AS (
+        |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |  ) d JOIN symsN v USING (w)
+        |  WHERE d.w <> '' GROUP BY d.doc_id
+        |), g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+        |    CAST(SUM(COALESCE(e.n_words, 0)) AS BIGINT) AS n_words,
+        |    CAST(SUM(COALESCE(e.n_tokens, 0)) AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN enc e USING (doc_id)
+        |  GROUP BY lang
+        |)
+        |SELECT lang, n_docs, n_chars, n_words, n_tokens,
+        |  CAST((2 * CAST(n_chars AS HUGEINT) * 1000000 + n_tokens)
+        |       // (2 * n_tokens) AS BIGINT) AS chars_per_token_ppm,
+        |  CAST((2 * CAST(n_tokens AS HUGEINT) * 1000000 + n_words)
+        |       // (2 * n_words) AS BIGINT) AS tokens_per_word_ppm
+        |FROM g ORDER BY lang""".stripMargin),
 
     // Full SimHash replay in 32-bit halves (DuckDB's << overflows at
     // 64 bits; every value here stays under 2^32): token bits from
@@ -1826,6 +1864,23 @@ object ExtQueries {
         |WHERE regexp_matches(domain, '^[a-z0-9.-]+\.example\.com$')
         |  AND domain NOT IN ('src0.example.com', 'src13.example.com')
         |ORDER BY doc_id""".stripMargin,
+
+    "curate_domain_cap" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars, regexp_extract(
+        |      'https://' || source || '.example.com/' || lang || '/'
+        |        || CAST(doc_id % 97 AS VARCHAR),
+        |      '^[a-z]+://([^/]+)/', 1) AS domain
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, domain, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS domain_rank
+        |  FROM w
+        |)
+        |SELECT doc_id, domain, domain_rank, n_chars FROM r
+        |WHERE domain_rank <= 10
+        |ORDER BY domain, domain_rank""".stripMargin,
 
     // Unigram-LM perplexity: the oracle re-trains the model from the
     // raw corpus (the artifact the Spark side serves from is built from

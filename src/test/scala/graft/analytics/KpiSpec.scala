@@ -140,6 +140,24 @@ class KpiSpec extends SparkSuite {
       s"strict-order semantics: ${t.toSeq}")
   }
 
+  test("userSessions: planted gaps split sessions, durations exact in micros") {
+    val tiny = Seq(
+      (1L, 10L, "2024-01-01 00:00:00"), (1L, 11L, "2024-01-01 00:10:00"),
+      (1L, 12L, "2024-01-01 00:40:00"),             // 30:00 gap — SAME session (not >30m)
+      (1L, 13L, "2024-01-01 01:10:00.000001"),      // 30:00.000001 — new session
+      (2L, 20L, "2024-01-01 12:00:00")
+    ).toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Kpis.userSessions(tiny, gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_seq")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    val s1 = out.head
+    assert(s1.getAs[Long]("duration_us") == 40L * 60 * 1000000)
+    // sessions partition the events exactly
+    assert(out.map(_.getLong(2)).sum == tiny.count())
+  }
+
   test("funnelWindowed: gap window enforced, in-window anchor chosen, ppm exact") {
     val tiny = Seq(
       // u1: full conversion inside the 7-day windows

@@ -83,4 +83,29 @@ class BpeSpec extends SparkSuite {
     val b = Bpe.train(hugs.repartition(5), nMerges = 4)._1
     assert(a == b)
   }
+
+  test("fertility: per-lang totals recount, ratios exact on the ppm grid") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val (merges, state) = Bpe.train(docs, nMerges = 4) match {
+      case (m, s) => (m, s)
+    }
+    val fert = Bpe.fertility(docs, state, merges).collect()
+    import org.apache.spark.sql.functions._
+    assert(fert.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(fert.map(_.getAs[Long]("n_chars")).sum ==
+      docs.agg(sum(col("n_chars"))).head().getLong(0))
+    val enc = Bpe.encodeStats(docs, state, merges)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(fert.map(_.getAs[Long]("n_tokens")).sum == enc)
+    fert.foreach { r =>
+      val (c, w, t) = (r.getAs[Long]("n_chars"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"))
+      // BPE emits >= 1 subword per word, so tokens/word >= 1.0
+      assert(r.getAs[Long]("tokens_per_word_ppm") >= 1000000L)
+      assert(r.getAs[Long]("chars_per_token_ppm") ==
+        (2 * BigInt(c) * 1000000 + t) / (2 * BigInt(t)))
+      assert(r.getAs[Long]("tokens_per_word_ppm") ==
+        (2 * BigInt(t) * 1000000 + w) / (2 * BigInt(w)))
+    }
+  }
 }

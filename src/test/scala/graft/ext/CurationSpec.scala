@@ -41,6 +41,24 @@ class CurationSpec extends SparkSuite {
       Curation.fixtureBlocklist(spark)).count() == 0L)
   }
 
+  test("domainCap: cap honored, quality order, WindowGroupLimit in plan") {
+    val df = Curation.domainCap(docs, maxPerDomain = 3)
+    val rows = df.collect()
+    val byDom = rows.groupBy(_.getAs[String]("domain"))
+    assert(byDom.size == 20 && byDom.values.forall(_.length == 3))
+    byDom.values.foreach { members =>
+      val sorted = members.sortBy(_.getAs[Int]("domain_rank"))
+      // longest-first, ranks dense from 1
+      assert(sorted.map(_.getAs[Int]("domain_rank")).toSeq == Seq(1, 2, 3))
+      val chars = sorted.map(_.getAs[Long]("n_chars"))
+      assert(chars.zip(chars.tail).forall { case (a, b) => a >= b })
+    }
+    // rank-limit pushdown: the per-group top-k runs below the sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown:\n$plan")
+  }
+
   test("domainFilter plan: blocklist side broadcasts, no shuffle on the corpus") {
     val plan = Curation.domainFilter(docs, Curation.fixtureBlocklist(spark))
       .queryExecution.executedPlan.toString
