@@ -97,6 +97,14 @@ object AnalyticsQueries {
       Kpis.userSessions(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // Deterministic mergeable quantile sketch — the hash-green twin of
+    // a11's engine-private approx_percentile: integer-grid histogram
+    // bins (merge by addition at any parallelism), integral
+    // interpolation, exact percentile + error bound riding along.
+    "a17_histogram_quantiles" -> ((s, d) =>
+      Quantiles.histogramQuantiles(Tables.lineitem(s, d))
+        .orderBy(col("l_returnflag"), col("p"))),
+
     // P9 + A1: single-day scoped variant (PROCESS_DATE semantics). The
     // process date (earliest event day) is computed in-plan — a 1-row
     // aggregate broadcast-joined onto the fact — instead of a driver-side
@@ -643,6 +651,69 @@ object AnalyticsQueries {
         |    THEN (2 * n_users * 1000000 + n_first) // (2 * n_first)
         |  END AS conversion_ppm
         |FROM seg ORDER BY step""".stripMargin,
+
+    // Histogram-quantile replay: identical integer bins (floor on both
+    // sides — DuckDB's double→BIGINT cast rounds, Spark's truncates),
+    // identical integral rank/interpolation; only the exact percentile
+    // column uses the proven a7 round-6 fold.
+    "a17_histogram_quantiles" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem
+        |), rg AS (
+        |  SELECT l_returnflag, MIN(c) AS mn, MAX(c) AS mx,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1
+        |), b AS (
+        |  SELECT c.l_returnflag,
+        |    ((c.c - rg.mn) * 256) // (rg.mx - rg.mn + 1) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM c JOIN rg USING (l_returnflag) GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+        |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM b
+        |), ex AS (
+        |  SELECT l_returnflag,
+        |    ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS ex_1_2,
+        |    ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS ex_95_100
+        |  FROM lineitem GROUP BY 1
+        |), pp AS (
+        |  SELECT 1 AS pn, 2 AS pd, '1/2' AS p
+        |  UNION ALL SELECT 95, 100, '95/100'
+        |), pick AS (
+        |  SELECT cm.l_returnflag, pp.p, rg.n, rg.mn, rg.mx,
+        |    (rg.n * pp.pn + pp.pd - 1) // pp.pd AS r,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).b AS bin,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).ct AS cnt,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).cu AS cum
+        |  FROM cm JOIN rg USING (l_returnflag) CROSS JOIN pp
+        |  WHERE cm.cum >= (rg.n * pp.pn + pp.pd - 1) // pp.pd
+        |  GROUP BY 1, 2, 3, rg.mn, rg.mx, r
+        |), est AS (
+        |  SELECT l_returnflag, p, n, cnt, cum, r,
+        |    mn + (bin * (mx - mn + 1)) // 256 AS lo_u,
+        |    mn + ((bin + 1) * (mx - mn + 1)) // 256 AS hi_u
+        |  FROM pick
+        |), fin AS (
+        |  SELECT l_returnflag, p, n,
+        |    lo_u + ((hi_u - lo_u) * (2 * (r - (cum - cnt)) - 1)) // (2 * cnt)
+        |      AS est_u,
+        |    (hi_u - lo_u) / 100.0 AS bin_width
+        |  FROM est
+        |)
+        |SELECT f.l_returnflag, f.p, f.n, f.est_u,
+        |  f.est_u / 100.0 AS est_price,
+        |  CASE WHEN f.p = '1/2' THEN e.ex_1_2 ELSE e.ex_95_100 END
+        |    AS exact_price,
+        |  f.bin_width,
+        |  abs(f.est_u / 100.0 -
+        |    CASE WHEN f.p = '1/2' THEN e.ex_1_2 ELSE e.ex_95_100 END)
+        |    <= f.bin_width * 2 AS pass
+        |FROM fin f JOIN ex e USING (l_returnflag)
+        |ORDER BY l_returnflag, p""".stripMargin,
 
     // Epoch-micro longs end to end: DuckDB's epoch_us on TIMESTAMP_NS
     // equals Spark's unix_micros on the micros-normalized read (the
