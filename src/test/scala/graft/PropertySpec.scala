@@ -316,4 +316,66 @@ class PropertySpec extends SparkSuite {
       assert(sampled(1000) == ids.toSet, "1000‰ must keep everything")
     }
   }
+
+  // random event streams on a micro-second grid: small user pool and a
+  // tight time range force plenty of gap/window boundary cases
+  private val tsEventGen = for {
+    n <- Gen.choose(1, 80)
+    rows <- Gen.listOfN(n, for {
+      uid <- Gen.choose(1L, 5L)
+      et <- Gen.oneOf("signup", "view", "click", "purchase")
+      us <- Gen.choose(0L, 20L * 86400L * 1000000L) // 20 days of micros
+    } yield (uid, et, us))
+  } yield rows.zipWithIndex.map { case ((u, e, t), i) => (i.toLong, u, e, t) }
+
+  private def toTsDf(rows: Seq[(Long, Long, String, Long)]) =
+    rows.toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+
+  test("property: windowed funnel equals a driver-side sequential reference") {
+    val steps = Seq("view", "click", "purchase")
+    val gapUs = 7L * 86400L * 1000000L
+    samples(tsEventGen, 6).foreach { rows =>
+      // reference: per user, chain t_i = min step-i ts in (t_{i-1}, t_{i-1}+gap]
+      val byUser = rows.groupBy(_._2)
+      val reached = Array.fill(steps.size)(0L)
+      byUser.values.foreach { evs =>
+        var prev: Option[Long] = None
+        for (i <- steps.indices) {
+          val cand = evs.filter(_._3 == steps(i)).map(_._4).filter(t =>
+            i == 0 || (prev.nonEmpty && t > prev.get && t <= prev.get + gapUs))
+          prev = if (i == 0 && cand.nonEmpty) Some(cand.min)
+                 else if (i > 0 && prev.nonEmpty && cand.nonEmpty) Some(cand.min)
+                 else None
+          if (prev.nonEmpty) reached(i) += 1
+        }
+      }
+      val got = Kpis.funnelWindowed(toTsDf(rows), steps, maxGapDays = 7)
+        .orderBy(col("step")).collect().map(_.getLong(2)).toSeq
+      assert(got == reached.toSeq, s"funnel diverged on $rows")
+    }
+  }
+
+  test("property: sessionization equals a driver-side gap-scan reference") {
+    val gapUs = 30L * 60L * 1000000L
+    samples(tsEventGen, 6).foreach { rows =>
+      // reference: sort each user's events, split on gap > 30 min
+      val expect = rows.groupBy(_._2).flatMap { case (u, evs) =>
+        val ts = evs.map(e => (e._4, e._1)).sorted.map(_._1)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[List[Long]]
+        ts.foreach { t =>
+          if (sessions.nonEmpty && t - sessions.last.last <= gapUs)
+            sessions(sessions.size - 1) = sessions.last :+ t
+          else sessions += List(t)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, i + 1L) -> (s.size.toLong, s.head, s.last)
+        }
+      }
+      val got = Kpis.userSessions(toTsDf(rows), gapMinutes = 30).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == expect, s"sessions diverged on $rows")
+    }
+  }
 }
