@@ -2227,11 +2227,11 @@ object ExtQueries {
     "classify_lr_report" -> (lrSql(lrIters) +
       """
         |, tkeep AS (
-        |  SELECT t.doc_id,
-        |    CASE WHEN round(SUM(-ln((COALESCE(vc.ct, 0) + 1) * 1.0 /
-        |        (SELECT d FROM dd))) / COUNT(*), 6) <= 3.40625
+        |  SELECT a.doc_id,
+        |    CASE WHEN round(SUM(a.c * -ln((COALESCE(vc.ct, 0) + 1) * 1.0 /
+        |        (SELECT d FROM dd))) / SUM(a.c), 6) <= 3.40625
         |      THEN 1 ELSE 0 END AS tk
-        |  FROM atoks t LEFT JOIN vc USING (token) GROUP BY t.doc_id
+        |  FROM atc a LEFT JOIN vc USING (token) GROUP BY a.doc_id
         |), flags AS (
         |  SELECT (d.doc_id % 5 = 0) AS is_seed,
         |    (COALESCE(t.tk, 0) =

@@ -277,19 +277,49 @@ object LrClassifier {
     */
   def agreementReport(spark: SparkSession, docs: DataFrame, dir: String,
                       floors: Map[String, Long] = defaultAgreementFloors): DataFrame = {
+    Artifact.requireKind(spark, dir, MetaPrefix)
     val seed = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
       .select(col("doc_id"), col("text"))
-    val teacher = teacherNll(docs, seed, 256)
-      .select(col("doc_id"),
-        (col("mean_nll") <= lit(TeacherThreshold)).as("tkeep"))
-    val student = predict(spark, docs, dir)
-      .select(col("doc_id"), (col("pred_label") === "keep").as("skeep"))
+    // teacher vocab (top-256 seed tokens WITH counts) and the student's
+    // weight table index the SAME token set (both are the seed's
+    // top-256 — fixtureSeed/train contract), so one broadcast join
+    // serves both folds and the corpus token stream explodes ONCE:
+    // teacher nll as Σ c·(−ln((vc+1)/d)) over per-(doc, token) counts
+    // (the occurrence sum regrouped — the oracle mirrors this shape),
+    // student margin as the usual micro-unit fold. Halves the at-scale
+    // cost vs running teacherNll and predict() as separate passes.
+    val counts = seed
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("vc"))
+    val v = counts.orderBy(col("vc").desc, col("token")).limit(256)
+      .localCheckpoint()
+    val consts = v.agg(
+      (coalesce(sum(col("vc")), lit(0L)) + count(lit(1)) + 1L).as("d"))
+    val w = broadcast(spark.read.parquet(s"$dir/weights"))
+    val b = spark.read.parquet(s"$dir/bias").head().getLong(0)
+    val tc = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val docLen = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("l"))
+    val perDoc = tc
+      .join(docLen, Seq("doc_id"))
+      .join(broadcast(v), Seq("token"), "left")
+      .join(w, Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("c") *
+            -log((coalesce(col("vc"), lit(0L)) + 1L).cast("double") / col("d")))
+          / sum(col("c")), 6).as("mean_nll"),
+        sum(when(col("wu").isNotNull,
+          halfAway(col("wu") * halfAway(col("c") * 1000000L, col("l")),
+            lit(1000000L))).otherwise(lit(0L))).as("su"))
     val flags = docs
       .select(col("doc_id"), (pmod(col("doc_id"), lit(5L)) === 0L).as("is_seed"))
-      .join(teacher, Seq("doc_id"), "left") // token-free docs: teacher drops
-      .join(student, Seq("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left") // token-free docs: teacher drops
       .select(col("is_seed"),
-        (coalesce(col("tkeep"), lit(false)) === col("skeep")).as("agree"))
+        (coalesce(col("mean_nll") <= lit(TeacherThreshold), lit(false)) ===
+          (sigma6(lit(b) + coalesce(col("su"), lit(0L))) >= 0.5)).as("agree"))
     val tot = flags.agg(
       count(lit(1)).as("n_all"),
       sum(when(col("agree"), 1L).otherwise(0L)).as("a_all"),
