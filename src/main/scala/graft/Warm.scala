@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Warm {
 
+  /** Registered queries given one untimed steady-state serve at the end
+    * of [[ensureAll]] — each is the first bench consumer of an artifact
+    * / datasource family whose one-time JIT / listing / init cost would
+    * otherwise land in its measured window. Names are asserted against
+    * `SparkEntry.queries` at warm time (a rename must fail loud, not
+    * silently stop warming).
+    */
+  val warmServeQueries: Seq[String] = Seq(
+    "tokens_cms_estimate",    // CMS kernel + token-stream codegen
+    "tokens_heavy_hitters",   // exact top-k twin of the same stream
+    "search_bm25",            // inverted-index bucket read
+    "train_holdout_split",    // near-dup pair artifact read + split
+    "train_pack",             // pack window codegen
+    "train_shard_manifest",   // shard-directory listing + footer reads
+    "p5_p8_validate_events",  // validate-chain codegen
+    "s7_binary_source",       // binaryFile datasource init
+    "s5_avro_roundtrip",      // avro datasource init
+    "s6_schema_evolution")    // mergeSchema listing path
+
   /** Build (or freshness-check) all artifacts for a fixture dir; returns
     * wall seconds spent — reported by Bench as `build_sec` so the
     * per-query numbers stay honest.
@@ -78,17 +97,12 @@ object Warm {
     // builder's same-commit run (search_bm25 3.3 vs 0.9, train_* 4-5×).
     // Running the actual registered query once here moves that cost
     // into build_sec, so the per-query numbers measure the plan.
-    for (q <- Seq(
-        "tokens_cms_estimate",    // CMS kernel + token-stream codegen
-        "tokens_heavy_hitters",   // exact top-k twin of the same stream
-        "search_bm25",            // inverted-index bucket read
-        "train_holdout_split",    // near-dup pair artifact read + split
-        "train_pack",             // pack window codegen
-        "train_shard_manifest",   // shard-directory listing + footer reads
-        "p5_p8_validate_events",  // validate-chain codegen
-        "s7_binary_source",       // binaryFile datasource init
-        "s5_avro_roundtrip",      // avro datasource init
-        "s6_schema_evolution"))   // mergeSchema listing path
+    val missing = warmServeQueries.filterNot(SparkEntry.queries.contains)
+    // fail LOUD on a renamed query: the catch below is for transient
+    // serve failures only — a stale name here would silently stop
+    // warming a family and re-introduce first-serve inflation
+    require(missing.isEmpty, s"Warm.warmServeQueries not in SparkEntry.queries: ${missing.mkString(", ")}")
+    for (q <- warmServeQueries)
       try GraftSession.forceAndCount(SparkEntry.queries(q)(spark, d))
       catch { case _: Throwable => () } // warm-only: Bench reports real failures
     (System.nanoTime() - t0) / 1e9

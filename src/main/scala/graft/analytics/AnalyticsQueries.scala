@@ -105,6 +105,15 @@ object AnalyticsQueries {
       Quantiles.histogramQuantiles(Tables.lineitem(s, d))
         .orderBy(col("l_returnflag"), col("p"))),
 
+    // Sketch-only serving shape of a17: the exact rider (a per-group
+    // sort) is the part a 100 TB path drops — this is two partial-agg
+    // passes + a broadcast, near-flat in n. Fully integral, so it
+    // hash-gates like the full report.
+    "a17_histogram_serve" -> ((s, d) =>
+      Quantiles.histogramQuantileServe(Tables.lineitem(s, d))
+        .drop("width_u")
+        .orderBy(col("l_returnflag"), col("p"))),
+
     // P9 + A1: single-day scoped variant (PROCESS_DATE semantics). The
     // process date (earliest event day) is computed in-plan — a 1-row
     // aggregate broadcast-joined onto the fact — instead of a driver-side
@@ -579,25 +588,25 @@ object AnalyticsQueries {
         |)
         |SELECT 1 AS step, 'view' AS event_type, n_view AS n_users,
         |  CASE WHEN n_view > 0
-        |       THEN (2 * n_view * 1000000 + n_view) // (2 * n_view) END
-        |    AS conversion_ppm,
-        |  CASE WHEN n_view > 0
         |       THEN ((2 * n_view * 1000000 + n_view) // (2 * n_view)) / 1000000.0
-        |  END AS conversion FROM tot
+        |  END AS conversion,
+        |  CASE WHEN n_view > 0
+        |       THEN (2 * n_view * 1000000 + n_view) // (2 * n_view) END
+        |    AS conversion_ppm FROM tot
         |UNION ALL
         |SELECT 2, 'click', n_click,
         |  CASE WHEN n_view > 0
-        |       THEN (2 * n_click * 1000000 + n_view) // (2 * n_view) END,
-        |  CASE WHEN n_view > 0
         |       THEN ((2 * n_click * 1000000 + n_view) // (2 * n_view)) / 1000000.0
-        |  END FROM tot
+        |  END,
+        |  CASE WHEN n_view > 0
+        |       THEN (2 * n_click * 1000000 + n_view) // (2 * n_view) END FROM tot
         |UNION ALL
         |SELECT 3, 'purchase', n_purchase,
         |  CASE WHEN n_view > 0
-        |       THEN (2 * n_purchase * 1000000 + n_view) // (2 * n_view) END,
-        |  CASE WHEN n_view > 0
         |       THEN ((2 * n_purchase * 1000000 + n_view) // (2 * n_view)) / 1000000.0
-        |  END FROM tot
+        |  END,
+        |  CASE WHEN n_view > 0
+        |       THEN (2 * n_purchase * 1000000 + n_view) // (2 * n_view) END FROM tot
         |ORDER BY step""".stripMargin,
 
     // The windowed chain replayed with the same list semantics: per
@@ -654,8 +663,10 @@ object AnalyticsQueries {
 
     // Histogram-quantile replay: identical integer bins (floor on both
     // sides — DuckDB's double→BIGINT cast rounds, Spark's truncates),
-    // identical integral rank/interpolation; only the exact percentile
-    // column uses the proven a7 round-6 fold.
+    // identical integral rank/interpolation; the exact percentile is
+    // replayed as cent-grid order statistics + half-up integral
+    // interpolation into micro-price — zero double-rounding anywhere,
+    // the two price doubles are each one terminal division.
     "a17_histogram_quantiles" ->
       """WITH c AS (
         |  SELECT l_returnflag,
@@ -675,14 +686,27 @@ object AnalyticsQueries {
         |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum
         |  FROM b
-        |), ex AS (
-        |  SELECT l_returnflag,
-        |    ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS ex_1_2,
-        |    ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS ex_95_100
-        |  FROM lineitem GROUP BY 1
         |), pp AS (
         |  SELECT 1 AS pn, 2 AS pd, '1/2' AS p
         |  UNION ALL SELECT 95, 100, '95/100'
+        |), rkd AS (
+        |  SELECT l_returnflag, c,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY c)
+        |      AS BIGINT) AS rk
+        |  FROM c
+        |), exy AS (
+        |  SELECT rkd.l_returnflag, pp.p, pp.pd,
+        |    (pp.pn * (rg.n - 1)) % pp.pd AS rem,
+        |    MIN(rkd.c) AS lo_c, MAX(rkd.c) AS hi_c
+        |  FROM rkd JOIN rg USING (l_returnflag) CROSS JOIN pp
+        |  WHERE rkd.rk >= ((pp.pn * (rg.n - 1)) // pp.pd) + 1
+        |    AND rkd.rk <= ((pp.pn * (rg.n - 1)) // pp.pd) + 2
+        |  GROUP BY 1, 2, 3, 4
+        |), ex AS (
+        |  SELECT l_returnflag, p,
+        |    (2 * (lo_c * pd + rem * (hi_c - lo_c)) * 10000 + pd)
+        |      // (2 * pd) AS exact_u
+        |  FROM exy
         |), pick AS (
         |  SELECT cm.l_returnflag, pp.p, rg.n, rg.mn, rg.mx,
         |    (rg.n * pp.pn + pp.pd - 1) // pp.pd AS r,
@@ -701,18 +725,65 @@ object AnalyticsQueries {
         |  SELECT l_returnflag, p, n,
         |    lo_u + ((hi_u - lo_u) * (2 * (r - (cum - cnt)) - 1)) // (2 * cnt)
         |      AS est_u,
+        |    hi_u - lo_u AS width_u,
         |    (hi_u - lo_u) / 100.0 AS bin_width
         |  FROM est
         |)
         |SELECT f.l_returnflag, f.p, f.n, f.est_u,
         |  f.est_u / 100.0 AS est_price,
-        |  CASE WHEN f.p = '1/2' THEN e.ex_1_2 ELSE e.ex_95_100 END
-        |    AS exact_price,
+        |  e.exact_u,
+        |  e.exact_u / 1000000.0 AS exact_price,
         |  f.bin_width,
-        |  abs(f.est_u / 100.0 -
-        |    CASE WHEN f.p = '1/2' THEN e.ex_1_2 ELSE e.ex_95_100 END)
-        |    <= f.bin_width * 2 AS pass
-        |FROM fin f JOIN ex e USING (l_returnflag)
+        |  abs(f.est_u * 10000 - e.exact_u) <= f.width_u * 20000 AS pass
+        |FROM fin f JOIN ex e USING (l_returnflag, p)
+        |ORDER BY l_returnflag, p""".stripMargin,
+
+    // Sketch-only serving shape: same bins/rank/interpolation, no
+    // exact rider — fully integral plus two terminal divisions.
+    "a17_histogram_serve" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem
+        |), rg AS (
+        |  SELECT l_returnflag, MIN(c) AS mn, MAX(c) AS mx,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1
+        |), b AS (
+        |  SELECT c.l_returnflag,
+        |    ((c.c - rg.mn) * 256) // (rg.mx - rg.mn + 1) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM c JOIN rg USING (l_returnflag) GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+        |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM b
+        |), pp AS (
+        |  SELECT 1 AS pn, 2 AS pd, '1/2' AS p
+        |  UNION ALL SELECT 95, 100, '95/100'
+        |), pick AS (
+        |  SELECT cm.l_returnflag, pp.p, rg.n, rg.mn, rg.mx,
+        |    (rg.n * pp.pn + pp.pd - 1) // pp.pd AS r,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).b AS bin,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).ct AS cnt,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).cu AS cum
+        |  FROM cm JOIN rg USING (l_returnflag) CROSS JOIN pp
+        |  WHERE cm.cum >= (rg.n * pp.pn + pp.pd - 1) // pp.pd
+        |  GROUP BY 1, 2, 3, rg.mn, rg.mx, r
+        |), est AS (
+        |  SELECT l_returnflag, p, n, cnt, cum, r,
+        |    mn + (bin * (mx - mn + 1)) // 256 AS lo_u,
+        |    mn + ((bin + 1) * (mx - mn + 1)) // 256 AS hi_u
+        |  FROM pick
+        |)
+        |SELECT l_returnflag, p, n,
+        |  lo_u + ((hi_u - lo_u) * (2 * (r - (cum - cnt)) - 1)) // (2 * cnt)
+        |    AS est_u,
+        |  (lo_u + ((hi_u - lo_u) * (2 * (r - (cum - cnt)) - 1)) // (2 * cnt))
+        |    / 100.0 AS est_price,
+        |  (hi_u - lo_u) / 100.0 AS bin_width
+        |FROM est
         |ORDER BY l_returnflag, p""".stripMargin,
 
     // Epoch-micro longs end to end: DuckDB's epoch_us on TIMESTAMP_NS

@@ -33,6 +33,13 @@ class ContractSpec extends SparkSuite {
     assert(bad.isEmpty, s"non-identifier query names: $bad")
   }
 
+  test("warm-serve list names only registered queries") {
+    // Warm.ensureAll requires this too (fail loud at warm time); the
+    // spec catches a rename at test time, before any gate run.
+    val missing = Warm.warmServeQueries.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"stale warm-serve names: $missing")
+  }
+
   test("t1 gate: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
