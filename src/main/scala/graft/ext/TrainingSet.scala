@@ -102,13 +102,12 @@ object TrainingSet {
     * words (empty text) pack with n_tokens = 0.
     *
     * Scale shape: identical to [[pack]] — the encode is one explode +
-    * a vocabulary join (planner picks broadcast) + a per-doc sum, and
-    * the packing stays a per-shard prefix sum with NO global sort.
+    * a map-side native segmentation kernel + a per-doc sum, and the
+    * packing stays a per-shard prefix sum with NO global sort.
     */
-  def packBpe(docs: DataFrame, state: DataFrame,
-              merges: Seq[graft.ext.Bpe.Merge],
+  def packBpe(docs: DataFrame, merges: Seq[graft.ext.Bpe.Merge],
               budget: Long = 512L, nShards: Int = 8): DataFrame = {
-    val counts = graft.ext.Bpe.encodeStats(docs, state, merges)
+    val counts = graft.ext.Bpe.encodeStats(docs, merges)
       .select(col("doc_id"), col("n_tokens"))
     packCounts(
       docs.select(col("doc_id"))

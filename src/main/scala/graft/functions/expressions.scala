@@ -869,6 +869,192 @@ case class CmsBuckets(child: Expression, d: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Greedy BPE segmentation, shared by interpreted eval and the
+  * whole-stage-generated call site of [[BpeTokenCount]]. Semantics are
+  * EXACTLY the layered `Bpe.applyMerge` fold (the SQL-replayable
+  * oracle twin, parity spec-pinned in `BpeSpec`): merges apply in rank
+  * order; within one merge the word is rewritten left-to-right,
+  * non-overlapping, and the freshly merged symbol is immediately
+  * eligible as the LEFT side for the next position. Symbols start as
+  * Unicode code points (`substr` semantics — never sheared surrogate
+  * halves).
+  */
+object BpeKernel {
+
+  private def spanEq(w: UTF8String, start: Int, end: Int,
+                     t: Array[Byte]): Boolean = {
+    if (end - start != t.length) return false
+    var i = 0
+    while (i < t.length) {
+      if (w.getByte(start + i) != t(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Token count of a word (read in place from its UTF8String bytes —
+    * no per-word copy) under the merge table (sides pre-encoded to
+    * UTF-8 once per plan, not per row). Symbols only
+    * ever merge ADJACENTLY, so every symbol stays a contiguous byte
+    * span of the word — the whole state is one `ends` int array,
+    * updated in place (write index never passes read index), with zero
+    * per-symbol allocations. Code-point boundaries are UTF-8
+    * non-continuation bytes — the same units as `substr`/`codePointAt`
+    * (never sheared surrogate halves).
+    */
+  def count(word: UTF8String, lhs: Array[Array[Byte]],
+            rhs: Array[Array[Byte]]): Long = {
+    val len = word.numBytes()
+    if (len == 0) return 0L
+    countRange(word, 0, len, lhs, rhs, new Array[Int](len)).toLong
+  }
+
+  /** [[count]] over the byte range [from, to) of `text`, with the
+    * span-ends scratch array supplied by the caller (so a per-document
+    * loop allocates it once, not once per word).
+    */
+  private def countRange(text: UTF8String, from: Int, to: Int,
+                         lhs: Array[Array[Byte]], rhs: Array[Array[Byte]],
+                         ends: Array[Int]): Int = {
+    var n = 0
+    var i = from
+    while (i < to) {
+      i += 1
+      while (i < to && (text.getByte(i) & 0xC0) == 0x80) i += 1
+      ends(n) = i
+      n += 1
+    }
+    var m = 0
+    while (m < lhs.length) {
+      val a = lhs(m); val b = rhs(m)
+      var w = 0
+      var r = 0
+      while (r < n) {
+        // original boundaries survive the in-place rewrite: writes land
+        // at indices < w ≤ r, and while w == r the values are identical
+        val rStart = if (r == 0) from else ends(r - 1)
+        val rEnd = ends(r)
+        val pStart = if (w <= 1) from else ends(w - 2)
+        if (w > 0 && spanEq(text, pStart, ends(w - 1), a) &&
+            spanEq(text, rStart, rEnd, b)) {
+          ends(w - 1) = rEnd // coalesce: prev span absorbs this one
+        } else {
+          ends(w) = rEnd
+          w += 1
+        }
+        r += 1
+      }
+      n = w
+      m += 1
+    }
+    n
+  }
+
+  /** Whole-DOCUMENT encode statistics in one call: words are the
+    * 0x20-separated byte runs of the text (exactly `split(text, " ")`
+    * with empties dropped — a single space byte, consecutive spaces
+    * yield empty runs, no other whitespace splits), each segmented by
+    * [[countRange]] against one shared scratch array. Packed result:
+    * `(n_words << 32) | n_tokens` — both fit 31 bits because each is
+    * bounded by the document's byte length, itself an Int. This erases
+    * the explode+shuffle the word-level form needs: per-doc stats come
+    * straight off the scan, no row amplification anywhere.
+    */
+  def docStats(text: UTF8String, lhs: Array[Array[Byte]],
+               rhs: Array[Array[Byte]]): Long = {
+    val len = text.numBytes()
+    var nWords = 0L
+    var nTokens = 0L
+    if (len == 0) return 0L
+    val ends = new Array[Int](len)
+    var i = 0
+    while (i < len) {
+      while (i < len && text.getByte(i) == 0x20) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && text.getByte(i) != 0x20) i += 1
+        nWords += 1
+        nTokens += countRange(text, start, i, lhs, rhs, ends)
+      }
+    }
+    (nWords << 32) | nTokens
+  }
+}
+
+/** Number of BPE tokens a word costs under a trained merge list, as
+  * ONE tight loop: the composable form chains M `aggregate` fold
+  * layers per word (M expression trees, each walking the whole symbol
+  * array interpreted — the steepest 100× slope in the suite at
+  * round 11). The merge table ships as codegen reference objects; the
+  * generated code is a single static call, so the expression stays
+  * inside whole-stage codegen with no huge-method risk.
+  */
+case class BpeTokenCount(child: Expression, lhs: Array[String],
+                         rhs: Array[String]) extends UnaryExpression {
+  require(lhs.length == rhs.length,
+    s"merge table sides differ: ${lhs.length} vs ${rhs.length}")
+  private lazy val lhsBytes: Array[Array[Byte]] =
+    lhs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private lazy val rhsBytes: Array[Array[Byte]] =
+    rhs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_token_count needs a string word, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.count(v.asInstanceOf[UTF8String], lhsBytes, rhsBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lhsRef = ctx.addReferenceObj("bpeLhs", lhsBytes, "byte[][]")
+    val rhsRef = ctx.addReferenceObj("bpeRhs", rhsBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.BpeKernel.count($s, $lhsRef, $rhsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-document BPE encode statistics — `(n_words << 32) | n_tokens`
+  * packed in one long — via [[BpeKernel.docStats]]: the whole word
+  * split + segmentation runs inside ONE call per document, so the
+  * consumer plan is a bare scan+project (no explode, no shuffle). The
+  * two counts unpack with a shift and a mask, both codegen'd.
+  */
+case class BpeDocStats(child: Expression, lhs: Array[String],
+                       rhs: Array[String]) extends UnaryExpression {
+  require(lhs.length == rhs.length,
+    s"merge table sides differ: ${lhs.length} vs ${rhs.length}")
+  private lazy val lhsBytes: Array[Array[Byte]] =
+    lhs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private lazy val rhsBytes: Array[Array[Byte]] =
+    rhs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_doc_stats needs a string document, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.docStats(v.asInstanceOf[UTF8String], lhsBytes, rhsBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lhsRef = ctx.addReferenceObj("bpeLhs", lhsBytes, "byte[][]")
+    val rhsRef = ctx.addReferenceObj("bpeRhs", rhsBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.BpeKernel.docStats($s, $lhsRef, $rhsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Gopher-repetition statistics of a token array in one pass:
   * `struct(n_tokens, n_distinct, top_token, top_bigram)` where
   * `top_token`/`top_bigram` are the highest exact multiplicities of a
@@ -1037,6 +1223,19 @@ object native {
 
   /** d CMS bucket indices (md5 bytes 0..d−1) of a string term. */
   def cms_buckets(term: Column, d: Int): Column = toCol(CmsBuckets(ex(term), d))
+
+  /** BPE token count of a word under a trained merge table (greedy
+    * left-to-right; bit-identical to the layered `Bpe.applyMerges`
+    * fold, which stays as the SQL-replayable oracle twin).
+    */
+  def bpe_token_count(w: Column, lhs: Array[String], rhs: Array[String]): Column =
+    toCol(BpeTokenCount(ex(w), lhs, rhs))
+
+  /** Packed per-document BPE stats `(n_words << 32) | n_tokens` —
+    * split + segmentation in one call per document, no explode.
+    */
+  def bpe_doc_stats(text: Column, lhs: Array[String], rhs: Array[String]): Column =
+    toCol(BpeDocStats(ex(text), lhs, rhs))
 
   /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
     * column: Spark's own `BloomFilterAggregate` (the engine's

@@ -20,7 +20,7 @@ class BpeSpec extends SparkSuite {
       (4, "p", "ug", 1L), (5, "pu", "n", 1L)))
     val vocab = Bpe.vocab(state).as[(String, Long)].collect().toSeq
     assert(vocab == Seq(("hug", 3L), ("pug", 1L), ("pun", 1L)))
-    val stats = Bpe.encodeStats(hugs, state, merges)
+    val stats = Bpe.encodeStats(hugs, merges)
       .as[(Long, Long, Long)].collect().toSeq
     assert(stats == Seq((1L, 4L, 4L), (2L, 1L, 1L)),
       "every word collapses to one learned token")
@@ -30,10 +30,10 @@ class BpeSpec extends SparkSuite {
     val (merges, state) = Bpe.train(hugs, nMerges = 3)
     // "hugpun" is not a training word: chars + merges 1-3 → hug, pu, n
     val stats = Bpe.encodeStats(
-        Seq((9L, "hug hugpun")).toDF("doc_id", "text"), state, merges)
+        Seq((9L, "hug hugpun")).toDF("doc_id", "text"), merges)
       .as[(Long, Long, Long)].collect().toSeq
     assert(stats == Seq((9L, 2L, 4L)),
-      "2 words; hug→1 token via vocab, hugpun→3 tokens via the fold")
+      "2 words; hug→1 token, hugpun→3 tokens through the kernel")
   }
 
   test("non-BMP characters segment as whole code points, not surrogates") {
@@ -73,6 +73,48 @@ class BpeSpec extends SparkSuite {
     assert(oov == Seq("hug", "pu", "n"))
   }
 
+  test("native kernel counts equal the layered fold on every corpus word") {
+    // the SQL-replayable twin (applyMerges, M aggregate layers) pins
+    // the kernel's greedy semantics word by word — including OOV
+    // shapes, ties, merged-symbol-as-next-lhs, and non-BMP chars
+    val (merges, _) = Bpe.train(hugs, nMerges = 5)
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .union(Seq("hugpun", "aaaa", "𝕏y𝕏", "hug").toDF("w"))
+    val mismatch = words
+      .select(col("w"),
+        graft.functions.native.bpe_token_count(col("w"),
+          merges.map(_.lhs).toArray, merges.map(_.rhs).toArray).as("k_native"),
+        size(Bpe.applyMerges(col("w"), merges)).cast("long").as("k_fold"))
+      .filter(col("k_native") =!= col("k_fold"))
+    assert(mismatch.isEmpty, s"kernel/fold divergence: ${mismatch.take(5).toSeq}")
+  }
+
+  test("doc-stats kernel equals the exploded word-level aggregation") {
+    // encodeStats (one docStats call per document) must agree with the
+    // explode + per-word kernel + groupBy shape it replaced, including
+    // empty-text / spaces-only docs dropping and multi-space runs
+    val (merges, _) = Bpe.train(hugs, nMerges = 3)
+    val tricky = docs((1L, "hug  pug hug"), (2L, ""), (3L, "   "),
+      (4L, "hugpun"), (5L, " pun "), (6L, "𝕏y 𝕏"))
+    val viaDoc = Bpe.encodeStats(tricky, merges)
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaWords = tricky
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"),
+        graft.functions.native.bpe_token_count(col("w"),
+          merges.map(_.lhs).toArray, merges.map(_.rhs).toArray).as("k"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaDoc == viaWords)
+    assert(!viaDoc.exists(r => r._1 == 2L || r._1 == 3L),
+      "no-word documents drop, as under explode")
+  }
+
   test("training past exhaustion fails loudly, not silently") {
     val e = intercept[IllegalArgumentException](Bpe.train(hugs, nMerges = 6))
     assert(e.getMessage.contains("round 6"))
@@ -89,12 +131,12 @@ class BpeSpec extends SparkSuite {
     val (merges, state) = Bpe.train(docs, nMerges = 4) match {
       case (m, s) => (m, s)
     }
-    val fert = Bpe.fertility(docs, state, merges).collect()
+    val fert = Bpe.fertility(docs, merges).collect()
     import org.apache.spark.sql.functions._
     assert(fert.map(_.getAs[Long]("n_docs")).sum == docs.count())
     assert(fert.map(_.getAs[Long]("n_chars")).sum ==
       docs.agg(sum(col("n_chars"))).head().getLong(0))
-    val enc = Bpe.encodeStats(docs, state, merges)
+    val enc = Bpe.encodeStats(docs, merges)
       .agg(sum(col("n_tokens"))).head().getLong(0)
     assert(fert.map(_.getAs[Long]("n_tokens")).sum == enc)
     fert.foreach { r =>

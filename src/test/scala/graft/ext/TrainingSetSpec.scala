@@ -42,9 +42,9 @@ class TrainingSetSpec extends SparkSuite {
 
   test("packBpe: budget unit is the trained tokenizer's count, same prefix-sum contract") {
     val (merges, state) = Bpe.trained(spark, docs, sfDir)
-    val out = TrainingSet.packBpe(docs, state, merges, budget = 256L, nShards = 4)
+    val out = TrainingSet.packBpe(docs, merges, budget = 256L, nShards = 4)
       .as[(Long, Long, Long, Long, Long)].collect()
-    val bpeCounts = Bpe.encodeStats(docs, state, merges)
+    val bpeCounts = Bpe.encodeStats(docs, merges)
       .select(col("doc_id"), col("n_tokens")).as[(Long, Long)].collect().toMap
     assert(out.length == docs.count(), "every document is packed exactly once")
     out.foreach { case (id, _, _, n, _) =>
