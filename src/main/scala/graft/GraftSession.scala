@@ -20,6 +20,11 @@ object GraftSession {
       // runtime bloom-filter pushdown: at scale a selective dim filter
       // prunes the fact side of a shuffle join before the exchange.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // rank-filter → WindowGroupLimit pushdown also for the engine's
+      // larger caps (funnelWindowed's 10⁴-per-step skew guard; default
+      // threshold is 1000): map tasks truncate their own groups to k
+      // before the exchange, which is the whole point of the guard.
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "100000")
       // graft's native functions + the as-of join planner strategy,
       // injected the way a cluster deployment would.
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -53,6 +53,79 @@ object ProbeAb {
       val merges = ext.Bpe.trained(s, Tables.documents(s, d), d)._1
       ext.Bpe.encodeStats(Tables.documents(s, d), merges)
     }),
+    // curated replay decomposition: serve only (corpus read + sort)…
+    "curated_serve" -> ((s, d) => {
+      val (root, _, _, _) = stream.StreamQueries.ensureCurated(s, d)
+      stream.IncrementalIngest.corpus(s, root).orderBy(col("doc_id"))
+    }),
+    // …vs the full registered replay+serve shape
+    "curated_full" -> ((s, d) =>
+      stream.StreamQueries.queries("stream_curated_corpus")(s, d)),
+    // …vs the LM gate alone over the replayed slice
+    "curated_lm" -> ((s, d) => {
+      val (_, _, lmDir, _) = stream.StreamQueries.ensureCurated(s, d)
+      val batch = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text"))
+      ext.LanguageModel.score(s, batch, lmDir, 4096)
+        .filter(col("mean_nll") <= 3.40625).select(col("doc_id"))
+    }),
+    // …vs the admission chain as one BATCH call (no streaming runtime):
+    // isolates micro-batch machinery cost from the gates themselves
+    "curated_batch" -> ((s, d) => {
+      val (root, spool, lmDir, wireSchema) = stream.StreamQueries.ensureCurated(s, d)
+      val wire = s.read.schema(wireSchema).parquet(spool)
+      val decoded = wire
+        .select(from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))).as("r"))
+        .select(col("r.*"))
+      stream.CuratedIngest.ingestBatch(s, decoded, root, lmDir,
+        maxMeanNll = 3.40625)
+      stream.IncrementalIngest.corpus(s, root).orderBy(col("doc_id"))
+    }),
+    // …step-timed admission chain (prints [probe-step] lines)
+    "curated_steps" -> ((s, d) => {
+      val (root, spool, lmDir, wireSchema) = stream.StreamQueries.ensureCurated(s, d)
+      def step[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(s"[probe-step] $name ${(System.nanoTime() - t0) / 1e9}")
+        r
+      }
+      val wire = s.read.schema(wireSchema).parquet(spool)
+      val decoded = wire
+        .select(from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))).as("r"))
+        .select(col("r.*"))
+      val b = step("dedup_ckpt")(
+        decoded.dropDuplicates("doc_id").localCheckpoint())
+      val batchRows = step("count_b")(b.count())
+      val keptIds = ext.LanguageModel.score(s, b, lmDir, 4096)
+        .filter(col("mean_nll") <= 3.40625).select(col("doc_id"))
+      val kept = step("lm_score_ckpt")(
+        b.join(broadcast(keptIds), Seq("doc_id"), "left_semi").localCheckpoint())
+      val keptRows = step("count_kept")(kept.count())
+      val corpusDf = step("corpus_open")(stream.IncrementalIngest.corpus(s, root))
+      val seen = corpusDf
+        .join(broadcast(kept.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), xxhash64(col("text")).as("corpus_h"))
+      val marked = kept.withColumn("batch_h", xxhash64(col("text")))
+        .join(broadcast(seen), Seq("doc_id"), "left")
+      val counters = step("counters_agg")(marked.agg(
+        sum(when(col("corpus_h") === col("batch_h"), 1L).otherwise(0L)),
+        sum(when(col("corpus_h").isNotNull && col("corpus_h") =!= col("batch_h"),
+          1L).otherwise(0L))).head())
+      println(s"[probe-step] rows batch=$batchRows kept=$keptRows replayed=${counters.get(0)}")
+      corpusDf.limit(1)
+    }),
     // the M layered aggregate-fold trees the oracle replays
     "bpe_fold" -> ((s, d) => {
       val merges = ext.Bpe.trained(s, Tables.documents(s, d), d)._1

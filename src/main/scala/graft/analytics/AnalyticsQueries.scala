@@ -615,14 +615,21 @@ object AnalyticsQueries {
     // array_min NULL, so non-reachers agree), then the sequential
     // anchors as scalar list expressions.
     "a15_funnel_windowed" ->
-      """WITH f AS (
+      """WITH capped AS (
+        |  SELECT user_id, event_type, ts FROM (
+        |    SELECT user_id, event_type, ts,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts) AS rn
+        |    FROM events
+        |    WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        |  ) WHERE rn <= 10000
+        |), f AS (
         |  SELECT user_id,
         |    list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS a_signup,
         |    list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS a_view,
         |    list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS a_click,
         |    list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS a_purchase
-        |  FROM events
-        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        |  FROM capped
         |  GROUP BY user_id
         |), s1 AS (
         |  SELECT *, list_min(a_signup) AS t_signup FROM f

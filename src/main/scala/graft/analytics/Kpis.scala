@@ -260,22 +260,46 @@ object Kpis {
     * `maxGapDays` of it (conversion-within-N semantics). The anchor
     * chain is sequential (t_i depends on t_{i−1}), so it cannot be one
     * conditional-min aggregate; instead ONE groupBy collects each
-    * user's per-step sorted timestamp lists (bounded by that user's
-    * own event count) and the chain evaluates as per-row higher-order
-    * array expressions — still a single shuffle over the stream, no
-    * self-joins, no k passes. Output matches [[eventFunnel]]:
+    * user's per-step sorted timestamp lists and the chain evaluates as
+    * per-row higher-order array expressions — no self-joins, no k
+    * passes. Output matches [[eventFunnel]]:
     * (step, event_type, n_users, conversion, conversion_ppm).
+    *
+    * Skew guard: the per-user lists would otherwise be bounded only by
+    * that user's own event count — a bot/service account with 10⁷
+    * events in one step is a task-OOM at 100 TB (the `collect_list`
+    * BUFFER blows up, so capping after collection guards nothing).
+    * Instead a rank filter keeps each user's `maxEventsPerStep`
+    * EARLIEST events per step BEFORE the aggregation; it rides
+    * WindowGroupLimit (plan spec-pinned), so every map task truncates
+    * its own (user, step) runs to the cap before anything shuffles.
+    * Documented semantics under the cap: a user's step-i candidates
+    * are their earliest `maxEventsPerStep` step-i events — a funnel
+    * whose qualifying event lies beyond that prefix counts as a
+    * non-reacher. The default cap (10⁴ per step) is ~60× the densest
+    * fixture user and far past any human activity pattern; boundary
+    * ties in `ts` are harmless because only the kept timestamp
+    * MULTISET feeds the chain, and the earliest-N multiset is
+    * order-insensitive.
     */
   def funnelWindowed(events: DataFrame,
                      steps: Seq[String] = Seq("view", "click", "purchase"),
-                     maxGapDays: Int = 7): DataFrame = {
+                     maxGapDays: Int = 7,
+                     maxEventsPerStep: Int = 10000): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
     require(maxGapDays > 0, s"conversion window must be positive: $maxGapDays")
+    require(maxEventsPerStep > 0,
+      s"per-step event cap must be positive: $maxEventsPerStep")
     val arrays = steps.map(st =>
       sort_array(collect_list(when(col("event_type") === st, col("ts"))))
         .as(s"a_$st"))
+    val capWindow = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"))
     var cur = events
       .filter(col("event_type").isin(steps: _*))
+      .withColumn("_rn", row_number().over(capWindow))
+      .filter(col("_rn") <= maxEventsPerStep)
+      .drop("_rn")
       .groupBy(col("user_id"))
       .agg(arrays.head, arrays.tail: _*)
       // anchor of step 1: the user's earliest step-1 event

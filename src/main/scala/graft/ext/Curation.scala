@@ -50,9 +50,9 @@ object Curation {
     * in DECIMAL(38,0)/HUGEINT: at 100 TB `sum_chars · 2·10⁶`
     * overflows a long.
     */
-  def domainStats(docs: DataFrame): DataFrame = {
+  def domainStats(docs: DataFrame, url: Column = fixtureUrl): DataFrame = {
     val perDom = docs
-      .select(domainOf(fixtureUrl).as("domain"), col("n_chars"))
+      .select(domainOf(url).as("domain"), col("n_chars"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
     val totals = perDom.agg(
@@ -72,9 +72,10 @@ object Curation {
     * allow pattern is a pushable per-row predicate.
     */
   def domainFilter(docs: DataFrame, blocklist: DataFrame,
-                   allowPattern: String = "^[a-z0-9.-]+\\.example\\.com$"): DataFrame = {
+                   allowPattern: String = "^[a-z0-9.-]+\\.example\\.com$",
+                   url: Column = fixtureUrl): DataFrame = {
     val withDom = docs
-      .withColumn("url", fixtureUrl)
+      .withColumn("url", url)
       .withColumn("domain", domainOf(col("url")))
     withDom
       .filter(col("domain").rlike(allowPattern))
@@ -99,12 +100,13 @@ object Curation {
     * documents never fully sorts — each map task keeps its own top
     * `maxPerDomain` before the exchange.
     */
-  def domainCap(docs: DataFrame, maxPerDomain: Int = 10): DataFrame = {
+  def domainCap(docs: DataFrame, maxPerDomain: Int = 10,
+                url: Column = fixtureUrl): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("domain"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     docs
-      .withColumn("domain", domainOf(fixtureUrl))
+      .withColumn("domain", domainOf(url))
       .withColumn("domain_rank", row_number().over(w))
       .filter(col("domain_rank") <= maxPerDomain)
       .select(col("doc_id"), col("domain"), col("domain_rank"), col("n_chars"))

@@ -52,7 +52,11 @@ object CuratedIngest {
     val kept = b.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val keptRows = kept.count()
-    val stats = IncrementalIngest.ingestBatch(spark, kept, root, minJaccard, maxBucket)
+    // the core directly: `kept` is already id-unique, two-column and
+    // materialized — ingestBatch's own normalization would checkpoint
+    // and count the same rows a second time on every replayed batch
+    val stats = IncrementalIngest.ingestNormalized(spark, kept, keptRows,
+      root, minJaccard, maxBucket)
     CuratedStats(batchRows, batchRows - keptRows, stats)
   }
 

@@ -60,6 +60,38 @@ object IncrementalIngest {
 
   private def kindPrefix = "ingest v1 "
   private def indexPath(root: String) = s"$root/bandindex"
+  private def rejectionsPath(root: String) = s"$root/rejections"
+
+  private val RejectionsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("rej_h",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.StringType)))
+
+  /** The rejection LEDGER: `(doc_id, rej_h, kind)` of rows the near-dup
+    * gates rejected, appended per batch. Semantically a CACHE of gate
+    * decisions, valid while the corpus is insert-only: a doc rejected
+    * against corpus state S stays rejected under any superset of S (its
+    * matching document cannot leave an insert-only store), so a
+    * re-delivered `(doc_id, text)` whose hash is in the ledger
+    * short-circuits in the same O(batch) membership join that skips
+    * re-delivered ADMITTED rows — without it, every replay re-runs the
+    * LSH gate for the batch's perpetual rejects, which made the
+    * replay-storm serve pay the full first-ingest dedup cost forever.
+    * [[removeDocs]] deletes the ledger wholesale (a removal can
+    * invalidate a rejection); losing or truncating it costs only
+    * re-evaluation, never correctness.
+    */
+  private def rejections(spark: SparkSession, root: String): DataFrame = {
+    val p = new Path(rejectionsPath(root))
+    if (CorpusStore.fs(spark, root).exists(p))
+      spark.read.schema(RejectionsSchema).parquet(rejectionsPath(root))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], RejectionsSchema)
+  }
 
   private def params(spark: SparkSession, root: String): (Int, Int) =
     Artifact.readMeta(spark, root) match {
@@ -119,13 +151,28 @@ object IncrementalIngest {
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, root: String,
                   minJaccard: Double = 0.35, maxBucket: Int = 64): IngestStats = {
+    val b = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id").localCheckpoint()
+    ingestNormalized(spark, b, b.count(), root, minJaccard, maxBucket)
+  }
+
+  /** [[ingestBatch]]'s core over a batch the caller has already
+    * normalized (id-unique `(doc_id, text)`, materialized) and counted
+    * — the curated front end calls this directly so a batch isn't
+    * deduplicated, checkpointed and counted a SECOND time on its way
+    * through two gates. The replay path runs once per re-delivered
+    * micro-batch, so every avoided job here is steady-state serve cost;
+    * it also defers all materialization of the admission join until a
+    * batch actually has fresh rows (a pure replay ends at one
+    * aggregate).
+    */
+  private[stream] def ingestNormalized(spark: SparkSession, b: DataFrame,
+                                       batchRows: Long, root: String,
+                                       minJaccard: Double,
+                                       maxBucket: Int): IngestStats = {
     Artifact.requireKind(spark, root, kindPrefix)
     val (k, bands) = params(spark, root)
     val corpusDf = corpus(spark, root)
-
-    val b = batch.select(col("doc_id"), col("text"))
-      .dropDuplicates("doc_id").localCheckpoint()
-    val batchRows = b.count()
 
     // Admission: one narrow (doc_id, text-hash) read of the corpus,
     // semi-joined down to the batch's ids before it reaches the driver's
@@ -135,24 +182,45 @@ object IncrementalIngest {
     val seen = corpusDf
       .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), xxhash64(col("text")).as("corpus_h"))
+    // rejection-ledger hits short-circuit exactly like corpus hits: the
+    // join key is (doc_id, content hash), so a conflicting re-offer of
+    // a rejected id (new text) falls through to the full gate
+    val rejSeen = rejections(spark, root)
+      .join(broadcast(b.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id", "rej_h") // crash-replayed appends
+      .withColumnRenamed("rej_h", "batch_h")
+    // not checkpointed: a replay batch needs exactly ONE action off this
+    // join (the counter aggregate); only the fresh path re-evaluates it,
+    // into `fresh`'s own checkpoint
     val marked = b.withColumn("batch_h", xxhash64(col("text")))
       .join(broadcast(seen), Seq("doc_id"), "left")
-      .localCheckpoint()
-    // one aggregation job for both admission counters (each separate
+      .join(broadcast(rejSeen), Seq("doc_id", "batch_h"), "left")
+    // one aggregation job for all four admission counters (each separate
     // count is a full driver round-trip; the per-batch action count IS
     // the ingest latency floor at small batch sizes)
     val counters = marked.agg(
       sum(when(col("corpus_h") === col("batch_h"), 1L).otherwise(0L)),
       sum(when(col("corpus_h").isNotNull && col("corpus_h") =!= col("batch_h"),
-        1L).otherwise(0L))).head()
+        1L).otherwise(0L)),
+      sum(when(col("corpus_h").isNull && col("kind") === "corpus", 1L)
+        .otherwise(0L)),
+      sum(when(col("corpus_h").isNull && col("kind") === "batch", 1L)
+        .otherwise(0L))).head()
     val replayed = Option(counters.get(0)).fold(0L)(_.asInstanceOf[Long])
     val conflicting = Option(counters.get(1)).fold(0L)(_.asInstanceOf[Long])
-    val fresh = marked.filter(col("corpus_h").isNull)
-      .select(col("doc_id"), col("text")).localCheckpoint()
-    val freshCount = batchRows - replayed - conflicting
+    val rejCorpusLedger = Option(counters.get(2)).fold(0L)(_.asInstanceOf[Long])
+    val rejBatchLedger = Option(counters.get(3)).fold(0L)(_.asInstanceOf[Long])
+    val freshCount = batchRows - replayed - conflicting -
+      rejCorpusLedger - rejBatchLedger
 
+    // ledger hits re-count under their original rejection bucket, so a
+    // replayed batch reports the same stats as its first delivery
     if (freshCount == 0L)
-      return IngestStats(batchRows, replayed, conflicting, 0L, 0L, 0L)
+      return IngestStats(batchRows, replayed, conflicting,
+        rejCorpusLedger, rejBatchLedger, 0L)
+
+    val fresh = marked.filter(col("corpus_h").isNull && col("kind").isNull)
+      .select(col("doc_id"), col("text")).localCheckpoint()
 
     // Near-dup rejection, corpus first (a batch doc similar to both an
     // indexed doc and a batch sibling is a corpus-dup), then within the
@@ -185,8 +253,25 @@ object IncrementalIngest {
       Artifact.addToFingerprint(spark, root, kindPrefix, fp)
       Artifact.endMutation(spark, root)
     }
+    if (freshCount > acceptedCount) {
+      // record this batch's fresh rejections in the ledger so their
+      // re-delivery short-circuits; outside the mutation window on
+      // purpose — the ledger is a cache (see [[rejections]]): a crash
+      // leaves whichever task files committed, all of them valid
+      val corpusRej = fresh
+        .join(broadcast(dupIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), xxhash64(col("text")).as("rej_h"),
+          lit("corpus").as("kind"))
+      val batchRej = afterCorpus
+        .join(broadcast(accepted.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), xxhash64(col("text")).as("rej_h"),
+          lit("batch").as("kind"))
+      corpusRej.unionByName(batchRej)
+        .write.mode("append").parquet(rejectionsPath(root))
+    }
     IngestStats(batchRows, replayed, conflicting,
-      freshCount - afterCorpusCount, afterCorpusCount - acceptedCount, acceptedCount)
+      rejCorpusLedger + (freshCount - afterCorpusCount),
+      rejBatchLedger + (afterCorpusCount - acceptedCount), acceptedCount)
   }
 
   /** Delete documents from the ingest root — the right-to-be-forgotten
@@ -226,6 +311,11 @@ object IncrementalIngest {
     Artifact.subtractFromFingerprint(spark, root, kindPrefix,
       Artifact.fingerprint(removed, col("doc_id"), col("text")))
     Artifact.endMutation(spark, root)
+    // rejection-ledger invalidation: a removed doc may have been the
+    // very match that rejected a near-dup, so cached gate decisions are
+    // no longer implied by the (shrunken) corpus — drop them wholesale
+    // and let re-offers re-evaluate (removal is the rare path)
+    CorpusStore.fs(spark, root).delete(new Path(rejectionsPath(root)), true)
     n
   }
 

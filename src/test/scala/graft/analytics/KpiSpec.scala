@@ -184,4 +184,41 @@ class KpiSpec extends SparkSuite {
       assert(r.getLong(4) == ppm && r.getDouble(3) == ppm.toDouble / 1e6)
     }
   }
+
+  test("funnelWindowed skew guard: a million-event bot completes, cap semantics hold") {
+    import org.apache.spark.sql.functions._
+    // bot user 1: 10^6 view events in one hour — without the pre-agg
+    // rank cap this is a single million-element collect_list buffer
+    val bot = spark.range(1000000L)
+      .select(lit(1L).as("user_id"), lit("view").as("event_type"),
+        (lit(1704067200L) + col("id")).cast("timestamp").as("ts"))
+    // user 2 converts normally
+    val human = Seq(
+      (2L, "view", "2024-01-01 00:00:00"), (2L, "click", "2024-01-02 00:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val df = Kpis.funnelWindowed(bot.unionByName(human),
+      Seq("view", "click"), 7)
+    val out = df.orderBy(col("step")).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L),
+      s"bot counts as a viewer, only the human converts: ${out.toSeq}")
+    // the rank filter must ride WindowGroupLimit so map tasks truncate
+    // their own (user, step) runs before anything shuffles
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown:\n$plan")
+    // documented cap semantics: candidates are the EARLIEST N events
+    // per step — a qualifying event beyond that prefix is a non-reach
+    val tricky = Seq(
+      (1L, "view", "2024-01-05 00:00:00"),
+      (1L, "click", "2024-01-01 00:00:00"), // before anchor (and in cap)
+      (1L, "click", "2024-01-02 00:00:00"), // before anchor (and in cap)
+      (1L, "click", "2024-01-06 00:00:00")  // qualifies, but beyond cap=2
+    ).toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val capped = Kpis.funnelWindowed(tricky, Seq("view", "click"), 7,
+      maxEventsPerStep = 2).orderBy(col("step")).collect()
+    assert(capped.map(_.getLong(2)).toSeq == Seq(1L, 0L),
+      s"in-window click hidden past the cap must not count: ${capped.toSeq}")
+  }
 }

@@ -24,6 +24,27 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(charShare - 1000000L) <= rows.length)
   }
 
+  test("caller-supplied url column: the real-deployment seam works end to end") {
+    // a crawl with its own URL column routes through the same three
+    // functions via the `url` parameter — no fixtureUrl anywhere
+    val crawl = Seq(
+      (1L, "https://a.other.org/p1", 10L), (2L, "https://a.other.org/p2", 30L),
+      (3L, "https://b.other.org/p1", 20L))
+      .toDF("doc_id", "crawl_url", "n_chars")
+    val stats = Curation.domainStats(crawl, col("crawl_url"))
+    assert(stats.collect().map(r =>
+      (r.getString(0), r.getAs[Long]("n_docs"))).toSet ==
+      Set(("a.other.org", 2L), ("b.other.org", 1L)))
+    val kept = Curation.domainFilter(crawl,
+      Seq("b.other.org").toDF("domain"),
+      allowPattern = "^[a-z.]+\\.other\\.org$", url = col("crawl_url"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val capped = Curation.domainCap(crawl, maxPerDomain = 1,
+      url = col("crawl_url"))
+    assert(capped.select("doc_id").as[Long].collect().toSet == Set(2L, 3L),
+      "cap keeps the longest doc per domain")
+  }
+
   test("domainFilter: blocklist drops, allow pattern drops, rest survives") {
     val planted = Seq(
       (1L, "t", "en", "src5", 5L),   // survives

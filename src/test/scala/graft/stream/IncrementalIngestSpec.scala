@@ -158,6 +158,25 @@ class IncrementalIngestSpec extends SparkSuite {
     assert(s.accepted == 0)
   }
 
+  test("rejection ledger: replayed batch reports first-delivery stats without re-running the gate") {
+    freshRoot()
+    IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
+    val first = IncrementalIngest.ingestBatch(spark, batch1.toDF("doc_id", "text"), root)
+    // the ledger now holds the gate's decisions for 11 (vs corpus) and
+    // 13 (vs sibling 12); a full replay must report IDENTICAL stats —
+    // rejects short-circuit through the same membership join as
+    // replayed admissions, so the LSH gate never re-runs
+    val replay = IncrementalIngest.ingestBatch(spark, batch1.toDF("doc_id", "text"), root)
+    assert(replay == first.copy(replayed = first.accepted, accepted = 0),
+      s"replay stats must mirror first delivery: first=$first replay=$replay")
+    // a conflicting re-offer of a REJECTED id (new text) is not a
+    // ledger hit — it re-evaluates in full and can be admitted
+    val s = IncrementalIngest.ingestBatch(spark,
+      Seq((13L, "entirely new content far from every stored document indeed"))
+        .toDF("doc_id", "text"), root)
+    assert(s.accepted == 1L, s"rejected id with fresh content re-evaluates: $s")
+  }
+
   test("removeDocs: doc gone from corpus + index, near-dups of it admitted again, id re-ingestable") {
     freshRoot()
     IncrementalIngest.init(spark, seedDocs.toDF("doc_id", "text"), root)
