@@ -126,6 +126,21 @@ object ProbeAb {
       println(s"[probe-step] rows batch=$batchRows kept=$keptRows replayed=${counters.get(0)}")
       corpusDf.limit(1)
     }),
+    // funnel skew point: the fixture's event stream plus one synthetic
+    // bot user with 10⁶ same-step events — the shape the per-step rank
+    // cap exists for (without it this is a single million-element
+    // collect_list buffer in one task)
+    "funnel_skew" -> ((s, d) => {
+      val bot = s.range(1000000L)
+        .select(lit(99999999L).as("user_id"), lit("view").as("event_type"),
+          (lit(1704067200L) + col("id")).cast("timestamp").as("ts"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .unionByName(bot)
+      analytics.Kpis.funnelWindowed(ev,
+        Seq("signup", "view", "click", "purchase"), maxGapDays = 7)
+        .orderBy(col("step"))
+    }),
     // the M layered aggregate-fold trees the oracle replays
     "bpe_fold" -> ((s, d) => {
       val merges = ext.Bpe.trained(s, Tables.documents(s, d), d)._1

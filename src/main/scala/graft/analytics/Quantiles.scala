@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,15 +23,25 @@ import org.apache.spark.sql.functions._
   *   est_u  = lo_u + ((hi_u − lo_u) · (2(r − cum_before) − 1)) div (2·cnt)
   * The rank-r element lies in the chosen bin, so |est − element_r| <
   * one bin width; vs the CONTINUOUS exact percentile (which may
-  * interpolate across the edge) the bound is two widths.
+  * interpolate across the edge) the bound is two widths. All p
+  * fractions evaluate in ONE pass over the cumulative histogram (a
+  * broadcast cross-join with the tiny p table — the same `pp` CTE
+  * shape the DuckDB oracle replays), so the sketch costs two
+  * full-data passes total regardless of how many quantiles it serves.
   *
   * The full report ([[histogramQuantiles]]) carries the exact
   * percentile and a pass column against that bound — the recall-report
   * discipline, so the accuracy claim sits in the gate's snapshot. The
-  * exact rider is ALSO integral end to end: the rank-⌊h⌋ / rank-⌈h⌉
-  * order statistics are taken on the cent grid (one per-group sort —
-  * the cost an exact percentile always pays) and interpolated with a
-  * half-up integral division into micro-price units
+  * exact rider is ALSO integral end to end AND histogram-guided: the
+  * rank-⌊h⌋ / rank-⌈h⌉ order statistics are found by locating each
+  * target rank's BIN in the cumulative histogram and ranking only the
+  * rows of the targeted bins (≤ 2·|ps| bins of ~n/B rows each — never
+  * a full per-group sort; a naive `row_number` over the whole group
+  * measured 55 s at the 100× point, this shape adds ONE extra
+  * full-data pass). The ≤ groups·B histogram and the per-group ranges
+  * are `localCheckpoint`ed so no branch re-derives them from the raw
+  * data. The statistics interpolate with a half-up integral division
+  * into micro-price units
   *   h       = 1 + p·(n−1);  i = (pn·(n−1)) div pd;  rem = (…) mod pd
   *   exact_u = hu((x_{i+1}·pd + rem·(x_{i+2} − x_{i+1})) · 10⁴, pd)
   * so no `round(double, …)` appears anywhere in the lineage; the two
@@ -39,8 +49,7 @@ import org.apache.spark.sql.functions._
   * column, and the pass comparison itself is integer-vs-integer.
   *
   * At 100 TB the exact column is the part you drop — the sketch-only
-  * serving shape is [[histogramQuantileServe]] (no per-group sort, two
-  * partial-agg passes + a broadcast, near-flat in n).
+  * serving shape is [[histogramQuantileServe]] (no row ever sorts).
   */
 object Quantiles {
 
@@ -49,91 +58,136 @@ object Quantiles {
     */
   val defaultPs: Seq[(Int, Int)] = Seq((1, 2), (95, 100))
 
-  /** Sketch-only estimate: per (group, p) the histogram estimate in
-    * cents (`est_u`), its price double (one terminal division) and the
-    * bin width the error is bounded by. `width_u` (cents) rides along
-    * for the full report's integral pass check.
-    */
-  def histogramQuantileServe(lineitem: DataFrame, bins: Int = 256,
-                             ps: Seq[(Int, Int)] = defaultPs): DataFrame = {
-    require(bins > 0, s"bin count must be positive: $bins")
+  private def centsOf(lineitem: DataFrame): DataFrame =
     // explicit floor on both sides: DuckDB's double→BIGINT cast ROUNDS
     // while Spark's truncates — floor(x·100 + 0.5) is the one form the
     // engines agree on (and is exact for the fixture's 2-dp prices)
-    val cents = lineitem.select(col("l_returnflag"),
+    lineitem.select(col("l_returnflag"),
       floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
-    val ranges = cents.groupBy(col("l_returnflag"))
+
+  private def rangesOf(cents: DataFrame): DataFrame =
+    cents.groupBy(col("l_returnflag"))
       .agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
         count(lit(1)).as("n"))
+
+  private def cumOf(cents: DataFrame, ranges: DataFrame,
+                    bins: Int): DataFrame = {
     val binned = cents
       .join(broadcast(ranges), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"),
         expr(s"((c - mn) * $bins) div (mx - mn + 1)").as("bin"))
       .agg(count(lit(1)).as("cnt"))
-    val cum = binned.withColumn("cum",
+    binned.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))
         .orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    ps.map { case (pn, pd) =>
-      val r = expr(s"(n * $pn + ${pd - 1}) div $pd") // ceil(p·n)
-      cum.join(broadcast(ranges.select(col("l_returnflag"), col("mn"),
-          col("mx"), col("n"))), Seq("l_returnflag"))
-        .withColumn("r", r)
-        .filter(col("cum") >= col("r"))
-        // first qualifying bin = the one holding rank r
-        .groupBy(col("l_returnflag"))
-        .agg(min(struct(col("bin"), col("cnt"), col("cum"), col("mn"),
-          col("mx"), col("n"), col("r"))).as("s"))
-        .select(col("l_returnflag"), col("s.*"))
-        .withColumn("lo_u", expr(s"mn + (bin * (mx - mn + 1)) div $bins"))
-        .withColumn("hi_u", expr(s"mn + ((bin + 1) * (mx - mn + 1)) div $bins"))
-        .withColumn("est_u", expr(
-          "lo_u + ((hi_u - lo_u) * (2 * (r - (cum - cnt)) - 1)) div (2 * cnt)"))
-        .select(col("l_returnflag"),
-          lit(s"$pn/$pd").as("p"),
-          col("n"), col("est_u"),
-          (col("est_u").cast("double") / lit(100.0)).as("est_price"),
-          (col("hi_u") - col("lo_u")).as("width_u"),
-          ((col("hi_u") - col("lo_u")).cast("double") / lit(100.0))
-            .as("bin_width"))
-    }.reduce(_ unionByName _)
+  }
+
+  private def ppTable(df: DataFrame, ps: Seq[(Int, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ps.map { case (pn, pd) => (pn, pd, s"$pn/$pd") }.toDF("pn", "pd", "p")
+  }
+
+  /** Sketch assembly over an already-built (ranges, cum) pair — every
+    * p fraction in one plan via the broadcast p-table cross-join.
+    */
+  private def assembleSketch(ranges: DataFrame, cum: DataFrame,
+                             pp: DataFrame, bins: Int): DataFrame =
+    cum.join(broadcast(ranges), Seq("l_returnflag"))
+      .crossJoin(broadcast(pp))
+      .withColumn("r", expr("(n * pn + pd - 1) div pd")) // ceil(p·n)
+      .filter(col("cum") >= col("r"))
+      // first qualifying bin = the one holding rank r
+      .groupBy(col("l_returnflag"), col("p"))
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"), col("mn"),
+        col("mx"), col("n"), col("r"))).as("s"))
+      .select(col("l_returnflag"), col("p"), col("s.*"))
+      .withColumn("lo_u", expr(s"mn + (bin * (mx - mn + 1)) div $bins"))
+      .withColumn("hi_u", expr(s"mn + ((bin + 1) * (mx - mn + 1)) div $bins"))
+      .withColumn("est_u", expr(
+        "lo_u + ((hi_u - lo_u) * (2 * (r - (cum - cnt)) - 1)) div (2 * cnt)"))
+      .select(col("l_returnflag"), col("p"),
+        col("n"), col("est_u"),
+        (col("est_u").cast("double") / lit(100.0)).as("est_price"),
+        (col("hi_u") - col("lo_u")).as("width_u"),
+        ((col("hi_u") - col("lo_u")).cast("double") / lit(100.0))
+          .as("bin_width"))
+
+  /** Sketch-only estimate: per (group, p) the histogram estimate in
+    * cents (`est_u`), its price double (one terminal division) and the
+    * bin width the error is bounded by. `width_u` (cents) rides along
+    * for the full report's integral pass check. Two full-data passes
+    * (ranges, bins); nothing sorts, nothing is cached.
+    */
+  def histogramQuantileServe(lineitem: DataFrame, bins: Int = 256,
+                             ps: Seq[(Int, Int)] = defaultPs): DataFrame = {
+    require(bins > 0, s"bin count must be positive: $bins")
+    val cents = centsOf(lineitem)
+    val ranges = rangesOf(cents)
+    assembleSketch(ranges, cumOf(cents, ranges, bins),
+      ppTable(lineitem, ps), bins)
   }
 
   /** Full gate report: sketch estimate + the exact continuous
-    * percentile (cent-grid order statistics, half-up integral
-    * interpolation into micro-price `exact_u`) + an integer-vs-integer
-    * pass column against the two-bin-width bound.
+    * percentile (histogram-guided cent-grid order statistics, half-up
+    * integral interpolation into micro-price `exact_u`) + an
+    * integer-vs-integer pass column against the two-bin-width bound.
+    * Three full-data passes total (ranges, bins, targeted-bin gather).
     */
   def histogramQuantiles(lineitem: DataFrame, bins: Int = 256,
                          ps: Seq[(Int, Int)] = defaultPs): DataFrame = {
-    val sketch = histogramQuantileServe(lineitem, bins, ps)
-    val cents = lineitem.select(col("l_returnflag"),
-      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
-    val ranges = cents.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"))
-    // one per-group sort, then ONE conditional-agg pass picks the two
-    // order statistics for every p at once (no per-p re-scan)
-    val ranked = cents
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("c"))))
-      .join(broadcast(ranges), Seq("l_returnflag"))
-    def idx(pn: Int, pd: Int): Column = expr(s"($pn * (n - 1)) div $pd")
-    val hit = ps.map { case (pn, pd) =>
-      col("rk") >= idx(pn, pd) + 1 && col("rk") <= idx(pn, pd) + 2
-    }.reduce(_ || _)
-    val aggs = ps.flatMap { case (pn, pd) =>
-      val in = col("rk") >= idx(pn, pd) + 1 && col("rk") <= idx(pn, pd) + 2
-      Seq(min(when(in, col("c"))).as(s"lo_${pn}_$pd"),
-          max(when(in, col("c"))).as(s"hi_${pn}_$pd"))
+    require(bins > 0, s"bin count must be positive: $bins")
+    val cents = centsOf(lineitem)
+    // tiny (per-group / per-(group, bin)) tables, referenced by several
+    // branches below — checkpointed so no branch re-scans the raw data
+    val ranges = rangesOf(cents).localCheckpoint()
+    val cum = cumOf(cents, ranges, bins).localCheckpoint()
+    val pp = ppTable(lineitem, ps)
+    val sketch = assembleSketch(ranges, cum, pp, bins)
+    // one target row per (group, p, side): the rank, its bin in the
+    // cumulative histogram, and the rank's offset within that bin —
+    // lo = rank ⌊h⌋+1 = idx0+1, hi = rank min(idx0+2, n)
+    val targets = cum.join(broadcast(ranges), Seq("l_returnflag"))
+      .crossJoin(broadcast(pp))
+      .crossJoin(broadcast(ppSides(lineitem)))
+      .withColumn("r", expr(
+        "least((pn * (n - 1)) div pd + sideoff, n)"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("l_returnflag"), col("p"), col("side"))
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"), col("r"))).as("s"))
+      .select(col("l_returnflag"), col("p"), col("side"),
+        col("s.bin").as("bin"),
+        (col("s.r") - (col("s.cum") - col("s.cnt"))).as("off"))
+      .localCheckpoint()
+    // rank ONLY the targeted bins: semi-join down to ≤ 2·|ps| bins per
+    // group (~n/B rows each), sort within (group, bin), pick offsets
+    val withBin = cents.join(broadcast(ranges), Seq("l_returnflag"))
+      .withColumn("bin", expr(s"((c - mn) * $bins) div (mx - mn + 1)"))
+      .select(col("l_returnflag"), col("bin"), col("c"), col("n"))
+    val binRows = withBin.join(
+      broadcast(targets.select(col("l_returnflag"), col("bin")).distinct()),
+      Seq("l_returnflag", "bin"), "left_semi")
+    val ranked = binRows.withColumn("rn", row_number().over(
+      Window.partitionBy(col("l_returnflag"), col("bin")).orderBy(col("c"))))
+    val stats = ranked
+      .join(broadcast(targets), Seq("l_returnflag", "bin"))
+      .filter(col("rn") === col("off"))
+    val aggCols = ps.flatMap { case (pn, pd) => Seq(
+      min(when(col("p") === s"$pn/$pd" && col("side") === "lo",
+        col("c"))).as(s"lo_${pn}_$pd"),
+      min(when(col("p") === s"$pn/$pd" && col("side") === "hi",
+        col("c"))).as(s"hi_${pn}_$pd"))
     } :+ first(col("n")).as("n")
-    val picked = ranked.filter(hit)
-      .groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+    val picked = stats
+      .groupBy(col("l_returnflag"))
+      .agg(aggCols.head, aggCols.tail: _*)
     // exact_u = hu((lo·pd + rem·(hi − lo)) · 10⁴, pd), micro-price
     val exact = picked.select(Seq(col("l_returnflag")) ++
       ps.map { case (pn, pd) =>
         expr(s"""(2 * (lo_${pn}_$pd * $pd +
                  (($pn * (n - 1)) % $pd) * (hi_${pn}_$pd - lo_${pn}_$pd))
-                 * 10000 + $pd) div (2 * $pd)""".stripMargin)
+                 * 10000 + $pd) div (2 * $pd)""")
           .as(s"exu_${pn}_$pd")
       }: _*)
     sketch.join(broadcast(exact), Seq("l_returnflag"))
@@ -148,5 +202,11 @@ object Quantiles {
         // bound = two bin widths in micro-price
         (abs(col("est_u") * 10000 - col("exact_u")) <= col("width_u") * 20000)
           .as("pass"))
+  }
+
+  private def ppSides(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(("lo", 1), ("hi", 2)).toDF("side", "sideoff")
   }
 }
