@@ -258,6 +258,46 @@ object StreamQueries {
       IncrementalIngest.corpus(s, root).orderBy(col("doc_id"))
     }),
 
+    // §2.9 + the sketch family: bounded-memory approximate distinct in
+    // a STREAM. Neither distinct() nor rank windows compose with a
+    // streaming aggregation, but the KMV k-min buffer is a mergeable
+    // typed Aggregator, so per-day unique users serve from O(k) state
+    // per group regardless of stream length — the shape a 100 TB
+    // event stream needs. Deterministic at any batch split / arrival
+    // order (the buffer is a pure function of the input set), so the
+    // complete-mode table hash-matches the batch oracle: same md5
+    // 60-bit hashes, same k-th order statistic, same half-up integral
+    // estimate as a9_kmv_distinct.
+    "stream_kmv_daily" -> ((s, d) => {
+      val name = s"stream_kmv_daily_${counter.incrementAndGet()}"
+      val kmv = udaf(graft.functions.KmvAggregator(32),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val q = eventsStream(s, d)
+        .select(to_date(col("ts")).as("date"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_events"), kmv(col("h")).as("s"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // (k−1)·2⁶¹ for the half-up integral estimate — 128-bit carrier,
+      // same literal the a9 batch twin and the oracle use
+      val num2 = (BigInt(31) * BigInt(2).pow(61)).toString
+      s.table(name)
+        .select(col("date").cast("string").as("date"), col("n_events"),
+          col("s._1").as("uniq_seen"),
+          when(col("s._1") < 32, col("s._1"))
+            .otherwise(expr(
+              s"CAST((CAST('$num2' AS DECIMAL(38,0)) + s._2) DIV (2 * s._2) AS BIGINT)"))
+            .as("uniq_kmv"))
+        .orderBy(col("date"))
+    }),
+
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
     // in batch mode — Spark supports the same operator on batch Datasets
     // (state starts empty), and a single-batch streaming run provably
@@ -283,6 +323,38 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The streaming KMV table replayed in batch SQL: identical md5
+    // 60-bit hashes, identical k-th order statistic over the distinct
+    // hash set, identical half-up HUGEINT estimate — determinism of
+    // the sketch buffer is what makes a STREAMING aggregate
+    // hash-comparable at all.
+    "stream_kmv_daily" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS date,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT date, h,
+        |    ROW_NUMBER() OVER (PARTITION BY date ORDER BY h) AS rn
+        |  FROM dh
+        |), g AS (
+        |  SELECT date, CAST(COUNT(*) AS BIGINT) AS uniq,
+        |    MAX(CASE WHEN rn = 32 THEN h END) AS hk
+        |  FROM r GROUP BY 1
+        |), ev AS (
+        |  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT CAST(g.date AS VARCHAR) AS date, ev.n_events,
+        |  CAST(LEAST(g.uniq, 32) AS BIGINT) AS uniq_seen,
+        |  CASE WHEN g.uniq < 32 THEN g.uniq
+        |       ELSE CAST((CAST('71481133285624512512' AS HUGEINT) + hk)
+        |                 // (2 * hk) AS BIGINT)
+        |  END AS uniq_kmv
+        |FROM g JOIN ev ON g.date = ev.date
+        |ORDER BY date""".stripMargin,
+
     // Replays the whole curated-admission chain: seed-vocab unigram LM
     // scoring (same replay as quality_perplexity, vocab from the SEED
     // slice only), the 3.40625 gate, exact ≥0.35-Jaccard rejection
