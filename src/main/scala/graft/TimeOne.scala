@@ -7,8 +7,8 @@ object TimeOne {
     args.foreach { name =>
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        GraftSession.forceAndCount(SparkEntry.queries(name)(spark, sfDir))
-        println(s"[timeone] $name run$i ${(System.nanoTime() - t0) / 1e9}")
+        val n = GraftSession.forceAndCount(SparkEntry.queries(name)(spark, sfDir))
+        println(s"[timeone] $name run$i ${(System.nanoTime() - t0) / 1e9} rows=$n")
       }
     }
     spark.stop()

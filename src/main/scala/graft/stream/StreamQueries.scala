@@ -113,9 +113,19 @@ object StreamQueries {
     val src = new java.io.File(s"$d/events.parquet")
     val rawSchema = schemaCache.getOrElseUpdate((d, src.lastModified),
       s.read.parquet(s"$d/events.parquet").schema)
-    Tables.normalizeEvents(StreamSources.open(s,
-      FileSourceConfig(d, "parquet", rawSchema,
-        Map("pathGlobFilter" -> "events.parquet"))))
+    // layout seam: the driver fixture ships events.parquet as a single
+    // FILE in the table dir (the S6 name-predicate shape — glob-filter
+    // the directory), but a written table (ScaleUp's scale fixtures,
+    // any real pipeline output) is a DIRECTORY of part files, where
+    // the same glob matches nothing and the stream silently reads 0
+    // rows — stream the directory itself there
+    val cfg =
+      if (src.isDirectory)
+        FileSourceConfig(s"$d/events.parquet", "parquet", rawSchema)
+      else
+        FileSourceConfig(d, "parquet", rawSchema,
+          Map("pathGlobFilter" -> "events.parquet"))
+    Tables.normalizeEvents(StreamSources.open(s, cfg))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,18 +153,27 @@ object StreamQueries {
     // oracle checks. Only count is aggregated (which duplicate survives
     // is arbitrary for non-key columns).
     "stream_dedup_counts" -> ((s, d) => {
-      val name = s"stream_dedup_counts_${counter.incrementAndGet()}"
+      // FILE sink, not memory: the deduped stream is event-sized, and a
+      // memory sink materializes every row on the driver — measured as
+      // a driver OOM at the 100× fixture. A parquet sink keeps the
+      // driver flat (the shape a real deployment has), and the counts
+      // aggregate over the sink afterwards; dedup state itself stays
+      // per-partition in the state store either way.
+      val out = java.nio.file.Files.createTempDirectory("graft-dedup-sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString
       val q = Sessions.dedupExactlyOnce(
           eventsStream(s, d).union(eventsStream(s, d)),
           Seq("user_id", "ts", "event_type"))
+        .select(col("event_type")) // sink carries only the count key
         .writeStream
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name)
+      s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
