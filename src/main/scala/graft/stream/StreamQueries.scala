@@ -317,6 +317,61 @@ object StreamQueries {
         .orderBy(col("date"))
     }),
 
+    // §2.9 + the quantile-sketch family in a STREAM: per-day p50/p95
+    // of event value from a FIXED-grid integer histogram (bin = cents
+    // div 100, i.e. $1 bins). The fixed grid is the point: a17's
+    // equi-width-by-range bins need a min/max pre-pass, which doesn't
+    // stream — a data-independent grid needs none, and per-day state
+    // is bounded by the VALUE RANGE (~561 live bins here), not the
+    // stream length. Bin counts merge by addition across batches, the
+    // quantile is the same half-step integral interpolation as a17,
+    // and everything is integer-exact, so the streaming table
+    // hash-matches the batch DuckDB replay. Non-negative values only
+    // (the fixture's domain): integral division on negatives truncates
+    // in Spark but floors in DuckDB, so the sign guard is part of the
+    // replayed semantics.
+    "stream_value_quantiles" -> ((s, d) => {
+      val name = s"stream_value_quantiles_${counter.incrementAndGet()}"
+      val q = eventsStream(s, d)
+        .filter(col("value").isNotNull && col("value") >= 0)
+        .select(to_date(col("ts")).as("date"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100").as("bin"))
+        .groupBy(col("date"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // n as a window over the same frame, not a self-join of the
+      // memory view (same-view self-joins hit conflicting attribute
+      // ids) — also exactly the oracle's shape
+      val cum = s.table(name)
+        .withColumn("cum",
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("date")).orderBy(col("bin"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("date"))))
+      val pp = { import s.implicits._
+        Seq((1, 2, "1/2"), (95, 100, "95/100")).toDF("pn", "pd", "p") }
+      cum.crossJoin(broadcast(pp))
+        .withColumn("r", expr("(n * pn + pd - 1) div pd")) // ceil(p·n)
+        .filter(col("cum") >= col("r"))
+        .groupBy(col("date"), col("p"))
+        .agg(min(struct(col("bin"), col("cnt"), col("cum"), col("n"),
+          col("r"))).as("s"))
+        .select(col("date").cast("string").as("date"), col("p"),
+          col("s.n").as("n"),
+          expr("s.bin * 100 + (100 * (2 * (s.r - (s.cum - s.cnt)) - 1)) div (2 * s.cnt)")
+            .as("est_u"))
+        .withColumn("est_value", col("est_u").cast("double") / lit(100.0))
+        .orderBy(col("date"), col("p"))
+    }),
+
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
     // in batch mode — Spark supports the same operator on batch Datasets
     // (state starts empty), and a single-batch streaming run provably
@@ -373,6 +428,49 @@ object StreamQueries {
         |  END AS uniq_kmv
         |FROM g JOIN ev ON g.date = ev.date
         |ORDER BY date""".stripMargin,
+
+    // Fixed-grid histogram quantiles replayed in batch SQL: identical
+    // $1 integer bins (floor on both sides — DuckDB's double→BIGINT
+    // cast rounds, Spark's truncates), identical integral
+    // rank/interpolation; `>= 0` is part of the semantics (integral
+    // division on negatives truncates in Spark, floors in DuckDB).
+    "stream_value_quantiles" ->
+      """WITH b AS (
+        |  SELECT CAST(ts AS DATE) AS date,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events
+        |  WHERE value IS NOT NULL AND value >= 0
+        |  GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY date ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY date) AS BIGINT) AS n
+        |  FROM b
+        |), pp AS (
+        |  SELECT 1 AS pn, 2 AS pd, '1/2' AS p
+        |  UNION ALL SELECT 95, 100, '95/100'
+        |), pick AS (
+        |  SELECT cm.date, pp.p, cm.n,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).b
+        |      AS bin,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).ct
+        |      AS cnt,
+        |    (min(struct_pack(b := cm.bin, ct := cm.cnt, cu := cm.cum))).cu
+        |      AS cum,
+        |    (cm.n * pp.pn + pp.pd - 1) // pp.pd AS r
+        |  FROM cm CROSS JOIN pp
+        |  WHERE cm.cum >= (cm.n * pp.pn + pp.pd - 1) // pp.pd
+        |  GROUP BY 1, 2, 3, r
+        |)
+        |SELECT CAST(date AS VARCHAR) AS date, p, n,
+        |  bin * 100 + (100 * (2 * (r - (cum - cnt)) - 1)) // (2 * cnt)
+        |    AS est_u,
+        |  (bin * 100 + (100 * (2 * (r - (cum - cnt)) - 1)) // (2 * cnt))
+        |    / 100.0 AS est_value
+        |FROM pick
+        |ORDER BY date, p""".stripMargin,
 
     // Replays the whole curated-admission chain: seed-vocab unigram LM
     // scoring (same replay as quality_perplexity, vocab from the SEED
