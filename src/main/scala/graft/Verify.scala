@@ -42,8 +42,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Always the FULL oracle map, even under a query filter: a filtered
+    // iteration run otherwise overwrites oracle_sql.json with the
+    // subset, and a later check of the same outDir silently downgrades
+    // every other query's comparison to rows-only. The flip side — the
+    // checker reporting loud NO-RESULT rows for queries a filtered run
+    // didn't dump into a fresh dir — is intended: grep your query's
+    // line; silent downgrades are the failure mode this prevents.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Machine-readable failure record so a gate simulator can distinguish
