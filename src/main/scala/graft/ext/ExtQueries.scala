@@ -245,17 +245,18 @@ object ExtQueries {
           round(element_at(Similarity.l2Normalize(col("embedding")), 1), 6).as("c0_after"))
         .orderBy(col("vec_id"))),
 
-    // Multimodal: binary media column → batched decode/feature-extract
-    // (mapPartitions, stubbed codec — see Multimodal scaladoc). The
-    // feature vector is projected to a fixed-format CSV string so the
-    // result is sortable/hashable by a generic checker (array cells are
-    // not), without losing any information.
+    // Multimodal: binary media column → REAL P6 decode (header parsed
+    // from the payload bytes inside one codegen'd kernel call — see
+    // Multimodal scaladoc) → integer pixel stats. width/height here are
+    // what the DECODER recovered from the image header, not the
+    // metadata columns; the oracle replays the generative raster
+    // formula, so a hash match certifies the decode end to end.
     "mm_decode_features" -> ((s, d) =>
-      Multimodal.decodeFeatures(s, Multimodal.withFakeMedia(Tables.documents(s, d)))
-        .toDF()
-        .select(col("doc_id"), col("width"), col("height"),
-          concat_ws(",", transform(col("features"),
-            f => format_string("%.6f", f))).as("features_csv"))
+      Multimodal.decodeStats(Multimodal.withFakeMedia(Tables.documents(s, d)))
+        .select(Seq(col("doc_id"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            element_at(col("hist"), i + 1).as(f"h$i%02d")): _*)
         .orderBy(col("doc_id"))),
 
     // Multimodal: metadata-only resize (never touches the payload).
@@ -1417,6 +1418,39 @@ object ExtQueries {
         |  round(ln((SELECT COUNT(*) FROM documents) * 1.0 / df), 6) AS idf
         |FROM df ORDER BY df DESC, term LIMIT 50""".stripMargin,
 
+    // The REAL P6 decode, hash-verified: the oracle replays the
+    // GENERATIVE raster formula (byte k = (doc_id + k·2654435761) mod
+    // 256 — Multimodal.withFakeMedia / PpmKernel.synth) while the Spark
+    // side recovers the same numbers by PARSING the payload bytes, so a
+    // hash match certifies header parse + channel split + histogram.
+    // All-integer arithmetic; DuckDB SUM(int)→HUGEINT cast back to
+    // BIGINT per the house discipline.
+    "mm_decode_features" -> {
+      val bins = (0 until 16).map(i =>
+        f"  CAST(SUM(CASE WHEN val // 16 = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i%02d")
+        .mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+         |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, w, h,
+         |    unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS k
+         |  FROM m
+         |), v AS (
+         |  SELECT doc_id, w, h, k % 3 AS ch,
+         |    (doc_id + k * 2654435761) % 256 AS val
+         |  FROM px
+         |)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS BIGINT) AS r_sum,
+         |  CAST(SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS BIGINT) AS g_sum,
+         |  CAST(SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS BIGINT) AS b_sum,
+         |$bins
+         |FROM v GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+    },
+
     // Multimodal metadata stages: the fake-media metadata is portable
     // integer arithmetic (see Multimodal.withFakeMedia), so the
     // metadata-only resize and the frame sampler are exactly
@@ -1433,10 +1467,14 @@ object ExtQueries {
         |  CAST(ceil(height * least(1.0, 48 / greatest(width, height))) AS INTEGER) AS out_height
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // total = the P6 payload length: 13-byte header (2-digit dims) +
+    // w·h·3 raster bytes.
     "mm_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    octet_length(encode(text || '|' || source)) AS total,
+        |    CAST(13 + ((doc_id + 0) * 2654435761 % 4294967296 % 64 + 32)
+        |             * ((doc_id + 1) * 2654435761 % 4294967296 % 64 + 32)
+        |             * 3 AS INTEGER) AS total,
         |    CAST((doc_id + 2) * 2654435761 % 4294967296 % 8 + 1 AS INTEGER) AS nFrames
         |  FROM documents
         |), frames AS (

@@ -8,37 +8,39 @@ import org.apache.spark.sql.types._
   * (image/audio/video) as opaque `binary` columns with typed metadata,
   * plus decode / feature-extract / resize / frame-sample stages.
   *
-  * The Spark-side shape is the real thing — schema, partition-parallel
-  * batched execution via `mapPartitions` (the JVM analog of arrow-batch
-  * UDFs: one iterator per partition, no per-row task overhead), column
-  * pruning (the wide binary column is only read by stages that need
-  * it). The codecs themselves are STUBBED: this container has no
-  * image/audio libraries, so `decodeRgbStub` derives a deterministic
-  * fake pixel summary from the bytes. Swapping in a real decoder
-  * changes only the function body, not the dataflow.
+  * The decode stage is REAL: the synthetic media is a well-formed P6
+  * (binary PPM) image — magic + ASCII dims + maxval header, then
+  * `w·h·3` interleaved RGB bytes — and [[decodeStats]] parses the
+  * header BYTES and folds the raster into integer pixel stats inside
+  * one codegen'd kernel call per row ([[graft.functions.PpmKernel]]).
+  * PPM needs no codec library (pure public-knowledge byte arithmetic),
+  * and because the raster is generated from a deterministic integer
+  * formula, a SQL oracle replaying the formula hash-verifies what the
+  * decoder recovers from the payload. A compressed codec (JPEG/FLAC/…)
+  * would swap the kernel body, not the dataflow.
   *
   * Scale notes (100 TB): media bytes dominate storage — keep them in
   * their own parquet column (or external object store with a path
   * column) so metadata-only queries never touch them; decode stages are
-  * pure maps (no shuffle) and scale linearly with executors; feature
-  * vectors (small, fixed-dim) flow into the [[Similarity]] ANN path.
+  * pure maps (no shuffle, whole-stage codegen) and scale linearly with
+  * executors; the decoded stats (small, fixed-width) flow into the
+  * [[Similarity]] ANN path like any other feature vector.
   */
 object Multimodal {
 
-  val FeatureDim = 16
-
-  case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
-                      width: Int, height: Int, nFrames: Int)
-  case class DecodedRow(doc_id: Long, width: Int, height: Int,
-                        features: Array[Float])
+  /** Histogram bins in the decoded stats (pixel value div 16). */
+  val FeatureDim = graft.functions.PpmKernel.HistBins
 
   /** Attach a deterministic synthetic media payload to each document —
-    * stands in for reading a real binary column from parquet. Payload
-    * bytes are the doc text; metadata is a multiplicative hash of
-    * doc_id (Knuth constant) in plain integer arithmetic, so the
-    * downstream metadata-only stages are reproducible in ANSI SQL and
-    * can be hash-verified by the DuckDB oracle (engine-private hashes
-    * like xxhash64 would make them self-certified only).
+    * stands in for reading a real binary column from parquet. The
+    * payload is a REAL P6 image ([[graft.functions.PpmKernel.synth]]:
+    * 13-byte header for these 2-digit dims, then `w·h·3` raster bytes
+    * `(doc_id + k·2654435761) mod 256`); metadata is a multiplicative
+    * hash of doc_id (Knuth constant) in plain integer arithmetic. Both
+    * are reproducible in ANSI SQL, so every downstream stage — the
+    * decode included — can be hash-verified by the DuckDB oracle
+    * (engine-private hashes like xxhash64 would make them
+    * self-certified only).
     */
   private def metaHash(k: Int): org.apache.spark.sql.Column =
     (col("doc_id") + lit(k)) * lit(2654435761L) % lit(4294967296L)
@@ -46,12 +48,15 @@ object Multimodal {
   def withFakeMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      // binary payload: text bytes repeated — opaque to the pipeline
-      encode(concat_ws("|", col("text"), col("source")), "UTF-8").as("media"),
-      lit("fake/rgb8").as("format"),
       (metaHash(0) % 64 + lit(32)).cast("int").as("width"),
       (metaHash(1) % 64 + lit(32)).cast("int").as("height"),
       (metaHash(2) % 8 + lit(1)).cast("int").as("nFrames"))
+    .select(
+      col("doc_id"),
+      graft.functions.native.ppm_synth(
+        col("doc_id"), col("width"), col("height")).as("media"),
+      lit("image/x-portable-pixmap").as("format"),
+      col("width"), col("height"), col("nFrames"))
 
   /** Materialize each row's media payload as an individual `<doc_id>.bin`
     * file — the on-disk shape a binary ingestion source reads.
@@ -77,39 +82,21 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder: a real implementation would decode the image/frame
-    * here (e.g. via a JNI codec); the fake derives a 16-bin byte
-    * histogram normalized to unit L1 — deterministic, so tests can pin
-    * outputs. Everything around this body is production-shaped.
+  /** Decode + feature-extract stage: a REAL P6 parse — header fields
+    * come from the payload BYTES, not from the metadata columns — plus
+    * one-pass integer raster stats (per-channel sums, 16-bin value
+    * histogram), all inside a single codegen'd kernel call per row, so
+    * the stage is a bare scan+project that stays in whole-stage
+    * codegen. Malformed payloads decode to a NULL struct (quarantine
+    * rows, never a stage failure — the cast-or-null P7 discipline).
     */
-  private[ext] def decodeRgbStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xFF) % FeatureDim) += 1f
-      i += 1
-    }
-    val total = math.max(bytes.length, 1).toFloat
-    var j = 0
-    while (j < FeatureDim) { hist(j) /= total; j += 1 }
-    hist
-  }
-
-  /** Decode + feature-extract stage: batched per partition. The
-    * iterator-in/iterator-out shape means a real codec could hold one
-    * decoder context per partition (not per row) — the property that
-    * makes arrow-batch UDFs fast, expressed natively in Scala.
-    */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("media"), col("format"), col("width"),
-        col("height"), col("nFrames"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        // per-partition decoder context would be initialized here
-        rows.map(r => DecodedRow(r.doc_id, r.width, r.height, decodeRgbStub(r.media)))
-      }
-  }
+  def decodeStats(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+        graft.functions.native.ppm_decode_stats(col("media")).as("d"))
+      .select(col("doc_id"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.r_sum").as("r_sum"), col("d.g_sum").as("g_sum"),
+        col("d.b_sum").as("b_sum"), col("d.hist").as("hist"))
 
   /** Resize stage: metadata-only transform — must not deserialize the
     * payload (verified in the spec via column pruning of `media`).

@@ -57,5 +57,10 @@ object GraftExtensions {
     two("jaccard_sim")(JaccardSimilarity(_, _)),
     two("minhash_sig")((sh, k) => MinHashSignature(sh, intArg(k, "minhash_sig k"))),
     two("rolling_min_hash")((t, w) => RollingMinHash(t, intArg(w, "rolling_min_hash window"))),
-    one("repetition_stats")(TokenRepetitionStats(_)))
+    one("repetition_stats")(TokenRepetitionStats(_)),
+    one("ppm_decode_stats")(PpmDecodeStats(_)),
+    "ppm_synth" -> { args =>
+      require(args.length == 3, s"ppm_synth expects 3 arguments, got ${args.length}")
+      PpmSynth(args(0), args(1), args(2))
+    })
 }

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** P6 (binary PPM) codec kernel — the REAL decode behind the multimodal
+  * stage. PPM is pure public-knowledge byte arithmetic (magic + ASCII
+  * dims + maxval header, then `w·h·3` interleaved RGB bytes), so the
+  * container needs no codec library: [[synth]] emits a well-formed P6
+  * payload from a deterministic integer pixel formula, and [[decode]]
+  * parses the HEADER BYTES (not the formula) and folds the raster into
+  * integer stats in one pass. Both sides are plain long arithmetic, so
+  * a SQL oracle replaying the generative formula must agree bit-for-bit
+  * with what the decoder recovers from the payload — which is exactly
+  * the hash-compare the driver gate runs.
+  *
+  * The decoder is strict single-image P6: one whitespace run between
+  * header fields, no `#` comments, maxval exactly 255, raster length
+  * exactly `w·h·3`. Anything else returns null (cast-or-null parse
+  * semantics — the P7 ingest discipline applied to media).
+  */
+object PpmKernel {
+
+  /** Histogram bins: pixel value div 16 → 16 bins. */
+  val HistBins = 16
+
+  /** Largest accepted side length — caps a malicious/corrupt header's
+    * `w·h·3` allocation (decode) and the synth payload (64 MiB ceiling).
+    */
+  val MaxSide = 4096
+
+  /** Deterministic P6 payload: `"P6\n<w> <h>\n255\n"` header followed by
+    * `w·h·3` raster bytes with byte k = `(docId + k·2654435761) mod 256`
+    * (the Knuth multiplicative constant, same family as the metadata
+    * hash — replayable in ANSI SQL with BIGINT arithmetic).
+    */
+  def synth(docId: Long, w: Int, h: Int): Array[Byte] = {
+    require(docId >= 0, s"ppm_synth needs a non-negative doc id: $docId")
+    require(w > 0 && h > 0 && w <= MaxSide && h <= MaxSide,
+      s"ppm_synth dims out of range (1..$MaxSide): ${w}x$h")
+    val header = ("P6\n" + w + " " + h + "\n255\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val n = w * h * 3
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var k = 0
+    while (k < n) {
+      out(header.length + k) = ((docId + k * 2654435761L) % 256L).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r'
+
+  /** Parse a P6 payload and fold the raster into integer stats in one
+    * pass: `(width, height, r_sum, g_sum, b_sum, hist[16])` where the
+    * sums are per-channel byte-value totals (channel = raster index mod
+    * 3) and `hist[i]` counts raster bytes with value div 16 = i. Returns
+    * null for anything that is not a strict single-image maxval-255 P6
+    * payload (bad magic, non-numeric dims, truncated or oversized
+    * raster) — the caller surfaces that as a NULL row, never a crash.
+    */
+  def decode(bytes: Array[Byte]): GenericInternalRow = {
+    if (bytes == null || bytes.length < 12) return null
+    if (bytes(0) != 'P' || bytes(1) != '6') return null
+    var i = 2
+    val vals = new Array[Long](3)
+    var f = 0
+    while (f < 3) {
+      // at least one whitespace byte, then a digit run
+      if (i >= bytes.length || !isWs(bytes(i))) return null
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') return null
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0')
+        if (v > MaxSide.toLong * MaxSide) return null
+        i += 1
+      }
+      vals(f) = v
+      f += 1
+    }
+    // exactly ONE whitespace byte between maxval and the raster (the
+    // P6 spec's single-whitespace rule — raster bytes may themselves
+    // look like whitespace, so no run-skipping here)
+    if (i >= bytes.length || !isWs(bytes(i))) return null
+    i += 1
+    val w = vals(0)
+    val h = vals(1)
+    if (vals(2) != 255L || w < 1 || h < 1 || w > MaxSide || h > MaxSide)
+      return null
+    val n = w * h * 3L
+    if ((bytes.length - i).toLong != n) return null
+    val off = i
+    val nn = n.toInt
+    var rs = 0L; var gs = 0L; var bs = 0L
+    val hist = new Array[Long](HistBins)
+    var k = 0
+    while (k + 2 < nn) {
+      // unrolled per pixel: channel = k mod 3 without the mod
+      val r = bytes(off + k) & 0xFF
+      val g = bytes(off + k + 1) & 0xFF
+      val b = bytes(off + k + 2) & 0xFF
+      rs += r; gs += g; bs += b
+      hist(r >> 4) += 1; hist(g >> 4) += 1; hist(b >> 4) += 1
+      k += 3
+    }
+    new GenericInternalRow(Array[Any](w, h, rs, gs, bs,
+      new GenericArrayData(hist.map(v => v: Any))))
+  }
+}

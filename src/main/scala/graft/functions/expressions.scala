@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.bridge
 import org.apache.spark.sql.types._
@@ -1160,6 +1160,77 @@ case class TokenRepetitionStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic P6 (binary PPM) payload synthesis — the fixture side
+  * of the real multimodal decode: a well-formed header plus a raster
+  * whose byte k is `(doc_id + k·2654435761) mod 256`, all long
+  * arithmetic a SQL oracle replays exactly ([[PpmKernel.synth]]).
+  */
+case class PpmSynth(first: Expression, second: Expression,
+                    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ppm_synth expects (bigint doc_id, int width, int height), got ($a, $b, $c)")
+    }
+
+  override def nullSafeEval(d: Any, w: Any, h: Any): Any =
+    PpmKernel.synth(d.asInstanceOf[Long], w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, w, h) =>
+      s"${ev.value} = graft.functions.PpmKernel.synth($d, $w, $h);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** REAL P6 decode + integer pixel stats in one codegen'd call per row:
+  * parses the header BYTES (magic, ASCII dims, maxval 255), validates
+  * the raster length, and folds the raster into
+  * `struct(width, height, r_sum, g_sum, b_sum, hist[16])` —
+  * [[PpmKernel.decode]]. NULL (not an error) for malformed payloads,
+  * so a corrupt object in a 100 TB media scan quarantines as a null
+  * row instead of failing the stage.
+  */
+case class PpmDecodeStats(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("r_sum", LongType, nullable = false),
+    StructField("g_sum", LongType, nullable = false),
+    StructField("b_sum", LongType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ppm_decode_stats expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PpmKernel.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.PpmKernel.decode($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-facing API for the native expressions. */
 object native {
   private def toCol(e: Expression): Column = bridge.toColumn(e)
@@ -1236,6 +1307,15 @@ object native {
     */
   def bpe_doc_stats(text: Column, lhs: Array[String], rhs: Array[String]): Column =
     toCol(BpeDocStats(ex(text), lhs, rhs))
+
+  /** Deterministic well-formed P6 (binary PPM) payload for a doc id. */
+  def ppm_synth(docId: Column, width: Column, height: Column): Column =
+    toCol(PpmSynth(ex(docId), ex(width), ex(height)))
+
+  /** Real P6 header parse + one-pass integer raster stats; NULL for
+    * malformed payloads.
+    */
+  def ppm_decode_stats(media: Column): Column = toCol(PpmDecodeStats(ex(media)))
 
   /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
     * column: Spark's own `BloomFilterAggregate` (the engine's

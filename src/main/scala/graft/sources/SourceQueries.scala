@@ -132,9 +132,13 @@ object SourceQueries {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // Each media file is a P6 payload: 13-byte header (2-digit dims) +
+    // w·h·3 raster bytes, both sides of the byte accounting integral.
     "s7_binary_source" ->
       """SELECT doc_id % 10 AS bucket, COUNT(*) AS n,
-        |  CAST(SUM(octet_length(encode(text || '|' || source))) AS BIGINT)
+        |  CAST(SUM(13 + ((doc_id + 0) * 2654435761 % 4294967296 % 64 + 32)
+        |              * ((doc_id + 1) * 2654435761 % 4294967296 % 64 + 32)
+        |              * 3) AS BIGINT)
         |    AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 

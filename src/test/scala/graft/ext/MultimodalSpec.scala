@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{SparkSuite, Tables}
+import graft.functions.PpmKernel
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSuite {
@@ -8,17 +9,76 @@ class MultimodalSpec extends SparkSuite {
 
   private def media = Multimodal.withFakeMedia(Tables.documents(spark, sfDir))
 
-  test("decode: deterministic 16-dim unit-L1 features per doc") {
-    val out = Multimodal.decodeFeatures(spark, media).collect()
-    assert(out.length == 500)
-    out.take(20).foreach { r =>
-      assert(r.features.length == Multimodal.FeatureDim)
-      assert(math.abs(r.features.map(_.toDouble).sum - 1.0) < 1e-3)
+  /** The generative raster formula, recomputed independently of the
+    * kernel: byte k = (doc_id + k·2654435761) mod 256.
+    */
+  private def expectedStats(docId: Long, w: Int, h: Int): (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](3)
+    val hist = new Array[Long](PpmKernel.HistBins)
+    var k = 0
+    val n = w * h * 3
+    while (k < n) {
+      val v = ((docId + k * 2654435761L) % 256L).toInt
+      sums(k % 3) += v
+      hist(v >> 4) += 1
+      k += 1
     }
-    // determinism: same input → same features
-    val again = Multimodal.decodeFeatures(spark, media).collect()
-    assert(out.sortBy(_.doc_id).head.features.toSeq ==
-      again.sortBy(_.doc_id).head.features.toSeq)
+    (sums, hist)
+  }
+
+  test("kernel round-trip: synth → decode recovers dims and formula stats") {
+    for ((id, w, h) <- Seq((0L, 1, 1), (7L, 32, 95), (123456L, 95, 32))) {
+      val row = PpmKernel.decode(PpmKernel.synth(id, w, h))
+      assert(row != null, s"well-formed payload rejected: id=$id ${w}x$h")
+      assert(row.getLong(0) == w && row.getLong(1) == h,
+        s"decoded dims ${row.getLong(0)}x${row.getLong(1)} != ${w}x$h")
+      val (sums, hist) = expectedStats(id, w, h)
+      assert(Seq(row.getLong(2), row.getLong(3), row.getLong(4)) == sums.toSeq)
+      assert(row.getArray(5).toLongArray().toSeq == hist.toSeq)
+      assert(hist.sum == w.toLong * h * 3)
+    }
+  }
+
+  test("decode: header dims and integer stats match the formula per doc") {
+    val out = Multimodal.decodeStats(media)
+      .join(media.select(col("doc_id"), col("width").as("meta_w"),
+        col("height").as("meta_h")), "doc_id")
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      // decoded-from-payload dims equal the metadata the synth used
+      assert(r.getLong(1) == r.getInt(7).toLong, s"width mismatch: $r")
+      assert(r.getLong(2) == r.getInt(8).toLong, s"height mismatch: $r")
+    }
+    out.take(5).foreach { r =>
+      val (sums, hist) = expectedStats(r.getLong(0), r.getInt(7), r.getInt(8))
+      assert(Seq(r.getLong(3), r.getLong(4), r.getLong(5)) == sums.toSeq)
+      assert(r.getSeq[Long](6) == hist.toSeq)
+    }
+  }
+
+  test("decode: malformed payloads quarantine as NULL, never fail") {
+    def bytes(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val good = PpmKernel.synth(1L, 2, 2)
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      ("bad magic", { val b = good.clone(); b(1) = '5'; b }),
+      ("truncated raster", good.dropRight(1)),
+      ("oversized raster", good :+ 0.toByte),
+      ("maxval not 255", bytes("P6\n2 2\n254\n") ++ Array.fill(12)(0.toByte)),
+      ("non-numeric dims", bytes("P6\nx 2\n255\n") ++ Array.fill(12)(0.toByte)),
+      ("empty", Array.empty[Byte]))
+    cases.foreach { case (why, b) =>
+      assert(PpmKernel.decode(b) == null, s"kernel accepted: $why")
+    }
+    // through the expression: NULL rows, not exceptions (and the good
+    // payload still decodes in the same plan)
+    val df = (cases.map(_._2) :+ good).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("doc_id", "media")
+    val decoded = df.select(col("doc_id"),
+      graft.functions.native.ppm_decode_stats(col("media")).as("d"))
+    assert(decoded.filter(col("d").isNull).count() == cases.length.toLong)
+    assert(decoded.filter(col("d").isNotNull).count() == 1L)
   }
 
   test("resize: bounded by max side, never upscales") {
