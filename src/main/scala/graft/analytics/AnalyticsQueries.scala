@@ -623,6 +623,12 @@ object AnalyticsQueries {
         |    FROM events
         |    WHERE event_type IN ('signup', 'view', 'click', 'purchase')
         |  ) WHERE rn <= 10000
+        |), capc AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nc FROM (
+        |    SELECT user_id, event_type, COUNT(*) AS c FROM events
+        |    WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        |    GROUP BY 1, 2
+        |  ) WHERE c > 10000 GROUP BY event_type
         |), f AS (
         |  SELECT user_id,
         |    list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS a_signup,
@@ -659,14 +665,16 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 3, 'click', n_click, n_signup FROM tot
         |  UNION ALL SELECT 4, 'purchase', n_purchase, n_signup FROM tot
         |)
-        |SELECT step, event_type, n_users,
+        |SELECT step, seg.event_type, n_users,
         |  CASE WHEN n_first > 0
         |    THEN ((2 * n_users * 1000000 + n_first) // (2 * n_first)) / 1000000.0
         |  END AS conversion,
         |  CASE WHEN n_first > 0
         |    THEN (2 * n_users * 1000000 + n_first) // (2 * n_first)
-        |  END AS conversion_ppm
-        |FROM seg ORDER BY step""".stripMargin,
+        |  END AS conversion_ppm,
+        |  CAST(COALESCE(capc.nc, 0) AS BIGINT) AS n_capped_users
+        |FROM seg LEFT JOIN capc ON seg.event_type = capc.event_type
+        |ORDER BY step""".stripMargin,
 
     // Histogram-quantile replay: identical integer bins (floor on both
     // sides — DuckDB's double→BIGINT cast rounds, Spark's truncates),

@@ -281,6 +281,14 @@ object Kpis {
     * ties in `ts` are harmless because only the kept timestamp
     * MULTISET feeds the chain, and the earliest-N multiset is
     * order-insensitive.
+    *
+    * The cap is NOT silent (house no-silent-caps discipline): each
+    * output row carries `n_capped_users` — how many users had more
+    * than `maxEventsPerStep` events of that step, i.e. whose candidate
+    * list was truncated. The marker costs nothing extra: the rank
+    * filter keeps rows up to cap+1, the cap+1 row is only the per-user
+    * capped flag (it never enters the timestamp lists), and the flags
+    * ride the same two aggregations the funnel already runs.
     */
   def funnelWindowed(events: DataFrame,
                      steps: Seq[String] = Seq("view", "click", "purchase"),
@@ -291,17 +299,22 @@ object Kpis {
     require(maxEventsPerStep > 0,
       s"per-step event cap must be positive: $maxEventsPerStep")
     val arrays = steps.map(st =>
-      sort_array(collect_list(when(col("event_type") === st, col("ts"))))
-        .as(s"a_$st"))
+      sort_array(collect_list(when(col("event_type") === st &&
+        col("_rn") <= maxEventsPerStep, col("ts")))).as(s"a_$st"))
+    // the cap+1 row exists ⟺ this user's step list was truncated
+    val capFlags = steps.map(st =>
+      max(when(col("event_type") === st &&
+        col("_rn") === maxEventsPerStep + 1, 1L).otherwise(0L))
+        .as(s"capped_$st"))
+    val aggs = arrays ++ capFlags
     val capWindow = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"))
     var cur = events
       .filter(col("event_type").isin(steps: _*))
       .withColumn("_rn", row_number().over(capWindow))
-      .filter(col("_rn") <= maxEventsPerStep)
-      .drop("_rn")
+      .filter(col("_rn") <= maxEventsPerStep + 1)
       .groupBy(col("user_id"))
-      .agg(arrays.head, arrays.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       // anchor of step 1: the user's earliest step-1 event
       .withColumn(s"t_${steps.head}", array_min(col(s"a_${steps.head}")))
     for (i <- 1 until steps.size) {
@@ -315,7 +328,8 @@ object Kpis {
             x <= prev + expr(s"INTERVAL $maxGapDays DAYS"))))
     }
     val reached = steps.map(st =>
-      sum(when(col(s"t_$st").isNotNull, 1L).otherwise(0L)).as(s"n_$st"))
+      sum(when(col(s"t_$st").isNotNull, 1L).otherwise(0L)).as(s"n_$st")) ++
+      steps.map(st => sum(col(s"capped_$st")).as(s"nc_$st"))
     val totals = cur.agg(reached.head, reached.tail: _*)
     val rows = steps.zipWithIndex.map { case (st, i) =>
       val ppm = when(col(s"n_${steps.head}") > 0, expr(
@@ -323,7 +337,8 @@ object Kpis {
       struct(lit(i + 1).as("step"), lit(st).as("event_type"),
         col(s"n_$st").as("n_users"),
         (ppm.cast("double") / lit(1000000.0)).as("conversion"),
-        ppm.as("conversion_ppm"))
+        ppm.as("conversion_ppm"),
+        col(s"nc_$st").as("n_capped_users"))
     }
     totals.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }

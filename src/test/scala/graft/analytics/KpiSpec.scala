@@ -202,6 +202,9 @@ class KpiSpec extends SparkSuite {
     val out = df.orderBy(col("step")).collect()
     assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L),
       s"bot counts as a viewer, only the human converts: ${out.toSeq}")
+    // no-silent-caps: the bot's truncated view list is visible in-data
+    assert(out.map(_.getAs[Long]("n_capped_users")).toSeq == Seq(1L, 0L),
+      s"the capped bot must be counted per step: ${out.toSeq}")
     // the rank filter must ride WindowGroupLimit so map tasks truncate
     // their own (user, step) runs before anything shuffles
     val plan = df.queryExecution.executedPlan.toString
@@ -220,5 +223,7 @@ class KpiSpec extends SparkSuite {
       maxEventsPerStep = 2).orderBy(col("step")).collect()
     assert(capped.map(_.getLong(2)).toSeq == Seq(1L, 0L),
       s"in-window click hidden past the cap must not count: ${capped.toSeq}")
+    assert(capped.map(_.getAs[Long]("n_capped_users")).toSeq == Seq(0L, 1L),
+      s"the 3-click user must be reported capped at the click step: ${capped.toSeq}")
   }
 }
