@@ -27,13 +27,32 @@ object Retrieval {
 
   /** Attach 1-based ranks to a bounded ranked list. `ord` must be the
     * list's own deterministic order (e.g. score desc, id asc). The
-    * single-partition window is safe ONLY because callers pass top-k
-    * bounded inputs — documented contract, asserted nowhere at runtime
-    * (an unbounded input would still compute, just on one task).
+    * single-partition window is safe ONLY for top-k bounded inputs, so
+    * the contract is ENFORCED at runtime, not just documented: the list
+    * is snapshotted (one evaluation — the guard count and the ranking
+    * both read the snapshot) and a `require` fails loudly past
+    * `maxRows` instead of silently serializing an unbounded rank onto
+    * one task. The rank itself uses NO window operator: the bounded
+    * list is `repartition(1)` + in-partition sort, and
+    * `monotonically_increasing_id` is exactly the partition-local row
+    * index when there is one partition — same result as an
+    * unpartitioned `row_number`, without `WindowExec`'s `No Partition
+    * Defined` warning spam in the bench tail (which would mask a REAL
+    * unpartitioned window someday; a constant `partitionBy` literal
+    * doesn't help — the optimizer folds it away).
     */
-  private def ranked(list: DataFrame, idCol: String, ord: Seq[Column]): DataFrame =
-    list.withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+  private def ranked(list: DataFrame, idCol: String, ord: Seq[Column],
+                     maxRows: Int): DataFrame = {
+    val snap = list.localCheckpoint()
+    val n = snap.count()
+    require(n <= maxRows,
+      s"Retrieval.ranked input has $n rows (> bound $maxRows): a global rank " +
+        "window on unbounded input would serialize one task at corpus scale — " +
+        "apply the top-k bound upstream")
+    snap.repartition(1).sortWithinPartitions(ord: _*)
+      .withColumn("rank", monotonically_increasing_id() + 1)
       .select(col(idCol).as("doc_id"), col("rank").cast("long"))
+  }
 
   /** RRF-fuse a sparse and a dense top-k list into one ranked table.
     *
@@ -41,13 +60,18 @@ object Retrieval {
     *               [[InvertedIndex.searchBm25]]'s order contract
     * @param dense  cosine list with columns (q_id, rank, n_id, n_label,
     *               cos) from [[Similarity.bruteForceTopK]] (single query)
-    * @param k      fused rows to keep
-    * @param c      RRF constant (60 per the paper)
+    * @param k       fused rows to keep
+    * @param c       RRF constant (60 per the paper)
+    * @param maxList hard ceiling on the sparse list size (bounded-input
+    *                contract, enforced in [[ranked]]); generous vs any
+    *                top-k usage, loud when a caller forgets the bound
     * @return (doc_id, r_sparse, r_dense, rrf_score) ordered
     *         rrf-desc, doc_id-asc; absent-from-one-list ranks are null
     */
-  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int, c: Int = 60): DataFrame = {
-    val s = ranked(sparse, "doc_id", Seq(col("score").desc, col("doc_id").asc))
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int, c: Int = 60,
+              maxList: Int = 1000): DataFrame = {
+    val s = ranked(sparse, "doc_id", Seq(col("score").desc, col("doc_id").asc),
+        maxList)
       .withColumnRenamed("rank", "r_sparse")
     val dn = dense.select(col("n_id").as("doc_id"), col("rank").cast("long").as("r_dense"))
     s.join(dn, Seq("doc_id"), "full_outer")

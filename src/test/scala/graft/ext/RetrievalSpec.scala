@@ -42,6 +42,35 @@ class RetrievalSpec extends SparkSuite {
     assert(fused.head.getAs[Long]("doc_id") == 5L)
   }
 
+  test("bounded-input contract enforced: oversized sparse list fails loudly") {
+    val big = spark.range(50L)
+      .select(col("id").as("doc_id"), lit(1L).as("n_terms"),
+        (lit(100.0) - col("id")).as("score"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(big, denseList(Seq(1L)), k = 5, maxList = 10).collect()
+    }
+    assert(e.getMessage.contains("bound"), e.getMessage)
+    // at the bound itself it still computes
+    assert(Retrieval.rrfFuse(big, denseList(Seq(1L)), k = 5, maxList = 50)
+      .count() == 5L)
+  }
+
+  test("bounded rank path runs no unpartitioned window operator") {
+    val fused = Retrieval.rrfFuse(sparseList(Seq(1L, 2L)), denseList(Seq(2L)), k = 5)
+    // optimizedPlan, not executedPlan: AQE wraps the physical tree in
+    // AdaptiveSparkPlanExec and collect() cannot see inside it pre-run
+    val wins = fused.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window here would spam 'No Partition Defined' " +
+        "warnings into the bench tail and mask real ones")
+    // and the sort+offset rank agrees with the windowed formulation
+    val rows = fused.orderBy(col("doc_id")).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getAs[Long]("r_sparse")).toSeq == Seq(1L, 2L))
+  }
+
   test("rrf_score is monotone non-increasing in output order") {
     val fused = Retrieval.rrfFuse(
       sparseList(Seq(1L, 2L, 3L, 4L)), denseList(Seq(3L, 4L, 5L, 6L)), k = 8)
