@@ -266,8 +266,16 @@ object IncrementalIngest {
         .join(broadcast(accepted.select(col("doc_id"))), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), xxhash64(col("text")).as("rej_h"),
           lit("batch").as("kind"))
-      corpusRej.unionByName(batchRej)
+      // best-effort by CONTRACT: the corpus mutation above already
+      // committed, and the ledger is a pure cache — a failed append
+      // must degrade to "this batch's rejections re-gate on replay",
+      // never to misreporting an admitted batch as failed
+      try corpusRej.unionByName(batchRej)
         .write.mode("append").parquet(rejectionsPath(root))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[ingest] rejection-ledger append failed (cache only, batch committed): ${e.getMessage}")
+      }
     }
     IngestStats(batchRows, replayed, conflicting,
       rejCorpusLedger + (freshCount - afterCorpusCount),
