@@ -141,6 +141,29 @@ object ProbeAb {
         Seq("signup", "view", "click", "purchase"), maxGapDays = 7)
         .orderBy(col("step"))
     }),
+    // a17 decomposition: the sketch-only serving twin (should be two
+    // full-data passes — ranges, bins — after the r13 checkpoint fix;
+    // un-checkpointed it silently re-derived `ranges` inside both
+    // broadcasts and paid a third pass)…
+    "a17_serve" -> ((s, d) =>
+      analytics.Quantiles.histogramQuantileServe(Tables.lineitem(s, d))
+        .drop("width_u")),
+    // …vs the full gate report (sketch + histogram-guided exact rider)
+    "a17_full" -> ((s, d) =>
+      analytics.Quantiles.histogramQuantiles(Tables.lineitem(s, d))),
+    // …vs the pre-r13 serve shape (no checkpoint on `ranges`: both
+    // broadcasts re-derive it from the raw data — one hidden extra pass)
+    "a17_serve_nockpt" -> ((s, d) =>
+      analytics.Quantiles.histogramQuantileServeNoCkpt(Tables.lineitem(s, d))
+        .drop("width_u")),
+    // …vs the irreducible floor: one aggregate pass over the cents
+    "a17_ranges" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+          count(lit(1)).as("n"))),
     // the M layered aggregate-fold trees the oracle replays
     "bpe_fold" -> ((s, d) => {
       val merges = ext.Bpe.trained(s, Tables.documents(s, d), d)._1

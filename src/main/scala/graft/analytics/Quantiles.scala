@@ -124,6 +124,24 @@ object Quantiles {
                              ps: Seq[(Int, Int)] = defaultPs): DataFrame = {
     require(bins > 0, s"bin count must be positive: $bins")
     val cents = centsOf(lineitem)
+    // checkpointed like the full path: `ranges` feeds BOTH the binning
+    // join and the sketch assembly — un-checkpointed, each broadcast
+    // re-derived it from the raw data, making the "two-pass" serve
+    // path a silent three-pass one (the r12 100× point read ~7×, not
+    // the event family's ~2-3×, for exactly this reason)
+    val ranges = rangesOf(cents).localCheckpoint()
+    assembleSketch(ranges, cumOf(cents, ranges, bins),
+      ppTable(lineitem, ps), bins)
+  }
+
+  /** The pre-r13 serve shape, kept ONLY as the [[graft.ProbeAb]] A/B
+    * counterpart behind the SCALING.md number: without the checkpoint,
+    * `ranges` is re-derived inside both broadcasts — a third full-data
+    * pass the "two-pass" claim didn't account for.
+    */
+  private[graft] def histogramQuantileServeNoCkpt(lineitem: DataFrame,
+      bins: Int = 256, ps: Seq[(Int, Int)] = defaultPs): DataFrame = {
+    val cents = centsOf(lineitem)
     val ranges = rangesOf(cents)
     assembleSketch(ranges, cumOf(cents, ranges, bins),
       ppTable(lineitem, ps), bins)
