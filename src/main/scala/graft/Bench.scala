@@ -7,16 +7,52 @@ object Bench {
   /** Re-time candidates: first-pass outliers. A transient host stall
     * (round-11 gate: a 0.47 s query charged 24.2 s) lands entirely in
     * one query's single-shot number; warming cannot fix contention —
-    * only min-of-k can. Everything above this floor gets a second
-    * timed run (budgeted), and the reported number is the per-query
-    * MIN of the passes.
+    * only min-of-k can. Outliers get a second timed run (budgeted),
+    * and the reported number is the per-query MIN of the passes.
+    *
+    * The floor is ADAPTIVE (r12 advice: the flat 1.5 s floor retimed
+    * 24 legitimately-expensive queries, ~34 s of second-pass wall):
+    * with history from the previous round's committed builder line, a
+    * query is an outlier only when its first pass exceeds 1.3× its own
+    * historical number (and an absolute noise floor); queries without
+    * history fall back to the flat floor.
     */
   private val retimeFloorSec = 1.5
+  /** Below this, a 1.3×-over-history first pass is sub-second noise,
+    * not a stall worth a retry.
+    */
+  private val retimeMinFloorSec = 0.75
   /** Wall budget for the whole second pass, so re-timing can never
     * double the suite cost: outliers are retried in descending
     * first-pass order (biggest suspected stalls first) until spent.
+    * EVERY retry's wall time counts against the budget, including
+    * failing ones (r12 advice: only successful retries were charged,
+    * so slow failures could blow past the cap).
     */
   private val retimeBudgetSec = 45.0
+
+  /** Per-query seconds from the newest committed `BENCH_r*_builder.json`
+    * (the builder records its own gate-shaped run each round). Absent
+    * file / unparsable content degrade to no history — flat floor.
+    */
+  private def history(): Map[String, Double] =
+    try {
+      val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+_builder\\.json"))
+      if (files.isEmpty) Map.empty
+      else {
+        val newest = files.maxBy(f =>
+          "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        val text = new String(
+          java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
+        val qIdx = text.indexOf("\"queries\":{")
+        val end = if (qIdx < 0) -1 else text.indexOf('}', qIdx)
+        if (end < 0) Map.empty
+        else "\"([^\"]+)\":(-?[0-9.]+)".r
+          .findAllMatchIn(text.substring(qIdx + 11, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,12 +104,19 @@ object Bench {
     // Second pass: re-time outliers, biggest first, within budget; a
     // query's official number is the min of its passes (a stall can
     // inflate a run, nothing can deflate one).
+    val hist = history()
+    def floorFor(name: String): Double = hist.get(name) match {
+      case Some(h) if h > 0 => math.max(retimeMinFloorSec, 1.3 * h)
+      case _ => retimeFloorSec
+    }
     val retimed = scala.collection.mutable.Map.empty[String, Double]
     var retimeSpent = 0.0
     for ((name, sec, _) <- firstPass.sortBy(-_._2)
-         if sec > retimeFloorSec && retimeSpent < retimeBudgetSec) {
+         if sec > floorFor(name) && retimeSpent < retimeBudgetSec) {
+      val t0 = System.nanoTime()
       val again = timeOne(name, SparkEntry.queries(name), recordError = false)
-      if (again >= 0) { retimed(name) = again; retimeSpent += again }
+      retimeSpent += (System.nanoTime() - t0) / 1e9 // failures count too
+      if (again >= 0) retimed(name) = again
     }
     val results = firstPass.map { case (name, sec, _) =>
       val best = retimed.get(name) match {
