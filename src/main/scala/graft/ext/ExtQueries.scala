@@ -259,6 +259,14 @@ object ExtQueries {
             element_at(col("hist"), i + 1).as(f"h$i%02d")): _*)
         .orderBy(col("doc_id"))),
 
+    // Multimodal: tiled average-pooling over the DECODED raster — the
+    // spatial feature-extract step after decode, on real pixels, one
+    // codegen'd kernel call per row; oracle replays the generative
+    // formula pixel-by-pixel with the same integral tile partition.
+    "mm_tile_stats" -> ((s, d) =>
+      Multimodal.tilePool(Multimodal.withFakeMedia(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("tile"))),
+
     // Multimodal: metadata-only resize (never touches the payload).
     "mm_resize_meta" -> ((s, d) =>
       Multimodal.resizeMeta(Multimodal.withFakeMedia(Tables.documents(s, d)), 48)
@@ -744,6 +752,14 @@ object ExtQueries {
     // repeated boilerplate whole-doc dedup can't touch.
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.dedupSegments(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // Frequency-thresholded boilerplate strip (the RefinedWeb/C4
+    // line-frequency rule at segment granularity): segments in > 2
+    // distinct docs are removed from EVERY doc — the complement of
+    // dedup_paragraphs' first-occurrence keeping.
+    "dedup_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateStrip(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
     // Full-corpus Lloyd k-means, everything deterministic (smallest-id
@@ -1450,6 +1466,35 @@ object ExtQueries {
          |$bins
          |FROM v GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
     },
+
+    // Tiled pooling replay: pixel p = (x, y) = (p mod w, p div w), its
+    // three raster bytes k = 3p..3p+2 from the generative formula, its
+    // tile from the same integral equi-partition the kernel computes;
+    // half-up integral mean per tile. SUM goes HUGEINT in DuckDB →
+    // cast back to BIGINT per the house discipline.
+    "mm_tile_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+        |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h,
+        |    unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS p
+        |  FROM m
+        |), t AS (
+        |  SELECT doc_id,
+        |    CAST((((p // w) * 4) // h) * 4 + ((p % w) * 4) // w AS INTEGER)
+        |      AS tile,
+        |    (doc_id + (p * 3 + 0) * 2654435761) % 256
+        |      + (doc_id + (p * 3 + 1) * 2654435761) % 256
+        |      + (doc_id + (p * 3 + 2) * 2654435761) % 256 AS s
+        |  FROM px
+        |)
+        |SELECT doc_id, tile,
+        |  CAST((2 * SUM(s) + 3 * COUNT(*)) // (2 * (3 * COUNT(*))) AS BIGINT)
+        |    AS mean_val
+        |FROM t GROUP BY 1, 2 ORDER BY doc_id, tile""".stripMargin,
 
     // Multimodal metadata stages: the fake-media metadata is portable
     // integer arithmetic (see Multimodal.withFakeMedia), so the
@@ -2953,6 +2998,33 @@ object ExtQueries {
         |  CAST(floor((len(t.t) - 1) / 16.0) AS BIGINT) + 1 AS n_segs,
         |  COALESCE(r.n_kept, 0) AS n_kept,
         |  COALESCE(r.text_dedup, '') AS text_dedup
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // Same segment stream; a segment in > 2 distinct docs is stripped
+    // from every doc (no first-occurrence survivor).
+    "dedup_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
+        |  FROM toks CROSS JOIN generate_series(0, 255) AS g(i)
+        |  WHERE i * 16 < len(t)
+        |), df AS (
+        |  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+        |), kept AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg
+        |  FROM segs s JOIN df USING (seg) WHERE df.df <= 2
+        |), rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(floor((len(t.t) - 1) / 16.0) AS BIGINT) + 1 AS n_segs,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.text_clean, '') AS text_clean
         |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin
   )

@@ -58,6 +58,29 @@ object Multimodal {
       lit("image/x-portable-pixmap").as("format"),
       col("width"), col("height"), col("nFrames"))
 
+  // staged media-fixture memo: one write per (app, fixture dir); the
+  // binary-source query measures the SCAN, the staging is a fixture
+  // build charged to the warm phase like other artifacts
+  private val mediaFilesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage the per-doc media files once per (app, fixture) and return
+    * the directory — [[graft.sources.SourceQueries]]' binary-file scan
+    * reads it. The whole block is synchronized: the thunk has side
+    * effects on a shared fixed directory (delete + re-write), and two
+    * racing callers would interleave file writes.
+    */
+  def ensureMediaFiles(s: SparkSession, d: String): String =
+    mediaFilesMemo.synchronized {
+      val key = s"${s.sparkContext.applicationId}#$d"
+      mediaFilesMemo.getOrElseUpdate(key, {
+        val dir = s"/root/repo/target/binary_src_${math.abs(d.hashCode)}"
+        graft.Fs.deleteTree(dir) // stale payloads from an older formula
+        writeMediaFiles(withFakeMedia(graft.Tables.documents(s, d)), dir)
+        dir
+      })
+    }
+
   /** Materialize each row's media payload as an individual `<doc_id>.bin`
     * file — the on-disk shape a binary ingestion source reads.
     *
@@ -97,6 +120,21 @@ object Multimodal {
         col("d.width").as("width"), col("d.height").as("height"),
         col("d.r_sum").as("r_sum"), col("d.g_sum").as("g_sum"),
         col("d.b_sum").as("b_sum"), col("d.hist").as("hist"))
+
+  /** Spatial feature-extract over DECODED pixels: half-up integral
+    * mean byte value (all three channels) per tile of a gridW×gridH
+    * equi-partition — the average-pooling a vision pipeline runs after
+    * decode, computed on the real raster inside the same codegen'd
+    * kernel call. One row per (doc, tile); malformed payloads yield a
+    * NULL array, which the explode drops (quarantine, not failure),
+    * and pixel-less tiles (side smaller than the grid) are filtered by
+    * their −1 marker.
+    */
+  def tilePool(media: DataFrame, gridW: Int = 4, gridH: Int = 4): DataFrame =
+    media.select(col("doc_id"),
+        posexplode(graft.functions.native.ppm_tile_means(
+          col("media"), gridW, gridH)).as(Seq("tile", "mean_val")))
+      .filter(col("mean_val") >= 0)
 
   /** Resize stage: metadata-only transform — must not deserialize the
     * payload (verified in the spec via column pruning of `media`).

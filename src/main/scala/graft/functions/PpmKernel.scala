@@ -54,15 +54,12 @@ object PpmKernel {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r'
 
-  /** Parse a P6 payload and fold the raster into integer stats in one
-    * pass: `(width, height, r_sum, g_sum, b_sum, hist[16])` where the
-    * sums are per-channel byte-value totals (channel = raster index mod
-    * 3) and `hist[i]` counts raster bytes with value div 16 = i. Returns
-    * null for anything that is not a strict single-image maxval-255 P6
-    * payload (bad magic, non-numeric dims, truncated or oversized
-    * raster) — the caller surfaces that as a NULL row, never a crash.
+  /** Strict P6 header parse shared by the stats and pooling kernels:
+    * returns `{width, height, rasterOffset}` or null for anything that
+    * is not a single-image maxval-255 P6 payload with an exact-length
+    * raster (bad magic, non-numeric dims, truncated/oversized raster).
     */
-  def decode(bytes: Array[Byte]): GenericInternalRow = {
+  def parseHeader(bytes: Array[Byte]): Array[Long] = {
     if (bytes == null || bytes.length < 12) return null
     if (bytes(0) != 'P' || bytes(1) != '6') return null
     var i = 2
@@ -91,9 +88,24 @@ object PpmKernel {
     val h = vals(1)
     if (vals(2) != 255L || w < 1 || h < 1 || w > MaxSide || h > MaxSide)
       return null
+    if ((bytes.length - i).toLong != w * h * 3L) return null
+    Array(w, h, i.toLong)
+  }
+
+  /** Parse a P6 payload and fold the raster into integer stats in one
+    * pass: `(width, height, r_sum, g_sum, b_sum, hist[16])` where the
+    * sums are per-channel byte-value totals (channel = raster index mod
+    * 3) and `hist[i]` counts raster bytes with value div 16 = i. Returns
+    * null for malformed payloads ([[parseHeader]]) — the caller
+    * surfaces that as a NULL row, never a crash.
+    */
+  def decode(bytes: Array[Byte]): GenericInternalRow = {
+    val hdr = parseHeader(bytes)
+    if (hdr == null) return null
+    val w = hdr(0)
+    val h = hdr(1)
     val n = w * h * 3L
-    if ((bytes.length - i).toLong != n) return null
-    val off = i
+    val off = hdr(2).toInt
     val nn = n.toInt
     var rs = 0L; var gs = 0L; var bs = 0L
     val hist = new Array[Long](HistBins)
@@ -109,5 +121,47 @@ object PpmKernel {
     }
     new GenericInternalRow(Array[Any](w, h, rs, gs, bs,
       new GenericArrayData(hist.map(v => v: Any))))
+  }
+
+  /** Tiled average-pooling over the DECODED raster: half-up integral
+    * mean byte value (all three channels) per tile of a gridW×gridH
+    * tiling — tile of pixel (x, y) is `((y·gridH) div h)·gridW +
+    * (x·gridW) div w`, the equi-partition the SQL oracle replays.
+    * Returns a row-major `gridW·gridH` long array (−1 marks a tile
+    * with no pixels, possible only when a side is smaller than the
+    * grid), or null for malformed payloads.
+    */
+  def tileMeans(bytes: Array[Byte], gridW: Int, gridH: Int): GenericArrayData = {
+    val hdr = parseHeader(bytes)
+    if (hdr == null) return null
+    val w = hdr(0).toInt
+    val h = hdr(1).toInt
+    val off = hdr(2).toInt
+    val nt = gridW * gridH
+    val sums = new Array[Long](nt)
+    val counts = new Array[Long](nt)
+    var y = 0
+    while (y < h) {
+      val rowTile = (y * gridH / h) * gridW
+      val rowOff = off + y * w * 3
+      var x = 0
+      while (x < w) {
+        val t = rowTile + x * gridW / w
+        val p = rowOff + x * 3
+        sums(t) += (bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) + (bytes(p + 2) & 0xFF)
+        counts(t) += 3
+        x += 1
+      }
+      y += 1
+    }
+    val means = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      means(i) =
+        if (counts(i) == 0) -1L
+        else (2L * sums(i) + counts(i)) / (2L * counts(i)) // half-up
+      i += 1
+    }
+    new GenericArrayData(means.map(v => v: Any))
   }
 }

@@ -1231,6 +1231,43 @@ case class PpmDecodeStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Tiled average-pooling over a DECODED P6 raster — the spatial
+  * feature-extract a vision pipeline runs after decode, in the same
+  * codegen'd call: parse the header bytes, fold every pixel into its
+  * gridW×gridH tile, return the half-up integral mean byte value per
+  * tile (row-major array; −1 for a pixel-less tile, NULL for a
+  * malformed payload) — [[PpmKernel.tileMeans]].
+  */
+case class PpmTileMeans(child: Expression, gridW: Int, gridH: Int)
+    extends UnaryExpression {
+  require(gridW > 0 && gridH > 0 && gridW * gridH <= 4096,
+    s"tile grid out of range: ${gridW}x$gridH")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ppm_tile_means expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PpmKernel.tileMeans(v.asInstanceOf[Array[Byte]], gridW, gridH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.PpmKernel.tileMeans($b, $gridW, $gridH);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-facing API for the native expressions. */
 object native {
   private def toCol(e: Expression): Column = bridge.toColumn(e)
@@ -1316,6 +1353,10 @@ object native {
     * malformed payloads.
     */
   def ppm_decode_stats(media: Column): Column = toCol(PpmDecodeStats(ex(media)))
+
+  /** Half-up integral tile means over a decoded P6 raster. */
+  def ppm_tile_means(media: Column, gridW: Int, gridH: Int): Column =
+    toCol(PpmTileMeans(ex(media), gridW, gridH))
 
   /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
     * column: Spark's own `BloomFilterAggregate` (the engine's

@@ -81,6 +81,35 @@ class MultimodalSpec extends SparkSuite {
     assert(decoded.filter(col("d").isNotNull).count() == 1L)
   }
 
+  test("tile pooling: partition covers every pixel, means match the formula") {
+    for ((id, w, h) <- Seq((3L, 32, 95), (42L, 95, 33), (7L, 2, 2))) {
+      val arr = graft.functions.PpmKernel
+        .tileMeans(graft.functions.PpmKernel.synth(id, w, h), 4, 4)
+      assert(arr != null && arr.numElements() == 16)
+      // independent recompute: per-tile half-up mean over all channels
+      val sums = new Array[Long](16); val counts = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val k = (y * w + x) * 3 + c
+        val t = (y * 4 / h) * 4 + x * 4 / w
+        sums(t) += ((id + k * 2654435761L) % 256L); counts(t) += 1
+      }
+      val expected = (0 until 16).map(i =>
+        if (counts(i) == 0) -1L else (2 * sums(i) + counts(i)) / (2 * counts(i)))
+      assert(arr.toLongArray().toSeq == expected,
+        s"tile means mismatch for id=$id ${w}x$h")
+      assert(counts.sum == w.toLong * h * 3)
+      // a 2x2 image under a 4x4 grid has pixel-less tiles marked -1
+      if (w < 4) assert(arr.toLongArray().count(_ == -1L) > 0)
+    }
+    // through the stage: malformed payloads contribute zero rows
+    val bad = Seq((1L, Array[Byte]('P', '5', '\n'))).toDF("doc_id", "media")
+    assert(Multimodal.tilePool(bad).count() == 0L)
+    val rows = Multimodal.tilePool(media).groupBy(col("doc_id"))
+      .count().agg(min("count"), max("count")).head()
+    assert(rows.getLong(0) == 16L && rows.getLong(1) == 16L,
+      "every fixture doc (all sides >= 32) must fill all 16 tiles")
+  }
+
   test("resize: bounded by max side, never upscales") {
     val out = Multimodal.resizeMeta(media, 48)
       .select("width", "height", "out_width", "out_height").collect()
