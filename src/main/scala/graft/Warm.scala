@@ -69,6 +69,9 @@ object Warm {
     graft.ext.Classifier.warmServing(spark, s"${Artifact.root(d)}/nbclass")
     graft.ext.BigramModel.warmServing(spark, s"${Artifact.root(d)}/bigram_lm")
     graft.ext.InvertedIndex.ensureIndex(spark, docs, s"${Artifact.root(d)}/invindex")
+    // per-doc media fixture files (s7_binary_source reads the SCAN;
+    // the one-time 5000-file staging belongs here, not in its window)
+    graft.ext.Multimodal.ensureMediaFiles(spark, d)
     // session-memoized (not persisted — see Bpe's class doc): trained
     // here so no bpe_* query pays the training cost as first consumer
     graft.ext.Bpe.trained(spark, docs, d)
