@@ -1047,6 +1047,50 @@ object Dedup {
     * every segment was claimed elsewhere zero-fill via the final left
     * join, which reuses the build's doc_id partitioning.
     */
+  /** Frequency-thresholded boilerplate strip — the complement of
+    * [[dedupSegments]]: a segment occurring in MORE than `maxDocs`
+    * distinct documents is removed from EVERY document (no
+    * first-occurrence survivor — nav bars, license headers, cookie
+    * banners are noise in all their positions, which is the
+    * RefinedWeb/C4 line-frequency rule at segment granularity), and
+    * each document is reassembled from its remaining segments in
+    * original order. Output mirrors [[dedupSegments]]:
+    * (doc_id, n_segs, n_kept, text_clean).
+    *
+    * Scale shape: the doc-frequency table is two partial-aggregated
+    * passes over the segment stream ((seg, doc) dedup, then count) —
+    * map-side combinable, no skew funnel for a 10⁹-occurrence
+    * boilerplate segment. The ban list joins back as a plain
+    * equi-join on `seg` (left_anti); boilerplate ban lists are small
+    * by nature, so AQE converts it to a broadcast join at runtime —
+    * but correctness never depends on it fitting in memory, unlike a
+    * forced `broadcast()`.
+    */
+  def boilerplateStrip(docs: DataFrame, segTokens: Int = 16,
+                       maxDocs: Int = 2): DataFrame = {
+    require(maxDocs >= 1, s"boilerplate doc-frequency bound must be >= 1: $maxDocs")
+    val segs = segmentsByTokens(docs, segTokens)
+    val banned = segs.select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocs)
+      .select(col("seg"))
+    val kept = segs.join(banned, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        s => s.getField("seg")), " ").as("text_clean"))
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"),
+        when(size(toks) === 0, lit(0L))
+          .otherwise(floor((size(toks) - lit(1)) / lit(segTokens.toDouble))
+            .cast("long") + 1L).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   def dedupSegments(docs: DataFrame, segTokens: Int = 16): DataFrame = {
     val segs = segmentsByTokens(docs, segTokens)
     val kept = segs.groupBy(col("seg"))

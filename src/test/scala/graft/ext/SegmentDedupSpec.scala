@@ -49,6 +49,26 @@ class SegmentDedupSpec extends SparkSuite {
     assert(out.forall(r => r._2 == r._3), "n_kept == n_segs when nothing collides")
   }
 
+  test("boilerplate strip: over-threshold segments vanish from EVERY doc") {
+    // "c d" appears in docs 1, 2, 3 (df=3) → stripped everywhere with
+    // maxDocs=2, including its FIRST occurrence (unlike dedupSegments);
+    // "a b" (df=2) and "x y" (df=2) stay everywhere.
+    val out = Dedup.boilerplateStrip(docs, segTokens = 2, maxDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "a b e f"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 3L, 2L, "a b x y")))
+    // tightening the bound to 1 also strips the df=2 segments
+    val strict = Dedup.boilerplateStrip(docs, segTokens = 2, maxDocs = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(strict.map(_._4) == Seq("e f", "", ""))
+    // a duplicate-free corpus round-trips verbatim
+    val clean = Seq((1L, "one two three four")).toDF("doc_id", "text")
+    assert(Dedup.boilerplateStrip(clean, segTokens = 2, maxDocs = 1)
+      .as[(Long, Long, Long, String)].head()._4 == "one two three four")
+  }
+
   test("segmentsByTokens: aligned windows, last partial, empty-safe") {
     val segs = Dedup.segmentsByTokens(
         Seq((1L, "a b c d e")).toDF("doc_id", "text"), segTokens = 2)
