@@ -194,6 +194,43 @@ object StreamQueries {
       .groupBy(col("date"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** UPDATE-mode streaming aggregation → keyed parquet upsert log:
+    * each micro-batch appends only its updated group rows, stamped
+    * with the batch id (the K5 last-write-wins pattern). Factored out
+    * of the registered queries so [[graft.stream]]'s spec can drive it
+    * with a MemoryStream across MULTIPLE micro-batches — the
+    * single-batch AvailableNow gate shape never exercises
+    * last-write-wins on its own.
+    */
+  def upsertStart(agg: DataFrame, store: String, ckpt: String,
+                  availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(store)
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** Last-write-wins snapshot of an upsert log: for each key the row
+    * from the newest batch. `max(struct(batch_id, payload…))` is
+    * map-side combinable; batch_id leads the struct so it alone decides
+    * (a streaming agg emits one row per key per batch — no ties).
+    */
+  def upsertSnapshot(s: SparkSession, store: String,
+                     keys: Seq[String]): DataFrame = {
+    val log = s.read.parquet(store)
+    val payload = log.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == "batch_id")
+    log.groupBy(keys.map(col): _*)
+      .agg(max(struct((Seq("batch_id") ++ payload).map(col): _*)).as("m"))
+      .select(keys.map(col) ++ payload.map(c => col(s"m.$c").as(c)): _*)
+  }
+
   /** Quantile assembly over a final (date, bin, cnt) table: cumulative
     * + total counts as windows over the same frame (same-view
     * self-joins hit conflicting attribute ids — and this is exactly
@@ -411,24 +448,8 @@ object StreamQueries {
     "stream_kmv_update" -> ((s, d) => {
       val store = scratchDir("graft-kmv-upsert")
       val ckpt = scratchDir("graft-kmv-upsert-ckpt")
-      val q = kmvDailyAgg(s, d)
-        .writeStream
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      val latest = s.read.parquet(store)
-        .groupBy(col("date"))
-        .agg(max(struct(col("batch_id"), col("n_events"), col("s"))).as("m"))
-        .select(col("date"), col("m.n_events").as("n_events"),
-          col("m.s").as("s"))
-      kmvServe(latest)
+      upsertStart(kmvDailyAgg(s, d), store, ckpt).awaitTermination()
+      kmvServe(upsertSnapshot(s, store, Seq("date")))
     }),
 
     // §2.9 + the quantile-sketch family in a STREAM: per-day p50/p95
@@ -467,23 +488,8 @@ object StreamQueries {
     "stream_quantiles_update" -> ((s, d) => {
       val store = scratchDir("graft-quant-upsert")
       val ckpt = scratchDir("graft-quant-upsert-ckpt")
-      val q = valueBinsAgg(s, d)
-        .writeStream
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      val latest = s.read.parquet(store)
-        .groupBy(col("date"), col("bin"))
-        .agg(max(struct(col("batch_id"), col("cnt"))).as("m"))
-        .select(col("date"), col("bin"), col("m.cnt").as("cnt"))
-      quantileServe(s, latest)
+      upsertStart(valueBinsAgg(s, d), store, ckpt).awaitTermination()
+      quantileServe(s, upsertSnapshot(s, store, Seq("date", "bin")))
     }),
 
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
