@@ -378,4 +378,43 @@ class PropertySpec extends SparkSuite {
       assert(got == expect, s"sessions diverged on $rows")
     }
   }
+
+  private val ppmGen = for {
+    id <- Gen.choose(0L, 1000000L)
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 40)
+  } yield (id, w, h)
+
+  test("property: P6 synth→decode round-trips dims/sums/hist exactly") {
+    import graft.functions.PpmKernel
+    samples(ppmGen, 40).foreach { case (id, w, h) =>
+      val payload = PpmKernel.synth(id, w, h)
+      val row = PpmKernel.decode(payload)
+      assert(row != null, s"rejected own payload id=$id ${w}x$h")
+      assert(row.getLong(0) == w && row.getLong(1) == h)
+      // channel sums + histogram both total the full raster
+      val hist = row.getArray(5).toLongArray()
+      assert(hist.sum == w.toLong * h * 3)
+      val byteSum = payload.drop(
+        payload.length - w * h * 3).map(b => (b & 0xFF).toLong).sum
+      assert(row.getLong(2) + row.getLong(3) + row.getLong(4) == byteSum)
+      // every single-byte corruption of the HEADER is rejected or
+      // still a valid parse of the SAME dims (never a crash, never
+      // silently different dims)
+      val headerLen = payload.length - w * h * 3
+      (0 until headerLen).foreach { i =>
+        val mut = payload.clone()
+        mut(i) = (mut(i) ^ 0x41).toByte
+        val r2 = PpmKernel.decode(mut)
+        assert(r2 == null || (r2.getLong(0) > 0 && r2.getLong(1) > 0),
+          s"corrupt header crashed or nonsense dims at byte $i")
+      }
+      // truncation anywhere is rejected
+      assert(PpmKernel.decode(payload.dropRight(1)) == null)
+      // tile means stay within the byte range and cover the raster
+      val tiles = PpmKernel.tileMeans(payload, 4, 4).toLongArray()
+      assert(tiles.forall(m => m == -1L || (m >= 0L && m <= 255L)))
+      assert(tiles.exists(_ >= 0L))
+    }
+  }
 }
