@@ -164,6 +164,16 @@ object ProbeAb {
         .groupBy(col("l_returnflag"))
         .agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
           count(lit(1)).as("n"))),
+    // round-13 additions: the three new registered queries, timeable
+    // standalone (containment = bucket-local pair fan-out; markup =
+    // pure per-row regex chain; cms_update = streaming sketch +
+    // upsert-log replay + probe serve)
+    "containment" -> ((s, d) =>
+      ext.ExtQueries.queries("dedup_containment")(s, d)),
+    "markup" -> ((s, d) =>
+      ext.ExtQueries.queries("text_extract_markup")(s, d)),
+    "cms_update" -> ((s, d) =>
+      stream.StreamQueries.queries("stream_cms_update")(s, d)),
     // the M layered aggregate-fold trees the oracle replays
     "bpe_fold" -> ((s, d) => {
       val merges = ext.Bpe.trained(s, Tables.documents(s, d), d)._1

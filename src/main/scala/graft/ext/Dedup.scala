@@ -1091,6 +1091,78 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Asymmetric-containment top-K pairs: C(A,B) = |S(A)∩S(B)| /
+    * min(|S(A)|, |S(B)|) over w-gram shingle sets — the quote/subset
+    * detector MinHash-Jaccard structurally misses. A short document
+    * fully embedded in a long one has containment 1.0 but Jaccard
+    * |A|/|B| → 0, so its minhash signatures agree on ~nothing and no
+    * band ever collides; pair discovery must come from SHARED SHINGLES
+    * directly, not from signature agreement.
+    *
+    * Dataflow: one (doc_id, shingle_hash) posting pass; shingles with
+    * document frequency > `dfCap` are excluded from CANDIDATE
+    * GENERATION only (a df-D shingle alone would emit C(D,2) pairs —
+    * the all-pairs product through a boilerplate n-gram), capping any
+    * single posting list's pair fan-out at C(dfCap,2). Candidate pairs
+    * are scored by their capped-containment ESTIMATE (shared rare
+    * shingles / the smaller side's rare-shingle count — for a true
+    * subset pair every rare shingle of the contained side is shared,
+    * so the estimate is exactly 1.0 and the pre-rank keeps the whole
+    * head); only the top `preRank` get the exact array-intersect
+    * verification against the full (uncapped) shingle sets, so the
+    * reported containment is EXACT and df-cap-independent. Same
+    * recall contract as [[topJaccardPairs]]: the oracle is exact
+    * all-pairs, and the query matches it because the containment head
+    * shares rare shingles with certainty at threshold 1.0.
+    */
+  def containmentTopK(docs: DataFrame, w: Int = 3, dfCap: Int = 64,
+                      topK: Int = 25, preRank: Int = 300): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), w).as("sh"))
+    val posting = sets.select(col("doc_id"), explode(col("sh")).as("shh"))
+    // One groupBy materializes each shingle's (≤ dfCap) posting list;
+    // pair fan-out happens INSIDE the array (sorted ids → all C(n,2)
+    // ordered pairs via an indexed-lambda cross), so candidates cost
+    // one exchange instead of a posting-table self-join re-shuffling
+    // the whole corpus a second time. shingleHashes is array_distinct
+    // per doc, so the list length IS document frequency.
+    // localCheckpoint: rareSize (consumed on BOTH join sides) and the
+    // pair fan-out all branch from this frame — uncheckpointed, the
+    // posting aggregation re-executes once per consumer (three full
+    // corpus passes; the a17_serve lesson)
+    val buckets = posting.groupBy(col("shh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= dfCap)
+      .select(array_sort(col("ids")).as("ids"))
+      .localCheckpoint()
+    val rareSize = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val cand = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .join(rareSize.select(col("doc_id").as("a_id"), col("n_rare").as("ra")), Seq("a_id"))
+      .join(rareSize.select(col("doc_id").as("b_id"), col("n_rare").as("rb")), Seq("b_id"))
+      // TakeOrderedAndProject: per-partition heaps, no global sort
+      .orderBy((col("n_shared_rare").cast("double") / least(col("ra"), col("rb"))).desc,
+        col("a_id").asc, col("b_id").asc)
+      .limit(preRank)
+      .select(col("a_id"), col("b_id"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("n_inter"),
+        size(col("a_sh")).cast("long").as("n_a"),
+        size(col("b_sh")).cast("long").as("n_b"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .orderBy(col("containment").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
+  }
+
   def dedupSegments(docs: DataFrame, segTokens: Int = 16): DataFrame = {
     val segs = segmentsByTokens(docs, segTokens)
     val kept = segs.groupBy(col("seg"))

@@ -85,6 +85,15 @@ object ExtQueries {
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
     }),
 
+    // Asymmetric-containment top-K (quote/subset detection): pairs
+    // ranked by |A∩B| / min(|A|,|B|) over 3-gram shingles. Candidates
+    // come from a df-capped shingle posting join — NOT minhash bands,
+    // which structurally miss short-inside-long pairs (Jaccard → 0
+    // while containment = 1.0); the reported score is exact.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentTopK(Tables.documents(s, d))
+        .orderBy(col("containment").desc, col("a_id"), col("b_id"))),
+
     // Embedding-cosine near-dup pairs: md5-integer SRP candidate
     // buckets + exact micro-unit cosine, so the DuckDB oracle replays
     // candidate generation and scoring bit-for-bit (the float-plane
@@ -209,6 +218,31 @@ object ExtQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
         .orderBy(col("doc_id"))),
+
+    // Markup-to-text extraction: the fixture text wrapped in a
+    // deterministic HTML shell (title/style/script/comments/entities —
+    // the construction is shared literal-for-literal with the oracle),
+    // then extracted by the portable regex chain. The hash match
+    // certifies the STRIP rules, independently implemented in DuckDB.
+    "text_extract_markup" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><style>p{margin:0}</style>" +
+          "<script type=\"text/javascript\">var id="), id,
+        lit(";</script></head><body><h1>"), col("source"),
+        lit("</h1><p>"), replace(col("text"), lit(". "), lit(".</p><p>")),
+        lit("</p><!-- id:"), id,
+        lit(" --><div class=\"nav\">Home &amp; About &gt; Contact</div>" +
+          "</body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"),
+          length(col("__html")).cast("long").as("n_raw_chars"),
+          TextAnalysis.extractMarkup(col("__html")).as("text_plain"))
+        .withColumn("n_plain_chars", length(col("text_plain")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Deterministic hash-mod stratified sampling (a filter, not a sort —
     // the shape that survives 100 TB and stays reproducible).
@@ -1555,6 +1589,28 @@ object ExtQueries {
         |SELECT a_id, b_id, jaccard FROM pairs
         |ORDER BY jaccard DESC, a_id, b_id LIMIT 25""".stripMargin,
 
+    // Exact all-pairs containment (feasible at oracle scale); the
+    // Spark side goes through the df-capped posting join, which finds
+    // the containment head with certainty — a contained document
+    // shares ALL its rare shingles with its container. Same shingling,
+    // same min-denominator, same tie-break.
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+        |    CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, n_inter, n_a, n_b,
+        |  CAST(n_inter AS DOUBLE) / least(n_a, n_b) AS containment
+        |FROM pairs
+        |ORDER BY containment DESC, a_id, b_id LIMIT 25""".stripMargin,
+
     // Language-ID argmax: Spark's array_max over struct(score, lang)
     // breaks ties toward the lexicographically LAST lang, so the CASE
     // tests langs in descending lex order with >= comparisons.
@@ -1653,6 +1709,38 @@ object ExtQueries {
         |      '[.,!?;:]', '', 'g'),
         |    '\s+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The markup shell is built from the same literals, then stripped
+    // by DuckDB's own RE2 regexp_replace — an independent
+    // implementation of the extraction chain, not an inversion of the
+    // construction. Entity decode order matters (&amp; last) and is
+    // part of the replayed semantics.
+    "text_extract_markup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source || '</title><style>p{margin:0}</style><script type="text/javascript">var id='
+        |    || CAST(doc_id AS VARCHAR) || ';</script></head><body><h1>' || source || '</h1><p>'
+        |    || replace(text, '. ', '.</p><p>') || '</p><!-- id:' || CAST(doc_id AS VARCHAR)
+        |    || ' --><div class="nav">Home &amp; About &gt; Contact</div></body></html>' AS h
+        |  FROM documents
+        |), ext AS (
+        |  SELECT doc_id, CAST(length(h) AS BIGINT) AS n_raw_chars,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(h, '<script[^>]*>.*?</script>', ' ', 'gs'),
+        |              '<style[^>]*>.*?</style>', ' ', 'gs'),
+        |            '<!--.*?-->', ' ', 'gs'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&quot;', '"'), '&gt;', '>'), '&lt;', '<'), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text_plain
+        |  FROM raw
+        |)
+        |SELECT doc_id, n_raw_chars, text_plain,
+        |  CAST(length(text_plain) AS BIGINT) AS n_plain_chars
+        |FROM ext ORDER BY doc_id""".stripMargin,
 
     // The md5 token-4-gram min replayed exactly (winnowing-style min
     // selection; short docs hash whole text). Lexicographic min over

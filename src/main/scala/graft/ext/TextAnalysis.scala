@@ -416,4 +416,32 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Markup-to-text extraction (the trafilatura/jusText stage of a web
+    * corpus pipeline, reduced to its deterministic core): drop
+    * script/style payloads and comments WHOLE (their inner text is
+    * never corpus text), strip remaining tags, decode the five XML
+    * entities + `&nbsp;`, collapse whitespace. Every rule is a
+    * codegen'd per-row regex/replace in the portable subset shared by
+    * Java regex and RE2 (non-greedy + DOTALL, character classes, no
+    * lookaround), so the identical chain runs in the DuckDB oracle.
+    * `&amp;` decodes LAST: "&amp;lt;" is literal "&lt;" in the source
+    * and must not double-decode into "<".
+    */
+  def extractMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(noTags, lit("&nbsp;"), lit(" ")),
+            lit("&quot;"), lit("\"")),
+          lit("&gt;"), lit(">")),
+        lit("&lt;"), lit("<")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -194,6 +194,59 @@ object StreamQueries {
       .groupBy(col("date"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Shared per-day count-min-sketch cell aggregation over the event
+    * stream: each event increments d=4 cells keyed by disjoint md5
+    * bytes of its user id — state per day is AT MOST d·w = 1024 cells
+    * no matter how many distinct users flow through, the frequency
+    * member of the streaming-sketch triad (KMV = uniques, fixed-grid
+    * histogram = quantiles, CMS = per-key counts). Cell counts merge
+    * by addition across micro-batches, so the sketch is
+    * order-insensitive and batch-replayable. Null user ids excluded
+    * explicitly, same contract as [[kmvDailyAgg]].
+    */
+  private def cmsDailyCellsAgg(s: SparkSession, d: String): DataFrame =
+    eventsStream(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("date"),
+        posexplode(graft.functions.native.cms_buckets(
+          col("user_id").cast("string"), 4)).as(Seq("row_i", "bucket")))
+      .groupBy(col("date"), col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-query serving over a finished per-day CMS cell table:
+    * probe the d cells of each candidate key, estimate = min. The
+    * candidate list here is the per-day exact top-10 users from the
+    * batch table — in production it comes from the candidate layer
+    * (yesterday's report, a Misra–Gries pass); probing with the exact
+    * top-k also certifies the CMS overestimate-only invariant in-data
+    * (`overest >= 0` on every row). Cells are broadcast (≤ 1024/day);
+    * the probe never shuffles the sketch.
+    */
+  private def cmsServe(s: SparkSession, d: String, cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("date"),
+        col("user_id").cast("string").as("user_id"))
+    val exact = ev.groupBy(col("date"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val top = exact
+      .withColumn("r", row_number().over(Window.partitionBy(col("date"))
+        .orderBy(col("n_exact").desc, col("user_id").asc)))
+      .filter(col("r") <= 10) // rank filter rides WindowGroupLimit
+      .drop("r")
+    val probes = top.select(col("date"), col("user_id"), col("n_exact"),
+      posexplode(graft.functions.native.cms_buckets(col("user_id"), 4))
+        .as(Seq("row_i", "bucket")))
+    probes.join(broadcast(cells), Seq("date", "row_i", "bucket"))
+      .groupBy(col("date"), col("user_id"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("date").cast("string").as("date"), col("user_id"),
+        col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overest"))
+      .orderBy(col("date"), col("n_exact").desc, col("user_id"))
+  }
+
   /** UPDATE-mode streaming aggregation → keyed parquet upsert log:
     * each micro-batch appends only its updated group rows, stamped
     * with the batch id (the K5 last-write-wins pattern). Factored out
@@ -492,6 +545,21 @@ object StreamQueries {
       quantileServe(s, upsertSnapshot(s, store, Seq("date", "bin")))
     }),
 
+    // Third streaming sketch — per-key FREQUENCIES: a per-day
+    // count-min sketch over user ids, maintained incrementally in
+    // UPDATE mode through the same keyed upsert log (keys =
+    // (date, row_i, bucket), ≤ 1024 live cells per day regardless of
+    // user cardinality). Serving probes the snapshot with the day's
+    // top-10 candidate keys; estimates (and the overestimate-only
+    // invariant) hash-match the full batch SQL replay of the sketch,
+    // cell for cell.
+    "stream_cms_update" -> ((s, d) => {
+      val store = scratchDir("graft-cms-upsert")
+      val ckpt = scratchDir("graft-cms-upsert-ckpt")
+      upsertStart(cmsDailyCellsAgg(s, d), store, ckpt).awaitTermination()
+      cmsServe(s, d, upsertSnapshot(s, store, Seq("date", "row_i", "bucket")))
+    }),
+
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
     // in batch mode — Spark supports the same operator on batch Datasets
     // (state starts empty), and a single-batch streaming run provably
@@ -594,9 +662,53 @@ object StreamQueries {
         |FROM pick
         |ORDER BY date, p""".stripMargin
 
+  // The per-day CMS replayed cell-for-cell in batch SQL: same md5
+  // hex-pair buckets (strpos arithmetic here, the native byte kernel
+  // on the Spark side — bit-identical by construction), same
+  // (date, row_i, bucket) cell counts, same min-over-rows estimates
+  // for the same per-day top-10 candidate keys. The streaming sketch
+  // is order-insensitive (cells merge by addition), which is what
+  // makes an UPDATE-mode aggregate hash-comparable to a batch replay.
+  private val CmsDailyOracle: String =
+    """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS date, CAST(user_id AS VARCHAR) AS user_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), entries AS (
+        |  SELECT date, i AS row_i,
+        |    (strpos('0123456789abcdef', substr(md5(user_id), 2*i+1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(user_id), 2*i+2, 1)) - 1)
+        |      AS bucket
+        |  FROM ev CROSS JOIN generate_series(0, 3) AS g(i)
+        |), sketch AS (
+        |  SELECT date, row_i, bucket, COUNT(*) AS c
+        |  FROM entries GROUP BY 1, 2, 3
+        |), exact AS (
+        |  SELECT date, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM ev GROUP BY 1, 2
+        |), top AS (
+        |  SELECT date, user_id, n_exact,
+        |    ROW_NUMBER() OVER (PARTITION BY date
+        |      ORDER BY n_exact DESC, user_id) AS r
+        |  FROM exact
+        |), probes AS (
+        |  SELECT date, user_id, n_exact, i AS row_i,
+        |    (strpos('0123456789abcdef', substr(md5(user_id), 2*i+1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(user_id), 2*i+2, 1)) - 1)
+        |      AS bucket
+        |  FROM top CROSS JOIN generate_series(0, 3) AS g(i)
+        |  WHERE r <= 10
+        |)
+        |SELECT CAST(p.date AS VARCHAR) AS date, p.user_id, p.n_exact,
+        |  CAST(MIN(s.c) AS BIGINT) AS n_est,
+        |  CAST(MIN(s.c) - p.n_exact AS BIGINT) AS overest
+        |FROM probes p JOIN sketch s USING (date, row_i, bucket)
+        |GROUP BY 1, 2, 3
+        |ORDER BY date, n_exact DESC, user_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "stream_kmv_daily" -> KmvDailyOracle,
     "stream_kmv_update" -> KmvDailyOracle,
+    "stream_cms_update" -> CmsDailyOracle,
     "stream_value_quantiles" -> ValueQuantilesOracle,
     "stream_quantiles_update" -> ValueQuantilesOracle,
 

@@ -352,4 +352,47 @@ class DedupSpec extends SparkSuite {
     assert(sh.contains("the quick brown"))
     assert(sh.distinct.length == sh.length)
   }
+
+  test("containment finds short-inside-long pairs that minhash structurally misses") {
+    val long1 = (1 to 200).map(i => s"w$i").mkString(" ")
+    val short1 = (50 to 59).map(i => s"w$i").mkString(" ") // 10 tokens ⊂ long1
+    val cdocs = Seq(
+      (1L, long1),
+      (2L, short1),
+      (3L, "totally unrelated filler words about something else entirely here"),
+      (4L, (300 to 420).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val top = Dedup.containmentTopK(cdocs, topK = 3).collect()
+    // (1,2): every 3-gram of the short doc (10-2=8 of them) occurs in
+    // the long doc → n_inter = 8 = min side → containment exactly 1.0
+    val head = top.head
+    assert((head.getLong(0), head.getLong(1)) == (1L, 2L))
+    assert(head.getAs[Long]("n_inter") == 8L && head.getAs[Long]("n_b") == 8L)
+    assert(head.getAs[Double]("containment") == 1.0)
+    // Jaccard for the same pair is 8/198 ≈ 0.04: band collision odds
+    // j⁴ per band ≈ 2.6e-6 — minhash never surfaces this pair (the
+    // hash family is fixed, so this is deterministic, not flaky)
+    val mh = Dedup.minhashPairs(cdocs, minJaccard = 0.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!mh.contains((1L, 2L)),
+      "minhash bands are not expected to collide at jaccard 0.04 — " +
+        "if they do, the spec's motivating claim needs re-checking")
+  }
+
+  test("containment score is exact and df-cap-independent for found pairs") {
+    // two near-identical docs plus one contained doc: scores must come
+    // from the FULL shingle sets even when the cap excludes shared
+    // shingles from candidate generation (dfCap=1 bans every shared
+    // shingle, so candidates vanish — proving the cap gates discovery
+    // only; with a workable cap the score is exact)
+    val a = (1 to 30).map(i => s"t$i").mkString(" ")
+    val b = (1 to 30).map(i => if (i == 30) "zz" else s"t$i").mkString(" ")
+    val cdocs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val top = Dedup.containmentTopK(cdocs, topK = 1).head()
+    // 28 shingles each; the differing last token sits in exactly one
+    // 3-gram window (start 28) → 27 shared
+    assert(top.getAs[Long]("n_inter") == 27L)
+    assert(top.getAs[Double]("containment") == 27.0 / 28.0)
+    assert(Dedup.containmentTopK(cdocs, dfCap = 1, topK = 1).count() == 0L)
+  }
 }

@@ -199,4 +199,37 @@ class TextAnalysisSpec extends SparkSuite {
     // is strictly below it → everyone in bucket 1
     (11 to 15).foreach(i => assert(buckets(i.toLong) == 1, s"doc $i"))
   }
+
+  test("extractMarkup: scripts/styles/comments dropped whole, tags stripped, entities decoded") {
+    val html = "<html><head><style>p{x}</style>" +
+      "<script>var s = 'keep<b>out</b>';</script></head>" +
+      "<body><h1>Title</h1><p>one &amp; two &lt;three&gt;</p>" +
+      "<!-- hidden\ncomment --><div>tail&nbsp;end</div></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.extractMarkup($"h")).head().getString(0)
+    assert(out == "Title one & two <three> tail end")
+  }
+
+  test("extractMarkup: &amp; decodes LAST — no double-decode of escaped entities") {
+    // "&amp;lt;" is the literal four characters "&lt;" in the source
+    // text; decoding &amp; first would turn it into "<"
+    val out = Seq("<p>&amp;lt;not-a-tag&amp;gt;</p>").toDF("h")
+      .select(TextAnalysis.extractMarkup($"h")).head().getString(0)
+    assert(out == "&lt;not-a-tag&gt;")
+  }
+
+  test("extractMarkup: round-trips the query's constructed shell back to its parts") {
+    // the registered query wraps fixture text in a deterministic
+    // shell; stripping must recover title + h1 + body text + nav, with
+    // the paragraph re-split ('. ' → '.</p><p>') invisible after
+    // whitespace collapse
+    val text = "alpha beta. gamma delta. epsilon"
+    val html = "<html><head><title>src</title><style>p{margin:0}</style>" +
+      "<script type=\"text/javascript\">var id=7;</script></head><body>" +
+      "<h1>src</h1><p>" + text.replace(". ", ".</p><p>") + "</p><!-- id:7 -->" +
+      "<div class=\"nav\">Home &amp; About &gt; Contact</div></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.extractMarkup($"h")).head().getString(0)
+    assert(out == s"src src $text Home & About > Contact")
+  }
 }

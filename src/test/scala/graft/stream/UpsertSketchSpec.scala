@@ -71,4 +71,48 @@ class UpsertSketchSpec extends SparkSuite {
       assert(rows == Seq(("d1", 9L, 2L), ("d2", 3L, 3L)))
     } finally deleteRecursively(tmp)
   }
+
+  test("cms cells through the upsert log: additive merge across batches == batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("date"), posexplode(
+        graft.functions.native.cms_buckets(col("user"), 4))
+        .as(Seq("row_i", "bucket")))
+      .groupBy(col("date"), col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val store = java.nio.file.Files.createTempDirectory("cms-spec-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cms-spec-ckpt").toString
+    try {
+      val q = StreamQueries.upsertStart(
+        cells(input.toDF().toDF("date", "user")), store, ckpt, availableNow = false)
+      val batch1 = Seq(("d1", "u1"), ("d1", "u1"), ("d1", "u2"), ("d2", "u3"))
+      val batch2 = Seq(("d1", "u1"), ("d2", "u3"), ("d2", "u4"))
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      val snap = StreamQueries
+        .upsertSnapshot(spark, store, Seq("date", "row_i", "bucket"))
+      val expected = cells((batch1 ++ batch2).toDF("date", "user"))
+      assert(snap.join(expected, Seq("date", "row_i", "bucket"))
+        .filter(snap("c") =!= expected("c")).count() == 0L)
+      assert(snap.count() == expected.count(),
+        "incrementally merged cells must equal the one-shot batch sketch")
+      // state bound: d=4 rows × 256 buckets per day, no matter the users
+      val perDay = snap.groupBy(col("date")).count().as[(String, Long)]
+        .collect().toMap
+      assert(perDay.values.forall(_ <= 1024L))
+      // CMS point queries never underestimate: probe u1 on d1 (3 occ.)
+      val probe = spark.createDataset(Seq("u1")).toDF("user")
+        .select(posexplode(graft.functions.native.cms_buckets(col("user"), 4))
+          .as(Seq("row_i", "bucket")))
+      val est = snap.filter(col("date") === "d1")
+        .join(probe, Seq("row_i", "bucket"))
+        .agg(min(col("c"))).head().getLong(0)
+      assert(est >= 3L)
+    } finally {
+      deleteRecursively(store)
+      deleteRecursively(ckpt)
+    }
+  }
 }
