@@ -170,6 +170,43 @@ object ProbeAb {
     // upsert-log replay + probe serve)
     "containment" -> ((s, d) =>
       ext.ExtQueries.queries("dedup_containment")(s, d)),
+    // containment decomposition: the shingle/posting floor…
+    "cont_posting" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(ext.Dedup.shingleHashes(col("text"), 5)).as("shh"))
+        .groupBy(col("shh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 64)),
+    // …the stats pass as registered (count/min/max, codegen'd)
+    "cont_stats" -> ((s, d) => {
+      val posting = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(ext.Dedup.shingleHashes(col("text"), 5)).as("shh"))
+      posting.groupBy(col("shh"))
+        .agg(count(lit(1)).as("df"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("df") >= 2 && col("df") <= 64)
+    }),
+    // …the raw per-doc shingle-hash map pass, no shuffle at all
+    "cont_sets" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(ext.Dedup.shingleHashes(col("text"), 5)).as("n"))),
+    // …stats (checkpointed) + the df≥3 second pass, cumulative
+    "cont_to_lists" -> ((s, d) => {
+      val posting = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(ext.Dedup.shingleHashes(col("text"), 5)).as("shh"))
+      val stats = posting.groupBy(col("shh"))
+        .agg(count(lit(1)).as("df"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("df") >= 2 && col("df") <= 64)
+        .localCheckpoint()
+      val multi = stats.filter(col("df") >= 3).select(col("shh"))
+      posting.join(multi, Seq("shh"))
+        .groupBy(col("shh")).agg(collect_list(col("doc_id")).as("ids"))
+        .select(size(col("ids")).as("n"))
+    }),
     "markup" -> ((s, d) =>
       ext.ExtQueries.queries("text_extract_markup")(s, d)),
     "cms_update" -> ((s, d) =>

@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * check inventory coverage line by line. Every SQL-expressible query has
   * a DuckDB oracle in [[oracleSql]] with identical output column names
   * and an identical deterministic ORDER BY — the driver hash-compares
-  * the full result (143 of 152 queries as of r13, MinHash/LSH dedup and
-  * the P6 media decode/pooling included).
+  * the full result (146 of 155 queries as of r13, MinHash/LSH dedup,
+  * the P6 media decode/pooling, asymmetric containment, markup
+  * extraction, and the update-mode streaming CMS included).
   *
   * The 9 declared no-oracle queries (driver reports `err: no_oracle`,
   * rows_match null — NOT a rows-only pass) are the irreducible set

@@ -1114,34 +1114,83 @@ object Dedup {
     * recall contract as [[topJaccardPairs]]: the oracle is exact
     * all-pairs, and the query matches it because the containment head
     * shares rare shingles with certainty at threshold 1.0.
+    *
+    * Default w=5 (the decontamination granularity, not Jaccard-dedup's
+    * w=3) is a SCALE decision as much as a semantic one: w=3 shingles
+    * are function-word collocations shared by unrelated documents, so
+    * containment over them measures stopword overlap and the candidate
+    * mass degenerates toward all-pairs (measured on the sf0.1 corpus:
+    * Σ C(df,2) = 1.27M pair rows at w=3 vs 13.5k at w=5 — a 93×
+    * candidate reduction for the same quote-detection answer, and the
+    * difference between a shuffle-bound 100× point and a linear one).
     */
-  def containmentTopK(docs: DataFrame, w: Int = 3, dfCap: Int = 64,
+  def containmentTopK(docs: DataFrame, w: Int = 5, dfCap: Int = 64,
                       topK: Int = 25, preRank: Int = 300): DataFrame = {
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), w).as("sh"))
     val posting = sets.select(col("doc_id"), explode(col("sh")).as("shh"))
-    // One groupBy materializes each shingle's (≤ dfCap) posting list;
-    // pair fan-out happens INSIDE the array (sorted ids → all C(n,2)
-    // ordered pairs via an indexed-lambda cross), so candidates cost
-    // one exchange instead of a posting-table self-join re-shuffling
-    // the whole corpus a second time. shingleHashes is array_distinct
-    // per doc, so the list length IS document frequency.
-    // localCheckpoint: rareSize (consumed on BOTH join sides) and the
-    // pair fan-out all branch from this frame — uncheckpointed, the
-    // posting aggregation re-executes once per consumer (three full
-    // corpus passes; the a17_serve lesson)
-    val buckets = posting.groupBy(col("shh"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= dfCap)
+    // The one unavoidable corpus-wide pass, kept FULLY CODEGEN'D: a
+    // primitive count/min/max aggregate per shingle (no arrays cross
+    // this exchange — a corpus-wide collect_list pays an object
+    // hash-map over tens of millions of mostly-singleton groups and
+    // measured 2-3× the cost of this pass at 100×). df=1 shingles —
+    // the overwhelming bulk of any w=5 posting table — die here;
+    // df > dfCap excluded as before (candidate fan-out cap). For the
+    // dominant df=2 survivors, (min, max) ALREADY IS the one candidate
+    // pair, so no posting list is ever needed for them.
+    // localCheckpoint: three consumers (df2 pairs, the df≥3 shingle
+    // set, rareSize) — without it the posting aggregation re-executes
+    // once per consumer.
+    val stats = posting.groupBy(col("shh"))
+      .agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .localCheckpoint()
+    val df2Pairs = stats.filter(col("df") === 2)
+      .select(col("mn").as("a_id"), col("mx").as("b_id"))
+    // Full posting lists only for the df ≥ 3 tail — a targeted second
+    // map pass over the corpus. The exact join against the multi set
+    // would re-shuffle the whole posting table (the checkpointed
+    // build side carries no stats, so neither planner nor AQE
+    // broadcasts it); instead a fixed-size Bloom of the multi set
+    // (the decontaminate_bloom pattern — bounded memory by
+    // construction, unlike a forced broadcast of an unbounded set)
+    // drops non-multi postings MAP-SIDE before the shuffle, so the
+    // join only ever moves the ~df≥3 sliver. False positives merely
+    // pass extra rows into the exact join. Pair fan-out happens
+    // INSIDE each array (sorted ids → all C(n,2) ordered pairs via an
+    // indexed-lambda cross) — no posting-table self-join.
+    val multi = stats.filter(col("df") >= 3).select(col("shh"))
+      .localCheckpoint()
+    val multiBloom = multi
+      .agg(graft.functions.native.bloom_agg(col("shh"), 1L << 20, 1L << 23))
+      .head.getAs[Array[Byte]](0)
+    val prefiltered =
+      if (multiBloom == null) posting.limit(0)
+      else posting.filter(
+        graft.functions.native.bloom_might_contain(multiBloom, col("shh")))
+    val lists = prefiltered.join(multi, Seq("shh"))
+      .groupBy(col("shh")).agg(collect_list(col("doc_id")).as("ids"))
       .select(array_sort(col("ids")).as("ids"))
       .localCheckpoint()
-    val rareSize = buckets.select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
-    val cand = buckets
+    val multiPairs = lists
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
           |    y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    // Estimate denominator = each doc's count of shared-capable (2 ≤
+    // df ≤ cap) shingles, assembled from the SMALL frames (one credit
+    // per side of a df=2 shingle, one per member of a df≥3 list) — no
+    // third pass over the posting table. For a true subset pair every
+    // shingle of the contained side is shared (df ≥ 2), so its
+    // denominator equals its shared count and the estimate is still
+    // exactly 1.0 — the pre-rank keeps the whole containment head.
+    val rareSize = df2Pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .unionByName(lists.select(explode(col("ids")).as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val cand = df2Pairs.unionByName(multiPairs)
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared_rare"))
       .join(rareSize.select(col("doc_id").as("a_id"), col("n_rare").as("ra")), Seq("a_id"))
       .join(rareSize.select(col("doc_id").as("b_id"), col("n_rare").as("rb")), Seq("b_id"))
@@ -1150,9 +1199,20 @@ object Dedup {
         col("a_id").asc, col("b_id").asc)
       .limit(preRank)
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    // Exact verification touches the corpus ONCE: the ≤ 2·preRank ids
+    // the candidates actually reference are pulled in a single
+    // semi-joined pass (the id set broadcasts), and both sides of each
+    // pair then join against that tiny checkpointed slice — joining
+    // the full `sets` frame per side would re-hash the whole corpus
+    // twice more.
+    val need = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id")))
+      .distinct()
+    val setsNeeded = sets.join(need, Seq("doc_id")).localCheckpoint()
     cand
-      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(setsNeeded.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(setsNeeded.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("n_inter"),
         size(col("a_sh")).cast("long").as("n_a"),

@@ -86,10 +86,12 @@ object ExtQueries {
     }),
 
     // Asymmetric-containment top-K (quote/subset detection): pairs
-    // ranked by |A∩B| / min(|A|,|B|) over 3-gram shingles. Candidates
-    // come from a df-capped shingle posting join — NOT minhash bands,
-    // which structurally miss short-inside-long pairs (Jaccard → 0
-    // while containment = 1.0); the reported score is exact.
+    // ranked by |A∩B| / min(|A|,|B|) over 5-gram shingles (the
+    // decontamination granularity — distinctive phrases, not w=3
+    // function-word collocations). Candidates come from a df-capped
+    // shingle posting join — NOT minhash bands, which structurally
+    // miss short-inside-long pairs (Jaccard → 0 while containment =
+    // 1.0); the reported score is exact.
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentTopK(Tables.documents(s, d))
         .orderBy(col("containment").desc, col("a_id"), col("b_id"))),
@@ -1592,13 +1594,13 @@ object ExtQueries {
     // Exact all-pairs containment (feasible at oracle scale); the
     // Spark side goes through the df-capped posting join, which finds
     // the containment head with certainty — a contained document
-    // shares ALL its rare shingles with its container. Same shingling,
-    // same min-denominator, same tie-break.
+    // shares ALL its rare shingles with its container. Same 5-gram
+    // shingling, same min-denominator, same tie-break.
     "dedup_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS s
         |  FROM documents
         |), pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

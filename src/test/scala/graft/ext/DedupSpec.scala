@@ -363,11 +363,11 @@ class DedupSpec extends SparkSuite {
       (4L, (300 to 420).map(i => s"v$i").mkString(" "))
     ).toDF("doc_id", "text")
     val top = Dedup.containmentTopK(cdocs, topK = 3).collect()
-    // (1,2): every 3-gram of the short doc (10-2=8 of them) occurs in
-    // the long doc → n_inter = 8 = min side → containment exactly 1.0
+    // (1,2): every 5-gram of the short doc (10-4=6 of them) occurs in
+    // the long doc → n_inter = 6 = min side → containment exactly 1.0
     val head = top.head
     assert((head.getLong(0), head.getLong(1)) == (1L, 2L))
-    assert(head.getAs[Long]("n_inter") == 8L && head.getAs[Long]("n_b") == 8L)
+    assert(head.getAs[Long]("n_inter") == 6L && head.getAs[Long]("n_b") == 6L)
     assert(head.getAs[Double]("containment") == 1.0)
     // Jaccard for the same pair is 8/198 ≈ 0.04: band collision odds
     // j⁴ per band ≈ 2.6e-6 — minhash never surfaces this pair (the
@@ -389,10 +389,10 @@ class DedupSpec extends SparkSuite {
     val b = (1 to 30).map(i => if (i == 30) "zz" else s"t$i").mkString(" ")
     val cdocs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
     val top = Dedup.containmentTopK(cdocs, topK = 1).head()
-    // 28 shingles each; the differing last token sits in exactly one
-    // 3-gram window (start 28) → 27 shared
-    assert(top.getAs[Long]("n_inter") == 27L)
-    assert(top.getAs[Double]("containment") == 27.0 / 28.0)
+    // 26 5-gram shingles each; the differing last token sits in
+    // exactly one window (start 26) → 25 shared
+    assert(top.getAs[Long]("n_inter") == 25L)
+    assert(top.getAs[Double]("containment") == 25.0 / 26.0)
     assert(Dedup.containmentTopK(cdocs, dfCap = 1, topK = 1).count() == 0L)
   }
 }
