@@ -1126,6 +1126,78 @@ object Dedup {
     */
   def containmentTopK(docs: DataFrame, w: Int = 5, dfCap: Int = 64,
                       topK: Int = 25, preRank: Int = 300): DataFrame = {
+    val (sets, scored) = containmentCandidates(docs, w, dfCap)
+    val cand = scored
+      // TakeOrderedAndProject: per-partition heaps, no global sort
+      .orderBy((col("n_shared_rare").cast("double") / least(col("ra"), col("rb"))).desc,
+        col("a_id").asc, col("b_id").asc)
+      .limit(preRank)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    verifyContainment(sets, cand)
+      .orderBy(col("containment").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
+  }
+
+  /** The removal form: drop every document whose containment in some
+    * other document reaches `minContainment` AND that loses the pair —
+    * the loser is the side with the SMALLER shingle set (its content
+    * is the one subsumed), ties (mutual containment, e.g. exact dups)
+    * going to the larger doc_id so the earliest copy survives. The
+    * RefinedWeb-style subset-removal rule at document granularity:
+    * whole-doc hash dedup misses it (texts differ), MinHash misses it
+    * (Jaccard → 0), paragraph dedup rewrites instead of dropping.
+    * One-shot per-pair rule, deliberately NOT transitive closure —
+    * every drop is justified by a surviving container... unless that
+    * container itself lost a different pair, which only over-removes
+    * subsumed content, never loses unique content beyond the
+    * threshold's intent. Exactly replayable in SQL.
+    */
+  def applyContainment(docs: DataFrame, w: Int = 5, dfCap: Int = 64,
+                       minContainment: Double = 0.9): DataFrame = {
+    val (sets, scored) = containmentCandidates(docs, w, dfCap)
+    // every candidate is verified exactly — no preRank: threshold
+    // semantics need the full candidate set, whose size the df cap
+    // already bounds at Σ C(df∧cap, 2)
+    val cand = scored.select(col("a_id"), col("b_id")).localCheckpoint()
+    val losers = verifyContainment(sets, cand)
+      .filter(col("containment") >= minContainment)
+      .select(when(col("n_a") < col("n_b"), col("a_id"))
+        .when(col("n_b") < col("n_a"), col("b_id"))
+        .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Exact containment scores for a (small, checkpointed) candidate
+    * pair table: the ≤ 2·|cand| ids actually referenced are pulled in
+    * ONE semi-joined corpus pass (the id set broadcasts), and both
+    * sides of each pair then join against that tiny checkpointed
+    * slice — joining the full `sets` frame per side would re-hash the
+    * whole corpus twice more.
+    */
+  private def verifyContainment(sets: DataFrame, cand: DataFrame): DataFrame = {
+    val need = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id")))
+      .distinct()
+    val setsNeeded = sets.join(need, Seq("doc_id")).localCheckpoint()
+    cand
+      .join(setsNeeded.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(setsNeeded.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("n_inter"),
+        size(col("a_sh")).cast("long").as("n_a"),
+        size(col("b_sh")).cast("long").as("n_b"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+  }
+
+  /** Shared candidate machinery for the containment family: returns
+    * (per-doc shingle sets, candidate pairs scored with shared-rare
+    * counts and both sides' shared-capable set sizes).
+    */
+  private def containmentCandidates(docs: DataFrame, w: Int, dfCap: Int)
+      : (DataFrame, DataFrame) = {
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), w).as("sh"))
     val posting = sets.select(col("doc_id"), explode(col("sh")).as("shh"))
     // The one unavoidable corpus-wide pass, kept FULLY CODEGEN'D: a
@@ -1189,38 +1261,12 @@ object Dedup {
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .unionByName(lists.select(explode(col("ids")).as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
-    val cand = df2Pairs.unionByName(multiPairs)
+    val scored = df2Pairs.unionByName(multiPairs)
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared_rare"))
       .join(rareSize.select(col("doc_id").as("a_id"), col("n_rare").as("ra")), Seq("a_id"))
       .join(rareSize.select(col("doc_id").as("b_id"), col("n_rare").as("rb")), Seq("b_id"))
-      // TakeOrderedAndProject: per-partition heaps, no global sort
-      .orderBy((col("n_shared_rare").cast("double") / least(col("ra"), col("rb"))).desc,
-        col("a_id").asc, col("b_id").asc)
-      .limit(preRank)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
-    // Exact verification touches the corpus ONCE: the ≤ 2·preRank ids
-    // the candidates actually reference are pulled in a single
-    // semi-joined pass (the id set broadcasts), and both sides of each
-    // pair then join against that tiny checkpointed slice — joining
-    // the full `sets` frame per side would re-hash the whole corpus
-    // twice more.
-    val need = cand.select(col("a_id").as("doc_id"))
-      .unionByName(cand.select(col("b_id").as("doc_id")))
-      .distinct()
-    val setsNeeded = sets.join(need, Seq("doc_id")).localCheckpoint()
-    cand
-      .join(setsNeeded.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(setsNeeded.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("n_inter"),
-        size(col("a_sh")).cast("long").as("n_a"),
-        size(col("b_sh")).cast("long").as("n_b"))
-      .withColumn("containment",
-        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
-      .orderBy(col("containment").desc, col("a_id").asc, col("b_id").asc)
-      .limit(topK)
+    (sets, scored)
   }
 
   def dedupSegments(docs: DataFrame, segTokens: Int = 16): DataFrame = {

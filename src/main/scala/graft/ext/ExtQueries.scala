@@ -96,6 +96,15 @@ object ExtQueries {
       Dedup.containmentTopK(Tables.documents(s, d))
         .orderBy(col("containment").desc, col("a_id"), col("b_id"))),
 
+    // The removal form of containment: the corpus with every
+    // subsumed document dropped (loser = smaller shingle set; mutual
+    // containment keeps the smaller doc_id) — subset removal that
+    // hash dedup, MinHash, and paragraph dedup each miss.
+    "dedup_apply_containment" -> ((s, d) =>
+      Dedup.applyContainment(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Embedding-cosine near-dup pairs: md5-integer SRP candidate
     // buckets + exact micro-unit cosine, so the DuckDB oracle replays
     // candidate generation and scoring bit-for-bit (the float-plane
@@ -1612,6 +1621,32 @@ object ExtQueries {
         |  CAST(n_inter AS DOUBLE) / least(n_a, n_b) AS containment
         |FROM pairs
         |ORDER BY containment DESC, a_id, b_id LIMIT 25""".stripMargin,
+
+    // Removal form replayed on the exact all-pairs table: identical
+    // ≥ 0.9 threshold, identical loser rule (smaller set; tie →
+    // larger id), survivors anti-joined.
+    "dedup_apply_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.s, b.s)) AS n_inter,
+        |    len(a.s) AS n_a, len(b.s) AS n_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |), losers AS (
+        |  SELECT DISTINCT CASE WHEN n_a < n_b THEN a_id
+        |                       WHEN n_b < n_a THEN b_id
+        |                       ELSE greatest(a_id, b_id) END AS doc_id
+        |  FROM pairs
+        |  WHERE CAST(n_inter AS DOUBLE) / least(n_a, n_b) >= 0.9
+        |)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |LEFT JOIN losers l USING (doc_id)
+        |WHERE l.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Language-ID argmax: Spark's array_max over struct(score, lang)
     // breaks ties toward the lexicographically LAST lang, so the CASE

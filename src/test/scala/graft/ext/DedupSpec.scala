@@ -395,4 +395,24 @@ class DedupSpec extends SparkSuite {
     assert(top.getAs[Double]("containment") == 25.0 / 26.0)
     assert(Dedup.containmentTopK(cdocs, dfCap = 1, topK = 1).count() == 0L)
   }
+
+  test("applyContainment: subsumed doc dropped, container kept; exact-dup tie keeps min id") {
+    val long1 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val short1 = (20 to 29).map(i => s"w$i").mkString(" ") // ⊂ long1
+    val other = (500 to 560).map(i => s"u$i").mkString(" ")
+    val cdocs = Seq(
+      (1L, long1),
+      (2L, short1),     // loser of (1,2): smaller set at containment 1.0
+      (3L, other),
+      (4L, other),      // exact dup of 3: mutual containment, 4 loses
+      (5L, "five isolated tokens only here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.applyContainment(cdocs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // below threshold nothing is dropped
+    val keptAll = Dedup.applyContainment(cdocs, minContainment = 1.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
