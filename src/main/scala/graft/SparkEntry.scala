@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * check inventory coverage line by line. Every SQL-expressible query has
   * a DuckDB oracle in [[oracleSql]] with identical output column names
   * and an identical deterministic ORDER BY — the driver hash-compares
-  * the full result (147 of 156 queries as of r13, MinHash/LSH dedup,
+  * the full result (148 of 157 queries as of r13, MinHash/LSH dedup,
   * the P6 media decode/pooling, the asymmetric-containment pair/
-  * removal family, markup extraction, and the update-mode streaming
-  * CMS included).
+  * removal family, markup extraction, the update-mode streaming CMS,
+  * and the ingest-time decontamination gate included).
   *
   * The 9 declared no-oracle queries (driver reports `err: no_oracle`,
   * rows_match null — NOT a rows-only pass) are the irreducible set
