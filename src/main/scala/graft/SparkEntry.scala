@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * check inventory coverage line by line. Every SQL-expressible query has
   * a DuckDB oracle in [[oracleSql]] with identical output column names
   * and an identical deterministic ORDER BY — the driver hash-compares
-  * the full result (148 of 157 queries as of r13, MinHash/LSH dedup,
+  * the full result (149 of 158 queries as of r13, MinHash/LSH dedup,
   * the P6 media decode/pooling, the asymmetric-containment pair/
   * removal family, markup extraction, the update-mode streaming CMS,
   * and the ingest-time decontamination gate included).

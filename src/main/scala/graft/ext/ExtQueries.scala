@@ -426,6 +426,14 @@ object ExtQueries {
       TrainingSet.pack(Tables.documents(s, d), budget = 512L, nShards = 8)
         .orderBy(col("doc_id"))),
 
+    // Attention-span metadata over the packed stream: per training
+    // sequence, each document's (start, length) within the window —
+    // the block-diagonal attention-mask input; boundary-straddling
+    // docs emit one span per touched sequence.
+    "train_pack_spans" -> ((s, d) =>
+      TrainingSet.packSpans(Tables.documents(s, d), budget = 512L, nShards = 8)
+        .orderBy(col("shard"), col("bin"), col("span_start"), col("doc_id"))),
+
     // Same packing dataflow budgeted by the TRAINED BPE tokenizer's
     // subword counts — bins hold ~budget model tokens, the unit the
     // export actually feeds a trainer. The oracle re-trains the
@@ -2570,6 +2578,35 @@ object ExtQueries {
         |  token_offset // 512 AS bin,
         |  n_tokens, token_offset
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Same packing prefix sum, then one span row per (doc, touched
+    // sequence window): identical integer window arithmetic.
+    "train_pack_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS shard,
+        |    (doc_id * 40503) % 65521 AS sk
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM t
+        |), sp AS (
+        |  SELECT shard, doc_id, token_offset, n_tokens,
+        |    unnest(generate_series(token_offset // 512,
+        |                           (token_offset + n_tokens - 1) // 512)) AS bin
+        |  FROM o WHERE n_tokens > 0
+        |)
+        |SELECT shard, bin, doc_id,
+        |  CAST(greatest(token_offset - bin * 512, 0) AS BIGINT) AS span_start,
+        |  CAST(least(token_offset + n_tokens, (bin + 1) * 512)
+        |    - greatest(token_offset, bin * 512) AS BIGINT) AS span_len
+        |FROM sp
+        |ORDER BY shard, bin, span_start, doc_id""".stripMargin,
 
     "train_pack_bpe" -> (bpeRoundsSql(bpeMerges) +
       """

@@ -116,6 +116,37 @@ object TrainingSet {
       budget, nShards)
   }
 
+  /** Attention-span metadata for the packed stream: training sequence
+    * `bin` of a shard covers token positions [bin·budget, (bin+1)·
+    * budget); a document whose packed tokens overlap that window
+    * contributes one span row (start WITHIN the sequence + length) —
+    * exactly the per-sequence document-boundary list a loader needs to
+    * build block-diagonal attention masks (no cross-document
+    * attention) without re-tokenizing. Documents straddling a
+    * sequence boundary emit one row per touched sequence; span
+    * lengths per (shard, bin) sum to the window's occupancy. One
+    * bounded in-row explode over the touched-bin range (≤
+    * ⌈n_tokens/budget⌉ + 1 rows per doc) on top of [[pack]]'s
+    * prefix-sum dataflow — no extra shuffle, all integer arithmetic,
+    * fully SQL-replayable.
+    */
+  def packSpans(docs: DataFrame, budget: Long = 512L,
+                nShards: Int = 8): DataFrame = {
+    require(budget > 0L, s"token budget must be positive: $budget")
+    pack(docs, budget, nShards)
+      .filter(col("n_tokens") > 0L)
+      .withColumn("bin", explode(expr(
+        s"sequence(token_offset div ${budget}L," +
+          s" (token_offset + n_tokens - 1) div ${budget}L)")))
+      .select(col("shard"), col("bin"), col("doc_id"),
+        greatest(col("token_offset") - col("bin") * lit(budget), lit(0L))
+          .as("span_start"),
+        (least(col("token_offset") + col("n_tokens"),
+          (col("bin") + 1) * lit(budget))
+          - greatest(col("token_offset"), col("bin") * lit(budget)))
+          .as("span_len"))
+  }
+
   /** Re-weight domains to a target mixture: every document of domain d
     * appears `floor(weight(d))` times, plus once more for the
     * deterministic `frac(weight(d))` fraction of its domain (selected

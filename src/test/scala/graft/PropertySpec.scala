@@ -417,4 +417,47 @@ class PropertySpec extends SparkSuite {
       assert(tiles.exists(_ >= 0L))
     }
   }
+
+  private val wordGen = Gen.listOf(
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "ent", "amp"))
+    .map(_.mkString(" "))
+
+  test("property: extractMarkup recovers tag-free text from any shell verbatim") {
+    import graft.ext.TextAnalysis
+    val bodies = samples(wordGen, 25).filter(_.nonEmpty)
+    val df = bodies.zipWithIndex
+      .map { case (b, i) =>
+        (i.toLong,
+          s"<html><head><script>x=$i;</script><style>a{}</style></head>" +
+            s"<body><p>$b</p><!--c$i--></body></html>")
+      }
+      .toDF("id", "h")
+    val out = df.select($"id", TextAnalysis.extractMarkup($"h").as("t"))
+      .orderBy($"id").as[(Long, String)].collect()
+    out.zip(bodies).foreach { case ((_, got), body) =>
+      assert(got == body.trim.replaceAll("\\s+", " "),
+        s"extract mangled tag-free body: <$body> -> <$got>")
+    }
+  }
+
+  test("property: containment head is exactly 1.0 for every planted subset pair") {
+    val docGen = for {
+      n <- Gen.choose(30, 80)
+      base <- Gen.choose(0, 5000)
+    } yield (base until base + n).map(i => s"tok$i").mkString(" ")
+    samples(docGen, 8).zipWithIndex.foreach { case (long1, i) =>
+      val toks = long1.split(" ")
+      val short1 = toks.slice(5, 5 + 12).mkString(" ") // 12 tokens ⊂ long1
+      val filler = (9000 to 9040).map(j => s"z$j").mkString(" ")
+      val cdocs = Seq((1L, long1), (2L, short1), (3L, filler))
+        .toDF("doc_id", "text")
+      val head = Dedup.containmentTopK(cdocs, topK = 1).head()
+      assert((head.getLong(0), head.getLong(1)) == (1L, 2L), s"sample $i")
+      assert(head.getAs[Double]("containment") == 1.0, s"sample $i")
+      // and the removal form drops exactly the contained doc
+      val kept = Dedup.applyContainment(cdocs)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"sample $i kept $kept")
+    }
+  }
 }

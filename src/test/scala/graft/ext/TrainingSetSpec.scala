@@ -40,6 +40,41 @@ class TrainingSetSpec extends SparkSuite {
       s"bins must not exceed budget + one document (${budget + maxDoc})")
   }
 
+  test("packSpans: spans tile each sequence window exactly, straddlers split at the boundary") {
+    val budget = 256L
+    val spans = TrainingSet.packSpans(docs, budget = budget, nShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val packed = TrainingSet.pack(docs, budget = budget, nShards = 4)
+      .filter(col("n_tokens") > 0).as[(Long, Long, Long, Long, Long)].collect()
+    // per-doc span lengths sum to the doc's token count
+    val perDoc = spans.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    packed.foreach { case (id, _, _, n, _) =>
+      assert(perDoc(id) == n, s"doc $id spans sum ${perDoc.get(id)} != $n")
+    }
+    spans.foreach { case (_, _, id, start, len) =>
+      assert(start >= 0 && start < budget && len >= 1 && len <= budget,
+        s"doc $id span ($start, $len) outside window")
+    }
+    // within every (shard, bin), spans are disjoint, contiguous from the
+    // window's first occupied position, and never overflow the window
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((sh, bin), g) =>
+      val sorted = g.sortBy(s => (s._4, s._3))
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 + a._5 == b._4,
+            s"shard $sh bin $bin: gap/overlap between spans $a and $b")
+        case _ =>
+      }
+      assert(sorted.last._4 + sorted.last._5 <= budget)
+      // a non-final window that ends before `budget` can only happen on
+      // the shard's LAST bin (stream exhausted)
+      val maxBin = spans.filter(_._1 == sh).map(_._2).max
+      if (bin < maxBin)
+        assert(sorted.last._4 + sorted.last._5 == budget,
+          s"shard $sh bin $bin underfilled before the last window")
+    }
+  }
+
   test("packBpe: budget unit is the trained tokenizer's count, same prefix-sum contract") {
     val (merges, state) = Bpe.trained(spark, docs, sfDir)
     val out = TrainingSet.packBpe(docs, merges, budget = 256L, nShards = 4)
