@@ -1231,8 +1231,9 @@ object Dedup {
     // pass extra rows into the exact join. Pair fan-out happens
     // INSIDE each array (sorted ids → all C(n,2) ordered pairs via an
     // indexed-lambda cross) — no posting-table self-join.
+    // (no checkpoint: both consumers re-derive it from the
+    // checkpointed stats frame with one cheap filter)
     val multi = stats.filter(col("df") >= 3).select(col("shh"))
-      .localCheckpoint()
     val multiBloom = multi
       .agg(graft.functions.native.bloom_agg(col("shh"), 1L << 20, 1L << 23))
       .head.getAs[Array[Byte]](0)
