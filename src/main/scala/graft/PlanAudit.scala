@@ -23,7 +23,9 @@ object PlanAudit {
         "corpus_source_scorecard", "embed_drift_means",
         "classify_lr_pred", "quality_perplexity_kn", "dedup_embed_cosine",
         "dedup_semantic", "dedup_simhash", "dedup_substring_rewrite",
-        "a9_kmv_distinct", "a13_retention_cohorts", "a14_event_funnel")
+        "a9_kmv_distinct", "a13_retention_cohorts", "a14_event_funnel",
+        "dedup_containment", "dedup_apply_containment",
+        "text_extract_markup", "train_pack_spans")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

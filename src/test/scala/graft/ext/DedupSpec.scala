@@ -396,6 +396,21 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.containmentTopK(cdocs, dfCap = 1, topK = 1).count() == 0L)
   }
 
+  test("containment stats pass plans as a codegen'd primitive HashAggregate") {
+    // the r13 scale lesson pinned: the corpus-wide pass must stay a
+    // primitive count/min/max (HashAggregate, codegen) — a regression
+    // to a corpus-wide collect_list (ObjectHashAggregate) measured
+    // 2-3× the cost at the 100× point
+    val posting = docs.select(col("doc_id"),
+      explode(Dedup.shingleHashes(col("text"), 5)).as("shh"))
+    val stats = posting.groupBy(col("shh"))
+      .agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("applyContainment: subsumed doc dropped, container kept; exact-dup tie keeps min id") {
     val long1 = (1 to 100).map(i => s"w$i").mkString(" ")
     val short1 = (20 to 29).map(i => s"w$i").mkString(" ") // ⊂ long1
