@@ -22,37 +22,87 @@ object Bench {
     * not a stall worth a retry.
     */
   private val retimeMinFloorSec = 0.75
-  /** Wall budget for the whole second pass, so re-timing can never
-    * double the suite cost: outliers are retried in descending
-    * first-pass order (biggest suspected stalls first) until spent.
-    * EVERY retry's wall time counts against the budget, including
-    * failing ones (r12 advice: only successful retries were charged,
-    * so slow failures could blow past the cap).
+  /** Wall budget SHARED by the second and third passes, so re-timing
+    * can never double the suite cost: outliers are retried in
+    * first-pass-start order ([[retryOrder]] — earliest first, for
+    * maximal separation from the stall window that flagged them) until
+    * spent. EVERY retry's wall time counts against the budget,
+    * including failing ones (r12 advice: only successful retries were
+    * charged, so slow failures could blow past the cap).
     */
   private val retimeBudgetSec = 45.0
 
-  /** Per-query seconds from the newest committed `BENCH_r*_builder.json`
-    * (the builder records its own gate-shaped run each round). Absent
-    * file / unparsable content degrade to no history — flat floor.
+  /** Per-query floor history: the per-query MIN over the last TWO
+    * committed `BENCH_r*_builder.json` lines (the builder records its
+    * own gate-shaped run each round). The min-of-two matters: a single
+    * loaded-host builder line (r13's was ~35% hot) would otherwise
+    * inflate every floor by the same factor and under-retime exactly
+    * the regressions the mechanism exists to catch; one clean line in
+    * the window keeps the floors honest. Absent files / unparsable
+    * content degrade to no history — flat floor.
     */
   private def history(): Map[String, Double] =
     try {
-      val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+      val files = Option(new java.io.File("bench_history").listFiles)
+        .getOrElse(Array.empty) ++
+        Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+      val newestTwo = files
         .filter(_.getName.matches("BENCH_r\\d+_builder\\.json"))
-      if (files.isEmpty) Map.empty
-      else {
-        val newest = files.maxBy(f =>
-          "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        .take(2)
+      mergeHistories(newestTwo.toSeq.map { f =>
         val text = new String(
-          java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val qIdx = text.indexOf("\"queries\":{")
         val end = if (qIdx < 0) -1 else text.indexOf('}', qIdx)
-        if (end < 0) Map.empty
+        if (end < 0) Map.empty[String, Double]
         else "\"([^\"]+)\":(-?[0-9.]+)".r
           .findAllMatchIn(text.substring(qIdx + 11, end))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      })
     } catch { case _: Throwable => Map.empty }
+
+  /** Per-query minimum across builder lines; negative entries (recorded
+    * failures) are dropped — a failed run is no evidence of speed.
+    */
+  private[graft] def mergeHistories(hs: Seq[Map[String, Double]]): Map[String, Double] =
+    hs.flatMap(_.toSeq).filter(_._2 > 0)
+      .groupMapReduce(_._1)(_._2)(math.min)
+
+  /** Second-pass retry order: outliers sorted by FIRST-PASS START time,
+    * earliest first — NOT biggest-first. The r13 gate showed why: the
+    * retry pass begins seconds after the first pass ends, so a query
+    * that sat at the END of the first pass gets retried inside the same
+    * host-stall window that inflated it (w5_window_suite: first 12.41 s,
+    * adjacent retry 11.60 s, idle-host truth 0.99 s). Earliest-started
+    * outliers have had the longest separation from their stall window;
+    * late-suite outliers retry LAST, buying them the whole second pass
+    * as separation.
+    */
+  private[graft] def retryOrder(firstPass: Seq[(String, Double, Long)],
+                                floorFor: String => Double): Seq[String] =
+    firstPass.filter { case (n, s, _) => s > floorFor(n) }
+      .sortBy(_._3).map(_._1)
+
+  /** Third-pass candidates: retried queries whose retry improved by
+    * LESS than 20% while still above their floor — the signature of a
+    * retry that ran inside the same stall window as its first pass
+    * (both runs inflated) rather than a genuinely-expensive query
+    * (where the retry confirms the first pass and a third run is
+    * wasted budget... bounded by the shared budget either way). Also
+    * earliest-started first, at the very END of the suite — maximal
+    * separation from any first-pass stall.
+    */
+  private[graft] def thirdPassCandidates(
+      firstPass: Seq[(String, Double, Long)],
+      retried: Map[String, Double],
+      floorFor: String => Double): Seq[String] =
+    firstPass.filter { case (n, first, _) =>
+      retried.get(n).exists { again =>
+        val best = math.min(first, again)
+        best > floorFor(n) && again > 0.8 * first
+      }
+    }.sortBy(_._3).map(_._1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,9 +151,11 @@ object Bench {
         val startMs = System.currentTimeMillis()
         (name, timeOne(name, fn, recordError = true), startMs)
     }
-    // Second pass: re-time outliers, biggest first, within budget; a
-    // query's official number is the min of its passes (a stall can
-    // inflate a run, nothing can deflate one).
+    // Second pass: re-time outliers, EARLIEST-STARTED first (see
+    // retryOrder — a biggest-first retry of a late-suite query runs
+    // seconds after its stalled first pass, inside the same stall
+    // window), within budget; a query's official number is the min of
+    // its passes (a stall can inflate a run, nothing can deflate one).
     val hist = history()
     def floorFor(name: String): Double = hist.get(name) match {
       case Some(h) if h > 0 => math.max(retimeMinFloorSec, 1.3 * h)
@@ -111,13 +163,19 @@ object Bench {
     }
     val retimed = scala.collection.mutable.Map.empty[String, Double]
     var retimeSpent = 0.0
-    for ((name, sec, _) <- firstPass.sortBy(-_._2)
-         if sec > floorFor(name) && retimeSpent < retimeBudgetSec) {
-      val t0 = System.nanoTime()
-      val again = timeOne(name, SparkEntry.queries(name), recordError = false)
-      retimeSpent += (System.nanoTime() - t0) / 1e9 // failures count too
-      if (again >= 0) retimed(name) = again
-    }
+    def retryPass(names: Seq[String]): Unit =
+      for (name <- names if retimeSpent < retimeBudgetSec) {
+        val t0 = System.nanoTime()
+        val again = timeOne(name, SparkEntry.queries(name), recordError = false)
+        retimeSpent += (System.nanoTime() - t0) / 1e9 // failures count too
+        if (again >= 0)
+          retimed(name) = retimed.get(name).fold(again)(math.min(_, again))
+      }
+    retryPass(retryOrder(firstPass, floorFor))
+    // Third pass, at the very end: a retry that barely improved is as
+    // likely a second sample of the SAME stall as a confirmation — one
+    // more attempt after maximal time separation, same shared budget.
+    retryPass(thirdPassCandidates(firstPass, retimed.toMap, floorFor))
     val results = firstPass.map { case (name, sec, _) =>
       val best = retimed.get(name) match {
         case Some(s) if sec >= 0 => math.min(sec, s)
