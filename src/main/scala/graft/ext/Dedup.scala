@@ -569,6 +569,33 @@ object Dedup {
       .agg(graft.functions.native.bloom_agg(col("shh"), expectedItems, numBits).as("sk"))
       .head.getAs[Array[Byte]]("sk")
 
+  /** Cardinality-adaptive Bloom size: ≥ 14 bits per measured distinct
+    * shingle, rounded up to a power of two, floored at the 1 MiB
+    * default. The fixed default is a footgun at scale — measured on the
+    * 100× fixture, 1 MiB over ~5M items ≈ 1.6 bits/item and the
+    * saturated sketch's false positives rejected 99.7% of the corpus.
+    * 14 bits/item ⇒ p(FP) ≈ 1e-3 per probe; the power-of-two round-up
+    * can only lower it.
+    */
+  def adaptiveBloomBits(nShingles: Long): Long =
+    math.max(1L << 23,
+      java.lang.Long.highestOneBit(14L * math.max(nShingles, 1L)) << 1)
+
+  /** [[benchmarkSketch]] sized from the benchmark's own measured shingle
+    * cardinality (one approx-distinct aggregate over the benchmark side,
+    * at build time) — the sizing discipline of the ingest-time
+    * decontamination gate. Error stays one-sided (over-removal only) at
+    * ANY size; the adaptive size keeps the over-removal rate ~1e-3.
+    */
+  def adaptiveBenchmarkSketch(benchmark: DataFrame, w: Int = 5): Array[Byte] = {
+    val nSh = benchmark
+      .select(explode(shingleHashes(col("text"), w)).as("shh"))
+      .agg(approx_count_distinct(col("shh"))).head.getLong(0)
+    benchmarkSketch(benchmark, w,
+      expectedItems = math.max(nSh, 1L << 10),
+      numBits = adaptiveBloomBits(nSh))
+  }
+
   /** [[removeContaminated]] served from a [[benchmarkSketch]]: the
     * corpus explodes to 8-byte shingle hashes, the codegen'd Bloom probe
     * filters BEFORE any shuffle (only probable hits reach the distinct),
@@ -1128,9 +1155,15 @@ object Dedup {
                       topK: Int = 25, preRank: Int = 300): DataFrame = {
     val (sets, scored) = containmentCandidates(docs, w, dfCap)
     val cand = scored
-      // TakeOrderedAndProject: per-partition heaps, no global sort
+      // TakeOrderedAndProject: per-partition heaps, no global sort.
+      // Estimate ties break by n_shared_rare DESC before ids: estimate
+      // 1.0 is the common value for the whole containment head (every
+      // true subset pair), and an id-ordered cutoff there could drop a
+      // large true-top-K pair in favor of a low-id 2-shingle one —
+      // larger shared sets are strictly better evidence at equal
+      // estimate, so they survive the preRank cut first.
       .orderBy((col("n_shared_rare").cast("double") / least(col("ra"), col("rb"))).desc,
-        col("a_id").asc, col("b_id").asc)
+        col("n_shared_rare").desc, col("a_id").asc, col("b_id").asc)
       .limit(preRank)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint()
@@ -1152,6 +1185,21 @@ object Dedup {
     * container itself lost a different pair, which only over-removes
     * subsumed content, never loses unique content beyond the
     * threshold's intent. Exactly replayable in SQL.
+    *
+    * `dfCap` is a SEMANTIC parameter, not just a fan-out bound: a pair
+    * REACHABLE ONLY through shingles with df > dfCap — e.g. a subset
+    * pair inside a duplicate cluster with more than dfCap copies, where
+    * every shared shingle occurs in every copy — generates zero
+    * candidates and both docs are KEPT, while an exact all-pairs
+    * evaluation would drop the subsumed side. That is the deliberate
+    * trade (a df-D shingle alone fans out C(D,2) pairs — the all-pairs
+    * product through boilerplate n-grams); for >dfCap-copy clusters the
+    * EXACT dedup family (`dedupExact`, whole-text hash) is the right
+    * operator, since such clusters are near-identical texts by
+    * construction. Pinned by `DedupSpec`'s "df-cap semantics" test:
+    * oracle equivalence on a fixture holds because the fixture's
+    * containment pairs share rare (df ≤ cap) shingles — a corpus
+    * violating that assumption needs the exact-dedup pass first.
     */
   def applyContainment(docs: DataFrame, w: Int = 5, dfCap: Int = 64,
                        minContainment: Double = 0.9): DataFrame = {

@@ -30,6 +30,31 @@ object StreamQueries {
     p.toString
   }
 
+  // decontamination-sketch memo: the adaptively-sized benchmark Bloom,
+  // keyed on (app, fixture, w) + the benchmark slice's content
+  // fingerprint — a mutated fixture re-sizes and re-builds; an
+  // unchanged one pays only the fingerprint scan per serve. No pinned
+  // frames (the value is driver-side bytes).
+  private val deconMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ext.ServingMemo.Entry[Array[Byte]]]
+
+  /** The ingest-gate's benchmark sketch, built once per (benchmark
+    * fingerprint, w): sizing measured from the benchmark's shingle
+    * cardinality (see [[graft.ext.Dedup.adaptiveBenchmarkSketch]]).
+    * Warm primes this memo so the gate's timed window measures only the
+    * streamed probe, per the house cold-builds-to-build_sec rule.
+    */
+  private[graft] def deconSketch(s: SparkSession, d: String, w: Int = 5): Array[Byte] = {
+    val bench = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val fp = graft.ext.Artifact.fingerprint(bench, col("doc_id"), col("text"))
+    graft.ext.ServingMemo.cached(deconMemo,
+      s"${s.sparkContext.applicationId}#$d#w=$w", fp) {
+      graft.ext.ServingMemo.Entry(
+        graft.ext.Dedup.adaptiveBenchmarkSketch(bench, w), Nil)
+    }
+  }
+
   private val CuratedValueSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -587,22 +612,12 @@ object StreamQueries {
     // is batching-invariant, so it hash-matches the batch
     // decontamination answer (same oracle as `decontaminate_bloom`).
     "stream_decon_corpus" -> ((s, d) => {
-      val bench = Tables.documents(s, d)
-        .filter(pmod(col("doc_id"), lit(10)) === 0)
-      // The artifact build SIZES the sketch from the benchmark's
-      // measured shingle cardinality (~14 bits/item → p(FP) ≈ 1e-3
-      // per probe): a fixed-size sketch quietly saturates when the
-      // benchmark grows — measured on the 100× fixture, the 1 MiB
-      // default hit ~5M items ≈ 1.6 bits/item and its false positives
-      // rejected 99.7% of the corpus. One extra aggregate pass over
-      // the (small) benchmark side, once, at artifact build time.
-      val nSh = bench
-        .select(explode(graft.ext.Dedup.shingleHashes(col("text"), 5)).as("shh"))
-        .agg(approx_count_distinct(col("shh"))).head.getLong(0)
-      val numBits = math.max(1L << 23,
-        java.lang.Long.highestOneBit(14L * math.max(nSh, 1L)) << 1)
-      val sk = graft.ext.Dedup.benchmarkSketch(bench,
-        expectedItems = math.max(nSh, 1L << 10), numBits = numBits)
+      // The sketch is a static batch-side ARTIFACT — built once per
+      // (benchmark fingerprint, w) via the session memo (the LM/NB
+      // serving-memo discipline) and served to every invocation; its
+      // cardinality-measurement pass + Bloom build are a cold build
+      // cost, charged to Warm/build_sec, not to the timed gate.
+      val sk = deconSketch(s, d)
       val out = scratchDir("graft-decon-sink")
       val ckpt = scratchDir("graft-decon-ckpt")
       val corpus = documentsStream(s, d)
@@ -772,8 +787,16 @@ object StreamQueries {
     "stream_kmv_daily" -> KmvDailyOracle,
     "stream_kmv_update" -> KmvDailyOracle,
     "stream_cms_update" -> CmsDailyOracle,
-    // the ingest-time gate is per-doc deterministic, so the streamed
-    // corpus equals the batch decontamination answer — same oracle
+    // The ingest-time gate is per-doc deterministic, so the streamed
+    // corpus equals the batch decontamination answer — same oracle.
+    // NOTE the oracle is the EXACT-join answer: equality holds because
+    // zero Bloom false positives occur at the gated fixture scales
+    // (p(FP) ≈ 1e-3–1e-4 per probe at the adaptive ≥14-bits/item
+    // sizing) — EMPIRICAL at fixture scale, not guaranteed. The
+    // guaranteed direction is superset-of-removal only, pinned for the
+    // adaptive sizing by BloomDeconSpec; a fixture growth or
+    // hash-family change that flips a probe shows up here as a
+    // hash/row mismatch, by design.
     "stream_decon_corpus" -> graft.ext.ExtQueries.oracles("decontaminate_bloom"),
     "stream_value_quantiles" -> ValueQuantilesOracle,
     "stream_quantiles_update" -> ValueQuantilesOracle,

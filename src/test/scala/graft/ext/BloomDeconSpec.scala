@@ -62,4 +62,35 @@ class BloomDeconSpec extends SparkSuite {
     val b = Dedup.benchmarkSketch(bench)
     assert(java.util.Arrays.equals(a, b))
   }
+
+  test("adaptive sizing: >= 14 bits/item, power of two, 1 MiB floor") {
+    // tiny benchmarks sit on the floor
+    assert(Dedup.adaptiveBloomBits(1L) == (1L << 23))
+    assert(Dedup.adaptiveBloomBits(100000L) == (1L << 23))
+    // the r13 saturation case: ~5M items must get >= 14 bits each (the
+    // fixed 1 MiB default gave 1.6 and rejected 99.7% of the corpus)
+    val bits5M = Dedup.adaptiveBloomBits(5000000L)
+    assert(bits5M >= 14L * 5000000L)
+    assert(java.lang.Long.bitCount(bits5M) == 1, s"power of two: $bits5M")
+    // round-up never exceeds 2x the 14-bits/item target
+    assert(bits5M < 28L * 5000000L)
+  }
+
+  test("adaptive sketch keeps the one-sided error contract") {
+    // the streaming gate's sizing path, batch twin: removal through the
+    // adaptively-sized sketch must be a superset of exact removal (kept
+    // is a subset of exact kept), whatever size the measurement picks —
+    // this is the GUARANTEED relation; equality to the exact oracle at
+    // the gated fixture scales is empirical (zero FPs observed), which
+    // the oracle note on stream_decon_corpus declares.
+    val sk = Dedup.adaptiveBenchmarkSketch(bench)
+    assert(sk != null)
+    val kept = corpus.filter(!exists(Dedup.shingleHashes(col("text"), 5),
+        h => graft.functions.native.bloom_might_contain(sk, h)))
+      .select("doc_id").as[Long].collect().toSet
+    val exactKept = Dedup.removeContaminated(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(exactKept))
+    assert(!kept.contains(2L), "contaminated doc must never survive")
+  }
 }

@@ -411,6 +411,50 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("df-cap semantics: pairs reachable only via df>cap shingles are kept") {
+    // a duplicate cluster LARGER than dfCap: every shared shingle
+    // occurs in every copy (df = copies > cap), so candidate
+    // generation sees nothing and applyContainment keeps the whole
+    // cluster — the documented semantic trade (such clusters belong to
+    // exact dedup, which catches them by whole-text hash). Raising the
+    // cap above the cluster size flips the semantics: pairs appear and
+    // the losers drop.
+    val text = (1 to 40).map(i => s"c$i").mkString(" ")
+    val cluster = (1L to 10L).map(i => (i, text))
+    val cdocs = (cluster :+ ((99L, (900 to 950).map(i => s"z$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val keptCapped = Dedup.applyContainment(cdocs, dfCap = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptCapped == (1L to 10L).toSet + 99L,
+      "df=10 > cap=8: zero candidates, every copy kept")
+    assert(Dedup.containmentTopK(cdocs, dfCap = 8).count() == 0L)
+    val keptOpen = Dedup.applyContainment(cdocs, dfCap = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptOpen == Set(1L, 99L),
+      "df=10 <= cap=16: mutual containment, min id survives")
+    // and the exact family is the operator that DOES catch the capped
+    // cluster — whole-text hash needs no shingle discovery
+    val exactKeep = Dedup.exact(cdocs)
+      .select("keep_doc_id").as[Long].collect().toSet
+    assert(exactKeep == Set(1L, 99L))
+  }
+
+  test("pre-rank estimate ties break by shared-set size, not id") {
+    // two true-subset pairs, both estimate exactly 1.0: (1,2) shares 5
+    // rare shingles, (3,4) shares 25. With preRank = 1 the id-ordered
+    // tie-break would keep (1,2) and silently drop the stronger pair;
+    // the n_shared_rare tie-break must keep (3,4).
+    val cdocs = Seq(
+      (1L, (1 to 20).map(i => s"x$i").mkString(" ")),
+      (2L, (1 to 9).map(i => s"x$i").mkString(" ")),   // 5 shingles, all shared
+      (3L, (1 to 40).map(i => s"y$i").mkString(" ")),
+      (4L, (1 to 29).map(i => s"y$i").mkString(" "))   // 25 shingles, all shared
+    ).toDF("doc_id", "text")
+    val top = Dedup.containmentTopK(cdocs, topK = 5, preRank = 1).collect()
+    assert(top.length == 1)
+    assert((top.head.getLong(0), top.head.getLong(1)) == (3L, 4L))
+  }
+
   test("applyContainment: subsumed doc dropped, container kept; exact-dup tie keeps min id") {
     val long1 = (1 to 100).map(i => s"w$i").mkString(" ")
     val short1 = (20 to 29).map(i => s"w$i").mkString(" ") // ⊂ long1
