@@ -46,6 +46,14 @@ object Warm {
     Dedup.ensureBandIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
       s"${Artifact.root(d)}/bandindex")
+    // containment index twins: full corpus (serves dedup_containment /
+    // dedup_apply_containment) and the %10≠0 slice (the indexed corpus
+    // dedup_containment_incr probes) — the posting-stats exchange runs
+    // here, once, not per query
+    Dedup.ensureContainment(spark, docs, s"${Artifact.root(d)}/containment")
+    Dedup.ensureContainment(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      s"${Artifact.root(d)}/containment_corpus")
     graft.ext.TrainingSet.writeShards(spark, docs, s"${Artifact.root(d)}/shards")
     graft.ext.LanguageModel.ensureLm(spark, docs, s"${Artifact.root(d)}/unigram_lm")
     graft.ext.LanguageModel.ensureLm(spark, docs.filter(col("lang") === "en"),

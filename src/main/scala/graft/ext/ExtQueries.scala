@@ -89,21 +89,46 @@ object ExtQueries {
     // ranked by |A∩B| / min(|A|,|B|) over 5-gram shingles (the
     // decontamination granularity — distinctive phrases, not w=3
     // function-word collocations). Candidates come from a df-capped
-    // shingle posting join — NOT minhash bands, which structurally
+    // shingle posting pass — NOT minhash bands, which structurally
     // miss short-inside-long pairs (Jaccard → 0 while containment =
-    // 1.0); the reported score is exact.
-    "dedup_containment" -> ((s, d) =>
-      Dedup.containmentTopK(Tables.documents(s, d))
-        .orderBy(col("containment").desc, col("a_id"), col("b_id"))),
+    // 1.0); the reported score is exact. Served from the persisted
+    // containment artifact (r14): the posting-stats exchange runs once
+    // at build, both containment queries read the stored candidate set.
+    "dedup_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Dedup.ensureContainment(s, docs, s"${Artifact.root(d)}/containment")
+      Dedup.containmentTopKStored(s, docs, dir)
+        .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+    }),
 
     // The removal form of containment: the corpus with every
     // subsumed document dropped (loser = smaller shingle set; mutual
     // containment keeps the smaller doc_id) — subset removal that
-    // hash dedup, MinHash, and paragraph dedup each miss.
-    "dedup_apply_containment" -> ((s, d) =>
-      Dedup.applyContainment(Tables.documents(s, d))
+    // hash dedup, MinHash, and paragraph dedup each miss. Same
+    // persisted artifact as dedup_containment.
+    "dedup_apply_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Dedup.ensureContainment(s, docs, s"${Artifact.root(d)}/containment")
+      Dedup.applyContainmentStored(s, docs, dir)
         .select(col("doc_id"), col("n_chars"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental containment admission: the %10==0 slice plays
+    // "tonight's batch" against the indexed rest-of-corpus — batch
+    // shingles probe the PERSISTED shingle map (Bloom-prefiltered map
+    // scan, stored id-set fan-out), so nothing corpus-sized is
+    // re-shingled at admission time. The dedup_incremental analog for
+    // the quote/subset relation.
+    "dedup_containment_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val dir = Dedup.ensureContainment(s, corpus,
+        s"${Artifact.root(d)}/containment_corpus")
+      Dedup.incrementalContainment(s, batch, corpus, dir, minContainment = 0.5)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
 
     // Embedding-cosine near-dup pairs: md5-integer SRP candidate
     // buckets + exact micro-unit cosine, so the DuckDB oracle replays
@@ -324,6 +349,21 @@ object ExtQueries {
       Multimodal.sampleFrames(Multimodal.withFakeMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("frame"), length(col("frame_bytes")).as("frame_len"))
         .orderBy(col("doc_id"), col("frame"))),
+
+    // Multimodal: the SECOND real decode — binary audio column → strict
+    // RIFF/PCM parse (channels / sample rate / frame count recovered
+    // from the payload bytes with every derived header field
+    // cross-checked) → one-pass integer sample stats, all inside one
+    // codegen'd kernel call per row; the oracle replays the generative
+    // sample formula, so a hash match certifies the decode end to end.
+    "audio_decode_stats" -> ((s, d) =>
+      Multimodal.audioStats(Multimodal.withFakeAudio(Tables.documents(s, d)))
+        .select(Seq(col("doc_id"), col("n_channels"), col("sample_rate"),
+          col("n_frames"), col("duration_ms"), col("c0_sum"),
+          col("all_sum"), col("peak")) ++
+          (0 until graft.functions.WavKernel.HistBins).map(i =>
+            element_at(col("hist"), i + 1).as(f"h$i%02d")): _*)
+        .orderBy(col("doc_id"))),
 
     // End-to-end corpus preparation: quality filter → deterministic
     // sample → normalize → chunk → per-language accounting. The whole
@@ -1549,6 +1589,45 @@ object ExtQueries {
         |    AS mean_val
         |FROM t GROUP BY 1, 2 ORDER BY doc_id, tile""".stripMargin,
 
+    // The REAL WAV decode, hash-verified like mm_decode_features: the
+    // oracle replays the GENERATIVE sample formula (sample k =
+    // ((doc_id + k·2654435761) mod 65536) − 32768 over frames·channels
+    // samples — Multimodal.withFakeAudio / WavKernel.synth) while the
+    // Spark side recovers the same numbers by PARSING the RIFF payload
+    // bytes. duration_ms is truncating integer division of positive
+    // longs (identical in both engines); histogram bins are
+    // (v + 32768) div 4096 over nonnegative values.
+    "audio_decode_stats" -> {
+      val bins = (0 until 16).map(i =>
+        f"  CAST(SUM(CASE WHEN (v + 32768) // 4096 = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i%02d")
+        .mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
+         |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels,
+         |    ((doc_id + 5) * 2654435761 % 4294967296 % 2 + 1) * 8000 AS rate
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, frames, channels, rate,
+         |    unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
+         |  FROM m
+         |), v AS (
+         |  SELECT doc_id, frames, channels, rate, k,
+         |    (doc_id + k * 2654435761) % 65536 - 32768 AS v
+         |  FROM s
+         |)
+         |SELECT doc_id,
+         |  CAST(channels AS BIGINT) AS n_channels,
+         |  CAST(rate AS BIGINT) AS sample_rate,
+         |  CAST(frames AS BIGINT) AS n_frames,
+         |  CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+         |  CAST(SUM(CASE WHEN k % channels = 0 THEN v ELSE 0 END) AS BIGINT) AS c0_sum,
+         |  CAST(SUM(v) AS BIGINT) AS all_sum,
+         |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+         |$bins
+         |FROM v GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin
+    },
+
     // Multimodal metadata stages: the fake-media metadata is portable
     // integer arithmetic (see Multimodal.withFakeMedia), so the
     // metadata-only resize and the frame sampler are exactly
@@ -1655,6 +1734,28 @@ object ExtQueries {
         |LEFT JOIN losers l USING (doc_id)
         |WHERE l.doc_id IS NULL
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Incremental containment replayed exactly: all (batch, corpus)
+    // pairs at the same threshold. The Spark side discovers candidates
+    // through the stored df-capped shingle map; it matches the exact
+    // answer because a ≥0.5-containment pair shares at least half the
+    // smaller side's shingles, whose corpus-df on this fixture stays
+    // under the cap (the documented dfCap semantics).
+    "dedup_containment_incr" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |    CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |      least(len(b.s), len(c.s)) AS containment
+        |  FROM sh b JOIN sh c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |)
+        |SELECT new_id, corpus_id, containment FROM pairs
+        |WHERE containment >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     // Language-ID argmax: Spark's array_max over struct(score, lang)
     // breaks ties toward the lexicographically LAST lang, so the CASE

@@ -16,8 +16,13 @@ import org.apache.spark.sql.types._
   * PPM needs no codec library (pure public-knowledge byte arithmetic),
   * and because the raster is generated from a deterministic integer
   * formula, a SQL oracle replaying the formula hash-verifies what the
-  * decoder recovers from the payload. A compressed codec (JPEG/FLAC/…)
-  * would swap the kernel body, not the dataflow.
+  * decoder recovers from the payload. AUDIO gets the same treatment:
+  * [[withFakeAudio]]/[[audioStats]] synth and parse a canonical 16-bit
+  * PCM WAV byte-for-byte ([[graft.functions.WavKernel]] — RIFF header
+  * fields cross-checked, little-endian sample fold). Video remains
+  * frame-sample plumbing over opaque payloads ([[sampleFrames]]) — the
+  * one modality here without a real codec. A compressed codec
+  * (JPEG/FLAC/…) would swap the kernel body, not the dataflow.
   *
   * Scale notes (100 TB): media bytes dominate storage — keep them in
   * their own parquet column (or external object store with a path
@@ -57,6 +62,46 @@ object Multimodal {
         col("doc_id"), col("width"), col("height")).as("media"),
       lit("image/x-portable-pixmap").as("format"),
       col("width"), col("height"), col("nFrames"))
+
+  /** Audio twin of [[withFakeMedia]]: a REAL canonical 16-bit PCM WAV
+    * payload per document ([[graft.functions.WavKernel.synth]]: 44-byte
+    * RIFF/fmt/data header, then `frames·channels` little-endian int16
+    * samples `((doc_id + k·2654435761) mod 65536) − 32768`); frame
+    * count / channel count / sample rate come from the same
+    * multiplicative metadata hash family, so every field the DECODER
+    * recovers is replayable in ANSI SQL.
+    */
+  def withFakeAudio(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      (metaHash(3) % 2048 + lit(256)).cast("int").as("frames"),
+      (metaHash(4) % 2 + lit(1)).cast("int").as("channels"),
+      ((metaHash(5) % 2 + lit(1)) * lit(8000)).cast("int").as("sampleRate"))
+    .select(
+      col("doc_id"),
+      graft.functions.native.wav_synth(col("doc_id"), col("frames"),
+        col("channels"), col("sampleRate")).as("media"),
+      lit("audio/x-wav").as("format"))
+
+  /** Audio decode + feature-extract stage, mirroring [[decodeStats]]:
+    * a REAL RIFF/PCM parse — channel count, sample rate, and frame
+    * count come from the payload BYTES with every derived header field
+    * cross-checked — plus one-pass integer sample stats (channel-0 and
+    * all-channel sums, peak amplitude, 16-bin amplitude histogram,
+    * integral duration), in a single codegen'd kernel call per row.
+    * Malformed payloads decode to a NULL struct (quarantine rows,
+    * never a stage failure).
+    */
+  def audioStats(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+        graft.functions.native.wav_decode_stats(col("media")).as("d"))
+      .select(col("doc_id"),
+        col("d.n_channels").as("n_channels"),
+        col("d.sample_rate").as("sample_rate"),
+        col("d.n_frames").as("n_frames"),
+        col("d.duration_ms").as("duration_ms"),
+        col("d.c0_sum").as("c0_sum"), col("d.all_sum").as("all_sum"),
+        col("d.peak").as("peak"), col("d.hist").as("hist"))
 
   // staged media-fixture memo: one write per (app, fixture dir); the
   // binary-source query measures the SCAN, the staging is a fixture

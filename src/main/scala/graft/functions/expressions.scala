@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.bridge
 import org.apache.spark.sql.types._
@@ -1268,6 +1268,83 @@ case class PpmTileMeans(child: Expression, gridW: Int, gridH: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic canonical-WAV payload synthesis — the fixture side of
+  * the real audio decode: a well-formed 44-byte RIFF/PCM header plus
+  * little-endian int16 samples with sample k =
+  * `((doc_id + k·2654435761) mod 65536) − 32768`, all long arithmetic a
+  * SQL oracle replays exactly ([[WavKernel.synth]]).
+  */
+case class WavSynth(first: Expression, second: Expression,
+                    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (LongType, IntegerType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "wav_synth expects (bigint doc_id, int frames, int channels, " +
+            s"int sample_rate), got ($a, $b, $c, $d)")
+    }
+
+  override def nullSafeEval(d: Any, f: Any, c: Any, r: Any): Any =
+    WavKernel.synth(d.asInstanceOf[Long], f.asInstanceOf[Int],
+      c.asInstanceOf[Int], r.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, f, c, r) =>
+      s"${ev.value} = graft.functions.WavKernel.synth($d, $f, $c, $r);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** REAL WAV decode + integer sample stats in one codegen'd call per
+  * row: parses the header BYTES (RIFF magic, PCM fmt fields, derived
+  * byte rate / block align / data length all cross-checked) and folds
+  * the sample stream into `struct(n_channels, sample_rate, n_frames,
+  * duration_ms, c0_sum, all_sum, peak, hist[16])` —
+  * [[WavKernel.decode]]. NULL (not an error) for malformed payloads:
+  * the cast-or-null quarantine discipline, same as [[PpmDecodeStats]].
+  */
+case class WavDecodeStats(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("c0_sum", LongType, nullable = false),
+    StructField("all_sum", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wav_decode_stats expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WavKernel.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.WavKernel.decode($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-facing API for the native expressions. */
 object native {
   private def toCol(e: Expression): Column = bridge.toColumn(e)
@@ -1357,6 +1434,16 @@ object native {
   /** Half-up integral tile means over a decoded P6 raster. */
   def ppm_tile_means(media: Column, gridW: Int, gridH: Int): Column =
     toCol(PpmTileMeans(ex(media), gridW, gridH))
+
+  /** Deterministic well-formed canonical WAV (16-bit PCM) payload. */
+  def wav_synth(docId: Column, frames: Column, channels: Column,
+                sampleRate: Column): Column =
+    toCol(WavSynth(ex(docId), ex(frames), ex(channels), ex(sampleRate)))
+
+  /** Real WAV header parse + one-pass integer sample stats; NULL for
+    * malformed payloads.
+    */
+  def wav_decode_stats(media: Column): Column = toCol(WavDecodeStats(ex(media)))
 
   /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
     * column: Spark's own `BloomFilterAggregate` (the engine's

@@ -134,6 +134,93 @@ class MultimodalSpec extends SparkSuite {
     assert(out.filter(length(col("frame_bytes")) === 0).isEmpty)
   }
 
+  /** The generative WAV sample formula, recomputed independently of
+    * the kernel: sample k = ((doc_id + k·2654435761) mod 65536) − 32768.
+    */
+  private def expectedAudio(docId: Long, frames: Int, channels: Int)
+      : (Long, Long, Long, Array[Long]) = {
+    var c0 = 0L; var all = 0L; var peak = 0L
+    val hist = new Array[Long](graft.functions.WavKernel.HistBins)
+    var k = 0
+    val n = frames * channels
+    while (k < n) {
+      val v = ((docId + k * 2654435761L) % 65536L) - 32768L
+      all += v
+      if (k % channels == 0) c0 += v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      hist(((v + 32768L) >> 12).toInt) += 1
+      k += 1
+    }
+    (c0, all, peak, hist)
+  }
+
+  test("wav round-trip: synth → decode recovers header fields and formula stats") {
+    import graft.functions.WavKernel
+    for ((id, frames, ch, rate) <- Seq((0L, 1, 1, 8000), (7L, 300, 2, 16000),
+        (123456L, 2303, 1, 44100))) {
+      val row = WavKernel.decode(WavKernel.synth(id, frames, ch, rate))
+      assert(row != null, s"well-formed payload rejected: id=$id")
+      assert(row.getLong(0) == ch.toLong && row.getLong(1) == rate.toLong &&
+        row.getLong(2) == frames.toLong)
+      assert(row.getLong(3) == frames.toLong * 1000L / rate)
+      val (c0, all, peak, hist) = expectedAudio(id, frames, ch)
+      assert((row.getLong(4), row.getLong(5), row.getLong(6)) == ((c0, all, peak)))
+      assert(row.getArray(7).toLongArray().toSeq == hist.toSeq)
+      assert(hist.sum == frames.toLong * ch)
+    }
+  }
+
+  test("wav decode: malformed payloads quarantine as NULL, never fail") {
+    import graft.functions.WavKernel
+    val good = WavKernel.synth(1L, 4, 2, 8000)
+    def mut(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      ("bad RIFF magic", mut(0, 'X')),
+      ("bad WAVE magic", mut(8, 'X')),
+      ("non-PCM format", mut(20, 2)),
+      ("bits != 16", mut(34, 8)),
+      ("inconsistent byte rate", mut(28, 1)),
+      ("inconsistent block align", mut(32, 1)),
+      ("truncated data", good.dropRight(1)),
+      ("oversized data", good :+ 0.toByte),
+      ("header only", good.take(44).clone()), // data len now inconsistent
+      ("empty", Array.empty[Byte]))
+    cases.foreach { case (why, b) =>
+      assert(WavKernel.decode(b) == null, s"kernel accepted: $why")
+    }
+    val df = (cases.map(_._2) :+ good).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("doc_id", "media")
+    val decoded = df.select(col("doc_id"),
+      graft.functions.native.wav_decode_stats(col("media")).as("d"))
+    assert(decoded.filter(col("d").isNull).count() == cases.length.toLong)
+    assert(decoded.filter(col("d").isNotNull).count() == 1L)
+  }
+
+  test("audio stage: decoded header fields match the synth metadata per doc") {
+    val audio = Multimodal.withFakeAudio(Tables.documents(spark, sfDir))
+    val out = Multimodal.audioStats(audio).orderBy(col("doc_id")).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      def metaHash(k: Int): Long = (id + k) * 2654435761L % 4294967296L
+      assert(r.getLong(1) == metaHash(4) % 2 + 1, s"channels: $r")
+      assert(r.getLong(2) == (metaHash(5) % 2 + 1) * 8000L, s"rate: $r")
+      assert(r.getLong(3) == metaHash(3) % 2048 + 256, s"frames: $r")
+      assert(r.getLong(4) == r.getLong(3) * 1000L / r.getLong(2))
+    }
+    out.take(3).foreach { r =>
+      val (c0, all, peak, hist) =
+        expectedAudio(r.getLong(0), r.getLong(3).toInt, r.getLong(1).toInt)
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((c0, all, peak)))
+      assert(r.getSeq[Long](8) == hist.toSeq)
+    }
+    // mono docs: channel-0 sum IS the all-channel sum
+    out.filter(_.getLong(1) == 1L).take(5)
+      .foreach(r => assert(r.getLong(5) == r.getLong(6)))
+  }
+
   test("metadata-only stages do not carry the payload column") {
     val resized = Multimodal.resizeMeta(media, 48)
       .select("doc_id", "out_width", "out_height")
