@@ -305,6 +305,42 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination (paraphrase-robust): the shingle
+    // exact/Bloom decon family passes a reworded benchmark item; its
+    // embedding does not move. Cross-side (corpus × benchmark)
+    // candidates from md5-integer SRP buckets — the benchmark bucket
+    // table broadcasts, the corpus never shuffles — scored with the
+    // exact micro-unit cosine; top-25 report, both stages replayed
+    // bit-for-bit by the oracle.
+    "decon_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticContamination(
+          emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(10)) =!= 0))
+        .orderBy(col("cos").desc, col("corpus_id"), col("bench_id"))
+        .limit(25)
+    }),
+
+    // The removal form: corpus embeddings within the cosine radius of
+    // any benchmark embedding are dropped (flagged docs carry an exact
+    // verified cosine — SRP can only miss a borderline pair, never
+    // flag an unrelated one). The fixture radius (0.4) is demonstrative
+    // — this synthetic corpus plants no cross-split paraphrases, so it
+    // exercises the pipeline on the highest organic matches; production
+    // radii sit at ≥0.9, where SRP bucket collision is near-certain
+    // (SimilaritySpec plants a cos≈0.999 paraphrase and asserts it is
+    // caught). The oracle replays BOTH candidate generation and
+    // scoring, so the gate is exact at any radius.
+    "decon_semantic_apply" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.removeSemanticContamination(
+          emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+          radius = 0.4)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding L2-normalization, projected to scalars (norm + first
     // component) so a generic checker can sort/hash the output.
     "embed_normalize" -> ((s, d) =>
@@ -931,6 +967,61 @@ object ExtQueries {
     * same decimal-mean round-6 centroid contract, same empty-cluster
     * retention (LEFT JOIN + COALESCE).
     */
+  /** Shared CTE prefix of the semantic-decontamination oracles: micro
+    * units, md5-integer SRP planes/buckets (the dedup_embed_cosine
+    * derivation, with the plane count `hh` derived from the benchmark
+    * cardinality by the same pure-integer search the Spark side runs —
+    * smallest h ≥ 6 with 2^h·2 ≥ |bench|), cross-side candidates
+    * (corpus %10<>0 × benchmark %10=0), and the exact integer dot/norm
+    * sums. Ends after `dp` — consumers append either the scored SELECT
+    * or further CTEs (prefixed with a comma).
+    */
+  private val SemDeconSql: String =
+    """WITH hc AS (
+      |  SELECT MIN(p) AS hh FROM generate_series(6, 30) AS gs(p)
+      |  WHERE (CAST(1 AS BIGINT) << p) * 2 >=
+      |    (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)
+      |), e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), u AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(v[i+1] AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xu
+      |  FROM e CROSS JOIN generate_series(0, 63) AS g(i)
+      |), pl AS (
+      |  SELECT t, p, i,
+      |    (strpos('0123456789abcdef', substr(md5(
+      |       CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' ||
+      |       CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(md5(
+      |       CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' ||
+      |       CAST(i AS VARCHAR)), 2, 1)) - 1 - 128 AS c
+      |  FROM generate_series(0, 3) AS gt(t)
+      |  CROSS JOIN generate_series(0, 29) AS gp(p)
+      |  CROSS JOIN generate_series(0, 63) AS gi(i)
+      |  JOIN hc ON p < hc.hh
+      |), dots AS (
+      |  SELECT u.vec_id, pl.t, pl.p, SUM(pl.c * u.xu) AS s
+      |  FROM u JOIN pl ON pl.i = u.i GROUP BY 1, 2, 3
+      |), bk AS (
+      |  SELECT vec_id, t,
+      |    SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
+      |  FROM dots GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS corpus_id, b.vec_id AS bench_id
+      |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+      |  WHERE a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+      |), dp AS (
+      |  SELECT c.corpus_id, c.bench_id,
+      |    SUM(uc.xu * ub.xu) AS num,
+      |    SUM(uc.xu * uc.xu) AS cn,
+      |    SUM(ub.xu * ub.xu) AS bn
+      |  FROM cand c
+      |  JOIN u uc ON uc.vec_id = c.corpus_id
+      |  JOIN u ub ON ub.vec_id = c.bench_id AND ub.i = uc.i
+      |  GROUP BY 1, 2
+      |)
+      |""".stripMargin
+
   private val kmeansSql: String =
     """WITH emb AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1348,6 +1439,35 @@ object ExtQueries {
         |FROM dp
         |ORDER BY cos DESC, a_id, b_id
         |LIMIT 25""".stripMargin,
+
+    // Semantic decontamination replayed like dedup_embed_cosine, with
+    // asymmetric sides: md5-integer SRP buckets rebuilt in SQL,
+    // cross-side (corpus % 10 <> 0) × (benchmark % 10 = 0) candidates
+    // from bucket equality, exact micro-unit cosine — candidate
+    // generation and scoring both bit-for-bit.
+    "decon_semantic" -> (SemDeconSql +
+      """SELECT corpus_id, bench_id,
+        |  CASE WHEN cn = 0 OR bn = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(num AS DOUBLE) /
+        |            (sqrt(CAST(cn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
+        |  END AS cos
+        |FROM dp
+        |ORDER BY cos DESC, corpus_id, bench_id
+        |LIMIT 25""".stripMargin),
+
+    // The removal form at radius 0.4: survivors = corpus vec_ids whose
+    // every SRP-candidate cosine stays below the radius.
+    "decon_semantic_apply" -> (SemDeconSql.stripSuffix("\n") +
+      """, flagged AS (
+        |  SELECT DISTINCT corpus_id FROM dp
+        |  WHERE cn <> 0 AND bn <> 0
+        |    AND CAST(num AS DOUBLE) /
+        |        (sqrt(CAST(cn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) >= 0.4
+        |)
+        |SELECT e.vec_id FROM embeddings e
+        |LEFT JOIN flagged f ON e.vec_id = f.corpus_id
+        |WHERE e.vec_id % 10 <> 0 AND f.corpus_id IS NULL
+        |ORDER BY e.vec_id""".stripMargin),
 
     // kmeansSql's a2 assignment (identical fit to cluster_kmeans_*) as
     // the SemDeDup quantizer, then within-cluster micro-unit cosine —

@@ -521,6 +521,84 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** Semantic decontamination — the paraphrase-robust complement of the
+    * shingle-exact/Bloom decon family: a benchmark item REWORDED into the
+    * training corpus shares no 5-grams (the exact gate passes it) but its
+    * embedding stays within a small cosine radius of the original. Finds
+    * (corpus, benchmark, cos) pairs via md5-integer SRP buckets — the
+    * benchmark side's bucket table is eval-suite-sized and BROADCASTS, so
+    * candidate generation is a map-side join the corpus never shuffles
+    * for (the decontaminate-broadcast scale shape, never all-pairs) —
+    * and scores candidates with the exact micro-unit cosine, so a DuckDB
+    * oracle replays candidate generation AND scoring bit-for-bit (the
+    * [[cosineNearDupPairsExact]] discipline, asymmetric sides).
+    *
+    * Recall contract, same as the SRP near-dup family: a pair at cosine
+    * ≥ radius collides in at least one of the `tables` bucket tables
+    * w.h.p. (near-identical vectors agree on ~every hyperplane sign);
+    * the spec plants a paraphrase-perturbed vector and asserts it is
+    * caught. The returned frame is ALL scored candidates — callers
+    * threshold ([[removeSemanticContamination]]) or rank.
+    *
+    * The bucket resolution is ADAPTIVE in the benchmark's cardinality:
+    * h = the smallest ≥6 with 2^h · 2 ≥ |bench| (pure integer search,
+    * so the SQL oracle derives the identical h). With FIXED h the
+    * candidate count is corpus·bench/2^h per table — quadratic when
+    * both sides grow (measured: the h=6 first cut took 133 s at the
+    * 100× fixture, where 20k bench vectors shared 64 buckets); scaling
+    * buckets with the bench side pins expected bench occupancy at ~2,
+    * making candidates ~2·corpus·tables — linear in the corpus, which
+    * is the side that is actually large in production. The recall cost
+    * of finer buckets concentrates where it should: at the production
+    * radius (≥0.99, true paraphrases agree on ~every hyperplane) a
+    * pair still collides w.h.p. even at h=14; borderline-radius
+    * deployments raise `tables` instead.
+    */
+  def semanticContamination(bench: DataFrame, corpus: DataFrame,
+                            tables: Int = 4, dims: Int = 64): DataFrame = {
+    val bPrep = microPrep(bench).localCheckpoint()
+    val cPrep = microPrep(corpus).localCheckpoint()
+    val benchN = bPrep.count()
+    var h = 6
+    while ((1L << h) * 2L < benchN && h < 30) h += 1
+    def buckets(p: DataFrame, idCol: String): DataFrame = p
+      .select(col("vec_id").as(idCol),
+        posexplode(graft.functions.native.srp_buckets(
+          col("eu"), md5PlaneMatrix(tables, h, dims), tables, h, dims))
+          .as(Seq("tbl", "bucket")))
+    val cand = buckets(cPrep, "corpus_id")
+      .join(broadcast(buckets(bPrep, "bench_id")), Seq("tbl", "bucket"))
+      .select(col("corpus_id"), col("bench_id"))
+      .distinct()
+    cand
+      .join(cPrep.select(col("vec_id").as("corpus_id"), col("eu").as("c_eu"),
+        col("nrm").as("c_n")), Seq("corpus_id"))
+      .join(broadcast(bPrep.select(col("vec_id").as("bench_id"),
+        col("eu").as("b_eu"), col("nrm").as("b_n"))), Seq("bench_id"))
+      .withColumn("cos", microCos(
+        graft.functions.native.dot_product(col("c_eu"), col("b_eu")),
+        col("c_n"), col("b_n")))
+      .select(col("corpus_id"), col("bench_id"), col("cos"))
+  }
+
+  /** The removal form: the corpus with every document whose embedding
+    * sits within `radius` cosine of some benchmark embedding dropped —
+    * one broadcast SRP probe plus a left-anti join on the flagged set.
+    * Error direction mirrors the Bloom gate: SRP can only MISS a
+    * borderline pair (under-removal at the radius boundary), never
+    * flag an unrelated one — flagged docs carry an exact verified
+    * cosine.
+    */
+  def removeSemanticContamination(bench: DataFrame, corpus: DataFrame,
+                                  radius: Double, tables: Int = 4,
+                                  dims: Int = 64): DataFrame = {
+    val flagged = semanticContamination(bench, corpus, tables, dims)
+      .filter(col("cos") >= radius)
+      .select(col("corpus_id").as("vec_id"))
+      .distinct()
+    corpus.join(flagged, Seq("vec_id"), "left_anti")
+  }
+
   /** Hash-verifiable SemDeDup: within-cluster cosine pairs where the
     * cluster assignment is the FULL-CORPUS deterministic Lloyd fit
     * ([[Clustering.fitted]] — the same fit the cluster_kmeans_* oracles

@@ -187,4 +187,39 @@ class SimilaritySpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"pair top-K must not globally sort the pair stream:\n$plan")
   }
+
+  test("semantic decon: a planted paraphrase is caught at a tight radius") {
+    // benchmark item 100; corpus doc 7 is a PARAPHRASE — its embedding
+    // is the benchmark vector under a tiny perturbation (cos ≈ 0.9996)
+    // — exactly what the shingle-exact/Bloom gate cannot see. The
+    // other corpus docs point elsewhere.
+    val bench = Seq((100L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (7L, Array.tabulate(64)(i => if (i == 0) 0.97f else 0.0115f)),
+      (8L, Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)),
+      (9L, Array.tabulate(64)(i => if (i == 2) -1.0f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val flagged = Similarity.semanticContamination(bench, corpus)
+      .filter(col("cos") >= 0.99)
+      .select("corpus_id", "bench_id").as[(Long, Long)].collect().toSeq
+    assert(flagged == Seq((7L, 100L)),
+      s"the paraphrase (and only it) must be flagged: $flagged")
+    val kept = Similarity
+      .removeSemanticContamination(bench, corpus, radius = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(8L, 9L))
+  }
+
+  test("semantic decon plan: benchmark side broadcasts, corpus never shuffles for candidates") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Similarity.semanticContamination(
+      emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(10)) =!= 0))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be a bucket equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval-suite-sized benchmark side must broadcast:\n$plan")
+  }
 }
