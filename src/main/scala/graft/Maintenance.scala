@@ -66,6 +66,15 @@ object Maintenance {
     run("invindex", s"$root/invindex", graft.ext.InvertedIndex.MetaPrefix) {
       graft.ext.InvertedIndex.compactIndex(spark, s"$root/invindex")
     }
+    // containment index twins (full corpus + the %10≠0 incremental
+    // slice): shingle map re-merged to one live row per shingle, docs
+    // manifest masked against tombstones, pair files re-sized
+    run("containment", s"$root/containment", "containment v1 ") {
+      Dedup.compactContainmentIndex(spark, s"$root/containment")
+    }
+    run("containment_corpus", s"$root/containment_corpus", "containment v1 ") {
+      Dedup.compactContainmentIndex(spark, s"$root/containment_corpus")
+    }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)

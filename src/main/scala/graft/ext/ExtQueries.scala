@@ -401,6 +401,30 @@ object ExtQueries {
             element_at(col("hist"), i + 1).as(f"h$i%02d")): _*)
         .orderBy(col("doc_id"))),
 
+    // Multimodal: the THIRD real decode — binary video column → strict
+    // Y4M parse (dims / fps / frame count recovered from the payload
+    // bytes, with the canonical parameter line and every FRAME marker
+    // checked) → one-pass integer plane stats, all inside one codegen'd
+    // kernel call per row; the oracle replays the generative byte
+    // formula, so a hash match certifies the decode end to end.
+    "video_decode_stats" -> ((s, d) =>
+      Multimodal.videoStats(Multimodal.withFakeVideo(Tables.documents(s, d)))
+        .select(Seq(col("doc_id"), col("width"), col("height"), col("fps"),
+          col("n_frames"), col("duration_ms"), col("y_sum"), col("u_sum"),
+          col("v_sum"), col("y_peak")) ++
+          (0 until graft.functions.Y4mKernel.HistBins).map(i =>
+            element_at(col("hist"), i + 1).as(f"h$i%02d")): _*)
+        .orderBy(col("doc_id"))),
+
+    // Multimodal: DECODED frame sampling — every 2nd frame's luma plane
+    // folded from the real payload bytes (vs mm_frame_sample's opaque
+    // byte slices); one row per sampled frame, oracle replays the
+    // generative formula per frame.
+    "video_frame_stats" -> ((s, d) =>
+      Multimodal.videoFrameSample(
+          Multimodal.withFakeVideo(Tables.documents(s, d)), every = 2)
+        .orderBy(col("doc_id"), col("frame"))),
+
     // End-to-end corpus preparation: quality filter → deterministic
     // sample → normalize → chunk → per-language accounting. The whole
     // chain is narrow (filters, per-row transforms, one explode) until
@@ -1747,6 +1771,70 @@ object ExtQueries {
          |$bins
          |FROM v GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin
     },
+
+    // The REAL Y4M decode, hash-verified like the image and audio
+    // kernels: the oracle replays the GENERATIVE byte formula (stream
+    // plane byte j = (doc_id + j·2654435761) mod 256 over nf·3wh bytes,
+    // plane = (j mod 3wh) div wh — Multimodal.withFakeVideo /
+    // Y4mKernel.synth) while the Spark side recovers the same numbers
+    // by PARSING the Y4M parameter line and frame markers. All-integer
+    // arithmetic; DuckDB SUM→HUGEINT cast back to BIGINT per the house
+    // discipline.
+    "video_decode_stats" -> {
+      val bins = (0 until 16).map(i =>
+        f"  CAST(SUM(CASE WHEN plane = 0 AND val // 16 = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i%02d")
+        .mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
+         |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
+         |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf,
+         |    ((doc_id + 9) * 2654435761 % 4294967296 % 2 + 1) * 12 AS fps
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, w, h, nf, fps,
+         |    unnest(generate_series(0, CAST(nf * w * h * 3 - 1 AS BIGINT))) AS j
+         |  FROM m
+         |), v AS (
+         |  SELECT doc_id, w, h, nf, fps,
+         |    (j % (w * h * 3)) // (w * h) AS plane,
+         |    (doc_id + j * 2654435761) % 256 AS val
+         |  FROM px
+         |)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(fps AS BIGINT) AS fps, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+         |  CAST(SUM(CASE WHEN plane = 0 THEN val ELSE 0 END) AS BIGINT) AS y_sum,
+         |  CAST(SUM(CASE WHEN plane = 1 THEN val ELSE 0 END) AS BIGINT) AS u_sum,
+         |  CAST(SUM(CASE WHEN plane = 2 THEN val ELSE 0 END) AS BIGINT) AS v_sum,
+         |  CAST(MAX(CASE WHEN plane = 0 THEN val ELSE 0 END) AS BIGINT) AS y_peak,
+         |$bins
+         |FROM v GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY doc_id""".stripMargin
+    },
+
+    // Decoded frame sampling replay: frame f's luma plane spans stream
+    // bytes f·3wh .. f·3wh + wh − 1 of the generative formula; every
+    // 2nd frame is sampled, matching videoFrameSample(every = 2).
+    "video_frame_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
+        |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
+        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, w, h,
+        |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+        |  FROM m
+        |), px AS (
+        |  SELECT doc_id, f,
+        |    unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i,
+        |    f * 3 * w * h AS base
+        |  FROM fr WHERE f % 2 = 0
+        |)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame,
+        |  CAST(SUM((doc_id + (base + i) * 2654435761) % 256) AS BIGINT) AS y_sum
+        |FROM px GROUP BY 1, 2 ORDER BY doc_id, frame""".stripMargin,
 
     // Multimodal metadata stages: the fake-media metadata is portable
     // integer arithmetic (see Multimodal.withFakeMedia), so the

@@ -19,10 +19,15 @@ import org.apache.spark.sql.types._
   * decoder recovers from the payload. AUDIO gets the same treatment:
   * [[withFakeAudio]]/[[audioStats]] synth and parse a canonical 16-bit
   * PCM WAV byte-for-byte ([[graft.functions.WavKernel]] — RIFF header
-  * fields cross-checked, little-endian sample fold). Video remains
-  * frame-sample plumbing over opaque payloads ([[sampleFrames]]) — the
-  * one modality here without a real codec. A compressed codec
-  * (JPEG/FLAC/…) would swap the kernel body, not the dataflow.
+  * fields cross-checked, little-endian sample fold). VIDEO too:
+  * [[withFakeVideo]]/[[videoStats]]/[[videoFrameSample]] synth and
+  * parse a canonical uncompressed Y4M (YUV4MPEG2, C444) stream
+  * byte-for-byte ([[graft.functions.Y4mKernel]] — parameter line and
+  * every `FRAME\n` marker checked, per-plane integer folds), so all
+  * three modalities now have a real decode; [[sampleFrames]] keeps the
+  * opaque byte-slice sampler for payloads with no known codec. A
+  * compressed codec (JPEG/FLAC/H.264/…) would swap the kernel body,
+  * not the dataflow.
   *
   * Scale notes (100 TB): media bytes dominate storage — keep them in
   * their own parquet column (or external object store with a path
@@ -102,6 +107,62 @@ object Multimodal {
         col("d.duration_ms").as("duration_ms"),
         col("d.c0_sum").as("c0_sum"), col("d.all_sum").as("all_sum"),
         col("d.peak").as("peak"), col("d.hist").as("hist"))
+
+  /** Video twin of [[withFakeMedia]]/[[withFakeAudio]]: a REAL
+    * canonical Y4M (YUV4MPEG2, C444) payload per document
+    * ([[graft.functions.Y4mKernel.synth]]: ASCII parameter line, then
+    * per frame a `FRAME\n` marker + three `w·h` planes whose j-th
+    * stream byte is `(doc_id + j·2654435761) mod 256`); dims / frame
+    * count / fps come from the same multiplicative metadata hash
+    * family, so every field the DECODER recovers is replayable in ANSI
+    * SQL. Dims stay small (16..47) because the payload is
+    * `nFrames·3wh` bytes — video is the bulkiest modality.
+    */
+  def withFakeVideo(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      (metaHash(6) % 32 + lit(16)).cast("int").as("width"),
+      (metaHash(7) % 32 + lit(16)).cast("int").as("height"),
+      (metaHash(8) % 8 + lit(2)).cast("int").as("nFrames"),
+      ((metaHash(9) % 2 + lit(1)) * lit(12)).cast("int").as("fps"))
+    .select(
+      col("doc_id"),
+      graft.functions.native.y4m_synth(col("doc_id"), col("width"),
+        col("height"), col("nFrames"), col("fps")).as("media"),
+      lit("video/x-yuv4mpeg").as("format"))
+
+  /** Video decode + feature-extract stage, mirroring [[decodeStats]]
+    * and [[audioStats]]: a REAL Y4M parse — dims, fps, and frame count
+    * come from the payload BYTES with the parameter line and every
+    * frame marker checked — plus one-pass integer plane stats
+    * (per-plane sums across all frames, luma peak, 16-bin luma
+    * histogram, integral duration), in a single codegen'd kernel call
+    * per row. Malformed payloads decode to a NULL struct (quarantine
+    * rows, never a stage failure).
+    */
+  def videoStats(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+        graft.functions.native.y4m_decode_stats(col("media")).as("d"))
+      .select(col("doc_id"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.fps").as("fps"), col("d.n_frames").as("n_frames"),
+        col("d.duration_ms").as("duration_ms"),
+        col("d.y_sum").as("y_sum"), col("d.u_sum").as("u_sum"),
+        col("d.v_sum").as("v_sum"), col("d.y_peak").as("y_peak"),
+        col("d.hist").as("hist"))
+
+  /** DECODED frame sampling: every `every`-th frame's luma plane folded
+    * from the real payload bytes inside one codegen'd kernel call, one
+    * output row per sampled frame — the real-codec upgrade of
+    * [[sampleFrames]]'s opaque byte slices. Malformed payloads yield a
+    * NULL array, which the explode drops (quarantine, not failure).
+    */
+  def videoFrameSample(media: DataFrame, every: Int = 2): DataFrame =
+    media.select(col("doc_id"),
+        posexplode(graft.functions.native.y4m_frame_y_sums(
+          col("media"), every)).as(Seq("pos", "y_sum")))
+      .select(col("doc_id"), (col("pos") * every).cast("int").as("frame"),
+        col("y_sum"))
 
   // staged media-fixture memo: one write per (app, fixture dir); the
   // binary-source query measures the SCAN, the staging is a fixture

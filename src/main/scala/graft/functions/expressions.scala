@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, QuinaryExpression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.bridge
 import org.apache.spark.sql.types._
@@ -1345,6 +1345,125 @@ case class WavDecodeStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic canonical-Y4M payload synthesis — the fixture side of
+  * the real video decode: a well-formed `YUV4MPEG2` parameter line plus
+  * `nFrames` `FRAME\n`-introduced C444 frames whose j-th plane byte
+  * (markers excluded, counted across the whole stream) is
+  * `(doc_id + j·2654435761) mod 256` — all long arithmetic a SQL oracle
+  * replays exactly ([[Y4mKernel.synth]]).
+  */
+case class Y4mSynth(docId: Expression, w: Expression, h: Expression,
+                    nFrames: Expression, fps: Expression)
+    extends QuinaryExpression {
+  override def children: Seq[Expression] = Seq(docId, w, h, nFrames, fps)
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(LongType, IntegerType, IntegerType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ts =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "y4m_synth expects (bigint doc_id, int w, int h, int n_frames, " +
+            s"int fps), got (${ts.mkString(", ")})")
+    }
+
+  override def nullSafeEval(d: Any, wv: Any, hv: Any, n: Any, f: Any): Any =
+    Y4mKernel.synth(d.asInstanceOf[Long], wv.asInstanceOf[Int],
+      hv.asInstanceOf[Int], n.asInstanceOf[Int], f.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, wv, hv, n, f) =>
+      s"${ev.value} = graft.functions.Y4mKernel.synth($d, $wv, $hv, $n, $f);")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(docId = newChildren(0), w = newChildren(1), h = newChildren(2),
+      nFrames = newChildren(3), fps = newChildren(4))
+}
+
+/** REAL Y4M decode + integer plane stats in one codegen'd call per
+  * row: parses the header BYTES (magic, dims, integer fps, the exact
+  * canonical Ip/A1:1/C444 parameter set, every `FRAME\n` marker, total
+  * length) and folds the planes into `struct(width, height, fps,
+  * n_frames, duration_ms, y_sum, u_sum, v_sum, y_peak, hist[16])` —
+  * [[Y4mKernel.decode]]. NULL (not an error) for malformed payloads:
+  * the cast-or-null quarantine discipline, same as [[PpmDecodeStats]]
+  * and [[WavDecodeStats]].
+  */
+case class Y4mDecodeStats(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("fps", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("y_sum", LongType, nullable = false),
+    StructField("u_sum", LongType, nullable = false),
+    StructField("v_sum", LongType, nullable = false),
+    StructField("y_peak", LongType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"y4m_decode_stats expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Y4mKernel.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.Y4mKernel.decode($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-frame luma sums for every `every`-th frame of a Y4M payload,
+  * folded from the REAL plane bytes ([[Y4mKernel.frameYSums]]) — the
+  * decode-side frame-sampling stage (element i ↔ frame i·every). NULL
+  * for malformed payloads, so a downstream explode drops them
+  * (quarantine, not failure), same as [[PpmTileMeans]].
+  */
+case class Y4mFrameYSums(child: Expression, every: Int)
+    extends UnaryExpression {
+  require(every > 0, s"frame stride must be positive: $every")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"y4m_frame_y_sums expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Y4mKernel.frameYSums(v.asInstanceOf[Array[Byte]], every)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.Y4mKernel.frameYSums($b, $every);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-facing API for the native expressions. */
 object native {
   private def toCol(e: Expression): Column = bridge.toColumn(e)
@@ -1444,6 +1563,22 @@ object native {
     * malformed payloads.
     */
   def wav_decode_stats(media: Column): Column = toCol(WavDecodeStats(ex(media)))
+
+  /** Deterministic well-formed canonical Y4M (C444 video) payload. */
+  def y4m_synth(docId: Column, w: Column, h: Column,
+                nFrames: Column, fps: Column): Column =
+    toCol(Y4mSynth(ex(docId), ex(w), ex(h), ex(nFrames), ex(fps)))
+
+  /** Real Y4M header/frame-marker parse + one-pass integer plane
+    * stats; NULL for malformed payloads.
+    */
+  def y4m_decode_stats(media: Column): Column = toCol(Y4mDecodeStats(ex(media)))
+
+  /** Per-sampled-frame luma sums folded from the real plane bytes;
+    * NULL for malformed payloads.
+    */
+  def y4m_frame_y_sums(media: Column, every: Int): Column =
+    toCol(Y4mFrameYSums(ex(media), every))
 
   /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
     * column: Spark's own `BloomFilterAggregate` (the engine's

@@ -221,6 +221,132 @@ class MultimodalSpec extends SparkSuite {
       .foreach(r => assert(r.getLong(5) == r.getLong(6)))
   }
 
+  /** The generative Y4M byte formula, recomputed independently of the
+    * kernel: stream plane byte j = (doc_id + j·2654435761) mod 256,
+    * plane = (j mod 3wh) div wh.
+    */
+  private def expectedVideo(docId: Long, w: Int, h: Int, nFrames: Int)
+      : (Array[Long], Long, Array[Long]) = {
+    val sums = new Array[Long](3)
+    var yPeak = 0L
+    val hist = new Array[Long](graft.functions.Y4mKernel.HistBins)
+    val planeLen = w * h
+    var j = 0L
+    val n = nFrames.toLong * 3 * planeLen
+    while (j < n) {
+      val v = (docId + j * 2654435761L) % 256L
+      val plane = ((j % (3L * planeLen)) / planeLen).toInt
+      sums(plane) += v
+      if (plane == 0) {
+        if (v > yPeak) yPeak = v
+        hist((v >> 4).toInt) += 1
+      }
+      j += 1
+    }
+    (sums, yPeak, hist)
+  }
+
+  test("y4m round-trip: synth → decode recovers header fields and formula stats") {
+    import graft.functions.Y4mKernel
+    for ((id, w, h, nf, fps) <- Seq((0L, 1, 1, 1, 1), (7L, 16, 47, 9, 24),
+        (123456L, 47, 16, 2, 12))) {
+      val row = Y4mKernel.decode(Y4mKernel.synth(id, w, h, nf, fps))
+      assert(row != null, s"well-formed payload rejected: id=$id")
+      assert(row.getLong(0) == w.toLong && row.getLong(1) == h.toLong &&
+        row.getLong(2) == fps.toLong && row.getLong(3) == nf.toLong)
+      assert(row.getLong(4) == nf.toLong * 1000L / fps)
+      val (sums, yPeak, hist) = expectedVideo(id, w, h, nf)
+      assert(Seq(row.getLong(5), row.getLong(6), row.getLong(7)) == sums.toSeq)
+      assert(row.getLong(8) == yPeak)
+      assert(row.getArray(9).toLongArray().toSeq == hist.toSeq)
+      assert(hist.sum == nf.toLong * w * h)
+    }
+  }
+
+  test("y4m decode: malformed payloads quarantine as NULL, never fail") {
+    import graft.functions.Y4mKernel
+    val good = Y4mKernel.synth(1L, 16, 17, 2, 24)
+    def mut(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    def bytes(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val hdrLen = "YUV4MPEG2 W16 H17 F24:1 Ip A1:1 C444\n".length
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      ("bad magic", mut(0, 'X')),
+      ("leading-zero width", bytes("YUV4MPEG2 W016 H17 F24:1 Ip A1:1 C444\n")
+        ++ good.drop(hdrLen)),
+      ("fps denominator != 1", mut("YUV4MPEG2 W16 H17 F24:".length, '2')),
+      ("interlaced flag", mut("YUV4MPEG2 W16 H17 F24:1 I".length, 't')),
+      ("chroma not C444", mut(hdrLen - 2, '2')),
+      ("corrupt FRAME marker", mut(hdrLen, 'G')),
+      ("corrupt second marker", mut(hdrLen + 6 + 3 * 16 * 17, 'G')),
+      ("truncated frame", good.dropRight(1)),
+      ("oversized payload", good :+ 0.toByte),
+      ("header only", good.take(hdrLen).clone()),
+      ("empty", Array.empty[Byte]))
+    cases.foreach { case (why, b) =>
+      assert(Y4mKernel.decode(b) == null, s"kernel accepted: $why")
+      assert(Y4mKernel.frameYSums(b, 2) == null, s"frame fold accepted: $why")
+    }
+    val df = (cases.map(_._2) :+ good).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("doc_id", "media")
+    val decoded = df.select(col("doc_id"),
+      graft.functions.native.y4m_decode_stats(col("media")).as("d"))
+    assert(decoded.filter(col("d").isNull).count() == cases.length.toLong)
+    assert(decoded.filter(col("d").isNotNull).count() == 1L)
+    // and the malformed rows contribute zero frames to the sampler
+    assert(Multimodal.videoFrameSample(df, every = 2).count() ==
+      (2 + 1) / 2) // only the good 2-frame payload, frames {0}... ceil(2/2)=1
+  }
+
+  test("video stage: decoded header fields match the synth metadata per doc") {
+    val video = Multimodal.withFakeVideo(Tables.documents(spark, sfDir))
+    val out = Multimodal.videoStats(video).orderBy(col("doc_id")).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      def metaHash(k: Int): Long = (id + k) * 2654435761L % 4294967296L
+      assert(r.getLong(1) == metaHash(6) % 32 + 16, s"width: $r")
+      assert(r.getLong(2) == metaHash(7) % 32 + 16, s"height: $r")
+      assert(r.getLong(3) == (metaHash(9) % 2 + 1) * 12L, s"fps: $r")
+      assert(r.getLong(4) == metaHash(8) % 8 + 2, s"frames: $r")
+      assert(r.getLong(5) == r.getLong(4) * 1000L / r.getLong(3))
+    }
+    out.take(3).foreach { r =>
+      val (sums, yPeak, hist) = expectedVideo(r.getLong(0),
+        r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(4).toInt)
+      assert(Seq(r.getLong(6), r.getLong(7), r.getLong(8)) == sums.toSeq)
+      assert(r.getLong(9) == yPeak)
+      assert(r.getSeq[Long](10) == hist.toSeq)
+    }
+  }
+
+  test("video frame sampling: strided decoded luma sums tile the full fold") {
+    import graft.functions.Y4mKernel
+    val payload = Y4mKernel.synth(9L, 20, 21, 7, 12)
+    // every=1 covers every frame; their sum must equal the decode's y_sum
+    val all = Y4mKernel.frameYSums(payload, 1)
+    assert(all.numElements() == 7)
+    assert(all.toLongArray().sum == Y4mKernel.decode(payload).getLong(5))
+    // every=2 picks frames 0,2,4,6 — elementwise equal to the full fold
+    val strided = Y4mKernel.frameYSums(payload, 2)
+    assert(strided.toLongArray().toSeq ==
+      all.toLongArray().zipWithIndex.filter(_._2 % 2 == 0).map(_._1).toSeq)
+    // through the stage: one row per sampled frame, frame = pos·every
+    val video = Multimodal.withFakeVideo(Tables.documents(spark, sfDir))
+    val counts = Multimodal.videoFrameSample(video, every = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame").as("max_frame"))
+      .collect()
+    assert(counts.length == 500)
+    counts.foreach { r =>
+      def metaHash(k: Int): Long = (r.getLong(0) + k) * 2654435761L % 4294967296L
+      val nf = metaHash(8) % 8 + 2
+      assert(r.getLong(1) == (nf + 1) / 2, s"expected ceil($nf/2), got $r")
+      assert(r.getInt(2) < nf && r.getInt(2) % 2 == 0)
+    }
+  }
+
   test("metadata-only stages do not carry the payload column") {
     val resized = Multimodal.resizeMeta(media, 48)
       .select("doc_id", "out_width", "out_height")
