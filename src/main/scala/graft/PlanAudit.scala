@@ -26,7 +26,8 @@ object PlanAudit {
         "a9_kmv_distinct", "a13_retention_cohorts", "a14_event_funnel",
         "dedup_containment", "dedup_apply_containment",
         "text_extract_markup", "train_pack_spans", "audio_decode_stats",
-        "decon_semantic", "dedup_containment_incr", "video_decode_stats")
+        "decon_semantic", "dedup_containment_incr", "video_decode_stats",
+        "video_shot_cuts", "mm_hist_neighbors")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -24,6 +24,23 @@ object ProbeAb {
       .filter(col("w") =!= "")
 
   def probes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hist-neighbors decomposition: decode floor alone…
+    "mmnn_decode" -> ((s, d) =>
+      ext.Multimodal.decodeStats(
+          ext.Multimodal.withFakeMedia(Tables.documents(s, d)))
+        .select(col("doc_id"), col("hist").cast("array<double>").as("vec"))
+        .agg(sum(element_at(col("vec"), 1)).as("probe"))),
+    // …then the broadcast pair scan without the top-k window
+    "mmnn_join" -> ((s, d) => {
+      val hists = ext.Multimodal.decodeStats(
+          ext.Multimodal.withFakeMedia(Tables.documents(s, d)))
+        .select(col("doc_id"), col("hist").cast("array<double>").as("vec"))
+      val queries = hists.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("vec").as("q_vec"))
+      hists.join(broadcast(queries), col("q_id") =!= col("doc_id"))
+        .select(functions.native.cosine_sim(col("q_vec"), col("vec")).as("cos"))
+        .agg(sum(col("cos")).as("probe"))
+    }),
     // CMS sketch build: one digest + byte-mask loop per token…
     "cms_kernel" -> ((s, d) =>
       ext.Sketches.cmsBuild(ext.Sketches.tokenStream(Tables.documents(s, d)))),

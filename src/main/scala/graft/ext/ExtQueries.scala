@@ -425,6 +425,23 @@ object ExtQueries {
           Multimodal.withFakeVideo(Tables.documents(s, d)), every = 2)
         .orderBy(col("doc_id"), col("frame"))),
 
+    // Multimodal: shot-boundary detection over the decoded per-frame
+    // luma folds — exact integer deltas against a per-pixel threshold,
+    // all in-row (one decode + one frame fold per payload, no window);
+    // the oracle replays the per-frame sums and the same threshold.
+    "video_shot_cuts" -> ((s, d) =>
+      Multimodal.shotBoundaries(Multimodal.withFakeVideo(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("frame"))),
+
+    // Multimodal: image similarity search over DECODED pixel features —
+    // cosine top-k per query image over the 16-bin value histograms the
+    // P6 decode recovers; fixed broadcast query set against one linear
+    // corpus scan (the bruteForceTopK shape), integer dots + one IEEE
+    // division, oracle-replayed bit-for-bit.
+    "mm_hist_neighbors" -> ((s, d) =>
+      Multimodal.histNeighbors(Multimodal.withFakeMedia(Tables.documents(s, d)))
+        .orderBy(col("q_id"), col("rank"))),
+
     // End-to-end corpus preparation: quality filter → deterministic
     // sample → normalize → chunk → per-language accounting. The whole
     // chain is narrow (filters, per-row transforms, one explode) until
@@ -1810,6 +1827,90 @@ object ExtQueries {
          |  CAST(MAX(CASE WHEN plane = 0 THEN val ELSE 0 END) AS BIGINT) AS y_peak,
          |$bins
          |FROM v GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY doc_id""".stripMargin
+    },
+
+    // Shot-cut replay: per-frame luma sums from the generative formula,
+    // deltas via LAG, the identical integer per-pixel threshold.
+    "video_shot_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
+        |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
+        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, w, h,
+        |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+        |  FROM m
+        |), px AS (
+        |  SELECT doc_id, w, h, f,
+        |    unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i
+        |  FROM fr
+        |), ys AS (
+        |  SELECT doc_id, w, h, f,
+        |    SUM((doc_id + (f * 3 * w * h + i) * 2654435761) % 256) AS y
+        |  FROM px GROUP BY 1, 2, 3, 4
+        |), d AS (
+        |  SELECT doc_id, f, w * h AS wh,
+        |    y - LAG(y) OVER (PARTITION BY doc_id ORDER BY f) AS delta
+        |  FROM ys
+        |)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame,
+        |  CAST(delta AS BIGINT) AS y_delta,
+        |  CAST(CASE WHEN abs(delta) >= 8 * wh THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_cut
+        |FROM d WHERE delta IS NOT NULL ORDER BY doc_id, frame""".stripMargin,
+
+    // Image-similarity replay: the 16 decoded histogram bins as
+    // columns (generative-formula counts), exact integer dot products
+    // and norms per (query, candidate) pair, one double division +
+    // round(6) at the end — the same arithmetic order as the Spark
+    // side, so the hash match certifies decoded-feature search end to
+    // end.
+    "mm_hist_neighbors" -> {
+      val bcols = (0 until 16).map(i =>
+        s"    CAST(SUM(CASE WHEN val // 16 = $i THEN 1 ELSE 0 END) AS BIGINT) AS b$i")
+        .mkString(",\n")
+      val prods = (0 until 16).map(i => s"q.b$i * n.b$i").mkString(" + ")
+      val nq = (0 until 16).map(i => s"q.b$i * q.b$i").mkString(" + ")
+      val nn = (0 until 16).map(i => s"n.b$i * n.b$i").mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+         |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS k
+         |  FROM m
+         |), v AS (
+         |  SELECT doc_id, (doc_id + k * 2654435761) % 256 AS val FROM px
+         |), hb AS (
+         |  SELECT doc_id,
+         |$bcols
+         |  FROM v GROUP BY 1
+         |), pairs AS (
+         |  SELECT q.doc_id AS q_id, n.doc_id AS n_id,
+         |    $prods AS num,
+         |    $nq AS na,
+         |    $nn AS nb
+         |  FROM hb q JOIN hb n ON n.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 10
+         |), scored AS (
+         |  SELECT q_id, n_id,
+         |    round(CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(num AS DOUBLE)
+         |           / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+         |      END, 6) AS cos
+         |  FROM pairs
+         |), ranked AS (
+         |  SELECT q_id, n_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
 
     // Decoded frame sampling replay: frame f's luma plane spans stream

@@ -347,6 +347,70 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("shot boundaries: deltas recompute from the formula, threshold exact, quarantine") {
+    val video = Multimodal.withFakeVideo(Tables.documents(spark, sfDir))
+    val cuts = Multimodal.shotBoundaries(video)
+    // one transition row per adjacent frame pair, per doc
+    val perDoc = cuts.groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+    assert(perDoc.length == 500)
+    perDoc.foreach { r =>
+      def metaHash(k: Int): Long = (r.getLong(0) + k) * 2654435761L % 4294967296L
+      assert(r.getLong(1) == metaHash(8) % 8 + 2 - 1, s"transitions: $r")
+    }
+    // independent recompute for a handful of docs: deltas from the
+    // generative formula, the is_cut flag from the exact threshold
+    val sample = cuts.filter(col("doc_id") < 3).orderBy("doc_id", "frame").collect()
+    sample.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      def metaHash(k: Int): Long = (id + k) * 2654435761L % 4294967296L
+      val wh = ((metaHash(6) % 32 + 16) * (metaHash(7) % 32 + 16)).toInt
+      def ySum(fr: Int): Long = (0 until wh).map(i =>
+        (id + (fr.toLong * 3 * wh + i) * 2654435761L) % 256L).sum
+      val delta = ySum(f) - ySum(f - 1)
+      assert(r.getLong(2) == delta, s"delta mismatch: $r")
+      assert(r.getLong(3) == (if (math.abs(delta) >= 8L * wh) 1L else 0L))
+    }
+    // malformed payloads contribute zero transition rows
+    val bad = Seq((1L, Array[Byte]('Y', 'U', 'V'))).toDF("doc_id", "media")
+    assert(Multimodal.shotBoundaries(bad).count() == 0L)
+  }
+
+  test("hist neighbors: decoded-feature cosine top-k matches a local recompute") {
+    val out = Multimodal.histNeighbors(media).orderBy(col("q_id"), col("rank")).collect()
+    // 10 fixed queries × k=5, ranks dense from 1, cos non-increasing,
+    // self excluded
+    assert(out.length == 50)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).toSeq == (1L to 5L))
+      val coss = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+    // exact local recompute of query 0's ranking over the whole corpus
+    def hist(id: Long): Array[Long] = {
+      def metaHash(k: Int): Long = (id + k) * 2654435761L % 4294967296L
+      val w = (metaHash(0) % 64 + 32).toInt; val h = (metaHash(1) % 64 + 32).toInt
+      val out = new Array[Long](16)
+      (0 until w * h * 3).foreach { k =>
+        out((((id + k * 2654435761L) % 256L) >> 4).toInt) += 1
+      }
+      out
+    }
+    val q0 = hist(0L)
+    val expected = (1L until 500L).map { id =>
+      val c = hist(id)
+      val num = q0.zip(c).map { case (a, b) => a * b }.sum
+      val cos = BigDecimal(num.toDouble /
+          (math.sqrt(q0.map(x => x * x).sum.toDouble) *
+            math.sqrt(c.map(x => x * x).sum.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, cos)
+    }.sortBy { case (id, cos) => (-cos, id) }.take(5)
+    val got = out.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"query-0 ranking mismatch: $got vs $expected")
+  }
+
   test("metadata-only stages do not carry the payload column") {
     val resized = Multimodal.resizeMeta(media, 48)
       .select("doc_id", "out_width", "out_height")
