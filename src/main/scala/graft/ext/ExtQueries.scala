@@ -401,6 +401,15 @@ object ExtQueries {
             element_at(col("hist"), i + 1).as(f"h$i%02d")): _*)
         .orderBy(col("doc_id"))),
 
+    // Multimodal: windowed feature-extract over the decoded sample
+    // stream — per 256-frame window, max and sum of |sample| over all
+    // channels, folded from the payload bytes (the frame-level stage
+    // after the audio decode); oracle replays the generative sample
+    // formula with the identical window partition.
+    "audio_window_stats" -> ((s, d) =>
+      Multimodal.audioWindowStats(Multimodal.withFakeAudio(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("win"))),
+
     // Multimodal: the THIRD real decode — binary video column → strict
     // Y4M parse (dims / fps / frame count recovered from the payload
     // bytes, with the canonical parameter line and every FRAME marker
@@ -1788,6 +1797,29 @@ object ExtQueries {
          |$bins
          |FROM v GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin
     },
+
+    // Windowed audio feature replay: |sample| from the generative
+    // formula, window = (k div channels) div 256 — the identical
+    // frame-window partition the kernel computes.
+    "audio_window_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
+        |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, channels,
+        |    unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
+        |  FROM m
+        |), v AS (
+        |  SELECT doc_id, CAST((k // channels) // 256 AS INTEGER) AS win,
+        |    abs((doc_id + k * 2654435761) % 65536 - 32768) AS a
+        |  FROM s
+        |)
+        |SELECT doc_id, win,
+        |  CAST(MAX(a) AS BIGINT) AS peak,
+        |  CAST(SUM(a) AS BIGINT) AS sum_abs
+        |FROM v GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin,
 
     // The REAL Y4M decode, hash-verified like the image and audio
     // kernels: the oracle replays the GENERATIVE byte formula (stream

@@ -108,6 +108,22 @@ object Multimodal {
         col("d.c0_sum").as("c0_sum"), col("d.all_sum").as("all_sum"),
         col("d.peak").as("peak"), col("d.hist").as("hist"))
 
+  /** Windowed feature-extract over the DECODED sample stream — the
+    * frame-level stage an audio pipeline runs after decode
+    * (energy/onset analysis, VAD front-ends): per window of
+    * `windowFrames` frames, max and sum of |sample| over all channels,
+    * folded from the payload bytes inside one codegen'd kernel call
+    * per row ([[graft.functions.WavKernel.windowStats]]). One row per
+    * (doc, window); malformed payloads yield a NULL array, which the
+    * explode drops (quarantine, not failure).
+    */
+  def audioWindowStats(media: DataFrame, windowFrames: Int = 256): DataFrame =
+    media.select(col("doc_id"),
+        posexplode(graft.functions.native.wav_window_stats(
+          col("media"), windowFrames)).as(Seq("win", "s")))
+      .select(col("doc_id"), col("win"),
+        col("s.peak").as("peak"), col("s.sum_abs").as("sum_abs"))
+
   /** Video twin of [[withFakeMedia]]/[[withFakeAudio]]: a REAL
     * canonical Y4M (YUV4MPEG2, C444) payload per document
     * ([[graft.functions.Y4mKernel.synth]]: ASCII parameter line, then

@@ -159,4 +159,40 @@ object WavKernel {
       frames * 1000L / sampleRate, c0, all, peak,
       new GenericArrayData(hist.map(v => v: Any))))
   }
+
+  /** Per-window integer folds over the decoded sample stream — the
+    * frame-level feature-extract an audio pipeline runs after decode
+    * (energy/onset analysis, VAD front-ends): the stream is cut into
+    * windows of `windowFrames` frames (the last window may be short),
+    * and each yields `(peak, sum_abs)` — max and sum of |sample| over
+    * ALL channels in the window. Returns null for malformed payloads
+    * or a non-positive window size (quarantine, not failure).
+    */
+  def windowStats(bytes: Array[Byte], windowFrames: Int): GenericArrayData = {
+    if (windowFrames <= 0) return null
+    val hdr = parseHeader(bytes)
+    if (hdr == null) return null
+    val channels = hdr(0).toInt
+    val frames = hdr(2).toInt
+    val nWin = (frames + windowFrames - 1) / windowFrames
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      val lo = w * windowFrames * channels
+      val hi = math.min((w + 1) * windowFrames, frames) * channels
+      var peak = 0L; var sumAbs = 0L
+      var k = lo
+      while (k < hi) {
+        val raw = rdLe16(bytes, 44 + 2 * k)
+        val v = (if (raw >= 32768) raw - 65536 else raw).toLong
+        val a = if (v < 0) -v else v
+        if (a > peak) peak = a
+        sumAbs += a
+        k += 1
+      }
+      out(w) = new GenericInternalRow(Array[Any](peak, sumAbs))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -1345,6 +1345,44 @@ case class WavDecodeStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-window `(peak, sum_abs)` folds over a decoded WAV sample stream
+  * ([[WavKernel.windowStats]]) — the frame-level feature-extract stage
+  * after the audio decode, one codegen'd call per row. NULL for
+  * malformed payloads, so a downstream explode drops them (quarantine,
+  * not failure), same as [[PpmTileMeans]] / [[Y4mFrameYSums]].
+  */
+case class WavWindowStats(child: Expression, windowFrames: Int)
+    extends UnaryExpression {
+  require(windowFrames > 0, s"window size must be positive: $windowFrames")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("peak", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wav_window_stats expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WavKernel.windowStats(v.asInstanceOf[Array[Byte]], windowFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.WavKernel.windowStats($b, $windowFrames);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Deterministic canonical-Y4M payload synthesis — the fixture side of
   * the real video decode: a well-formed `YUV4MPEG2` parameter line plus
   * `nFrames` `FRAME\n`-introduced C444 frames whose j-th plane byte
@@ -1563,6 +1601,12 @@ object native {
     * malformed payloads.
     */
   def wav_decode_stats(media: Column): Column = toCol(WavDecodeStats(ex(media)))
+
+  /** Per-window (peak, sum_abs) folds over decoded WAV samples; NULL
+    * for malformed payloads.
+    */
+  def wav_window_stats(media: Column, windowFrames: Int): Column =
+    toCol(WavWindowStats(ex(media), windowFrames))
 
   /** Deterministic well-formed canonical Y4M (C444 video) payload. */
   def y4m_synth(docId: Column, w: Column, h: Column,

@@ -347,6 +347,42 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audio window stats: windows tile the stream, folds match the formula") {
+    import graft.functions.WavKernel
+    // kernel-level: window sums tile the whole stream's |sample| fold,
+    // window peaks max up to the decode's global peak; short last window
+    val payload = WavKernel.synth(9L, 1000, 2, 8000)
+    val ws = WavKernel.windowStats(payload, 256)
+    assert(ws.numElements() == 4) // ceil(1000/256)
+    val rows = (0 until 4).map(ws.getStruct(_, 2))
+    val (_, _, peak, _) = expectedAudio(9L, 1000, 2)
+    assert(rows.map(_.getLong(0)).max == peak)
+    val sumAbs = (0 until 2000).map(k =>
+      math.abs(((9L + k * 2654435761L) % 65536L) - 32768L)).sum
+    assert(rows.map(_.getLong(1)).sum == sumAbs)
+    // independent per-window recompute
+    rows.zipWithIndex.foreach { case (r, w) =>
+      val lo = w * 256 * 2; val hi = math.min((w + 1) * 256, 1000) * 2
+      val abs = (lo until hi).map(k =>
+        math.abs(((9L + k * 2654435761L) % 65536L) - 32768L))
+      assert(r.getLong(0) == abs.max && r.getLong(1) == abs.sum,
+        s"window $w mismatch")
+    }
+    // malformed payloads and bad window sizes quarantine as null
+    assert(WavKernel.windowStats(payload.dropRight(1), 256) == null)
+    assert(WavKernel.windowStats(payload, 0) == null)
+    // through the stage: every doc emits ceil(frames/256) windows
+    val audio = Multimodal.withFakeAudio(Tables.documents(spark, sfDir))
+    val counts = Multimodal.audioWindowStats(audio)
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+    assert(counts.length == 500)
+    counts.foreach { r =>
+      def metaHash(k: Int): Long = (r.getLong(0) + k) * 2654435761L % 4294967296L
+      val frames = metaHash(3) % 2048 + 256
+      assert(r.getLong(1) == (frames + 255) / 256, s"window count: $r")
+    }
+  }
+
   test("shot boundaries: deltas recompute from the formula, threshold exact, quarantine") {
     val video = Multimodal.withFakeVideo(Tables.documents(spark, sfDir))
     val cuts = Multimodal.shotBoundaries(video)
