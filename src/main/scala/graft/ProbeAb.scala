@@ -24,6 +24,40 @@ object ProbeAb {
       .filter(col("w") =!= "")
 
   def probes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // media-gate decomposition (per-doc .bin arrival shape — the
+    // variant the landed parquet-spool gate REPLACED): the same files
+    // as a BATCH binaryFile scan + decode + agg (no streaming
+    // machinery)…
+    "mediagate_batch" -> ((s, d) => {
+      val spool = ext.Multimodal.ensureMediaFiles(s, d)
+      s.read.format("binaryFile").load(spool)
+        .select(regexp_extract(col("path"), "(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          functions.native.ppm_decode_stats(col("content")).as("dec"))
+        .select(coalesce(col("dec.width"), lit(-1L)).as("width"),
+          coalesce(col("dec.r_sum"), lit(0L)).as("r_sum"))
+        .groupBy(col("width"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("r_sum")).as("total_r"))
+    }),
+    // …vs the stream WITHOUT the decode (file-stream bookkeeping floor)
+    "mediagate_stream_floor" -> ((s, d) => {
+      val spool = ext.Multimodal.ensureMediaFiles(s, d)
+      import org.apache.spark.sql.types._
+      val binSchema = StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType)))
+      val out = java.nio.file.Files.createTempDirectory("probe-mg-sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("probe-mg-ckpt").toString
+      val q = s.readStream.format("binaryFile").schema(binSchema).load(spool)
+        .select(length(col("content")).as("len"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).agg(sum(col("len")).as("total"))
+    }),
     // hist-neighbors decomposition: decode floor alone…
     "mmnn_decode" -> ((s, d) =>
       ext.Multimodal.decodeStats(

@@ -80,6 +80,7 @@ object Warm {
     // per-doc media fixture files (s7_binary_source reads the SCAN;
     // the one-time 5000-file staging belongs here, not in its window)
     graft.ext.Multimodal.ensureMediaFiles(spark, d)
+    graft.ext.Multimodal.ensureMediaGateSpool(spark, d)
     // session-memoized (not persisted — see Bpe's class doc): trained
     // here so no bpe_* query pays the training cost as first consumer
     graft.ext.Bpe.trained(spark, docs, d)

@@ -263,6 +263,35 @@ object Multimodal {
     * effects on a shared fixed directory (delete + re-write), and two
     * racing callers would interleave file writes.
     */
+  /** Stage the media spool the STREAMED ingest gate reads: the per-doc
+    * payloads as a `(doc_id, media)` parquet directory — the
+    * landing-zone shape a real pipeline streams (small media files
+    * compacted into container files; per-doc `.bin` arrivals measured
+    * 8.6 s of FileStreamSource METADATA bookkeeping alone on the
+    * sf0.1 spool vs a 0.8 s batch scan+decode of the same bytes —
+    * `ProbeAb mediagate_stream_floor` / `mediagate_batch`). Every 97th
+    * doc's payload is truncated by one byte (a deterministically-placed
+    * corrupt arrival, so the gate's quarantine path carries real
+    * traffic and the oracle knows the bad set without parsing
+    * anything). Charged to the warm phase like the clean staging.
+    */
+  def ensureMediaGateSpool(s: SparkSession, d: String): String =
+    mediaFilesMemo.synchronized {
+      val key = s"${s.sparkContext.applicationId}#gate#$d"
+      mediaFilesMemo.getOrElseUpdate(key, {
+        val dir = s"/root/repo/target/binary_gate_${math.abs(d.hashCode)}"
+        graft.Fs.deleteTree(dir)
+        withFakeMedia(graft.Tables.documents(s, d))
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(97)) === 0,
+              expr("substring(media, 1, length(media) - 1)"))
+              .otherwise(col("media")).as("media"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })
+    }
+
   def ensureMediaFiles(s: SparkSession, d: String): String =
     mediaFilesMemo.synchronized {
       val key = s"${s.sparkContext.applicationId}#$d"

@@ -358,6 +358,49 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.9 × multimodal: STREAMED media ingestion gate — media arrives
+    // as a `(doc_id, media)` parquet stream (the landing-zone shape:
+    // small media compacted into container files; the per-doc `.bin`
+    // file-stream variant measured 8.6 s of source-log bookkeeping
+    // alone at sf0.1 vs this path's sub-second — priced in ProbeAb),
+    // each payload decoded with the REAL P6 parse inside the
+    // micro-batch (pure map, no state), malformed arrivals quarantined
+    // into a width=−1 bucket instead of failing the stream (the P7
+    // cast-or-null discipline at the stream boundary; the spool plants
+    // a truncated payload every 97th doc so the quarantine path
+    // carries real traffic). The parquet sink keeps the driver flat;
+    // per-row decode + associative aggregation make the result
+    // batching-invariant, so the final table hash-equals the batch
+    // formula replay — decode certification THROUGH the streaming
+    // path.
+    "stream_media_gate" -> ((s, d) => {
+      val spool = graft.ext.Multimodal.ensureMediaGateSpool(s, d)
+      val out = scratchDir("graft-media-sink")
+      val ckpt = scratchDir("graft-media-ckpt")
+      import org.apache.spark.sql.types._
+      val spoolSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media", BinaryType)))
+      val q = s.readStream.schema(spoolSchema).parquet(spool)
+        .select(col("doc_id"),
+          graft.functions.native.ppm_decode_stats(col("media")).as("dec"))
+        .select(col("doc_id"),
+          coalesce(col("dec.width"), lit(-1L)).as("width"),
+          coalesce(col("dec.r_sum"), lit(0L)).as("r_sum"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("width"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("r_sum")).as("total_r"))
+        .orderBy(col("width"))
+    }),
+
     // §2.9: incremental file-source micro-batching; complete-mode agg.
     "stream_daily_counts" -> ((s, d) => {
       val name = s"stream_daily_counts_${counter.incrementAndGet()}"
@@ -784,6 +827,36 @@ object StreamQueries {
         |ORDER BY date, n_exact DESC, user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Streamed media gate replay: the generative P6 formula gives every
+    // clean doc's width and red-channel sum; the planted corrupt set is
+    // exactly doc_id % 97 = 0 (truncated at stage time), which lands in
+    // the width=−1 quarantine bucket with zero r_sum contribution.
+    "stream_media_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+        |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS k
+        |  FROM m WHERE doc_id % 97 <> 0
+        |), r AS (
+        |  SELECT doc_id, w,
+        |    SUM(CASE WHEN k % 3 = 0
+        |        THEN (doc_id + k * 2654435761) % 256 ELSE 0 END) AS r_sum
+        |  FROM px GROUP BY 1, 2
+        |), good AS (
+        |  SELECT CAST(w AS BIGINT) AS width, COUNT(*) AS n_docs,
+        |    CAST(SUM(r_sum) AS BIGINT) AS total_r
+        |  FROM r GROUP BY 1
+        |), bad AS (
+        |  SELECT CAST(-1 AS BIGINT) AS width, COUNT(*) AS n_docs,
+        |    CAST(0 AS BIGINT) AS total_r
+        |  FROM m WHERE doc_id % 97 = 0 HAVING COUNT(*) > 0
+        |)
+        |SELECT * FROM good UNION ALL SELECT * FROM bad
+        |ORDER BY width""".stripMargin,
     "stream_kmv_daily" -> KmvDailyOracle,
     "stream_kmv_update" -> KmvDailyOracle,
     "stream_cms_update" -> CmsDailyOracle,
