@@ -418,6 +418,79 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  private val y4mGen = for {
+    id <- Gen.choose(0L, 1000000L)
+    w <- Gen.choose(1, 64)
+    h <- Gen.choose(1, 64)
+    nf <- Gen.choose(1, 12)
+    fps <- Gen.choose(1, 120)
+  } yield (id, w, h, nf, fps)
+
+  test("property: Y4M synth→decode round-trips header fields and plane sums exactly") {
+    import graft.functions.Y4mKernel
+    samples(y4mGen, 40).foreach { case (id, w, h, nf, fps) =>
+      val payload = Y4mKernel.synth(id, w, h, nf, fps)
+      val row = Y4mKernel.decode(payload)
+      assert(row != null, s"rejected own payload id=$id ${w}x$h nf=$nf fps=$fps")
+      assert(row.getLong(0) == w && row.getLong(1) == h &&
+        row.getLong(2) == fps && row.getLong(3) == nf)
+      // luma histogram totals the Y plane across all frames; the three
+      // plane sums total every non-marker byte of the stream
+      val hist = row.getArray(9).toLongArray()
+      assert(hist.sum == nf.toLong * w * h)
+      val headerLen = payload.length - nf * (6 + 3 * w * h)
+      val byteSum = (0 until nf).map { f =>
+        val off = headerLen + f * (6 + 3 * w * h) + 6
+        (off until off + 3 * w * h).map(i => (payload(i) & 0xFF).toLong).sum
+      }.sum
+      assert(row.getLong(5) + row.getLong(6) + row.getLong(7) == byteSum)
+      // every single-byte corruption of the HEADER LINE is rejected or
+      // still parses the SAME geometry (never a crash, never silently
+      // different dims/frames)
+      (0 until headerLen).foreach { i =>
+        val mut = payload.clone()
+        mut(i) = (mut(i) ^ 0x41).toByte
+        val r2 = Y4mKernel.decode(mut)
+        assert(r2 == null ||
+          (r2.getLong(0) == w && r2.getLong(1) == h && r2.getLong(3) == nf),
+          s"corrupt header crashed or changed geometry at byte $i")
+      }
+      // truncation and extension are rejected; frame folds tile y_sum
+      assert(Y4mKernel.decode(payload.dropRight(1)) == null)
+      assert(Y4mKernel.decode(payload :+ 0.toByte) == null)
+      val sums = Y4mKernel.frameYSums(payload, 1)
+      assert(sums.numElements() == nf)
+      assert(sums.toLongArray().sum == row.getLong(5))
+    }
+  }
+
+  private val wavGen = for {
+    id <- Gen.choose(0L, 1000000L)
+    frames <- Gen.choose(1, 3000)
+    ch <- Gen.choose(1, 8)
+    rate <- Gen.oneOf(8000, 16000, 44100, 48000)
+  } yield (id, frames, ch, rate)
+
+  test("property: WAV window folds tile the stream for any window size") {
+    import graft.functions.WavKernel
+    samples(wavGen, 25).foreach { case (id, frames, ch, rate) =>
+      val payload = WavKernel.synth(id, frames, ch, rate)
+      val decoded = WavKernel.decode(payload)
+      assert(decoded != null)
+      Seq(1, 7, 256, frames, frames + 5).foreach { wf =>
+        val ws = WavKernel.windowStats(payload, wf)
+        assert(ws.numElements() == (frames + wf - 1) / wf,
+          s"window count for wf=$wf frames=$frames")
+        val rows = (0 until ws.numElements()).map(ws.getStruct(_, 2))
+        // peaks max to the decode's global peak; sums are window-size
+        // invariant (they tile the same |sample| stream)
+        assert(rows.map(_.getLong(0)).max == decoded.getLong(6))
+        assert(rows.map(_.getLong(1)).sum ==
+          WavKernel.windowStats(payload, frames).getStruct(0, 2).getLong(1))
+      }
+    }
+  }
+
   private val wordGen = Gen.listOf(
     Gen.oneOf("alpha", "beta", "gamma", "delta", "ent", "amp"))
     .map(_.mkString(" "))
