@@ -31,9 +31,7 @@ object ProbeAb {
     "mediagate_batch" -> ((s, d) => {
       val spool = ext.Multimodal.ensureMediaFiles(s, d)
       s.read.format("binaryFile").load(spool)
-        .select(regexp_extract(col("path"), "(\\d+)\\.bin$", 1)
-            .cast("long").as("doc_id"),
-          functions.native.ppm_decode_stats(col("content")).as("dec"))
+        .select(functions.native.ppm_decode_stats(col("content")).as("dec"))
         .select(coalesce(col("dec.width"), lit(-1L)).as("width"),
           coalesce(col("dec.r_sum"), lit(0L)).as("r_sum"))
         .groupBy(col("width"))
@@ -48,8 +46,8 @@ object ProbeAb {
         StructField("modificationTime", TimestampType),
         StructField("length", LongType),
         StructField("content", BinaryType)))
-      val out = java.nio.file.Files.createTempDirectory("probe-mg-sink").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("probe-mg-ckpt").toString
+      val out = stream.StreamQueries.scratchDir("probe-mg-sink")
+      val ckpt = stream.StreamQueries.scratchDir("probe-mg-ckpt")
       val q = s.readStream.format("binaryFile").schema(binSchema).load(spool)
         .select(length(col("content")).as("len"))
         .writeStream.format("parquet").option("path", out)

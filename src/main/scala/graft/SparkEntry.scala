@@ -8,10 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * check inventory coverage line by line. Every SQL-expressible query has
   * a DuckDB oracle in [[oracleSql]] with identical output column names
   * and an identical deterministic ORDER BY — the driver hash-compares
-  * the full result (149 of 158 queries as of r13, MinHash/LSH dedup,
-  * the P6 media decode/pooling, the asymmetric-containment pair/
-  * removal family, markup extraction, the update-mode streaming CMS,
-  * and the ingest-time decontamination gate included).
+  * the full result (159 of 168 queries as of r14, MinHash/LSH dedup,
+  * the P6/WAV/Y4M media decodes with their downstream stages — tiled
+  * pooling, frame sampling, shot cuts, windowed audio features,
+  * decoded-histogram similarity, the streamed media gate — the
+  * asymmetric-containment family with its persisted index, semantic
+  * decontamination, markup extraction, the update-mode streaming
+  * sketches, and the ingest-time decontamination gate included).
   *
   * The 9 declared no-oracle queries (driver reports `err: no_oracle`,
   * rows_match null — NOT a rows-only pass) are the irreducible set

@@ -185,19 +185,26 @@ object Multimodal {
     * the luma sum jumps by at least `meanDeltaFloor` per pixel against
     * frame f−1 (threshold `meanDeltaFloor·w·h` keeps the comparison in
     * exact integers; w·h comes from the parsed header, not metadata).
-    * One row per frame transition `(doc_id, frame, y_delta, is_cut)`,
-    * computed in-row from one decode + one frame fold per payload (two
-    * kernel calls, no shuffle, no window). Malformed payloads yield
-    * NULL structs/arrays and are quarantined by the filter.
+    * One row per frame transition `(doc_id, frame, y_delta, is_cut)` —
+    * zero rows for a single-frame payload, which has no transitions —
+    * computed in-row from one header-only geometry parse plus one luma
+    * fold per payload (the full 3-plane stats pass would double the
+    * bytes scanned for a stage that only needs w·h). Malformed
+    * payloads yield NULL structs/arrays and are quarantined by the
+    * filter.
     */
   def shotBoundaries(media: DataFrame, meanDeltaFloor: Int = 8): DataFrame =
     media.select(col("doc_id"),
-        graft.functions.native.y4m_decode_stats(col("media")).as("d"),
+        graft.functions.native.y4m_header(col("media")).as("d"),
         graft.functions.native.y4m_frame_y_sums(col("media"), 1).as("sums"))
       .filter(col("d").isNotNull && col("sums").isNotNull)
       .select(col("doc_id"), (col("d.width") * col("d.height")).as("wh"),
+        // guard the 1-frame case: sequence(1, 0) is DESCENDING in
+        // Spark (step defaults to -1), which would fabricate two
+        // null-delta transition rows out of thin air
         posexplode(expr(
-          "transform(sequence(1, size(sums) - 1), i -> sums[i] - sums[i-1])"))
+          "case when size(sums) < 2 then array() " +
+            "else transform(sequence(1, size(sums) - 1), i -> sums[i] - sums[i-1]) end"))
           .as(Seq("pos", "y_delta")))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("frame"),
         col("y_delta"),
@@ -219,8 +226,13 @@ object Multimodal {
     * formulation the oracle replays.
     */
   def histNeighbors(media: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
+    // quarantine BEFORE the query collect: a malformed query payload
+    // decodes to a NULL hist, and collecting a null vec would NPE at
+    // plan-build time — the one failure mode this module promises
+    // never to have (malformed media drops rows, never stages)
     val hists = decodeStats(media)
       .select(col("doc_id"), col("hist").cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
     // The fixed query set is a bounded driver artifact (nQueries·16
     // longs — the centroids/thresholds discipline): scoring happens
     // IN-ROW against literal query vectors, srpBucket-style, instead
@@ -257,12 +269,6 @@ object Multimodal {
   private val mediaFilesMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Stage the per-doc media files once per (app, fixture) and return
-    * the directory — [[graft.sources.SourceQueries]]' binary-file scan
-    * reads it. The whole block is synchronized: the thunk has side
-    * effects on a shared fixed directory (delete + re-write), and two
-    * racing callers would interleave file writes.
-    */
   /** Stage the media spool the STREAMED ingest gate reads: the per-doc
     * payloads as a `(doc_id, media)` parquet directory — the
     * landing-zone shape a real pipeline streams (small media files
@@ -292,6 +298,12 @@ object Multimodal {
       })
     }
 
+  /** Stage the per-doc media files once per (app, fixture) and return
+    * the directory — [[graft.sources.SourceQueries]]' binary-file scan
+    * reads it. The whole block is synchronized: the thunk has side
+    * effects on a shared fixed directory (delete + re-write), and two
+    * racing callers would interleave file writes.
+    */
   def ensureMediaFiles(s: SparkSession, d: String): String =
     mediaFilesMemo.synchronized {
       val key = s"${s.sparkContext.applicationId}#$d"

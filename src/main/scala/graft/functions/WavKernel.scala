@@ -174,7 +174,9 @@ object WavKernel {
     if (hdr == null) return null
     val channels = hdr(0).toInt
     val frames = hdr(2).toInt
-    val nWin = (frames + windowFrames - 1) / windowFrames
+    // Long ceil-div: frames + windowFrames - 1 wraps negative for
+    // window sizes near Int.MaxValue, silently yielding zero windows
+    val nWin = ((frames.toLong + windowFrames - 1) / windowFrames).toInt
     val out = new Array[Any](nWin)
     var w = 0
     while (w < nWin) {

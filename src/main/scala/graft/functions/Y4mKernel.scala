@@ -56,7 +56,14 @@ object Y4mKernel {
       s"y4m_synth fps out of range (1..$MaxFps): $fps")
     val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C444\n"
     val frameLen = 3 * w * h
-    val out = new Array[Byte](header.length + nFrames * (6 + frameLen))
+    // the per-dim caps admit combinations whose TOTAL overflows Int
+    // (4096·4096·3·256 ≈ 12.9 GB) — check the product in Long before
+    // sizing the array, instead of wrapping into NegativeArraySize
+    val total = header.length.toLong + nFrames.toLong * (6L + frameLen)
+    require(total <= (1L << 30),
+      s"y4m_synth payload too large (${total} bytes > 1 GiB): " +
+        s"${w}x$h x$nFrames frames")
+    val out = new Array[Byte](total.toInt)
     var off = 0
     def ascii(s: String): Unit = {
       var i = 0
@@ -143,6 +150,18 @@ object Y4mKernel {
       f += 1
     }
     Array(w.toLong, h.toLong, fps.toLong, nFrames, off.toLong)
+  }
+
+  /** Header-only parse: `(width, height, fps, n_frames)` from
+    * [[parseHeader]] — O(header + frame markers), no plane-byte fold.
+    * The stage that needs only geometry (e.g. shot-boundary
+    * thresholds) pays this instead of a full 3-plane stats pass.
+    * Returns null for malformed payloads.
+    */
+  def headerMeta(bytes: Array[Byte]): GenericInternalRow = {
+    val hdr = parseHeader(bytes)
+    if (hdr == null) return null
+    new GenericInternalRow(Array[Any](hdr(0), hdr(1), hdr(2), hdr(3)))
   }
 
   /** Parse a canonical Y4M payload and fold the plane bytes into

@@ -1467,6 +1467,41 @@ case class Y4mDecodeStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Header-only Y4M parse: `struct(width, height, fps, n_frames)` from
+  * the parameter line + frame markers ([[Y4mKernel.headerMeta]]) — no
+  * plane-byte fold, so a stage that needs only geometry doesn't pay a
+  * full 3-plane stats pass. NULL for malformed payloads.
+  */
+case class Y4mHeaderMeta(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("fps", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"y4m_header expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Y4mKernel.headerMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.Y4mKernel.headerMeta($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-frame luma sums for every `every`-th frame of a Y4M payload,
   * folded from the REAL plane bytes ([[Y4mKernel.frameYSums]]) — the
   * decode-side frame-sampling stage (element i ↔ frame i·every). NULL
@@ -1623,6 +1658,11 @@ object native {
     */
   def y4m_frame_y_sums(media: Column, every: Int): Column =
     toCol(Y4mFrameYSums(ex(media), every))
+
+  /** Header-only Y4M geometry parse (no plane fold); NULL for
+    * malformed payloads.
+    */
+  def y4m_header(media: Column): Column = toCol(Y4mHeaderMeta(ex(media)))
 
   /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
     * column: Spark's own `BloomFilterAggregate` (the engine's

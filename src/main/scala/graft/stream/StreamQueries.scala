@@ -23,7 +23,7 @@ object StreamQueries {
     * is not acceptable either (r12 advice). Exit-hook deletion keeps
     * both properties: live for the session, gone with the JVM.
     */
-  private def scratchDir(prefix: String): String = {
+  private[graft] def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => graft.Fs.deleteTree(p.toString)))

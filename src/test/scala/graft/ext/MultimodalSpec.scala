@@ -409,6 +409,27 @@ class MultimodalSpec extends SparkSuite {
     // malformed payloads contribute zero transition rows
     val bad = Seq((1L, Array[Byte]('Y', 'U', 'V'))).toDF("doc_id", "media")
     assert(Multimodal.shotBoundaries(bad).count() == 0L)
+    // a single-frame payload has zero transitions — not two fabricated
+    // null-delta rows (sequence(1, 0) is DESCENDING in Spark)
+    val oneFrame = Seq((2L, graft.functions.Y4mKernel.synth(2L, 8, 8, 1, 12)))
+      .toDF("doc_id", "media")
+    assert(Multimodal.shotBoundaries(oneFrame).count() == 0L)
+  }
+
+  test("hist neighbors: a malformed QUERY payload quarantines instead of failing the stage") {
+    val good = (0L until 12L).map(id =>
+      (id, graft.functions.PpmKernel.synth(id, 8, 8)))
+    // doc 3 is inside the query set (doc_id < 10) and malformed
+    val rows = good.map { case (id, b) =>
+      if (id == 3L) (id, b.dropRight(1)) else (id, b)
+    }
+    val out = Multimodal.histNeighbors(
+      rows.toDF("doc_id", "media"), nQueries = 10L, k = 2)
+    val qIds = out.select("q_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(qIds.toSeq == (0L until 10L).filterNot(_ == 3L),
+      s"query 3 must drop, the rest must serve: ${qIds.toSeq}")
+    assert(!out.select("n_id").collect().exists(_.getLong(0) == 3L),
+      "the malformed doc must not appear as a neighbor either")
   }
 
   test("hist neighbors: decoded-feature cosine top-k matches a local recompute") {
