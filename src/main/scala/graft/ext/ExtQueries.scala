@@ -410,6 +410,15 @@ object ExtQueries {
       Multimodal.audioWindowStats(Multimodal.withFakeAudio(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("win"))),
 
+    // Multimodal: the tri-modal dataset card — all three decoded
+    // modalities joined per doc (slim projections, two exchanges of a
+    // few longs per row) and aggregated per language; every number
+    // comes from payload BYTES, so the hash match certifies the three
+    // decodes composing through a join.
+    "mm_multimodal_profile" -> ((s, d) =>
+      Multimodal.multimodalProfile(Tables.documents(s, d))
+        .orderBy(col("lang"))),
+
     // Multimodal: the THIRD real decode — binary video column → strict
     // Y4M parse (dims / fps / frame count recovered from the payload
     // bytes, with the canonical parameter line and every FRAME marker
@@ -1797,6 +1806,52 @@ object ExtQueries {
          |$bins
          |FROM v GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin
     },
+
+    // Tri-modal dataset-card replay: image pixel volume from the
+    // metadata formula, audio duration/peak and video frame/luma
+    // volumes from the full generative sample/byte replays, joined per
+    // doc exactly as the Spark side joins the three decode stages.
+    "mm_multimodal_profile" ->
+      """WITH au AS (
+        |  SELECT doc_id,
+        |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
+        |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels,
+        |    ((doc_id + 5) * 2654435761 % 4294967296 % 2 + 1) * 8000 AS rate
+        |  FROM documents
+        |), ap AS (
+        |  SELECT doc_id, frames * 1000 // rate AS audio_ms,
+        |    MAX(abs((doc_id + k * 2654435761) % 65536 - 32768)) AS apeak
+        |  FROM (SELECT doc_id, frames, rate,
+        |          unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
+        |        FROM au) GROUP BY 1, 2
+        |), vm AS (
+        |  SELECT doc_id,
+        |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
+        |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
+        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
+        |  FROM documents
+        |), vv AS (
+        |  SELECT doc_id, nf,
+        |    SUM(CASE WHEN (j % (w * h * 3)) // (w * h) = 0
+        |        THEN (doc_id + j * 2654435761) % 256 ELSE 0 END) AS vy
+        |  FROM (SELECT doc_id, w, h, nf,
+        |          unnest(generate_series(0, CAST(nf * w * h * 3 - 1 AS BIGINT))) AS j
+        |        FROM vm) GROUP BY 1, 2
+        |), im AS (
+        |  SELECT doc_id,
+        |    ((doc_id + 0) * 2654435761 % 4294967296 % 64 + 32)
+        |    * ((doc_id + 1) * 2654435761 % 4294967296 % 64 + 32) AS px
+        |  FROM documents
+        |)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(im.px) AS BIGINT) AS px_total,
+        |  CAST(SUM(ap.audio_ms) AS BIGINT) AS audio_ms_total,
+        |  CAST(MAX(ap.apeak) AS BIGINT) AS audio_peak_max,
+        |  CAST(SUM(vv.nf) AS BIGINT) AS video_frames_total,
+        |  CAST(SUM(vv.vy) AS BIGINT) AS video_y_total
+        |FROM documents d
+        |JOIN im USING (doc_id) JOIN ap USING (doc_id) JOIN vv USING (doc_id)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // Windowed audio feature replay: |sample| from the generative
     // formula, window = (k div channels) div 256 — the identical

@@ -263,6 +263,39 @@ object Multimodal {
         col("doc_id").as("n_id"), col("cos"))
   }
 
+  /** Tri-modal dataset card: the three decoded modalities joined per
+    * document and aggregated per language — the per-slice profile
+    * table a multimodal corpus ships with (counts, decoded pixel
+    * volume, audio duration, video frame volume). Each modality is
+    * decoded in its own pure-map pass and PROJECTED SLIM (doc_id +
+    * the aggregated fields only) before the three-way doc_id join —
+    * at 100 TB the media tables live separately, so the join is the
+    * honest shape, and the slim projections keep the two exchanges to
+    * a few longs per row; the aggregate itself is partial-map-side.
+    * Malformed payloads in any modality drop that doc from the card
+    * (inner joins — the quarantine accounting lives in
+    * [[graft.stream.StreamQueries]]' gate, not here).
+    */
+  def multimodalProfile(docs: DataFrame): DataFrame = {
+    val img = decodeStats(withFakeMedia(docs))
+      .select(col("doc_id"), (col("width") * col("height")).as("px"))
+    val audio = audioStats(withFakeAudio(docs))
+      .select(col("doc_id"), col("duration_ms").as("audio_ms"),
+        col("peak").as("audio_peak"))
+    val video = videoStats(withFakeVideo(docs))
+      .select(col("doc_id"), col("n_frames").as("vframes"),
+        col("y_sum").as("vy"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(img, "doc_id").join(audio, "doc_id").join(video, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("px")).as("px_total"),
+        sum(col("audio_ms")).as("audio_ms_total"),
+        max(col("audio_peak")).as("audio_peak_max"),
+        sum(col("vframes")).as("video_frames_total"),
+        sum(col("vy")).as("video_y_total"))
+  }
+
   // staged media-fixture memo: one write per (app, fixture dir); the
   // binary-source query measures the SCAN, the staging is a fixture
   // build charged to the warm phase like other artifacts
