@@ -27,7 +27,8 @@ object PlanAudit {
         "dedup_containment", "dedup_apply_containment",
         "text_extract_markup", "train_pack_spans", "audio_decode_stats",
         "decon_semantic", "dedup_containment_incr", "video_decode_stats",
-        "video_shot_cuts", "mm_hist_neighbors")
+        "video_shot_cuts", "mm_hist_neighbors", "mm_multimodal_profile",
+        "stream_media_gate")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
