@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * check inventory coverage line by line. Every SQL-expressible query has
   * a DuckDB oracle in [[oracleSql]] with identical output column names
   * and an identical deterministic ORDER BY — the driver hash-compares
-  * the full result (160 of 169 queries as of r14, MinHash/LSH dedup,
+  * the full result (161 of 170 queries as of r14, MinHash/LSH dedup,
   * the P6/WAV/Y4M media decodes with their downstream stages — tiled
   * pooling, frame sampling, shot cuts, windowed audio features,
   * decoded-histogram similarity, the streamed media gate — the

@@ -410,6 +410,17 @@ object ExtQueries {
       Multimodal.audioWindowStats(Multimodal.withFakeAudio(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("win"))),
 
+    // Multimodal training-set assembly: sequence packing where each
+    // doc's budget cost is its MULTIMODAL token count (text tokens +
+    // decoded image patches + audio windows + sampled video frames) —
+    // the packCounts seam fed by the decode kernels, so shard/bin
+    // boundaries of a multimodal pack are oracle-verifiable.
+    "train_pack_multimodal" -> ((s, d) =>
+      TrainingSet.packCounts(
+          Multimodal.multimodalTokenCounts(Tables.documents(s, d)),
+          budget = 768L)
+        .orderBy(col("doc_id"))),
+
     // Multimodal: the tri-modal dataset card — all three decoded
     // modalities joined per doc (slim projections, two exchanges of a
     // few longs per row) and aggregated per language; every number
@@ -1806,6 +1817,48 @@ object ExtQueries {
          |$bins
          |FROM v GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin
     },
+
+    // Multimodal pack replay: the same prefix-sum packing as
+    // train_pack, with the per-doc cost = text tokens + image patches
+    // (ceil-div on the metadata-formula dims — identical to the
+    // decoded dims by the hash-verified decode equivalence) + audio
+    // windows + sampled video frames.
+    "train_pack_multimodal" ->
+      """WITH im AS (
+        |  SELECT doc_id,
+        |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+        |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+        |  FROM documents
+        |), au AS (
+        |  SELECT doc_id,
+        |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames
+        |  FROM documents
+        |), vm AS (
+        |  SELECT doc_id,
+        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
+        |  FROM documents
+        |), t AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' '))
+        |      + ((im.w + 15) // 16) * ((im.h + 15) // 16)
+        |      + (au.frames + 255) // 256
+        |      + (vm.nf + 1) // 2 AS BIGINT) AS n_tokens,
+        |    d.doc_id % 8 AS shard,
+        |    (d.doc_id * 40503) % 65521 AS sk
+        |  FROM documents d
+        |  JOIN im USING (doc_id) JOIN au USING (doc_id) JOIN vm USING (doc_id)
+        |), o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, shard,
+        |  token_offset // 768 AS bin,
+        |  n_tokens, token_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     // Tri-modal dataset-card replay: image pixel volume from the
     // metadata formula, audio duration/peak and video frame/luma

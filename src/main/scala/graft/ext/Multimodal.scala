@@ -296,6 +296,34 @@ object Multimodal {
         sum(col("vy")).as("video_y_total"))
   }
 
+  /** Per-document MULTIMODAL token cost — what a multimodal trainer's
+    * sequence packer budgets by: whitespace text tokens plus one token
+    * per 16×16 image patch (ceil-div on the DECODED dims, the ViT
+    * convention), per 256-frame audio window, and per 2-strided
+    * sampled video frame. Every media term comes from payload BYTES
+    * through the decode kernels, so the count — and any packing built
+    * on it — stays oracle-replayable. Same slim-join shape as
+    * [[multimodalProfile]]; feeds [[TrainingSet.packCounts]] as the
+    * `(doc_id, n_tokens)` seam.
+    */
+  def multimodalTokenCounts(docs: DataFrame): DataFrame = {
+    val img = decodeStats(withFakeMedia(docs))
+      .select(col("doc_id"),
+        expr("((width + 15) div 16) * ((height + 15) div 16)").as("img_tokens"))
+    val audio = audioStats(withFakeAudio(docs))
+      .select(col("doc_id"),
+        expr("(n_frames + 255) div 256").as("audio_tokens"))
+    val video = videoStats(withFakeVideo(docs))
+      .select(col("doc_id"),
+        expr("(n_frames + 1) div 2").as("video_tokens"))
+    docs.select(col("doc_id"),
+        TrainingSet.tokenCount(col("text")).as("text_tokens"))
+      .join(img, "doc_id").join(audio, "doc_id").join(video, "doc_id")
+      .select(col("doc_id"),
+        (col("text_tokens") + col("img_tokens") + col("audio_tokens") +
+          col("video_tokens")).as("n_tokens"))
+  }
+
   // staged media-fixture memo: one write per (app, fixture dir); the
   // binary-source query measures the SCAN, the staging is a fixture
   // build charged to the warm phase like other artifacts

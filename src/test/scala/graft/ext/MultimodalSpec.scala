@@ -468,6 +468,35 @@ class MultimodalSpec extends SparkSuite {
     assert(got == expected, s"query-0 ranking mismatch: $got vs $expected")
   }
 
+  test("multimodal pack: decoded media terms add to the budget; offsets telescope") {
+    import graft.ext.TrainingSet
+    val docs = Tables.documents(spark, sfDir)
+    val counts = Multimodal.multimodalTokenCounts(docs)
+    // media adds patches∈[4,36] + windows∈[1,9] + frames∈[1,5] on top
+    // of the text tokens — bounds from the metadata formula ranges
+    val withText = counts.join(
+      docs.select(col("doc_id"),
+        TrainingSet.tokenCount(col("text")).as("t")), "doc_id").collect()
+    assert(withText.length == 500)
+    withText.foreach { r =>
+      val extra = r.getLong(1) - r.getLong(2)
+      assert(extra >= 6L && extra <= 50L, s"media token term out of range: $r")
+    }
+    // pack invariants: within each shard (ordered by sk, doc_id)
+    // offsets telescope by n_tokens and bins are the offset div budget
+    val packed = TrainingSet.packCounts(counts, budget = 768L).collect()
+    packed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val ord = rows.sortBy(r =>
+        ((r.getLong(0) * 40503L) % 65521L, r.getLong(0)))
+      var off = 0L
+      ord.foreach { r =>
+        assert(r.getLong(4) == off, s"offset must telescope: $r")
+        assert(r.getLong(2) == off / 768L, s"bin must be offset div budget: $r")
+        off += r.getLong(3)
+      }
+    }
+  }
+
   test("metadata-only stages do not carry the payload column") {
     val resized = Multimodal.resizeMeta(media, 48)
       .select("doc_id", "out_width", "out_height")
