@@ -46,10 +46,17 @@ object Bench {
       val files = Option(new java.io.File("bench_history").listFiles)
         .getOrElse(Array.empty) ++
         Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+      // dedupe by ROUND before taking two: a round archived into
+      // bench_history/ while its cwd copy remains would fill both
+      // slots with the same line, and min() over two copies of one
+      // loaded-host run is exactly the single-line inflation the
+      // min-of-two exists to prevent
       val newestTwo = files
         .filter(_.getName.matches("BENCH_r\\d+_builder\\.json"))
-        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        .groupBy(f => "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        .toSeq.sortBy(-_._1)
         .take(2)
+        .map(_._2.head)
       mergeHistories(newestTwo.toSeq.map { f =>
         val text = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")

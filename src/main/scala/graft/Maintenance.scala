@@ -69,10 +69,10 @@ object Maintenance {
     // containment index twins (full corpus + the %10≠0 incremental
     // slice): shingle map re-merged to one live row per shingle, docs
     // manifest masked against tombstones, pair files re-sized
-    run("containment", s"$root/containment", "containment v1 ") {
+    run("containment", s"$root/containment", "containment v2 ") {
       Dedup.compactContainmentIndex(spark, s"$root/containment")
     }
-    run("containment_corpus", s"$root/containment_corpus", "containment v1 ") {
+    run("containment_corpus", s"$root/containment_corpus", "containment v2 ") {
       Dedup.compactContainmentIndex(spark, s"$root/containment_corpus")
     }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one

@@ -607,8 +607,24 @@ object Dedup {
     */
   def removeContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
                               w: Int = 5, expectedItems: Long = 1L << 20,
-                              numBits: Long = 1L << 23): DataFrame = {
-    val sk = benchmarkSketch(benchmark, w, expectedItems, numBits)
+                              numBits: Long = 1L << 23): DataFrame =
+    removeWithSketch(corpus, benchmarkSketch(benchmark, w, expectedItems, numBits), w)
+
+  /** [[removeContaminatedBloom]] with the sketch SIZED FROM the
+    * benchmark's measured shingle cardinality
+    * ([[adaptiveBenchmarkSketch]]) — the form the batch query serves.
+    * The fixed 2^23-bit default above saturates once the benchmark
+    * outgrows it (~5M shingles at the 100× fixture = 1.6 bits/item →
+    * false positives reject nearly the whole corpus); the streaming
+    * gate was switched to adaptive sizing for exactly that measured
+    * failure, and the batch twin must not keep the footgun.
+    */
+  def removeContaminatedBloomAdaptive(corpus: DataFrame, benchmark: DataFrame,
+                                      w: Int = 5): DataFrame =
+    removeWithSketch(corpus, adaptiveBenchmarkSketch(benchmark, w), w)
+
+  private def removeWithSketch(corpus: DataFrame, sk: Array[Byte],
+                               w: Int): DataFrame =
     if (sk == null) corpus
     else {
       val flagged = corpus
@@ -617,7 +633,6 @@ object Dedup {
         .select(col("doc_id")).distinct()
       corpus.join(flagged, Seq("doc_id"), "left_anti")
     }
-  }
 
   /** Duplicate-group clustering: connected components over a near-dup
     * pair graph, labeling every member with its component's minimum
@@ -1155,15 +1170,9 @@ object Dedup {
                       topK: Int = 25, preRank: Int = 300): DataFrame = {
     val (sets, scored) = containmentCandidates(docs, w, dfCap)
     val cand = scored
-      // TakeOrderedAndProject: per-partition heaps, no global sort.
-      // Estimate ties break by n_shared_rare DESC before ids: estimate
-      // 1.0 is the common value for the whole containment head (every
-      // true subset pair), and an id-ordered cutoff there could drop a
-      // large true-top-K pair in favor of a low-id 2-shingle one —
-      // larger shared sets are strictly better evidence at equal
-      // estimate, so they survive the preRank cut first.
-      .orderBy((col("n_shared_rare").cast("double") / least(col("ra"), col("rb"))).desc,
-        col("n_shared_rare").desc, col("a_id").asc, col("b_id").asc)
+      // TakeOrderedAndProject: per-partition heaps, no global sort;
+      // ordering + tie-break shared with the stored path (preRankOrder)
+      .orderBy(preRankOrder: _*)
       .limit(preRank)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint()
@@ -1200,6 +1209,17 @@ object Dedup {
     * oracle equivalence on a fixture holds because the fixture's
     * containment pairs share rare (df ≤ cap) shingles — a corpus
     * violating that assumption needs the exact-dedup pass first.
+    *
+    * In the PERSISTED index the cap is enforced on the UNION corpus
+    * across append generations (over-cap shingles keep a df-only
+    * exclusion-memory row, per-generation dfs sum exactly because
+    * generations carry disjoint doc sets), so appends agree with a
+    * from-scratch build even when a shingle crosses the cap between
+    * batches. Exclusion is MONOTONE under removal: membership of an
+    * over-cap shingle was never stored, so tombstones cannot bring it
+    * back under the cap — a deliberate one-sided approximation
+    * (fewer candidates than a rebuild, never more), cleared by
+    * rebuilding via [[ensureContainment]] over the surviving corpus.
     */
   def applyContainment(docs: DataFrame, w: Int = 5, dfCap: Int = 64,
                        minContainment: Double = 0.9): DataFrame = {
@@ -1210,9 +1230,7 @@ object Dedup {
     val cand = scored.select(col("a_id"), col("b_id")).localCheckpoint()
     val losers = verifyContainment(sets, cand)
       .filter(col("containment") >= minContainment)
-      .select(when(col("n_a") < col("n_b"), col("a_id"))
-        .when(col("n_b") < col("n_a"), col("b_id"))
-        .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
+      .select(loserCol.as("doc_id"))
       .distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
@@ -1293,11 +1311,10 @@ object Dedup {
       .groupBy(col("shh")).agg(collect_list(col("doc_id")).as("ids"))
       .select(array_sort(col("ids")).as("ids"))
       .localCheckpoint()
+    // same indexed-lambda cross as the stored path ([[pairFanout]]) —
+    // the live/stored serve-equivalence contract needs ONE expression
     val multiPairs = lists
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(explode(pairFanout).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
     // Estimate denominator = each doc's count of shared-capable (2 ≤
     // df ≤ cap) shingles, assembled from the SMALL frames (one credit
@@ -1329,12 +1346,36 @@ object Dedup {
       |  transform(slice(ids, i + 2, size(ids)),
       |    y -> struct(x AS a_id, y AS b_id))))""".stripMargin)
 
+  /** Pre-rank ordering shared by the live and stored top-K paths
+    * (capped-containment estimate, then n_shared_rare DESC before ids:
+    * estimate 1.0 is the common value for the whole containment head,
+    * and an id-ordered cutoff there could drop a large true-top-K pair
+    * in favor of a low-id 2-shingle one — larger shared sets are
+    * strictly better evidence at equal estimate). ONE definition: the
+    * stored-serve-equals-live contract breaks silently if these drift.
+    */
+  private def preRankOrder: Seq[Column] = Seq(
+    (col("n_shared_rare").cast("double") / least(col("ra"), col("rb"))).desc,
+    col("n_shared_rare").desc, col("a_id").asc, col("b_id").asc)
+
+  /** Loser-selection rule shared by the live and stored removal paths:
+    * the side with the SMALLER shingle set is subsumed; mutual
+    * containment keeps the smaller doc_id.
+    */
+  private def loserCol: Column =
+    when(col("n_a") < col("n_b"), col("a_id"))
+      .when(col("n_b") < col("n_a"), col("b_id"))
+      .otherwise(greatest(col("a_id"), col("b_id")))
+
   /** A stored shingle row's FULL id set, reconstructed without ever
     * storing lists for the df≤2 bulk: df≥3 rows carry `ids`
-    * explicitly; (mn, mx) ARE the complete set at df≤2.
+    * explicitly; (mn, mx) ARE the complete set at df≤2; over-cap
+    * EXCLUSION-MEMORY rows (df > cap, membership never stored)
+    * reconstruct to the empty set.
     */
   private def fullIdsCol: Column =
     when(col("ids").isNotNull, col("ids"))
+      .when(col("mn").isNull, expr("CAST(array() AS array<bigint>)"))
       .when(col("df") === 2, array(col("mn"), col("mx")))
       .otherwise(array(col("mn")))
 
@@ -1361,20 +1402,25 @@ object Dedup {
       .join(rareSize.select(col("doc_id").as("b_id"), col("n_rare").as("rb")), Seq("b_id"))
   }
 
-  /** One storage row per distinct shingle with df ≤ cap: `(shh, df,
-    * mn, mx, ids)` — the SAME codegen count/min/max stats pass as the
-    * live path (df=1 rows are KEPT here, unlike the batch path: an
-    * incremental probe must see the shingles unique to a container
-    * doc), with posting lists materialized only for the df≥3 sliver
-    * behind the Bloom prefilter, exactly as the live build.
+  /** One storage row per distinct shingle: `(shh, df, mn, mx, ids)` —
+    * the SAME codegen count/min/max stats pass as the live path (df=1
+    * rows are KEPT here, unlike the batch path: an incremental probe
+    * must see the shingles unique to a container doc), with posting
+    * lists materialized only for the 3 ≤ df ≤ cap sliver behind the
+    * Bloom prefilter, exactly as the live build. Shingles with
+    * df > cap store a DF-ONLY row (null mn/mx/ids) — EXCLUSION
+    * MEMORY: without it, a later generation's batch-local df ≤ cap
+    * row would re-admit candidate pairs through a shingle whose union
+    * df a from-scratch build excludes. One row per shingle, no lists,
+    * so the memory bound the cap exists for is untouched.
     */
   private def shingleMapRows(posting: DataFrame, dfCap: Int): DataFrame = {
     val stats = posting.groupBy(col("shh"))
       .agg(count(lit(1)).as("df"),
         min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("df") <= dfCap)
       .localCheckpoint()
-    val multi = stats.filter(col("df") >= 3).select(col("shh"))
+    val multi = stats.filter(col("df") >= 3 && col("df") <= dfCap)
+      .select(col("shh"))
     val multiBloom = multi
       .agg(graft.functions.native.bloom_agg(col("shh"), 1L << 20, 1L << 23))
       .head.getAs[Array[Byte]](0)
@@ -1390,7 +1436,11 @@ object Dedup {
     val high = lists.select(col("shh"), size(col("ids")).cast("long").as("df"),
       element_at(col("ids"), 1).as("mn"), element_at(col("ids"), -1).as("mx"),
       col("ids"))
-    low.unionByName(high)
+    val over = stats.filter(col("df") > dfCap)
+      .select(col("shh"), col("df"),
+        lit(null).cast("bigint").as("mn"), lit(null).cast("bigint").as("mx"),
+        lit(null).cast("array<bigint>").as("ids"))
+    low.unionByName(high).unionByName(over)
   }
 
   /** The containment family's persisted index — the amortized form of
@@ -1399,8 +1449,10 @@ object Dedup {
     *  - `shingles/` — `(shh, df, mn, mx, ids, gen)`, the complete
     *    shingle→documents map for df ≤ dfCap (`ids` non-null only for
     *    df ≥ 3; every row's full id set reconstructs via
-    *    [[fullIdsCol]]). Append-only: each admitted batch appends its
-    *    own rows under a fresh `gen`; removal tombstones doc ids.
+    *    [[fullIdsCol]]) plus one DF-ONLY exclusion-memory row per
+    *    over-cap shingle (null mn/mx/ids — see [[shingleMapRows]]).
+    *    Append-only: each admitted batch appends its own rows under a
+    *    fresh `gen`; removal tombstones doc ids.
     *  - `pairs/` — the scored candidate set `(a_id, b_id,
     *    n_shared_rare, ra, rb)` both batch queries serve from, kept
     *    consistent with the live map (rewritten from small frames on
@@ -1414,7 +1466,7 @@ object Dedup {
   def ensureContainment(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                         dir: String, w: Int = 5, dfCap: Int = 64): String =
     Artifact.ensure(spark, dir,
-      s"containment v1 w=$w dfCap=$dfCap " +
+      s"containment v2 w=$w dfCap=$dfCap " +
         s"fp=${Artifact.fingerprint(docs, col("doc_id"), col("text"))}") {
       val posting = docs.select(col("doc_id"),
         explode(shingleHashes(col("text"), w)).as("shh"))
@@ -1423,25 +1475,43 @@ object Dedup {
       docs.select(col("doc_id")).withColumn("gen", lit(0L))
         .write.mode("overwrite").parquet(s"$dir/docs")
       val m = spark.read.parquet(s"$dir/shingles")
-        .filter(col("df") >= 2)
+        .filter(col("df") >= 2 && col("df") <= dfCap)
         .select(col("shh"), col("df"), fullIdsCol.as("ids"))
       scoredFromMerged(m).write.mode("overwrite").parquet(s"$dir/pairs")
       Artifact.clearTombstones(spark, dir)
       Artifact.writeNextGen(spark, dir, 1L)
     }
 
-  /** The LIVE shingle map: stored rows merged across append
+  /** The LIVE shingle map SERVE VIEW: stored rows merged across append
     * generations and masked against removal tombstones, as `(shh, df,
-    * ids)` with 1 ≤ df ≤ cap over live documents only. The steady
-    * state (no appends since build/compaction, no tombstones) is a
-    * bare scan; otherwise only the AFFECTED sliver — appended shingles
-    * (found via a Bloom of the appended generations' hashes, which are
+    * ids)` with 1 ≤ df ≤ cap over live documents only — over-cap
+    * shingles (including those whose union df crossed the cap through
+    * appends, per-generation stats summed via their exclusion-memory
+    * rows) are excluded exactly as a from-scratch build excludes them.
+    */
+  private[graft] def mergedShingles(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, dfCap: Int): DataFrame =
+    mergedShinglesAll(spark, dir, dfCap)
+      .filter(col("df") >= 1 && col("df") <= dfCap)
+
+  /** The FULL merged map including over-cap rows (`df > cap`, empty
+    * `ids`): union df per shingle = exploded live ids (tombstones
+    * masked) + the sum of its exclusion-memory rows' dfs — append
+    * generations carry disjoint doc sets, so the sum is the exact
+    * union count (tombstoned docs inside an exclusion-memory row
+    * cannot be subtracted — membership was never stored — so exclusion
+    * is MONOTONE: once a shingle crosses the cap it stays excluded
+    * even if removals would bring it back under; see the
+    * [[applyContainment]] cap-semantics note). The steady state (no
+    * appends since build/compaction, no tombstones) is a bare scan;
+    * otherwise only the AFFECTED sliver — appended shingles (found via
+    * a Bloom of the appended generations' hashes, which are
     * batch-bounded) and rows overlapping a tombstoned id — pays the
     * explode + re-aggregate, the LSM read-amplification that
     * [[compactContainmentIndex]] clears.
     */
-  private[graft] def mergedShingles(spark: org.apache.spark.sql.SparkSession,
-                                    dir: String, dfCap: Int): DataFrame = {
+  private def mergedShinglesAll(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, dfCap: Int): DataFrame = {
     val raw = spark.read.parquet(s"$dir/shingles")
     val hasApp = Artifact.readNextGen(spark, dir) > 1L
     val hasTomb = hasTombstones(spark, dir)
@@ -1469,14 +1539,23 @@ object Dedup {
       val affected = isApp || tombOverlap
       val fast = raw.filter(!affected)
         .select(col("shh"), col("df"), fullIdsCol.as("ids"))
-      val slow = raw.filter(affected)
+      val affectedRows = raw.filter(affected)
+      val slowIds = affectedRows.filter(col("mn").isNotNull || col("ids").isNotNull)
         .select(col("shh"), col("gen"), explode(fullIdsCol).as("id"))
         .join(broadcast(loadTombstones(spark, dir)
           .select(col("doc_id").as("id"), col("tgen"))), Seq("id"), "left")
         .filter(col("tgen").isNull || col("gen") >= col("tgen"))
         .groupBy(col("shh")).agg(array_sort(collect_set(col("id"))).as("ids"))
         .select(col("shh"), size(col("ids")).cast("long").as("df"), col("ids"))
-      fast.unionByName(slow).filter(col("df") >= 1 && col("df") <= dfCap)
+      // exclusion-memory rows of affected shingles: summed df joins the
+      // exploded count (full outer — a shingle may exist only here)
+      val slowOver = affectedRows.filter(col("mn").isNull && col("ids").isNull)
+        .groupBy(col("shh")).agg(sum(col("df")).as("df_over"))
+      val slow = slowIds.join(slowOver, Seq("shh"), "full_outer")
+        .select(col("shh"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("df_over"), lit(0L))).as("df"),
+          coalesce(col("ids"), expr("CAST(array() AS array<bigint>)")).as("ids"))
+      fast.unionByName(slow)
     }
   }
 
@@ -1507,11 +1586,10 @@ object Dedup {
                             docs: DataFrame, dir: String,
                             w: Int = 5, dfCap: Int = 64,
                             topK: Int = 25, preRank: Int = 300): DataFrame = {
-    Artifact.requireKind(spark, dir, s"containment v1 w=$w dfCap=$dfCap fp=")
+    Artifact.requireKind(spark, dir, s"containment v2 w=$w dfCap=$dfCap fp=")
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), w).as("sh"))
     val cand = spark.read.parquet(s"$dir/pairs")
-      .orderBy((col("n_shared_rare").cast("double") / least(col("ra"), col("rb"))).desc,
-        col("n_shared_rare").desc, col("a_id").asc, col("b_id").asc)
+      .orderBy(preRankOrder: _*)
       .limit(preRank)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint()
@@ -1528,15 +1606,13 @@ object Dedup {
                              docs: DataFrame, dir: String,
                              w: Int = 5, dfCap: Int = 64,
                              minContainment: Double = 0.9): DataFrame = {
-    Artifact.requireKind(spark, dir, s"containment v1 w=$w dfCap=$dfCap fp=")
+    Artifact.requireKind(spark, dir, s"containment v2 w=$w dfCap=$dfCap fp=")
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), w).as("sh"))
     val cand = spark.read.parquet(s"$dir/pairs")
       .select(col("a_id"), col("b_id")).localCheckpoint()
     val losers = verifyContainment(sets, cand)
       .filter(col("containment") >= minContainment)
-      .select(when(col("n_a") < col("n_b"), col("a_id"))
-        .when(col("n_b") < col("n_a"), col("b_id"))
-        .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
+      .select(loserCol.as("doc_id"))
       .distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
@@ -1556,7 +1632,7 @@ object Dedup {
                              batch: DataFrame, corpus: DataFrame, dir: String,
                              w: Int = 5, dfCap: Int = 64,
                              minContainment: Double = 0.9): DataFrame = {
-    Artifact.requireKind(spark, dir, s"containment v1 w=$w dfCap=$dfCap fp=")
+    Artifact.requireKind(spark, dir, s"containment v2 w=$w dfCap=$dfCap fp=")
     val bSets = batch
       .select(col("doc_id").as("new_id"), shingleHashes(col("text"), w).as("b_sh"))
       .localCheckpoint()
@@ -1600,7 +1676,7 @@ object Dedup {
   def appendContainmentIndex(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, dir: String,
                              w: Int = 5, dfCap: Int = 64): Unit = {
-    Artifact.requireKind(spark, dir, s"containment v1 w=$w dfCap=$dfCap fp=")
+    Artifact.requireKind(spark, dir, s"containment v2 w=$w dfCap=$dfCap fp=")
     val already = maskTombstones(spark, dir,
         spark.read.parquet(s"$dir/docs")
           .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
@@ -1618,7 +1694,7 @@ object Dedup {
       fresh.select(col("doc_id")).withColumn("gen", lit(gen))
         .write.mode("append").parquet(s"$dir/docs")
       writeNextGen(spark, dir, gen + 1L)
-      Artifact.addToFingerprint(spark, dir, "containment v1 ",
+      Artifact.addToFingerprint(spark, dir, "containment v2 ",
         Artifact.fingerprint(fresh, col("doc_id"), col("text")))
       rewritePairs(spark, dir, dfCap)
       Artifact.endMutation(spark, dir)
@@ -1636,14 +1712,14 @@ object Dedup {
   def removeFromContainmentIndex(spark: org.apache.spark.sql.SparkSession,
                                  removedDocs: DataFrame, dir: String,
                                  w: Int = 5, dfCap: Int = 64): Unit = {
-    Artifact.requireKind(spark, dir, s"containment v1 w=$w dfCap=$dfCap fp=")
+    Artifact.requireKind(spark, dir, s"containment v2 w=$w dfCap=$dfCap fp=")
     val removed = removedDocs.select(col("doc_id"), col("text")).localCheckpoint()
     if (!removed.isEmpty) {
       Artifact.beginMutation(spark, dir)
       val tgen = readNextGen(spark, dir)
       Artifact.appendTombstones(spark, dir,
         removed.select(col("doc_id"), lit(tgen).as("tgen")))
-      Artifact.subtractFromFingerprint(spark, dir, "containment v1 ",
+      Artifact.subtractFromFingerprint(spark, dir, "containment v2 ",
         Artifact.fingerprint(removed, col("doc_id"), col("text")))
       rewritePairs(spark, dir, dfCap)
       Artifact.endMutation(spark, dir)
@@ -1652,23 +1728,36 @@ object Dedup {
 
   /** Compact after a run of appends/removals: the shingle map rewrites
     * to ONE live row per shingle (merged ids, tombstoned docs dropped
-    * physically), the docs manifest drops removed ids, tombstones
-    * clear, and the pair files re-size. Serve results are unchanged —
-    * [[mergedShingles]] already produced exactly this view; compaction
-    * just makes the fast path apply again.
+    * physically, over-cap exclusion-memory rows PRESERVED with their
+    * summed df — dropping them would let a post-compaction append
+    * re-admit pairs through a shingle the full corpus excludes), the
+    * docs manifest drops removed ids, tombstones clear, the pair files
+    * re-size, and the generation counter RESETS to 1 (all rows are
+    * gen 0 and tombstones are gone, so the bare-scan fast path applies
+    * again — without the reset every post-compaction serve paid an
+    * eager full-table Bloom aggregate forever).
     */
   def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
                               dir: String, w: Int = 5, dfCap: Int = 64): (Int, Int) = {
-    Artifact.requireKind(spark, dir, s"containment v1 w=$w dfCap=$dfCap fp=")
+    Artifact.requireKind(spark, dir, s"containment v2 w=$w dfCap=$dfCap fp=")
     val (s0, s1) = Artifact.compactParquet(spark, dir, "shingles",
-      merge = _ => mergedShingles(spark, dir, dfCap)
+      merge = _ => mergedShinglesAll(spark, dir, dfCap)
+        .filter(col("df") >= 1)
         .select(col("shh"), col("df"),
-          element_at(col("ids"), 1).as("mn"), element_at(col("ids"), -1).as("mx"),
-          when(col("df") >= 3, col("ids")).otherwise(lit(null)).as("ids"),
+          // mn/mx must be NULL for over-cap rows (that nullness IS the
+          // exclusion-memory marker fullIdsCol keys on) — a row whose
+          // union df crossed the cap via an append stores df-only here
+          when(size(col("ids")) >= 1 && col("df") <= dfCap,
+            element_at(col("ids"), 1)).as("mn"),
+          when(size(col("ids")) >= 1 && col("df") <= dfCap,
+            element_at(col("ids"), -1)).as("mx"),
+          when(col("df") >= 3 && col("df") <= dfCap, col("ids"))
+            .otherwise(lit(null)).as("ids"),
           lit(0L).as("gen")))
     val (d0, d1) = Artifact.compactParquet(spark, dir, "docs",
       merge = maskTombstones(spark, dir, _))
     Artifact.clearTombstones(spark, dir)
+    Artifact.writeNextGen(spark, dir, 1L)
     val (p0, p1) = Artifact.compactParquet(spark, dir, "pairs")
     (s0 + d0 + p0, s1 + d1 + p1)
   }

@@ -932,13 +932,17 @@ object ExtQueries {
 
     // Decontamination through the fixed-size Bloom sketch instead of the
     // exact broadcast set — the path that survives a benchmark union too
-    // big to broadcast. At this sketch size (1 MiB for ~30k fixture
-    // shingles) the false-positive rate is ~0, so the survivors equal
-    // the exact path's and the query hash-verifies against the exact
-    // SQL; the deliberately-undersized direction is spec-pinned instead.
+    // big to broadcast. The sketch is SIZED FROM the benchmark's
+    // measured shingle cardinality (≥14 bits/item), same as the
+    // streaming gate — the old fixed 1 MiB default saturated at the
+    // 100× fixture (~5M shingles → 1.6 bits/item) and its false
+    // positives rejected nearly the whole corpus. At that sizing the
+    // false-positive rate is ~0, so the survivors equal the exact
+    // path's and the query hash-verifies against the exact SQL; the
+    // deliberately-undersized direction is spec-pinned instead.
     "decontaminate_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.removeContaminatedBloom(
+      Dedup.removeContaminatedBloomAdaptive(
           docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
           docs.filter(pmod(col("doc_id"), lit(10)) === 0))
         .select(col("doc_id"), col("n_chars"))

@@ -143,6 +143,67 @@ class ContainmentIndexSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("appends crossing the df cap agree with a from-scratch build; exclusion survives compaction and is monotone under removal") {
+    // a duplicate cluster whose shingles cross dfCap=3 ACROSS
+    // generations: 2 copies at build (df=2 ≤ 3 → pair discoverable),
+    // +2 on append (union df=4 > 3 → a from-scratch build over the
+    // union generates NO candidates through them)
+    val cl = (1 to 12).map(i => s"c$i").mkString(" ")
+    def doc(id: Long) = (id, cl)
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val base = df(Seq(doc(101L), doc(102L), (201L, long1), (202L, short1)))
+    val dir = freshDir("capcross")
+    Dedup.ensureContainment(spark, base, dir, dfCap = 3)
+    val before = Dedup.containmentTopKStored(spark, base, dir, dfCap = 3, topK = 25)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(before.contains((101L, 102L)), "under-cap cluster pair must be found")
+
+    val batch = df(Seq(doc(103L), doc(104L)))
+    Dedup.appendContainmentIndex(spark, batch, dir, dfCap = 3)
+    val union = base.unionByName(df(Seq(doc(103L), doc(104L))))
+    val scratch = freshDir("capcross_scratch")
+    Dedup.ensureContainment(spark, union, scratch, dfCap = 3)
+    def kept(d: String, docs: org.apache.spark.sql.DataFrame) =
+      Dedup.applyContainmentStored(spark, docs, d, dfCap = 3)
+        .select("doc_id").as[Long].collect().toSet
+    def top(d: String, docs: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentTopKStored(spark, docs, d, dfCap = 3, topK = 25)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(top(dir, union) == top(scratch, union),
+      "appended index must agree with a from-scratch union build")
+    assert(kept(dir, union) == kept(scratch, union))
+    assert(!top(dir, union).exists(p => p._1 >= 101L && p._1 <= 104L),
+      s"over-cap cluster pairs must be excluded, got ${top(dir, union)}")
+    assert(kept(dir, union).contains(102L),
+      "over-cap cluster docs are KEPT (the exact-dedup family's job)")
+
+    // compaction preserves the exclusion memory: a later 1-doc append
+    // must not re-admit pairs through the over-cap cluster
+    Dedup.compactContainmentIndex(spark, dir, dfCap = 3)
+    Dedup.appendContainmentIndex(spark, df(Seq(doc(105L))), dir, dfCap = 3)
+    val union5 = union.unionByName(df(Seq(doc(105L))))
+    val scratch5 = freshDir("capcross_scratch5")
+    Dedup.ensureContainment(spark, union5, scratch5, dfCap = 3)
+    assert(top(dir, union5) == top(scratch5, union5),
+      "exclusion memory must survive compaction")
+    assert(kept(dir, union5) == kept(scratch5, union5))
+
+    // monotone under removal (DOCUMENTED one-sided approximation):
+    // removing three copies brings the true union df back to 2, but
+    // membership of an over-cap shingle was never stored — the index
+    // keeps the cluster excluded where a rebuild would re-find it
+    Dedup.removeFromContainmentIndex(spark,
+      df(Seq(doc(103L), doc(104L), doc(105L))), dir, dfCap = 3)
+    val shrunk = base
+    assert(!top(dir, shrunk).contains((101L, 102L)),
+      "exclusion is monotone: no resurrection without a rebuild")
+    val rebuilt = freshDir("capcross_rebuilt")
+    Dedup.ensureContainment(spark, shrunk, rebuilt, dfCap = 3)
+    assert(top(rebuilt, shrunk).contains((101L, 102L)),
+      "a rebuild over the survivors re-finds the now-under-cap pair")
+  }
+
   test("incremental admission finds the planted contained batch doc") {
     val dir = freshDir("incr")
     Dedup.ensureContainment(spark, corpus, dir)
