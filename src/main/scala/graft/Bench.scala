@@ -56,7 +56,10 @@ object Bench {
         .groupBy(f => "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
         .toSeq.sortBy(-_._1)
         .take(2)
-        .map(_._2.head)
+        // within a round, the newest copy wins: a round re-run after
+        // being archived leaves a stale line in bench_history/ beside
+        // the fresher cwd one
+        .map(_._2.maxBy(_.lastModified))
       mergeHistories(newestTwo.toSeq.map { f =>
         val text = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")

@@ -610,24 +610,15 @@ object Dedup {
                               numBits: Long = 1L << 23): DataFrame =
     removeWithSketch(corpus, benchmarkSketch(benchmark, w, expectedItems, numBits), w)
 
-  /** [[removeContaminatedBloom]] with the sketch SIZED FROM the
-    * benchmark's measured shingle cardinality
-    * ([[adaptiveBenchmarkSketch]]) — the form the batch query serves.
-    * The fixed 2^23-bit default above saturates once the benchmark
-    * outgrows it (~5M shingles at the 100× fixture = 1.6 bits/item →
-    * false positives reject nearly the whole corpus); the streaming
-    * gate was switched to adaptive sizing for exactly that measured
-    * failure, and the batch twin must not keep the footgun.
-    */
-  def removeContaminatedBloomAdaptive(corpus: DataFrame, benchmark: DataFrame,
-                                      w: Int = 5): DataFrame =
-    removeWithSketch(corpus, adaptiveBenchmarkSketch(benchmark, w), w)
-
-  /** [[removeContaminatedBloomAdaptive]] with a caller-provided sketch
-    * (e.g. the warm-phase serving memo the streaming gate primes), so
-    * a query over the same benchmark does not re-measure cardinality
-    * and rebuild per invocation — the cold build is charged to
-    * `build_sec` per the house rule.
+  /** [[removeContaminatedBloom]] with a caller-provided sketch —
+    * normally [[adaptiveBenchmarkSketch]] bytes out of a warm-phase
+    * serving memo (the streaming gate primes one), so a query over the
+    * same benchmark does not re-measure cardinality and rebuild per
+    * invocation (cold build charged to `build_sec` per the house
+    * rule). The adaptive sizing matters: the fixed 2^23-bit default
+    * above saturates once the benchmark outgrows it (~5M shingles at
+    * the 100× fixture = 1.6 bits/item → false positives reject nearly
+    * the whole corpus).
     */
   def removeContaminatedWithSketch(corpus: DataFrame, sk: Array[Byte],
                                    w: Int = 5): DataFrame =
@@ -1764,8 +1755,15 @@ object Dedup {
           when(col("df") >= 3 && col("df") <= dfCap, col("ids"))
             .otherwise(lit(null)).as("ids"),
           lit(0L).as("gen")))
+    // docs must be re-stamped gen=0 like the shingles: the counter
+    // resets to 1 below, so a surviving docs row keeping its old gen
+    // (say 1) would satisfy `gen >= tgen` for the NEXT removal's
+    // tombstone (tgen = 1) and mask-proof itself — a zombie manifest
+    // row that turns every later re-append of that doc into a silent
+    // no-op
     val (d0, d1) = Artifact.compactParquet(spark, dir, "docs",
-      merge = maskTombstones(spark, dir, _))
+      merge = maskTombstones(spark, dir, _)
+        .withColumn("gen", lit(0L)))
     Artifact.clearTombstones(spark, dir)
     Artifact.writeNextGen(spark, dir, 1L)
     val (p0, p1) = Artifact.compactParquet(spark, dir, "pairs")

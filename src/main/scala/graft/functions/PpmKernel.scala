@@ -59,6 +59,17 @@ object PpmKernel {
     * is not a single-image maxval-255 P6 payload with an exact-length
     * raster (bad magic, non-numeric dims, truncated/oversized raster).
     */
+  /** Header-only parse: `(width, height)` from [[parseHeader]] —
+    * O(header), no raster fold; for stages that need only geometry
+    * (patch-count budgeting, resize planning). Null when malformed.
+    */
+  def headerMeta(bytes: Array[Byte]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val hdr = parseHeader(bytes)
+    if (hdr == null) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hdr(0), hdr(1)))
+  }
+
   def parseHeader(bytes: Array[Byte]): Array[Long] = {
     if (bytes == null || bytes.length < 12) return null
     if (bytes(0) != 'P' || bytes(1) != '6') return null

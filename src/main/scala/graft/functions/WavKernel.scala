@@ -103,6 +103,17 @@ object WavKernel {
     * 16-bit PCM payload whose derived fields (RIFF size, byte rate,
     * block align, data length) are all internally consistent.
     */
+  /** Header-only parse: `(n_channels, sample_rate, n_frames)` from
+    * [[parseHeader]] — O(header), no sample fold; for stages that need
+    * only the stream geometry (window-count budgeting, duration
+    * planning). Null when malformed.
+    */
+  def headerMeta(bytes: Array[Byte]): GenericInternalRow = {
+    val hdr = parseHeader(bytes)
+    if (hdr == null) return null
+    new GenericInternalRow(Array[Any](hdr(0), hdr(1), hdr(2)))
+  }
+
   def parseHeader(bytes: Array[Byte]): Array[Long] = {
     if (bytes == null || bytes.length < 44) return null
     if (!hasAscii(bytes, 0, "RIFF") || !hasAscii(bytes, 8, "WAVE") ||

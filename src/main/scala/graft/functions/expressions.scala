@@ -1467,6 +1467,70 @@ case class Y4mDecodeStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Header-only P6 parse: `struct(width, height)` ([[PpmKernel.headerMeta]])
+  * — O(header), no raster fold. NULL for malformed payloads.
+  */
+case class PpmHeaderMeta(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ppm_header expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PpmKernel.headerMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.PpmKernel.headerMeta($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Header-only WAV parse: `struct(n_channels, sample_rate, n_frames)`
+  * ([[WavKernel.headerMeta]]) — O(header), no sample fold. NULL for
+  * malformed payloads.
+  */
+case class WavHeaderMeta(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wav_header expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WavKernel.headerMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.WavKernel.headerMeta($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Header-only Y4M parse: `struct(width, height, fps, n_frames)` from
   * the parameter line + frame markers ([[Y4mKernel.headerMeta]]) — no
   * plane-byte fold, so a stage that needs only geometry doesn't pay a
@@ -1663,6 +1727,16 @@ object native {
     * malformed payloads.
     */
   def y4m_header(media: Column): Column = toCol(Y4mHeaderMeta(ex(media)))
+
+  /** Header-only P6 geometry parse (no raster fold); NULL for
+    * malformed payloads.
+    */
+  def ppm_header(media: Column): Column = toCol(PpmHeaderMeta(ex(media)))
+
+  /** Header-only WAV geometry parse (no sample fold); NULL for
+    * malformed payloads.
+    */
+  def wav_header(media: Column): Column = toCol(WavHeaderMeta(ex(media)))
 
   /** Distributed Bloom-filter build over an `xxhash64`-hashed LongType
     * column: Spark's own `BloomFilterAggregate` (the engine's

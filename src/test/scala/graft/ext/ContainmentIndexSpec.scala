@@ -204,6 +204,33 @@ class ContainmentIndexSpec extends SparkSuite {
       "a rebuild over the survivors re-finds the now-under-cap pair")
   }
 
+  test("a doc appended before compaction can be removed after it — and re-appended") {
+    // regression: compaction resets the generation counter to 1, so a
+    // docs-manifest row keeping its pre-compaction gen (1) would
+    // satisfy `gen >= tgen` for the next removal's tombstone (tgen=1)
+    // and mask-proof itself — a zombie row turning every later
+    // re-append of that doc into a silent no-op
+    val dir = freshDir("zombie")
+    Dedup.ensureContainment(spark, corpus, dir)
+    val docA = Seq((30L, (30 to 44).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    Dedup.appendContainmentIndex(spark, docA, dir)    // docs row gen=1
+    Dedup.compactContainmentIndex(spark, dir)         // counter resets
+    Dedup.removeFromContainmentIndex(spark, docA, dir) // tgen = 1
+    val afterRemove = Dedup.containmentTopKStored(spark, corpus, dir, topK = 25)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!afterRemove.exists(p => p._1 == 30L || p._2 == 30L),
+      s"removed doc must leave the pair table, got $afterRemove")
+    // re-append: the manifest must treat the doc as absent, so the
+    // append is REAL and the pair (30 ⊂ 1) is discoverable again
+    Dedup.appendContainmentIndex(spark, docA, dir)
+    val union = corpus.unionByName(docA)
+    val afterReappend = Dedup.containmentTopKStored(spark, union, dir, topK = 25)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(afterReappend.contains((1L, 30L)),
+      s"re-appended doc must be discoverable again, got $afterReappend")
+  }
+
   test("incremental admission finds the planted contained batch doc") {
     val dir = freshDir("incr")
     Dedup.ensureContainment(spark, corpus, dir)
