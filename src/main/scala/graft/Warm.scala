@@ -81,6 +81,11 @@ object Warm {
     // the one-time 5000-file staging belongs here, not in its window)
     graft.ext.Multimodal.ensureMediaFiles(spark, d)
     graft.ext.Multimodal.ensureMediaGateSpool(spark, d)
+    // decode-once media feature store: the ONE tri-modal decode pass —
+    // every mm_*/video_*/audio_* serve and the media dedup/decon/gate
+    // families read stored features instead of re-decoding payloads
+    graft.ext.MediaFeatures.ensure(spark, Tables.documents(spark, d),
+      graft.ext.MediaFeatures.defaultDir(d))
     // session-memoized (not persisted — see Bpe's class doc): trained
     // here so no bpe_* query pays the training cost as first consumer
     graft.ext.Bpe.trained(spark, docs, d)

@@ -473,8 +473,20 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 256,
-                   sigOf: Column => Column = simhash): DataFrame = {
-    val sigs = docs.select(col("doc_id"), sigOf(col("text")).as("sig"))
+                   sigOf: Column => Column = simhash): DataFrame =
+    hammingPairs(docs.select(col("doc_id"), sigOf(col("text")).as("sig")),
+      maxHamming, maxBucket)
+
+  /** Hamming-ball candidate pairs over ANY 64-bit signature frame
+    * `(doc_id, sig)` — the banding engine behind [[simhashPairs]] and
+    * the perceptual image dedup ([[MediaDedup.imagePhashPairs]]):
+    * pigeonhole on four 16-bit chunks (any pair within Hamming
+    * distance 3 must agree on ≥1 chunk), verify with
+    * bit_count(xor) ≤ maxHamming. Join key is (chunk-index,
+    * chunk-value) — candidates only, never all-pairs.
+    */
+  private[ext] def hammingPairs(sigs: DataFrame, maxHamming: Int = 3,
+                                maxBucket: Int = 256): DataFrame = {
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -1524,8 +1536,14 @@ object Dedup {
         else raw.filter(col("gen") >= 1L)
           .agg(graft.functions.native.bloom_agg(col("shh"), 1L << 20, 1L << 23))
           .head.getAs[Array[Byte]](0)
-      // tombstone ids are bounded (cleared at compaction) — a literal
-      // array keeps the overlap test map-side
+      // tombstone ids are bounded by removals since the last
+      // compaction — a literal array keeps the overlap test map-side
+      // for ordinary batches, but a LARGE removal batch would inline
+      // thousands of isin() literals inside exists() (slow analysis,
+      // codegen fallback at the 64KB method limit), so above the
+      // threshold the test switches to a Bloom probe over the ids.
+      // False positives only route rows to the slow path, which is
+      // correct for unaffected rows too — never a correctness risk.
       val tombIds: Array[Long] =
         if (!hasTomb) Array.empty
         else loadTombstones(spark, dir).select(col("doc_id"))
@@ -1536,7 +1554,15 @@ object Dedup {
           graft.functions.native.bloom_might_contain(appBloom, col("shh"))
       val tombOverlap =
         if (tombIds.isEmpty) lit(false)
-        else exists(fullIdsCol, id => id.isin(tombIds.map(Long.box).toSeq: _*))
+        else if (tombIds.length <= 1024)
+          exists(fullIdsCol, id => id.isin(tombIds.map(Long.box).toSeq: _*))
+        else {
+          val tombBloom = loadTombstones(spark, dir)
+            .agg(graft.functions.native.bloom_agg(col("doc_id"), 1L << 20, 1L << 23))
+            .head.getAs[Array[Byte]](0)
+          exists(fullIdsCol,
+            id => graft.functions.native.bloom_might_contain(tombBloom, id))
+        }
       val affected = isApp || tombOverlap
       val fast = raw.filter(!affected)
         .select(col("shh"), col("df"), fullIdsCol.as("ids"))

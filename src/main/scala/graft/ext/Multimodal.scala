@@ -52,7 +52,7 @@ object Multimodal {
     * (engine-private hashes like xxhash64 would make them
     * self-certified only).
     */
-  private def metaHash(k: Int): org.apache.spark.sql.Column =
+  private[ext] def metaHash(k: Int): org.apache.spark.sql.Column =
     (col("doc_id") + lit(k)) * lit(2654435761L) % lit(4294967296L)
 
   def withFakeMedia(docs: DataFrame): DataFrame =
@@ -147,6 +147,33 @@ object Multimodal {
         col("height"), col("nFrames"), col("fps")).as("media"),
       lit("video/x-yuv4mpeg").as("format"))
 
+  /** All three modalities' payloads in ONE projection per row —
+    * `(doc_id, img, wav, y4m)` — so [[MediaFeatures]]' decode-once
+    * build is a single linear pass with no doc_id joins between the
+    * modalities. Same generative formulas as
+    * [[withFakeMedia]]/[[withFakeAudio]]/[[withFakeVideo]], payload
+    * for payload.
+    */
+  private[ext] def withFakeAllMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      (metaHash(0) % 64 + lit(32)).cast("int").as("iw"),
+      (metaHash(1) % 64 + lit(32)).cast("int").as("ih"),
+      (metaHash(3) % 2048 + lit(256)).cast("int").as("af"),
+      (metaHash(4) % 2 + lit(1)).cast("int").as("ac"),
+      ((metaHash(5) % 2 + lit(1)) * lit(8000)).cast("int").as("ar"),
+      (metaHash(6) % 32 + lit(16)).cast("int").as("vw"),
+      (metaHash(7) % 32 + lit(16)).cast("int").as("vh"),
+      (metaHash(8) % 8 + lit(2)).cast("int").as("vf"),
+      ((metaHash(9) % 2 + lit(1)) * lit(12)).cast("int").as("vr"))
+    .select(
+      col("doc_id"),
+      graft.functions.native.ppm_synth(col("doc_id"), col("iw"), col("ih")).as("img"),
+      graft.functions.native.wav_synth(col("doc_id"), col("af"), col("ac"),
+        col("ar")).as("wav"),
+      graft.functions.native.y4m_synth(col("doc_id"), col("vw"), col("vh"),
+        col("vf"), col("vr")).as("y4m"))
+
   /** Video decode + feature-extract stage, mirroring [[decodeStats]]
     * and [[audioStats]]: a REAL Y4M parse — dims, fps, and frame count
     * come from the payload BYTES with the parameter line and every
@@ -194,11 +221,24 @@ object Multimodal {
     * filter.
     */
   def shotBoundaries(media: DataFrame, meanDeltaFloor: Int = 8): DataFrame =
-    media.select(col("doc_id"),
-        graft.functions.native.y4m_header(col("media")).as("d"),
-        graft.functions.native.y4m_frame_y_sums(col("media"), 1).as("sums"))
-      .filter(col("d").isNotNull && col("sums").isNotNull)
-      .select(col("doc_id"), (col("d.width") * col("d.height")).as("wh"),
+    shotBoundariesFrom(
+      media.select(col("doc_id"),
+          graft.functions.native.y4m_header(col("media")).as("d"),
+          graft.functions.native.y4m_frame_y_sums(col("media"), 1).as("sums"))
+        .filter(col("d").isNotNull && col("sums").isNotNull)
+        .select(col("doc_id"), (col("d.width") * col("d.height")).as("wh"),
+          col("sums")),
+      meanDeltaFloor)
+
+  /** [[shotBoundaries]]' delta/threshold stage over an already-decoded
+    * `(doc_id, wh, sums)` frame — the seam the [[MediaFeatures]] store
+    * serves through (per-frame luma sums decoded once, cut detection
+    * replayed from the stored array).
+    */
+  private[ext] def shotBoundariesFrom(decoded: DataFrame,
+                                      meanDeltaFloor: Int = 8): DataFrame =
+    decoded
+      .select(col("doc_id"), col("wh"),
         // guard the 1-frame case: sequence(1, 0) is DESCENDING in
         // Spark (step defaults to -1), which would fabricate two
         // null-delta transition rows out of thin air
@@ -225,14 +265,31 @@ object Multimodal {
     * arithmetic and the result is bit-identical to the integer-sum
     * formulation the oracle replays.
     */
-  def histNeighbors(media: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame = {
+  def histNeighbors(media: DataFrame, nQueries: Long = 10L, k: Int = 5): DataFrame =
     // quarantine BEFORE the query collect: a malformed query payload
     // decodes to a NULL hist, and collecting a null vec would NPE at
     // plan-build time — the one failure mode this module promises
     // never to have (malformed media drops rows, never stages)
-    val hists = decodeStats(media)
-      .select(col("doc_id"), col("hist").cast("array<double>").as("vec"))
-      .filter(col("vec").isNotNull)
+    histNeighborsFrom(
+      decodeStats(media)
+        .select(col("doc_id"), col("hist").cast("array<double>").as("vec"))
+        .filter(col("vec").isNotNull),
+      nQueries, k)
+
+  /** [[histNeighbors]]' scoring stage over an already-decoded
+    * `(doc_id, vec)` histogram frame — the seam the [[MediaFeatures]]
+    * store serves through.
+    */
+  private[ext] def histNeighborsFrom(hists: DataFrame, nQueries: Long = 10L,
+                                     k: Int = 5): DataFrame = {
+    // the collected query set and the per-row exploded struct array
+    // both grow linearly with nQueries — the in-row-literal design is
+    // for a FIXED, small query panel, so refuse a pathological plan
+    // instead of silently building one
+    require(nQueries <= 1000L,
+      s"histNeighbors embeds one literal vector per query in the plan; " +
+        s"nQueries=$nQueries exceeds the 1000 bound — use the ANN index " +
+        "path for large query sets")
     // The fixed query set is a bounded driver artifact (nQueries·16
     // longs — the centroids/thresholds discipline): scoring happens
     // IN-ROW against literal query vectors, srpBucket-style, instead
@@ -354,11 +411,19 @@ object Multimodal {
     * traffic and the oracle knows the bad set without parsing
     * anything). Charged to the warm phase like the clean staging.
     */
+  /** Collision-free spool/fixture dir name for a fixture path: the
+    * path itself, sanitized — two distinct fixture dirs can never map
+    * to one spool (the earlier `math.abs(hashCode)` naming had a
+    * colliding-hash / Int.MinValue collision class).
+    */
+  private def fixtureDirName(d: String): String =
+    d.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
+
   def ensureMediaGateSpool(s: SparkSession, d: String): String =
     mediaFilesMemo.synchronized {
       val key = s"${s.sparkContext.applicationId}#gate#$d"
       mediaFilesMemo.getOrElseUpdate(key, {
-        val dir = s"/root/repo/target/binary_gate_${math.abs(d.hashCode)}"
+        val dir = s"/root/repo/target/binary_gate_${fixtureDirName(d)}"
         graft.Fs.deleteTree(dir)
         withFakeMedia(graft.Tables.documents(s, d))
           .select(col("doc_id"),
@@ -381,7 +446,7 @@ object Multimodal {
     mediaFilesMemo.synchronized {
       val key = s"${s.sparkContext.applicationId}#$d"
       mediaFilesMemo.getOrElseUpdate(key, {
-        val dir = s"/root/repo/target/binary_src_${math.abs(d.hashCode)}"
+        val dir = s"/root/repo/target/binary_src_${fixtureDirName(d)}"
         graft.Fs.deleteTree(dir) // stale payloads from an older formula
         writeMediaFiles(withFakeMedia(graft.Tables.documents(s, d)), dir)
         dir
