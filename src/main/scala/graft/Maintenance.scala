@@ -75,6 +75,12 @@ object Maintenance {
     run("containment_corpus", s"$root/containment_corpus", "containment v2 ") {
       Dedup.compactContainmentIndex(spark, s"$root/containment_corpus")
     }
+    // decode-once media feature store: one gen-0 row per live doc,
+    // tombstones cleared, generation counter reset
+    run("media_features", s"$root/media_features",
+        graft.ext.MediaFeatures.MetaPrefix) {
+      graft.ext.MediaFeatures.compact(spark, s"$root/media_features")
+    }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)

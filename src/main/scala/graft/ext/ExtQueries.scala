@@ -508,6 +508,68 @@ object ExtQueries {
           col("a_frames"), col("a_fp"), col("v_frames"))
         .orderBy(col("doc_id"))),
 
+    // Perceptual image dedup: corpus dHash signatures SERVED from the
+    // feature store, tonight's re-rendered arrivals (a perturbed
+    // first-tile region — different bytes, same image) decoded for
+    // real, exact-signature groups collapsed FIRST (the
+    // exact-dup-before-LSH rule — raw-signature banding emitted 5.1M
+    // quadratic sibling pairs at 10×), then group representatives
+    // banded through the SimHash pigeonhole and Hamming-verified.
+    // The oracle replays signatures, the group collapse, AND the
+    // banding discovery (bucket cap included).
+    "dedup_image_phash" -> ((s, d) =>
+      MediaDedup.imagePhashPairs(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // The removal form: one survivor per exact-signature group minus
+    // representatives losing a near-dup rep pair — what an ingest
+    // gate keeps after near-dup screening of re-rendered media.
+    "dedup_apply_image" -> ((s, d) =>
+      MediaDedup.applyImagePhash(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("doc_id"))),
+
+    // Audio fingerprint dedup: stored window-energy fingerprints vs
+    // re-encoded arrivals (same PCM samples, rewritten container
+    // header), candidates bucketed on (signature, window count),
+    // verified by exact window-vector equality.
+    "dedup_audio_fp" -> ((s, d) =>
+      MediaDedup.audioFpPairs(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // Media decontamination report: exact tier = payload hash vs the
+    // broadcast benchmark assets; near tier = equal dims + rotation-
+    // matched 16-bin histogram (catches the +16-shifted re-rendered
+    // asset the exact tier misses). Corpus side is one scan of the
+    // slim feature store.
+    "decon_media" -> ((s, d) =>
+      MediaDedup.deconMedia(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("doc_id"))),
+
+    // The removal form: corpus minus every matched document.
+    "decon_media_apply" -> ((s, d) =>
+      MediaDedup.deconMediaApply(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("doc_id"))),
+
+    // End-to-end corpus RELEASE as ONE rewrite: markup-extract → PII
+    // redact → normalize → length/stopword/perplexity gates →
+    // paragraph + exact dedup → benchmark decon → released docs with
+    // a content digest. Certifies the stages COMPOSE at doc level
+    // (each stage reuses the construction its standalone query
+    // certifies); the oracle replays the whole chain.
+    "corpus_release" -> ((s, d) =>
+      Release.release(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // End-to-end corpus preparation: quality filter → deterministic
     // sample → normalize → chunk → per-language accounting. The whole
     // chain is narrow (filters, per-row transforms, one explode) until
@@ -537,10 +599,27 @@ object ExtQueries {
     // length floor → stopword cap → repetition filters → sample, all
     // from ONE corpus pass (per-row stage booleans + conditional sums
     // in a single partial-aggregable agg; the unpivot runs on the
-    // one-row result).
+    // one-row result) — now extended with the MEDIA gates (audio /
+    // video / image quality predicates over the decode-once feature
+    // store, joined slim), so the funnel reports media survival too.
     "curate_funnel" -> ((s, d) =>
-      TextAnalysis.curationFunnel(Tables.documents(s, d))
+      TextAnalysis.curationFunnel(Tables.documents(s, d),
+          mediaOk = Some(MediaQuality.mediaOkFlags(s,
+            MediaFeatures.ensure(s, Tables.documents(s, d),
+              MediaFeatures.defaultDir(d)))))
         .orderBy(col("stage_idx"))),
+
+    // Media quality gate: every rejected document (silent/clipped
+    // audio, black/static video, under/over-exposed image — exact
+    // integer predicates over DECODED stats) across the corpus plus
+    // six byte-constructed degenerate arrivals that give every gate
+    // verified traffic. The static gate carries real in-data traffic
+    // (~1.2% of fixture videos are exactly luma-static).
+    "mm_quality_gate" -> ((s, d) =>
+      MediaQuality.qualityGate(s,
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("doc_id"))),
 
     // Per-language length deciles via broadcast percentile thresholds —
     // the scalable NTILE: the corpus never sorts, assignment is a
@@ -1389,6 +1468,266 @@ object ExtQueries {
     sb.toString
   }
 
+  /** Shared replay core for the image-phash family: dHash signatures
+    * for corpus images ∪ perturbed re-rendered arrivals, then the
+    * banding DISCOVERY itself (chunk join + bucket cap) — the house
+    * convention of replaying candidate generation, not just the
+    * verify rule.
+    */
+  private val imagePhashCore: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+      |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+      |  FROM documents
+      |), imgs AS (
+      |  SELECT doc_id AS id, doc_id AS seed, w, h, FALSE AS pert FROM m
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, w, h, TRUE FROM m
+      |  WHERE doc_id % 41 = 0
+      |), px AS (
+      |  SELECT id, seed, w, h, pert,
+      |    unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS p
+      |  FROM imgs
+      |), t AS (
+      |  SELECT id,
+      |    CAST((((p // w) * 8) // h) * 9 + ((p % w) * 9) // w AS INTEGER)
+      |      AS tile,
+      |    CASE WHEN pert AND p < (w + 8) // 9
+      |      THEN ((seed + (p * 3 + 0) * 2654435761) % 256 + 128) % 256
+      |           + ((seed + (p * 3 + 1) * 2654435761) % 256 + 128) % 256
+      |           + ((seed + (p * 3 + 2) * 2654435761) % 256 + 128) % 256
+      |      ELSE (seed + (p * 3 + 0) * 2654435761) % 256
+      |           + (seed + (p * 3 + 1) * 2654435761) % 256
+      |           + (seed + (p * 3 + 2) * 2654435761) % 256 END AS s
+      |  FROM px
+      |), tm AS (
+      |  SELECT id, tile,
+      |    CAST((2 * SUM(s) + 3 * COUNT(*)) // (2 * (3 * COUNT(*))) AS BIGINT)
+      |      AS mv
+      |  FROM t GROUP BY 1, 2
+      |), tl AS (
+      |  SELECT id, list(mv ORDER BY tile) AS l FROM tm GROUP BY 1
+      |), bits AS (
+      |  SELECT id, k,
+      |    CASE WHEN l[(k // 8) * 9 + (k % 8) + 2] > l[(k // 8) * 9 + (k % 8) + 1]
+      |      THEN (1::BIGINT << k) ELSE 0 END AS b
+      |  FROM tl, (SELECT unnest(generate_series(0, 62)) AS k)
+      |), sg AS (
+      |  SELECT id, CAST(SUM(b) AS BIGINT) AS sig FROM bits GROUP BY 1
+      |), grp AS (
+      |  SELECT sig, MIN(id) AS rep_id, COUNT(*) AS n_members
+      |  FROM sg GROUP BY 1
+      |), ch AS (
+      |  SELECT rep_id AS id, sig, g.ci, (sig >> (16 * g.ci)) & 65535 AS chunk
+      |  FROM grp CROSS JOIN generate_series(0, 3) AS g(ci)
+      |), bsz AS (
+      |  SELECT ci, chunk, COUNT(*) AS mm FROM ch GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |  FROM ch a
+      |  JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk AND a.id < b.id
+      |  JOIN bsz s ON s.ci = a.ci AND s.chunk = a.chunk
+      |    AND s.mm BETWEEN 2 AND 256
+      |)""".stripMargin
+
+  /** Shared replay core for media decontamination: per-image 16-bin
+    * histograms for corpus + benchmark assets (exact copies of the
+    * %97=0 slice; +16-shifted re-renders of the %97=13 slice), exact
+    * tier = byte-equality rule (equal dims ∧ congruent raster seed mod
+    * 256 — equivalent to payload equality under the generative
+    * formula), near tier = equal dims ∧ rotation-matched histogram.
+    */
+  private val deconMediaCore: String = {
+    val rots = Seq(0, 1, 15).map {
+      case 0 => "c.l = a.l"
+      case r => s"(c.l[${r + 1}:16] || c.l[1:$r]) = a.l"
+    }.mkString("\n      OR ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+       |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+       |  FROM documents
+       |), cpx AS (
+       |  SELECT doc_id, w, h,
+       |    unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS k
+       |  FROM m
+       |), chist AS (
+       |  SELECT doc_id, ((doc_id + k * 2654435761) % 256) // 16 AS bin,
+       |    COUNT(*) AS c
+       |  FROM cpx GROUP BY 1, 2
+       |), chl AS (
+       |  SELECT doc_id, list(c ORDER BY bin) AS l FROM chist GROUP BY 1
+       |), corp AS (
+       |  SELECT m.doc_id, m.w, m.h, chl.l FROM m JOIN chl USING (doc_id)
+       |), assets AS (
+       |  SELECT doc_id + 20000000 AS bench_id, doc_id AS seed, w, h FROM m
+       |  WHERE doc_id % 97 = 0 AND doc_id < 50000
+       |  UNION ALL
+       |  SELECT doc_id + 30000000, doc_id + 16, w, h FROM m
+       |  WHERE doc_id % 97 = 13 AND doc_id < 50000
+       |), apx AS (
+       |  SELECT bench_id, seed, w, h,
+       |    unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS k
+       |  FROM assets
+       |), ahist AS (
+       |  SELECT bench_id, seed, w, h,
+       |    ((seed + k * 2654435761) % 256) // 16 AS bin, COUNT(*) AS c
+       |  FROM apx GROUP BY 1, 2, 3, 4, 5
+       |), ahl AS (
+       |  SELECT bench_id, seed, w, h, list(c ORDER BY bin) AS l
+       |  FROM ahist GROUP BY 1, 2, 3, 4
+       |), matches AS (
+       |  SELECT c.doc_id,
+       |    MAX(CASE WHEN (c.doc_id % 256) = (a.seed % 256) THEN 2 ELSE 1 END)
+       |      AS pri
+       |  FROM corp c
+       |  JOIN ahl a ON c.w = a.w AND c.h = a.h
+       |  WHERE (c.doc_id % 256) = (a.seed % 256)
+       |    OR $rots
+       |  GROUP BY 1
+       |)""".stripMargin
+  }
+
+  /** Shared replay core for the media quality gates: the six
+    * exact-integer predicates over the generative formulas, one row
+    * per corpus document (`corpflags`).
+    */
+  private val mediaGateFlagsCore: String =
+    """WITH am AS (
+      |  SELECT doc_id,
+      |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
+      |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels
+      |  FROM documents
+      |), au AS (
+      |  SELECT doc_id, MAX(abs(v)) AS peak,
+      |    SUM(CASE WHEN (v + 32768) // 4096 IN (0, 15) THEN 1 ELSE 0 END)
+      |      AS rail,
+      |    COUNT(*) AS n
+      |  FROM (SELECT doc_id, (doc_id + k * 2654435761) % 65536 - 32768 AS v
+      |        FROM (SELECT doc_id,
+      |                unnest(generate_series(0,
+      |                  CAST(frames * channels - 1 AS BIGINT))) AS k
+      |              FROM am))
+      |  GROUP BY 1
+      |), vm AS (
+      |  SELECT doc_id,
+      |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
+      |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
+      |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
+      |  FROM documents
+      |), vv AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN plane = 0 AND val // 16 = 0 THEN 1 ELSE 0 END) AS b0,
+      |    SUM(CASE WHEN plane = 0 THEN 1 ELSE 0 END) AS n
+      |  FROM (SELECT doc_id, (j % (w * h * 3)) // (w * h) AS plane,
+      |          (doc_id + j * 2654435761) % 256 AS val
+      |        FROM (SELECT doc_id, w, h,
+      |                unnest(generate_series(0,
+      |                  CAST(nf * w * h * 3 - 1 AS BIGINT))) AS j
+      |              FROM vm))
+      |  GROUP BY 1
+      |), fyq AS (
+      |  SELECT doc_id, f,
+      |    SUM((doc_id + (f * 3 * w * h + i) * 2654435761) % 256) AS y
+      |  FROM (SELECT doc_id, w, h, f,
+      |          unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i
+      |        FROM (SELECT doc_id, w, h,
+      |                unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+      |              FROM vm))
+      |  GROUP BY 1, 2
+      |), stq AS (
+      |  SELECT doc_id, COUNT(*) AS nfr, COUNT(DISTINCT y) AS nd
+      |  FROM fyq GROUP BY 1
+      |), imq AS (
+      |  SELECT doc_id,
+      |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+      |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+      |  FROM documents
+      |), ihq AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN val // 16 <= 1 THEN 1 ELSE 0 END) AS head,
+      |    SUM(CASE WHEN val // 16 >= 14 THEN 1 ELSE 0 END) AS tail,
+      |    COUNT(*) AS n
+      |  FROM (SELECT doc_id, (doc_id + k * 2654435761) % 256 AS val
+      |        FROM (SELECT doc_id,
+      |                unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT)))
+      |                  AS k
+      |              FROM imq))
+      |  GROUP BY 1
+      |), corpflags AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN au.peak < 327 THEN 1 ELSE 0 END AS audio_silent,
+      |    CASE WHEN au.rail * 4 > au.n THEN 1 ELSE 0 END AS audio_clipped,
+      |    CASE WHEN vv.b0 * 2 > vv.n THEN 1 ELSE 0 END AS video_black,
+      |    CASE WHEN stq.nfr >= 2 AND stq.nd = 1 THEN 1 ELSE 0 END
+      |      AS video_static,
+      |    CASE WHEN ihq.head * 2 > ihq.n THEN 1 ELSE 0 END AS img_dark,
+      |    CASE WHEN ihq.tail * 2 > ihq.n THEN 1 ELSE 0 END AS img_bright
+      |  FROM documents d
+      |  JOIN au USING (doc_id) JOIN vv USING (doc_id)
+      |  JOIN stq USING (doc_id) JOIN ihq USING (doc_id)
+      |)""".stripMargin
+
+  /** The release chain's shared front-end replay: shell → strip →
+    * redact → normalize (constructions shared literal-for-literal
+    * with text_extract_markup / text_pii_redact / text_normalize).
+    * `@PLANT@` switches the PII plant on (corpus side) or off
+    * (benchmark side).
+    */
+  private val releaseFrontEnd: String =
+    ("""  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(stripped, '@EMAIL@')) AS BIGINT)
+      |      + CAST(len(regexp_extract_all(stripped, '@PHONE@')) AS BIGINT)
+      |      + CAST(len(regexp_extract_all(stripped, '@IP@')) AS BIGINT) AS n_pii,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        lower(regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(regexp_replace(regexp_replace(stripped,
+      |              '@EMAIL@', '<EMAIL>', 'g'), '@IP@', '<IP>', 'g'),
+      |              '@PHONE@', '<PHONE>', 'g'),
+      |            '@EMAIL@', '<email>', 'g'),
+      |          '[0-9]{6,}', '<num>', 'g')),
+      |        '[.,!?;:]', '', 'g'),
+      |      '\s+', ' ', 'g')) AS text
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      trim(regexp_replace(
+      |        replace(replace(replace(replace(replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  '<html><head><title>' || source || '</title><style>p{margin:0}</style><script type="text/javascript">var id='
+      |                  || CAST(doc_id AS VARCHAR) || ';</script></head><body><h1>' || source || '</h1><p>'
+      |                  || replace(@PLANT@, '. ', '.</p><p>') || '</p><!-- id:' || CAST(doc_id AS VARCHAR)
+      |                  || ' --><div class="nav">Home &amp; About &gt; Contact</div></body></html>',
+      |                  '<script[^>]*>.*?</script>', ' ', 'gs'),
+      |                '<style[^>]*>.*?</style>', ' ', 'gs'),
+      |              '<!--.*?-->', ' ', 'gs'),
+      |            '<[^>]*>', ' ', 'g'),
+      |          '&nbsp;', ' '), '&quot;', '"'), '&gt;', '>'), '&lt;', '<'), '&amp;', '&'),
+      |        '\s+', ' ', 'g')) AS stripped
+      |    FROM documents WHERE @WHERE@
+      |  )""".stripMargin
+      .replace("@EMAIL@", TextAnalysis.EmailRe)
+      .replace("@IP@", TextAnalysis.Ipv4Re)
+      .replace("@PHONE@", TextAnalysis.PhoneRe))
+
+  private val releasePlant: String =
+    """concat_ws(' ', text,
+      |      'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com',
+      |      CASE WHEN doc_id % 3 = 0
+      |        THEN 'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |             || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+      |        ELSE 'no phone' END,
+      |      CASE WHEN doc_id % 5 = 0
+      |        THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |             || CAST((doc_id * 3) % 256 AS VARCHAR) || '.1'
+      |        ELSE 'local' END)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_canonical_rank" -> (canonicalRankSql(3) +
       """
@@ -1936,6 +2275,170 @@ object ExtQueries {
         |JOIN m USING (doc_id) JOIN dh USING (doc_id) JOIN am USING (doc_id)
         |JOIN afp USING (doc_id) JOIN vm USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Release-chain replay: the whole pipeline re-derived in SQL —
+    // front-end (shell/strip/redact/normalize, shared fragments),
+    // gates (length, stopword fraction, round-6 mean NLL against the
+    // top-4096 vocabulary of the chained corpus), 16-token segment
+    // dedup (first occurrence wins), exact dedup on the rebuilt text,
+    // 5-gram benchmark decon, md5 digest of the released text.
+    "corpus_release" ->
+      ("""WITH nrm AS (
+         |@FRONT_CORPUS@
+         |), tk AS (
+         |  SELECT doc_id, lang, n_pii, text, string_split(text, ' ') AS t
+         |  FROM nrm
+         |), voc AS (
+         |  SELECT token, COUNT(*) AS c
+         |  FROM (SELECT unnest(t) AS token FROM tk)
+         |  GROUP BY token ORDER BY c DESC, token LIMIT 4096
+         |), consts AS (
+         |  SELECT (SELECT SUM(c) FROM voc) + (SELECT COUNT(*) FROM voc) + 1 AS d
+         |), nll AS (
+         |  SELECT s.doc_id,
+         |    round(SUM(-ln((coalesce(v.c, 0) + 1) * 1.0 / (SELECT d FROM consts)))
+         |      / COUNT(*), 6) AS mean_nll
+         |  FROM (SELECT doc_id, unnest(t) AS token FROM tk) s
+         |  LEFT JOIN voc v USING (token) GROUP BY s.doc_id
+         |), pstat AS (
+         |  SELECT CAST(SUM(CAST(mean_nll AS DECIMAL(12,6))) AS DECIMAL(38,6))
+         |      AS nll_sum,
+         |    CAST(COUNT(*) AS DECIMAL(12,0)) AS nll_n
+         |  FROM nll
+         |), gated AS (
+         |  SELECT tk.doc_id, tk.lang, tk.n_pii, tk.t
+         |  FROM tk JOIN nll USING (doc_id) CROSS JOIN pstat
+         |  WHERE len(t) >= 30
+         |    AND CAST(len(list_filter(t, x -> list_contains(
+         |      ['the','a','of','and','to','in','is','on'], x))) AS DOUBLE)
+         |      / len(t) <= 0.12
+         |    AND (CAST(mean_nll AS DECIMAL(12,6)) - CAST(0.25 AS DECIMAL(12,6)))
+         |      * nll_n <= nll_sum
+         |), segs AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
+         |  FROM gated CROSS JOIN generate_series(0, 255) AS g(i)
+         |  WHERE i * 16 < len(t)
+         |), keep AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segs
+         |), rebuilt AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+         |  FROM keep WHERE rn = 1 GROUP BY doc_id
+         |), exact AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM rebuilt GROUP BY text
+         |), dd AS (
+         |  SELECT r.doc_id, g.lang, g.n_pii, r.text
+         |  FROM rebuilt r
+         |  JOIN exact e ON r.doc_id = e.doc_id
+         |  JOIN gated g ON g.doc_id = r.doc_id
+         |), benchsh AS (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
+         |    FROM (
+         |@FRONT_BENCH@
+         |    ))
+         |), contaminated AS (
+         |  SELECT d.doc_id FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
+         |    FROM dd) d
+         |  JOIN benchsh b USING (sh)
+         |  GROUP BY d.doc_id HAVING COUNT(*) >= 5
+         |)
+         |SELECT doc_id, lang, n_pii,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  md5(text) AS text_md5
+         |FROM dd
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin
+        .replace("@FRONT_CORPUS@", releaseFrontEnd
+          .replace("@PLANT@", releasePlant)
+          .replace("@WHERE@", "doc_id % 10 <> 0"))
+        .replace("@FRONT_BENCH@", releaseFrontEnd
+          .replace("@PLANT@", "text")
+          .replace("@WHERE@", "doc_id % 10 = 0"))),
+
+    // Perceptual image dedup replay: dHash signatures for corpus ∪
+    // perturbed arrivals, banding discovery included (bucket cap
+    // replayed, the dedup_simhash convention).
+    "dedup_image_phash" ->
+      s"""$imagePhashCore
+         |SELECT a_id, b_id, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_apply_image" ->
+      s"""$imagePhashCore
+         |SELECT rep_id AS doc_id FROM grp
+         |WHERE rep_id NOT IN (
+         |  SELECT DISTINCT b_id FROM pairs WHERE hamming <= 3)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Audio fingerprint dedup replay: 64-frame window-energy vectors
+    // for corpus ∪ re-encoded arrivals (the re-encode keeps the seed,
+    // so its sample stream is identical), fingerprint bits, bucket
+    // discovery on (signature, window count) with the cap, exact
+    // vector-equality verify.
+    "dedup_audio_fp" ->
+      """WITH am AS (
+        |  SELECT doc_id,
+        |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
+        |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels
+        |  FROM documents
+        |), clips AS (
+        |  SELECT doc_id AS id, doc_id AS seed, frames, channels FROM am
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, frames, channels FROM am
+        |  WHERE doc_id % 89 = 0
+        |), samp AS (
+        |  SELECT id, seed, channels,
+        |    unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
+        |  FROM clips
+        |), win AS (
+        |  SELECT id, CAST((k // channels) // 64 AS INTEGER) AS win,
+        |    SUM(abs((seed + k * 2654435761) % 65536 - 32768)) AS sa
+        |  FROM samp GROUP BY 1, 2
+        |), vec AS (
+        |  SELECT id, list(sa ORDER BY win) AS wl, COUNT(*) AS nwin
+        |  FROM win GROUP BY 1
+        |), sigb AS (
+        |  SELECT id, k,
+        |    CASE WHEN len(wl) > k + 1 AND wl[k + 2] > wl[k + 1]
+        |      THEN (1::BIGINT << k) ELSE 0 END AS b
+        |  FROM vec, (SELECT unnest(generate_series(0, 34)) AS k)
+        |), sg AS (
+        |  SELECT id, CAST(SUM(b) AS BIGINT) AS sig FROM sigb GROUP BY 1
+        |), fv AS (
+        |  SELECT v.id, v.wl, v.nwin, s.sig FROM vec v JOIN sg s USING (id)
+        |), bsz AS (
+        |  SELECT sig, nwin, COUNT(*) AS mm FROM fv GROUP BY 1, 2
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id, CAST(a.nwin AS BIGINT) AS n_windows
+        |FROM fv a
+        |JOIN fv b ON a.sig = b.sig AND a.nwin = b.nwin AND a.id < b.id
+        |  AND a.wl = b.wl
+        |JOIN bsz s ON s.sig = a.sig AND s.nwin = a.nwin
+        |  AND s.mm BETWEEN 2 AND 256
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Media decontamination replay: see deconMediaCore — exact tier by
+    // the generative byte-equality rule, near tier by rotation-matched
+    // histograms, priority exact > near per document.
+    "decon_media" ->
+      s"""$deconMediaCore
+         |SELECT doc_id,
+         |  CASE WHEN pri = 2 THEN 'exact' ELSE 'near' END AS match_kind
+         |FROM matches ORDER BY doc_id""".stripMargin,
+
+    "decon_media_apply" ->
+      s"""$deconMediaCore
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM matches)
+         |ORDER BY doc_id""".stripMargin,
 
     // Multimodal pack replay: the same prefix-sum packing as
     // train_pack, with the per-doc cost = text tokens + image patches
@@ -2644,8 +3147,41 @@ object ExtQueries {
     // The funnel re-derives every stage flag independently: repetition
     // via unnest+GROUP BY modes (as in text_repetition), stopword ratio
     // via list_intersect, the sample via the shared hash-mod predicate.
+    // Media gate replay: all six predicates re-derived from the
+    // generative formulas for the corpus; the six constructed
+    // arrivals' flags are analytic literals (their payloads are fixed
+    // byte constructions — all-zero samples, rail samples, zero/
+    // repeated planes, constant rasters).
+    "mm_quality_gate" ->
+      s"""$mediaGateFlagsCore
+         |, allrows AS (
+         |  SELECT * FROM corpflags
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (40000001, 1, 0, 0, 0, 0, 0),
+         |    (40000002, 0, 1, 0, 0, 0, 0),
+         |    (40000003, 0, 0, 1, 1, 0, 0),
+         |    (40000004, 0, 0, 0, 1, 0, 0),
+         |    (40000005, 0, 0, 0, 0, 1, 0),
+         |    (40000006, 0, 0, 0, 0, 0, 1))
+         |    v(doc_id, audio_silent, audio_clipped, video_black,
+         |      video_static, img_dark, img_bright)
+         |)
+         |SELECT doc_id,
+         |  CAST(audio_silent AS BIGINT) AS audio_silent,
+         |  CAST(audio_clipped AS BIGINT) AS audio_clipped,
+         |  CAST(video_black AS BIGINT) AS video_black,
+         |  CAST(video_static AS BIGINT) AS video_static,
+         |  CAST(img_dark AS BIGINT) AS img_dark,
+         |  CAST(img_bright AS BIGINT) AS img_bright
+         |FROM allrows
+         |WHERE audio_silent + audio_clipped + video_black + video_static
+         |  + img_dark + img_bright > 0
+         |ORDER BY doc_id""".stripMargin,
+
     "curate_funnel" ->
-      """WITH s AS (
+      s"""$mediaGateFlagsCore
+        |, s AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |), tc AS (
         |  SELECT doc_id, tok, count(*) AS c
@@ -2669,8 +3205,12 @@ object ExtQueries {
         |      AND CAST(td.topc AS DOUBLE) / len(t) <= 0.12
         |      AND (len(t) = 1 OR CAST(bd.topb AS DOUBLE) / (len(t) - 1) <= 0.08))
         |      AS q3,
-        |    (s.doc_id + 1) * 2654435761 % 4294967296 % 1000 < 500 AS q4
+        |    (s.doc_id + 1) * 2654435761 % 4294967296 % 1000 < 500 AS q4,
+        |    (cf.audio_silent + cf.audio_clipped = 0) AS q5,
+        |    (cf.video_black + cf.video_static = 0) AS q6,
+        |    (cf.img_dark + cf.img_bright = 0) AS q7
         |  FROM s JOIN td USING (doc_id) LEFT JOIN bd USING (doc_id)
+        |    JOIN corpflags cf ON cf.doc_id = s.doc_id
         |), g AS (
         |  SELECT count(*) AS d0, SUM(n_tokens) AS t0,
         |    SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS d1,
@@ -2680,7 +3220,13 @@ object ExtQueries {
         |    SUM(CASE WHEN k1 AND q2 AND q3 THEN 1 ELSE 0 END) AS d3,
         |    SUM(CASE WHEN k1 AND q2 AND q3 THEN n_tokens ELSE 0 END) AS t3,
         |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 THEN 1 ELSE 0 END) AS d4,
-        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 THEN n_tokens ELSE 0 END) AS t4
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 THEN n_tokens ELSE 0 END) AS t4,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 AND q5 THEN 1 ELSE 0 END) AS d5,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 AND q5 THEN n_tokens ELSE 0 END) AS t5,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 AND q5 AND q6 THEN 1 ELSE 0 END) AS d6,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 AND q5 AND q6 THEN n_tokens ELSE 0 END) AS t6,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 AND q5 AND q6 AND q7 THEN 1 ELSE 0 END) AS d7,
+        |    SUM(CASE WHEN k1 AND q2 AND q3 AND q4 AND q5 AND q6 AND q7 THEN n_tokens ELSE 0 END) AS t7
         |  FROM f
         |)
         |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
@@ -2691,6 +3237,9 @@ object ExtQueries {
         |  UNION ALL SELECT 2, 'stopword_cap', d2, t2 FROM g
         |  UNION ALL SELECT 3, 'repetition', d3, t3 FROM g
         |  UNION ALL SELECT 4, 'sample', d4, t4 FROM g
+        |  UNION ALL SELECT 5, 'media_audio', d5, t5 FROM g
+        |  UNION ALL SELECT 6, 'media_video', d6, t6 FROM g
+        |  UNION ALL SELECT 7, 'media_image', d7, t7 FROM g
         |) ORDER BY stage_idx""".stripMargin,
 
     // Integer char counts keep the interpolated decile thresholds exact

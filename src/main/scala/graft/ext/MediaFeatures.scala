@@ -59,7 +59,7 @@ object MediaFeatures {
 
   def defaultDir(d: String): String = s"${Artifact.root(d)}/media_features"
 
-  private val MetaPrefix = "mediafeat v1 "
+  private[graft] val MetaPrefix = "mediafeat v1 "
 
   private def metaOf(docs: DataFrame): String =
     // media payloads are a pure function of doc_id (the generative
@@ -103,7 +103,14 @@ object MediaFeatures {
     * each payload materializes once per row.
     */
   private[graft] def decodeAll(docs: DataFrame): DataFrame =
-    Multimodal.withFakeAllMedia(docs)
+    decodeMedia(Multimodal.withFakeAllMedia(docs))
+
+  /** The same decode pass over an explicit `(doc_id, img, wav, y4m)`
+    * payload frame — the seam [[MediaQuality]]'s constructed
+    * degenerate arrivals decode through.
+    */
+  private[graft] def decodeMedia(media: DataFrame): DataFrame =
+    media
       .select(col("doc_id"),
         graft.functions.native.ppm_decode_stats(col("img")).as("i"),
         graft.functions.native.ppm_tile_means(col("img"), DhashGridW, DhashGridH)

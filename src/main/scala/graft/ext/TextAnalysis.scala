@@ -250,7 +250,8 @@ object TextAnalysis {
     */
   def curationFunnel(df: DataFrame, minTokens: Int = 30,
                      maxStopwordFrac: Double = 0.12,
-                     samplePermille: Int = 500): DataFrame = {
+                     samplePermille: Int = 500,
+                     mediaOk: Option[DataFrame] = None): DataFrame = {
     val stop = array(StopWords.map(lit): _*)
     // the token array is bound once as a column (the qualityFeatures
     // note); each flag column is bound once and the next flag builds on
@@ -276,7 +277,14 @@ object TextAnalysis {
           rep.getField("top_bigram").cast("double") / (nTokens - 1) <= 0.08)
     val s4 = (col("doc_id") + lit(1)) * lit(2654435761L) % lit(4294967296L) %
       lit(1000) < lit(samplePermille)
-    val flags = df
+    // optional media stages: per-doc modality OK flags (decoded-stats
+    // predicates from the feature store — [[MediaQuality.mediaOkFlags]])
+    // joined in SLIM (doc_id + three booleans) and chained after the
+    // text stages, so the funnel also reports media survival
+    val joined = mediaOk.fold(df)(m =>
+      df.join(m.select(col("doc_id"), col("audio_ok"), col("video_ok"),
+        col("image_ok")), Seq("doc_id"), "left"))
+    val flags0 = joined
       .withColumn("__toks", tokens(col("text")))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("k1", s1)
@@ -284,12 +292,23 @@ object TextAnalysis {
       .withColumn("__rep",
         when(col("k2"), graft.functions.native.repetition_stats(toks)))
       .withColumn("k3", col("k2") && s3)
-      .select(col("n_tokens"), col("k1"), col("k2"), col("k3"),
-        (col("k3") && s4).as("k4"))
+      .withColumn("k4", col("k3") && s4)
+    val flags =
+      if (mediaOk.isEmpty)
+        flags0.select(col("n_tokens"), col("k1"), col("k2"), col("k3"), col("k4"))
+      else flags0
+        .withColumn("k5", col("k4") && coalesce(col("audio_ok"), lit(false)))
+        .withColumn("k6", col("k5") && coalesce(col("video_ok"), lit(false)))
+        .withColumn("k7", col("k6") && coalesce(col("image_ok"), lit(false)))
+        .select(col("n_tokens"), col("k1"), col("k2"), col("k3"), col("k4"),
+          col("k5"), col("k6"), col("k7"))
     val stages =
       Seq("input" -> lit(true), "length_floor" -> col("k1"),
         "stopword_cap" -> col("k2"), "repetition" -> col("k3"),
-        "sample" -> col("k4"))
+        "sample" -> col("k4")) ++
+        (if (mediaOk.isEmpty) Seq.empty
+         else Seq("media_audio" -> col("k5"), "media_video" -> col("k6"),
+           "media_image" -> col("k7")))
     val sums = stages.zipWithIndex.flatMap { case ((_, keep), i) =>
       Seq(sum(when(keep, 1L).otherwise(0L)).as(s"d$i"),
         sum(when(keep, col("n_tokens")).otherwise(0L)).as(s"t$i"))

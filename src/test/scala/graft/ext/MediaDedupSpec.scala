@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Media dedup/decon over the feature store ([[MediaDedup]]): the
+  * planted perturbed/re-encoded/shifted payloads are caught by the
+  * perceptual tiers and MISSED by exact byte identity — the property
+  * that motivates each operator.
+  */
+class MediaDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.documents(spark, sfDir)
+  private lazy val dir: String = {
+    val d = "target/mediadedupspec/store"
+    deleteRecursively(d)
+    MediaFeatures.ensure(spark, docs, d)
+  }
+
+  test("re-rendered image: different bytes, caught by the dHash ball") {
+    // the arrival payload differs from its source byte-for-byte...
+    val srcXx = Multimodal.withFakeMedia(docs.filter(col("doc_id") === 0))
+      .select(xxhash64(col("media"))).as[Long].head()
+    val arrXx = MediaDedup.imageReRenders(docs)
+      .filter(col("doc_id") === MediaDedup.ReRenderOffset)
+      .select(xxhash64(col("media"))).as[Long].head()
+    assert(srcXx != arrXx, "re-render must differ at the byte level")
+    // ...but lands within Hamming 1 of its source perceptually: either
+    // its signature still equals the source's (same exact-sig group)
+    // or it forms its own group whose rep pairs with the source's rep
+    // at Hamming 1
+    val groups = MediaDedup.imageSigGroups(spark, docs, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = MediaDedup.imagePhashPairs(spark, docs, dir)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val arrivalIsRep = groups.exists(_._2 == MediaDedup.ReRenderOffset)
+    if (arrivalIsRep) {
+      val planted = pairs.filter(_._2 == MediaDedup.ReRenderOffset)
+      assert(planted.nonEmpty && planted.forall(_._3 <= 1),
+        s"arrival rep must pair within Hamming 1, got ${pairs.mkString(",")}")
+    } else
+      // joined an existing group — the perturbation left the signature
+      // unchanged, i.e. caught as an exact-signature duplicate
+      assert(groups.exists(g => g._2 < MediaDedup.ReRenderOffset && g._3 > 1))
+    // the removal form keeps one rep per signature, never the arrival
+    val kept = MediaDedup.applyImagePhash(spark, docs, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(MediaDedup.ReRenderOffset))
+  }
+
+  test("re-encoded audio: different container bytes, identical decoded content") {
+    val srcXx = Multimodal.withFakeAudio(docs.filter(col("doc_id") === 0))
+      .select(xxhash64(col("media"))).as[Long].head()
+    val arrXx = MediaDedup.audioReEncodes(docs)
+      .filter(col("doc_id") === MediaDedup.ReRenderOffset)
+      .select(xxhash64(col("media"))).as[Long].head()
+    assert(srcXx != arrXx, "re-encode must differ at the byte level")
+    val pairs = MediaDedup.audioFpPairs(spark, docs, dir)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, MediaDedup.ReRenderOffset)),
+      s"re-encoded clip missing from ${pairs.mkString(", ")}")
+  }
+
+  test("media decon: exact copy → exact tier; +16 shift → near tier only") {
+    val kinds = MediaDedup.deconMedia(spark, docs, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds.get(0L).contains("exact"),
+      s"doc 0 is a benchmark exact copy, got $kinds")
+    // doc 13's asset is its +16-shifted re-render: different payload
+    // bytes (exact tier blind), one-bin histogram rotation (near tier)
+    assert(kinds.get(13L).contains("near"),
+      s"doc 13's shifted asset must be caught by the near tier, got $kinds")
+    val kept = MediaDedup.deconMediaApply(spark, docs, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(!kept.contains(0L) && !kept.contains(13L))
+    assert(kept.nonEmpty, "apply must keep the unmatched corpus")
+  }
+}

@@ -119,6 +119,26 @@ class MediaFeaturesSpec extends SparkSuite {
     assert(removedSet.subsetOf(readmitted), "re-appended docs must serve")
   }
 
+  test("stored serve plans touch no decode kernel (decode-once, for real)") {
+    val dir = freshDir("plan_audit")
+    MediaFeatures.ensure(spark, docs, dir)
+    val decodeKernels =
+      Seq("ppmdecodestats", "wavdecodestats", "y4mdecodestats", "ppmsynth",
+        "wavsynth", "y4msynth", "ppmtilemeans", "wavwindowstats",
+        "y4mframeysums", "ppmheadermeta", "wavheadermeta", "y4mheadermeta")
+    for ((name, df) <- Seq(
+        "histNeighbors" -> MediaFeatures.histNeighborsStored(spark, dir),
+        "shotCuts" -> MediaFeatures.shotCutsStored(spark, dir),
+        "audioWindows" -> MediaFeatures.audioWindowsStored(spark, dir),
+        "videoFrames" -> MediaFeatures.videoFramesStored(spark, dir),
+        "profile" -> MediaFeatures.profileStored(spark, docs, dir),
+        "tokenCounts" -> MediaFeatures.tokenCountsStored(spark, docs, dir))) {
+      val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+      val hit = decodeKernels.filter(plan.contains)
+      assert(hit.isEmpty, s"$name serve plan re-decodes payloads: $hit")
+    }
+  }
+
   /** A hand-built clamp-free gradient P6 payload: header + raster where
     * byte (x, y, ch) = base(x, y) + shift, base ≤ 200 — realistic
     * smooth content (the synth fixture's stride rasters are noise, on
