@@ -81,6 +81,10 @@ object Maintenance {
         graft.ext.MediaFeatures.MetaPrefix) {
       graft.ext.MediaFeatures.compact(spark, s"$root/media_features")
     }
+    run("media_features_seed", s"$root/media_features_seed",
+        graft.ext.MediaFeatures.MetaPrefix) {
+      graft.ext.MediaFeatures.compact(spark, s"$root/media_features_seed")
+    }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)

@@ -86,6 +86,14 @@ object Warm {
     // families read stored features instead of re-decoding payloads
     graft.ext.MediaFeatures.ensure(spark, Tables.documents(spark, d),
       graft.ext.MediaFeatures.defaultDir(d))
+    // incremental-admission twin: the %10≠0 seed slice the
+    // mm_features_incr query appends tonight's batch onto; a prior
+    // app's append (union state) is accepted as-is — the query's
+    // admission probe is then the measured no-op steady state
+    graft.ext.MediaFeatures.ensureSeedOrUnion(spark,
+      Tables.documents(spark, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      Tables.documents(spark, d),
+      s"${graft.ext.Artifact.root(d)}/media_features_seed")
     // session-memoized (not persisted — see Bpe's class doc): trained
     // here so no bpe_* query pays the training cost as first consumer
     graft.ext.Bpe.trained(spark, docs, d)

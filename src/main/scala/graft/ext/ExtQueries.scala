@@ -560,6 +560,36 @@ object ExtQueries {
             MediaFeatures.defaultDir(d)))
         .orderBy(col("doc_id"))),
 
+    // Full perceptual duplicate GROUPS: connected components over the
+    // rep-level Hamming pairs, expanded through the exact-signature
+    // groups so every doc carries its cluster label — the image
+    // analog of dedup_groups, sharing the label-propagation engine.
+    "dedup_image_groups" -> ((s, d) =>
+      MediaDedup.imageDupGroups(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("doc_id"))),
+
+    // O(batch) incremental media admission, oracle-verified end to
+    // end: the store is ensured over the SEED slice (doc_id%10≠0 —
+    // rebuilt to seed state each app in the warm phase), tonight's
+    // batch (the %10=0 slice) is decoded ALONE and appended under a
+    // new generation (idempotent via the store's own membership), and
+    // the serve view over the union must equal a full-corpus build —
+    // which is exactly what the mm_feature_store oracle replays.
+    "mm_features_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val seedDir = s"${Artifact.root(d)}/media_features_seed"
+      MediaFeatures.ensureSeedOrUnion(s,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), docs, seedDir)
+      MediaFeatures.append(s,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), seedDir)
+      MediaFeatures.features(s, seedDir)
+        .select(col("doc_id"), col("img_w"), col("img_h"), col("dhash"),
+          col("a_frames"), col("a_fp"), col("v_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end corpus RELEASE as ONE rewrite: markup-extract → PII
     // redact → normalize → length/stopword/perplexity gates →
     // paragraph + exact dedup → benchmark decon → released docs with
@@ -1728,6 +1758,74 @@ object ExtQueries {
       |             || CAST((doc_id * 3) % 256 AS VARCHAR) || '.1'
       |        ELSE 'local' END)""".stripMargin
 
+  private val mediaFeatureStoreSql: String =
+    """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
+        |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h,
+        |    unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS p
+        |  FROM m
+        |), t AS (
+        |  SELECT doc_id,
+        |    CAST((((p // w) * 8) // h) * 9 + ((p % w) * 9) // w AS INTEGER)
+        |      AS tile,
+        |    (doc_id + (p * 3 + 0) * 2654435761) % 256
+        |      + (doc_id + (p * 3 + 1) * 2654435761) % 256
+        |      + (doc_id + (p * 3 + 2) * 2654435761) % 256 AS s
+        |  FROM px
+        |), tm AS (
+        |  SELECT doc_id, tile,
+        |    CAST((2 * SUM(s) + 3 * COUNT(*)) // (2 * (3 * COUNT(*))) AS BIGINT)
+        |      AS mv
+        |  FROM t GROUP BY 1, 2
+        |), tl AS (
+        |  SELECT doc_id, list(mv ORDER BY tile) AS l FROM tm GROUP BY 1
+        |), bits AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN l[(k // 8) * 9 + (k % 8) + 2] > l[(k // 8) * 9 + (k % 8) + 1]
+        |      THEN (1::BIGINT << k) ELSE 0 END AS b
+        |  FROM tl, (SELECT unnest(generate_series(0, 62)) AS k)
+        |), dh AS (
+        |  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS dhash FROM bits GROUP BY 1
+        |), am AS (
+        |  SELECT doc_id,
+        |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
+        |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels
+        |  FROM documents
+        |), asamp AS (
+        |  SELECT doc_id, channels,
+        |    unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
+        |  FROM am
+        |), awin AS (
+        |  SELECT doc_id, CAST((k // channels) // 64 AS INTEGER) AS win,
+        |    SUM(abs((doc_id + k * 2654435761) % 65536 - 32768)) AS sa
+        |  FROM asamp GROUP BY 1, 2
+        |), awl AS (
+        |  SELECT doc_id, list(sa ORDER BY win) AS wl FROM awin GROUP BY 1
+        |), afpb AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN len(wl) > k + 1 AND wl[k + 2] > wl[k + 1]
+        |      THEN (1::BIGINT << k) ELSE 0 END AS b
+        |  FROM awl, (SELECT unnest(generate_series(0, 34)) AS k)
+        |), afp AS (
+        |  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS a_fp FROM afpb GROUP BY 1
+        |), vm AS (
+        |  SELECT doc_id,
+        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, CAST(m.w AS BIGINT) AS img_w,
+        |  CAST(m.h AS BIGINT) AS img_h, dh.dhash,
+        |  CAST(am.frames AS BIGINT) AS a_frames, afp.a_fp,
+        |  CAST(vm.nf AS BIGINT) AS v_frames
+        |FROM documents d
+        |JOIN m USING (doc_id) JOIN dh USING (doc_id) JOIN am USING (doc_id)
+        |JOIN afp USING (doc_id) JOIN vm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_canonical_rank" -> (canonicalRankSql(3) +
       """
@@ -2208,73 +2306,11 @@ object ExtQueries {
     // all-integer, summed into sign-free ≤63-bit signatures (DuckDB
     // raises on 1::BIGINT << 63, which is why the top dHash bit is
     // dropped by design).
-    "mm_feature_store" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
-        |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
-        |  FROM documents
-        |), px AS (
-        |  SELECT doc_id, w, h,
-        |    unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS p
-        |  FROM m
-        |), t AS (
-        |  SELECT doc_id,
-        |    CAST((((p // w) * 8) // h) * 9 + ((p % w) * 9) // w AS INTEGER)
-        |      AS tile,
-        |    (doc_id + (p * 3 + 0) * 2654435761) % 256
-        |      + (doc_id + (p * 3 + 1) * 2654435761) % 256
-        |      + (doc_id + (p * 3 + 2) * 2654435761) % 256 AS s
-        |  FROM px
-        |), tm AS (
-        |  SELECT doc_id, tile,
-        |    CAST((2 * SUM(s) + 3 * COUNT(*)) // (2 * (3 * COUNT(*))) AS BIGINT)
-        |      AS mv
-        |  FROM t GROUP BY 1, 2
-        |), tl AS (
-        |  SELECT doc_id, list(mv ORDER BY tile) AS l FROM tm GROUP BY 1
-        |), bits AS (
-        |  SELECT doc_id, k,
-        |    CASE WHEN l[(k // 8) * 9 + (k % 8) + 2] > l[(k // 8) * 9 + (k % 8) + 1]
-        |      THEN (1::BIGINT << k) ELSE 0 END AS b
-        |  FROM tl, (SELECT unnest(generate_series(0, 62)) AS k)
-        |), dh AS (
-        |  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS dhash FROM bits GROUP BY 1
-        |), am AS (
-        |  SELECT doc_id,
-        |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
-        |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels
-        |  FROM documents
-        |), asamp AS (
-        |  SELECT doc_id, channels,
-        |    unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
-        |  FROM am
-        |), awin AS (
-        |  SELECT doc_id, CAST((k // channels) // 64 AS INTEGER) AS win,
-        |    SUM(abs((doc_id + k * 2654435761) % 65536 - 32768)) AS sa
-        |  FROM asamp GROUP BY 1, 2
-        |), awl AS (
-        |  SELECT doc_id, list(sa ORDER BY win) AS wl FROM awin GROUP BY 1
-        |), afpb AS (
-        |  SELECT doc_id, k,
-        |    CASE WHEN len(wl) > k + 1 AND wl[k + 2] > wl[k + 1]
-        |      THEN (1::BIGINT << k) ELSE 0 END AS b
-        |  FROM awl, (SELECT unnest(generate_series(0, 34)) AS k)
-        |), afp AS (
-        |  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS a_fp FROM afpb GROUP BY 1
-        |), vm AS (
-        |  SELECT doc_id,
-        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
-        |  FROM documents
-        |)
-        |SELECT d.doc_id, CAST(m.w AS BIGINT) AS img_w,
-        |  CAST(m.h AS BIGINT) AS img_h, dh.dhash,
-        |  CAST(am.frames AS BIGINT) AS a_frames, afp.a_fp,
-        |  CAST(vm.nf AS BIGINT) AS v_frames
-        |FROM documents d
-        |JOIN m USING (doc_id) JOIN dh USING (doc_id) JOIN am USING (doc_id)
-        |JOIN afp USING (doc_id) JOIN vm USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "mm_feature_store" -> mediaFeatureStoreSql,
+
+    // the incremental-admission serve must equal a full-corpus build,
+    // so it shares the store-certification replay verbatim
+    "mm_features_incr" -> mediaFeatureStoreSql,
 
     // Release-chain replay: the whole pipeline re-derived in SQL —
     // front-end (shell/strip/redact/normalize, shared fragments),
@@ -2377,6 +2413,29 @@ object ExtQueries {
          |WHERE rep_id NOT IN (
          |  SELECT DISTINCT b_id FROM pairs WHERE hamming <= 3)
          |ORDER BY doc_id""".stripMargin,
+
+    // Image duplicate-group replay: the phash core's rep pairs closed
+    // transitively (recursive CTE), labels expanded through the
+    // exact-signature groups; singleton components label as their own
+    // rep.
+    "dedup_image_groups" ->
+      (s"""$imagePhashCore
+          |, edges AS (
+          |  SELECT a_id AS src, b_id AS dst FROM pairs WHERE hamming <= 3
+          |  UNION ALL
+          |  SELECT b_id, a_id FROM pairs WHERE hamming <= 3
+          |), reach(id, label) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+          |), comp AS (
+          |  SELECT id, MIN(label) AS group_id FROM reach GROUP BY id
+          |)
+          |SELECT sg.id AS doc_id, COALESCE(c.group_id, g.rep_id) AS group_id
+          |FROM sg JOIN grp g ON sg.sig = g.sig
+          |LEFT JOIN comp c ON c.id = g.rep_id
+          |ORDER BY doc_id""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
     // Audio fingerprint dedup replay: 64-frame window-energy vectors
     // for corpus ∪ re-encoded arrivals (the re-encode keeps the seed,

@@ -117,7 +117,8 @@ object MediaDedup {
     * size (the exact-dup-collapse-before-LSH rule every production
     * dedup pipeline applies).
     */
-  def imageSigGroups(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+  private def allImageSigs(spark: SparkSession, docs: DataFrame,
+                           dir: String): DataFrame = {
     val stored = MediaFeatures.features(spark, dir)
       .select(col("doc_id"), col("dhash").as("sig"))
       .filter(col("sig").isNotNull)
@@ -128,9 +129,35 @@ object MediaDedup {
           .as("sig"))
       .filter(col("sig").isNotNull)
     stored.unionByName(arrivals)
+  }
+
+  def imageSigGroups(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    allImageSigs(spark, docs, dir)
       .groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep_id"),
         count(lit(1)).as("n_members"))
+
+  /** Full perceptual duplicate GROUPS: connected components over the
+    * rep-level Hamming pairs (the shared label-propagation engine),
+    * expanded back through the exact-signature groups so EVERY doc in
+    * corpus ∪ arrivals carries its cluster label (component-min rep;
+    * its own rep for singleton components) — the image analog of
+    * `dedup_groups`.
+    */
+  def imageDupGroups(spark: SparkSession, docs: DataFrame, dir: String,
+                     maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val sigs = allImageSigs(spark, docs, dir).localCheckpoint()
+    val groups = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep_id"))
+      .localCheckpoint()
+    val pairs = Dedup.hammingPairs(
+      groups.select(col("rep_id").as("doc_id"), col("sig")),
+      maxHamming, maxBucket)
+    val comp = Dedup.duplicateGroups(pairs)
+      .withColumnRenamed("doc_id", "rep_id")
+    sigs.join(groups, Seq("sig"))
+      .join(comp, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("rep_id")).as("group_id"))
   }
 
   /** Perceptual near-dup pairs between GROUP REPRESENTATIVES:

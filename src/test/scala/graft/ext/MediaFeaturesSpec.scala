@@ -70,6 +70,10 @@ class MediaFeaturesSpec extends SparkSuite {
     MediaFeatures.ensure(spark, docs, dir)
     assert(Artifact.readNextGen(spark, dir) == genBefore,
       "ensure over the union corpus must serve, not rebuild")
+    // the incremental-admission ensure accepts the union state too
+    MediaFeatures.ensureSeedOrUnion(spark, seed, docs, dir)
+    assert(Artifact.readNextGen(spark, dir) == genBefore,
+      "ensureSeedOrUnion must accept a previous append's union state")
     // content equals a fresh full build
     val fresh = freshDir("append_fresh")
     MediaFeatures.ensure(spark, docs, fresh)
