@@ -81,9 +81,9 @@ object Maintenance {
         graft.ext.MediaFeatures.MetaPrefix) {
       graft.ext.MediaFeatures.compact(spark, s"$root/media_features")
     }
-    run("media_features_seed", s"$root/media_features_seed",
+    run("media_features_seed", graft.ext.MediaFeatures.seedDir(d),
         graft.ext.MediaFeatures.MetaPrefix) {
-      graft.ext.MediaFeatures.compact(spark, s"$root/media_features_seed")
+      graft.ext.MediaFeatures.compact(spark, graft.ext.MediaFeatures.seedDir(d))
     }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments

@@ -93,7 +93,7 @@ object Warm {
     graft.ext.MediaFeatures.ensureSeedOrUnion(spark,
       Tables.documents(spark, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
       Tables.documents(spark, d),
-      s"${graft.ext.Artifact.root(d)}/media_features_seed")
+      graft.ext.MediaFeatures.seedDir(d))
     // session-memoized (not persisted — see Bpe's class doc): trained
     // here so no bpe_* query pays the training cost as first consumer
     graft.ext.Bpe.trained(spark, docs, d)

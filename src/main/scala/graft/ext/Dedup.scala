@@ -1544,19 +1544,22 @@ object Dedup {
       // threshold the test switches to a Bloom probe over the ids.
       // False positives only route rows to the slow path, which is
       // correct for unaffected rows too — never a correctness risk.
-      val tombIds: Array[Long] =
-        if (!hasTomb) Array.empty
-        else loadTombstones(spark, dir).select(col("doc_id"))
-          .collect().map(_.getLong(0))
+      // decide the branch from a COUNT, not a collect — a 10M-row
+      // removal batch must never materialize on the driver just to
+      // learn it is large
+      val tombCount =
+        if (!hasTomb) 0L else loadTombstones(spark, dir).count()
       val isApp =
         if (appBloom == null) lit(false)
         else col("gen") >= 1L ||
           graft.functions.native.bloom_might_contain(appBloom, col("shh"))
       val tombOverlap =
-        if (tombIds.isEmpty) lit(false)
-        else if (tombIds.length <= 1024)
+        if (tombCount == 0L) lit(false)
+        else if (tombCount <= 1024L) {
+          val tombIds = loadTombstones(spark, dir).select(col("doc_id"))
+            .collect().map(_.getLong(0))
           exists(fullIdsCol, id => id.isin(tombIds.map(Long.box).toSeq: _*))
-        else {
+        } else {
           val tombBloom = loadTombstones(spark, dir)
             .agg(graft.functions.native.bloom_agg(col("doc_id"), 1L << 20, 1L << 23))
             .head.getAs[Array[Byte]](0)

@@ -579,7 +579,7 @@ object ExtQueries {
     // which is exactly what the mm_feature_store oracle replays.
     "mm_features_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val seedDir = s"${Artifact.root(d)}/media_features_seed"
+      val seedDir = MediaFeatures.seedDir(d)
       MediaFeatures.ensureSeedOrUnion(s,
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), docs, seedDir)
       MediaFeatures.append(s,
@@ -2353,7 +2353,7 @@ object ExtQueries {
          |), segs AS (
          |  SELECT doc_id, i AS seg_idx,
          |    array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
-         |  FROM gated CROSS JOIN generate_series(0, 255) AS g(i)
+         |  FROM gated CROSS JOIN generate_series(0, 1023) AS g(i)
          |  WHERE i * 16 < len(t)
          |), keep AS (
          |  SELECT doc_id, seg_idx, seg,
@@ -3214,19 +3214,22 @@ object ExtQueries {
     "mm_quality_gate" ->
       s"""$mediaGateFlagsCore
          |, allrows AS (
-         |  SELECT * FROM corpflags
+         |  SELECT doc_id, 0 AS undecodable, audio_silent, audio_clipped,
+         |    video_black, video_static, img_dark, img_bright
+         |  FROM corpflags
          |  UNION ALL
          |  SELECT * FROM (VALUES
-         |    (40000001, 1, 0, 0, 0, 0, 0),
-         |    (40000002, 0, 1, 0, 0, 0, 0),
-         |    (40000003, 0, 0, 1, 1, 0, 0),
-         |    (40000004, 0, 0, 0, 1, 0, 0),
-         |    (40000005, 0, 0, 0, 0, 1, 0),
-         |    (40000006, 0, 0, 0, 0, 0, 1))
-         |    v(doc_id, audio_silent, audio_clipped, video_black,
+         |    (40000001, 0, 1, 0, 0, 0, 0, 0),
+         |    (40000002, 0, 0, 1, 0, 0, 0, 0),
+         |    (40000003, 0, 0, 0, 1, 1, 0, 0),
+         |    (40000004, 0, 0, 0, 0, 1, 0, 0),
+         |    (40000005, 0, 0, 0, 0, 0, 1, 0),
+         |    (40000006, 0, 0, 0, 0, 0, 0, 1))
+         |    v(doc_id, undecodable, audio_silent, audio_clipped, video_black,
          |      video_static, img_dark, img_bright)
          |)
          |SELECT doc_id,
+         |  CAST(undecodable AS BIGINT) AS undecodable,
          |  CAST(audio_silent AS BIGINT) AS audio_silent,
          |  CAST(audio_clipped AS BIGINT) AS audio_clipped,
          |  CAST(video_black AS BIGINT) AS video_black,
@@ -3234,8 +3237,8 @@ object ExtQueries {
          |  CAST(img_dark AS BIGINT) AS img_dark,
          |  CAST(img_bright AS BIGINT) AS img_bright
          |FROM allrows
-         |WHERE audio_silent + audio_clipped + video_black + video_static
-         |  + img_dark + img_bright > 0
+         |WHERE undecodable + audio_silent + audio_clipped + video_black
+         |  + video_static + img_dark + img_bright > 0
          |ORDER BY doc_id""".stripMargin,
 
     "curate_funnel" ->

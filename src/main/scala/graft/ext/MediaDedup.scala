@@ -63,10 +63,21 @@ object MediaDedup {
 
   /** Table ids for in-query planted arrivals/assets — offset far above
     * any fixture doc_id so plants never collide with corpus rows.
+    * [[requireIdHeadroom]] enforces the bound (a corpus beyond the
+    * offset would alias plant ids onto real docs and the oracle —
+    * replaying the same arithmetic — would stay green on semantically
+    * wrong groups).
     */
   val ReRenderOffset = 10000000L
   val ExactAssetOffset = 20000000L
   val NearAssetOffset = 30000000L
+
+  private def requireIdHeadroom(docs: DataFrame): Unit = {
+    val mx = docs.agg(max(col("doc_id"))).head()
+    require(mx.isNullAt(0) || mx.getLong(0) < ReRenderOffset,
+      s"plant-id offset $ReRenderOffset must exceed max doc_id " +
+        s"${mx.getLong(0)} — raise the offsets for this corpus")
+  }
 
   /** Tonight's image arrivals: a re-render of every `everyNth`-th
     * corpus image with ONE perturbed raster byte (byte 0 += 128 mod
@@ -76,7 +87,8 @@ object MediaDedup {
     * byte + rest), so the pipeline demonstrably DECODES the arrivals
     * rather than trusting precomputed features.
     */
-  def imageReRenders(docs: DataFrame, everyNth: Int = 41): DataFrame =
+  def imageReRenders(docs: DataFrame, everyNth: Int = 41): DataFrame = {
+    requireIdHeadroom(docs)
     Multimodal.withFakeMedia(docs.filter(pmod(col("doc_id"), lit(everyNth)) === 0))
       // the payload is built in a select that does NOT alias doc_id:
       // aliasing `doc_id + offset AS doc_id` in the SAME select made
@@ -104,6 +116,7 @@ object MediaDedup {
           expr("substring(media, 14 + 3 * ((width + 8) div 9), length(media))"))
           .as("media"))
       .select((col("doc_id") + lit(ReRenderOffset)).as("doc_id"), col("media"))
+  }
 
   /** Exact-signature groups over corpus ∪ arrivals: `(sig, rep_id,
     * n_members)` with the smallest member as representative. The
@@ -193,7 +206,8 @@ object MediaDedup {
     * 48 kHz), so the payload hash differs while the decoded sample
     * stream is byte-identical.
     */
-  def audioReEncodes(docs: DataFrame, everyNth: Int = 89): DataFrame =
+  def audioReEncodes(docs: DataFrame, everyNth: Int = 89): DataFrame = {
+    requireIdHeadroom(docs)
     docs.filter(pmod(col("doc_id"), lit(everyNth)) === 0)
       .select(col("doc_id"),
         (Multimodal.metaHash(3) % 2048 + lit(256)).cast("int").as("frames"),
@@ -203,6 +217,7 @@ object MediaDedup {
         graft.functions.native.wav_synth(col("doc_id"), col("frames"),
           col("channels"), lit(48000)).as("media"))
       .select((col("doc_id") + lit(ReRenderOffset)).as("doc_id"), col("media"))
+  }
 
   /** Audio fingerprint dedup over corpus ∪ arrivals: stored
     * fingerprints for the corpus, a real decode for the arrivals;
@@ -222,12 +237,22 @@ object MediaDedup {
           w => w.getField("sum_abs")).as("vec"))
       .select(col("doc_id"), MediaFeatures.audioFpCol(col("vec")).as("sig"),
         col("vec"))
-    stored.unionByName(arrivals)
+    val keyed = stored.unionByName(arrivals)
       .filter(col("vec").isNotNull)
       .withColumn("n_windows", size(col("vec")).cast("long"))
+    // size-filter the bucket KEYS before collecting vectors: short
+    // clips have few fingerprint bits (4-bit signatures → 16 possible
+    // values), so over-cap buckets can hold thousands of fat
+    // (doc_id, vec) structs — collecting them just to discard the
+    // bucket materializes unbounded rows in single aggregation groups.
+    // The extra pass shuffles only (sig, n_windows, 1).
+    val okKeys = keyed.groupBy(col("sig"), col("n_windows"))
+      .agg(count(lit(1)).as("mm"))
+      .filter(col("mm").between(2, maxBucket))
+      .select(col("sig"), col("n_windows"))
+    keyed.join(okKeys, Seq("sig", "n_windows"), "left_semi")
       .groupBy(col("sig"), col("n_windows"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("vec")))).as("m"))
-      .filter(size(col("m")).between(2, maxBucket))
       .select(col("n_windows"), explode(flatten(transform(col("m"), (x, i) =>
         transform(slice(col("m"), i + lit(2), size(col("m"))),
           y => struct(x.getField("doc_id").as("a_id"),
@@ -255,6 +280,7 @@ object MediaDedup {
   val BenchmarkIdBound = 50000L
 
   def mediaBenchmark(docs: DataFrame): DataFrame = {
+    requireIdHeadroom(docs)
     val dims = docs.filter(col("doc_id") < BenchmarkIdBound)
       .select(col("doc_id"),
         (Multimodal.metaHash(0) % 64 + lit(32)).cast("int").as("w"),

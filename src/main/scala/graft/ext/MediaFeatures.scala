@@ -59,6 +59,13 @@ object MediaFeatures {
 
   def defaultDir(d: String): String = s"${Artifact.root(d)}/media_features"
 
+  /** The incremental-admission twin's location (one definition — the
+    * Warm phase, the `mm_features_incr` query and the maintenance
+    * sweep must agree or rebuild cycles / unswept stores appear with
+    * no error).
+    */
+  def seedDir(d: String): String = s"${Artifact.root(d)}/media_features_seed"
+
   private[graft] val MetaPrefix = "mediafeat v1 "
 
   private def metaOf(docs: DataFrame): String =

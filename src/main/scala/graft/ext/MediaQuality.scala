@@ -85,10 +85,17 @@ object MediaQuality {
       concat(c, other)
   }
 
-  /** The six gate flags (0/1 longs) over a decoded feature frame. */
+  /** The gate flags (0/1 longs) over a decoded feature frame — the six
+    * quality predicates plus `undecodable`: a payload whose decode
+    * quarantined to NULL stats must FAIL the gate, not sail through
+    * it (a null predicate would otherwise flag() to 0 on every gate —
+    * the inverse of the media family's malformed-drops-rows rule).
+    */
   def qualityFlags(features: DataFrame): DataFrame = {
     def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
     features.select(col("doc_id"),
+      flag(col("a_peak").isNull || col("v_frames").isNull ||
+        col("img_w").isNull).as("undecodable"),
       flag(col("a_peak") < 327).as("audio_silent"),
       flag((element_at(col("a_hist"), 1) + element_at(col("a_hist"), 16)) * 4 >
         col("a_frames") * col("a_channels")).as("audio_clipped"),
@@ -111,8 +118,9 @@ object MediaQuality {
     val corpus = qualityFlags(MediaFeatures.features(spark, dir))
     val planted = qualityFlags(MediaFeatures.decodeMedia(plantedArrivals(spark)))
     corpus.unionByName(planted)
-      .filter(col("audio_silent") + col("audio_clipped") + col("video_black") +
-        col("video_static") + col("img_dark") + col("img_bright") > 0)
+      .filter(col("undecodable") + col("audio_silent") + col("audio_clipped") +
+        col("video_black") + col("video_static") + col("img_dark") +
+        col("img_bright") > 0)
   }
 
   /** Per-doc modality OK flags for the curation funnel's media stages
@@ -121,7 +129,10 @@ object MediaQuality {
   def mediaOkFlags(spark: SparkSession, dir: String): DataFrame =
     qualityFlags(MediaFeatures.features(spark, dir))
       .select(col("doc_id"),
-        (col("audio_silent") + col("audio_clipped") === 0).as("audio_ok"),
-        (col("video_black") + col("video_static") === 0).as("video_ok"),
-        (col("img_dark") + col("img_bright") === 0).as("image_ok"))
+        (col("undecodable") + col("audio_silent") + col("audio_clipped") === 0)
+          .as("audio_ok"),
+        (col("undecodable") + col("video_black") + col("video_static") === 0)
+          .as("video_ok"),
+        (col("undecodable") + col("img_dark") + col("img_bright") === 0)
+          .as("image_ok"))
 }

@@ -412,12 +412,17 @@ object Multimodal {
     * anything). Charged to the warm phase like the clean staging.
     */
   /** Collision-free spool/fixture dir name for a fixture path: the
-    * path itself, sanitized — two distinct fixture dirs can never map
-    * to one spool (the earlier `math.abs(hashCode)` naming had a
-    * colliding-hash / Int.MinValue collision class).
+    * sanitized path for readability PLUS an md5 fragment of the RAW
+    * path for uniqueness — sanitization alone is many-to-one
+    * ("/data/x" and "/data_x" both sanitize to "data_x"), and the
+    * earlier `math.abs(hashCode)` naming had a colliding-hash /
+    * Int.MinValue collision class.
     */
-  private def fixtureDirName(d: String): String =
-    d.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_")
+  private def fixtureDirName(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    d.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_") + "_" + digest
+  }
 
   def ensureMediaGateSpool(s: SparkSession, d: String): String =
     mediaFilesMemo.synchronized {

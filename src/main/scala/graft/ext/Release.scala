@@ -127,6 +127,9 @@ object Release {
       .agg(round(
         sum(-log((coalesce(col("c"), lit(0L)) + 1L).cast("double") / col("d")))
           / count(lit(1)), 6).as("mean_nll"))
+      // one row per doc, consumed twice (corpus-mean fold + gate join)
+      // — without the pin the exploded token-stream scoring runs twice
+      .localCheckpoint()
     // the relative perplexity cutoff: exact decimal fold over the
     // round-6 per-doc values — (nll − margin)·n ≤ Σnll decides
     // identically in any engine and at any corpus scale

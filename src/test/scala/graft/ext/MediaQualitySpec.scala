@@ -18,19 +18,42 @@ class MediaQualitySpec extends SparkSuite {
     MediaFeatures.ensure(spark, docs, d)
   }
 
-  test("each planted degenerate payload fires exactly its own gate") {
-    val flags = MediaQuality.qualityFlags(
-        MediaFeatures.decodeMedia(MediaQuality.plantedArrivals(spark)))
+  private def flagTuples(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "undecodable", "audio_silent", "audio_clipped",
+        "video_black", "video_static", "img_dark", "img_bright")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6))).toMap
-    assert(flags(MediaQuality.PlantBase + 1) == ((1L, 0L, 0L, 0L, 0L, 0L)))
-    assert(flags(MediaQuality.PlantBase + 2) == ((0L, 1L, 0L, 0L, 0L, 0L)))
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+
+  test("each planted degenerate payload fires exactly its own gate") {
+    val flags = flagTuples(MediaQuality.qualityFlags(
+      MediaFeatures.decodeMedia(MediaQuality.plantedArrivals(spark))))
+    assert(flags(MediaQuality.PlantBase + 1) == ((0L, 1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(flags(MediaQuality.PlantBase + 2) == ((0L, 0L, 1L, 0L, 0L, 0L, 0L)))
     // all-zero planes are both black AND static — the one double fire
-    assert(flags(MediaQuality.PlantBase + 3) == ((0L, 0L, 1L, 1L, 0L, 0L)))
-    assert(flags(MediaQuality.PlantBase + 4) == ((0L, 0L, 0L, 1L, 0L, 0L)))
-    assert(flags(MediaQuality.PlantBase + 5) == ((0L, 0L, 0L, 0L, 1L, 0L)))
-    assert(flags(MediaQuality.PlantBase + 6) == ((0L, 0L, 0L, 0L, 0L, 1L)))
+    assert(flags(MediaQuality.PlantBase + 3) == ((0L, 0L, 0L, 1L, 1L, 0L, 0L)))
+    assert(flags(MediaQuality.PlantBase + 4) == ((0L, 0L, 0L, 0L, 1L, 0L, 0L)))
+    assert(flags(MediaQuality.PlantBase + 5) == ((0L, 0L, 0L, 0L, 0L, 1L, 0L)))
+    assert(flags(MediaQuality.PlantBase + 6) == ((0L, 0L, 0L, 0L, 0L, 0L, 1L)))
+  }
+
+  test("an undecodable payload FAILS the gate, never sails through it") {
+    import org.apache.spark.sql.functions.expr
+    // truncate each modality's payload by one byte → the strict kernels
+    // quarantine to NULL stats; the gate must reject, not all-pass
+    val broken = MediaQuality.plantedArrivals(spark)
+      .limit(1)
+      .select(col("doc_id"),
+        expr("substring(img, 1, length(img) - 1)").as("img"),
+        expr("substring(wav, 1, length(wav) - 1)").as("wav"),
+        expr("substring(y4m, 1, length(y4m) - 1)").as("y4m"))
+    val flags = flagTuples(MediaQuality.qualityFlags(
+      MediaFeatures.decodeMedia(broken)))
+    assert(flags.values.head._1 == 1L, s"undecodable must flag, got $flags")
+    val ok = MediaQuality.qualityFlags(MediaFeatures.decodeMedia(broken))
+      .select((col("undecodable") + col("audio_silent") === 0).as("pass"))
+      .collect().head.getBoolean(0)
+    assert(!ok, "a gate built on null stats must fail closed")
   }
 
   test("gate report = flagged corpus docs (static videos) + the six plants") {
