@@ -1622,7 +1622,11 @@ object ExtQueries {
 
   /** Shared replay core for the media quality gates: the six
     * exact-integer predicates over the generative formulas, one row
-    * per corpus document (`corpflags`).
+    * per corpus document (`corpflags`). Carries an `undecodable`
+    * term (always 0 — the generative corpus can't be malformed) so
+    * every consumer mirrors [[MediaQuality.qualityFlags]]' fail-closed
+    * flag and stays faithful if malformed corpus media is ever
+    * planted.
     */
   private val mediaGateFlagsCore: String =
     """WITH am AS (
@@ -1688,6 +1692,7 @@ object ExtQueries {
       |  GROUP BY 1
       |), corpflags AS (
       |  SELECT d.doc_id,
+      |    0 AS undecodable,
       |    CASE WHEN au.peak < 327 THEN 1 ELSE 0 END AS audio_silent,
       |    CASE WHEN au.rail * 4 > au.n THEN 1 ELSE 0 END AS audio_clipped,
       |    CASE WHEN vv.b0 * 2 > vv.n THEN 1 ELSE 0 END AS video_black,
@@ -2353,7 +2358,10 @@ object ExtQueries {
          |), segs AS (
          |  SELECT doc_id, i AS seg_idx,
          |    array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
-         |  FROM gated CROSS JOIN generate_series(0, 1023) AS g(i)
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(0, CAST((len(t) - 1) // 16 AS BIGINT)))
+         |            AS i
+         |        FROM gated)
          |  WHERE i * 16 < len(t)
          |), keep AS (
          |  SELECT doc_id, seg_idx, seg,
@@ -3214,7 +3222,7 @@ object ExtQueries {
     "mm_quality_gate" ->
       s"""$mediaGateFlagsCore
          |, allrows AS (
-         |  SELECT doc_id, 0 AS undecodable, audio_silent, audio_clipped,
+         |  SELECT doc_id, undecodable, audio_silent, audio_clipped,
          |    video_black, video_static, img_dark, img_bright
          |  FROM corpflags
          |  UNION ALL
@@ -3268,9 +3276,9 @@ object ExtQueries {
         |      AND (len(t) = 1 OR CAST(bd.topb AS DOUBLE) / (len(t) - 1) <= 0.08))
         |      AS q3,
         |    (s.doc_id + 1) * 2654435761 % 4294967296 % 1000 < 500 AS q4,
-        |    (cf.audio_silent + cf.audio_clipped = 0) AS q5,
-        |    (cf.video_black + cf.video_static = 0) AS q6,
-        |    (cf.img_dark + cf.img_bright = 0) AS q7
+        |    (cf.undecodable + cf.audio_silent + cf.audio_clipped = 0) AS q5,
+        |    (cf.undecodable + cf.video_black + cf.video_static = 0) AS q6,
+        |    (cf.undecodable + cf.img_dark + cf.img_bright = 0) AS q7
         |  FROM s JOIN td USING (doc_id) LEFT JOIN bd USING (doc_id)
         |    JOIN corpflags cf ON cf.doc_id = s.doc_id
         |), g AS (

@@ -80,12 +80,15 @@ object MediaDedup {
   }
 
   /** Tonight's image arrivals: a re-render of every `everyNth`-th
-    * corpus image with ONE perturbed raster byte (byte 0 += 128 mod
-    * 256 — a watermark/defect pixel). Byte-level different payload,
-    * perceptually the same image: exact-hash dedup misses it, the
-    * dHash ball catches it. Built payload-level (header + modified
-    * byte + rest), so the pipeline demonstrably DECODES the arrivals
-    * rather than trusting precomputed features.
+    * corpus image with the first row's first `ceil(w/9)` pixels
+    * perturbed (each of those `3·ceil(w/9)` raster bytes += 128 mod
+    * 256 — a watermark/defect region covering exactly dHash tile
+    * (0,0), so the arrival's signature sits within Hamming 1 of its
+    * source). Byte-level different payload, perceptually the same
+    * image: exact-hash dedup misses it, the dHash ball catches it.
+    * Built payload-level (header + modified region + rest), so the
+    * pipeline demonstrably DECODES the arrivals rather than trusting
+    * precomputed features.
     */
   def imageReRenders(docs: DataFrame, everyNth: Int = 41): DataFrame = {
     requireIdHeadroom(docs)

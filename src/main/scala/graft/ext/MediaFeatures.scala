@@ -197,16 +197,21 @@ object MediaFeatures {
     */
   def append(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
     Artifact.requireKind(spark, dir, MetaPrefix)
+    // no broadcast hints on the admission joins: the batch is
+    // caller-sized (a full-corpus re-offer is legal), so pinning it to
+    // the driver's broadcast path grows the driver linearly with batch
+    // size — AQE picks broadcast for slim batches and degrades to a
+    // shuffle join for oversized ones instead of a driver OOM
     val already = Artifact.maskTombstones(spark, dir,
         spark.read.parquet(s"$dir/features").select(col("doc_id"), col("gen"))
-          .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
+          .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi"))
       .select(col("doc_id")).distinct().localCheckpoint()
     // the admission is doc_id-driven (the decode pass synthesizes /
     // reads media BY id), so only ids are pinned — checkpointing the
     // full batch rows materialized every text column for nothing
     // (~13 of the 14 s the 100× incremental serve used to cost)
     val fresh = batch.select(col("doc_id"))
-      .join(broadcast(already), Seq("doc_id"), "left_anti")
+      .join(already, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (!fresh.isEmpty) {
       val gen = Artifact.readNextGen(spark, dir)
