@@ -508,6 +508,25 @@ object Dedup {
       .distinct()
   }
 
+  /** No-silent-caps telemetry for [[hammingPairs]]: ONE row with the
+    * count of pigeonhole chunk buckets the banding DROPPED for
+    * exceeding `maxBucket`. The cap is part of the declared semantics
+    * (oracles replay it), but coverage loss must be visible IN-DATA
+    * (the `funnelWindowed` `n_capped_users` discipline) — a corpus
+    * whose duplicate clusters outgrow the cap would otherwise
+    * under-report pairs with no signal. Cost: one narrow aggregate
+    * over `(chunk_idx, chunk, 1)` — no vectors, no pair expansion.
+    */
+  private[ext] def hammingCappedBuckets(sigs: DataFrame,
+                                        maxBucket: Int): DataFrame =
+    sigs.select(posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("mm"))
+      .filter(col("mm") > maxBucket)
+      .agg(count(lit(1)).as("n_capped_buckets"))
+
   /** Distinct w-gram shingle *hashes*: `xxhash64` over each w-token
     * slice directly — no joined shingle strings are ever built (the
     * string form costs O(tokens·w) character copies per row; the hash

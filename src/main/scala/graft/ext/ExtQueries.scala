@@ -2412,7 +2412,9 @@ object ExtQueries {
     // replayed, the dedup_simhash convention).
     "dedup_image_phash" ->
       s"""$imagePhashCore
-         |SELECT a_id, b_id, hamming FROM pairs
+         |SELECT a_id, b_id, hamming,
+         |  (SELECT COUNT(*) FROM bsz WHERE mm > 256) AS n_capped_buckets
+         |FROM pairs
          |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_apply_image" ->
@@ -2484,7 +2486,8 @@ object ExtQueries {
         |), bsz AS (
         |  SELECT sig, nwin, COUNT(*) AS mm FROM fv GROUP BY 1, 2
         |)
-        |SELECT a.id AS a_id, b.id AS b_id, CAST(a.nwin AS BIGINT) AS n_windows
+        |SELECT a.id AS a_id, b.id AS b_id, CAST(a.nwin AS BIGINT) AS n_windows,
+        |  (SELECT COUNT(*) FROM bsz WHERE mm > 256) AS n_capped_buckets
         |FROM fv a
         |JOIN fv b ON a.sig = b.sig AND a.nwin = b.nwin AND a.id < b.id
         |  AND a.wl = b.wl

@@ -179,14 +179,20 @@ object MediaDedup {
   /** Perceptual near-dup pairs between GROUP REPRESENTATIVES:
     * distinct signatures banded through the SimHash pigeonhole,
     * Hamming-verified. Exact-signature duplicates are group members
-    * (see [[imageSigGroups]]), not pairs.
+    * (see [[imageSigGroups]]), not pairs. Every row carries the
+    * `n_capped_buckets` telemetry column ([[Dedup.hammingCappedBuckets]]
+    * over the same rep signatures) so cap-induced coverage loss is
+    * visible in-data, not silent — 0 on this fixture, and replayed by
+    * the oracle either way.
     */
   def imagePhashPairs(spark: SparkSession, docs: DataFrame, dir: String,
-                      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
-    Dedup.hammingPairs(
-      imageSigGroups(spark, docs, dir)
-        .select(col("rep_id").as("doc_id"), col("sig")),
-      maxHamming, maxBucket)
+                      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val reps = imageSigGroups(spark, docs, dir)
+      .select(col("rep_id").as("doc_id"), col("sig"))
+      .localCheckpoint() // consumed twice: banding + cap telemetry
+    Dedup.hammingPairs(reps, maxHamming, maxBucket)
+      .crossJoin(broadcast(Dedup.hammingCappedBuckets(reps, maxBucket)))
+  }
 
   /** The removal form: one survivor per exact-signature group (the
     * representative), minus representatives that lose a near-dup
@@ -227,7 +233,9 @@ object MediaDedup {
     * candidates bucket on (signature, window count) — one shuffle,
     * skew-capped — and survive only EXACT window-vector equality
     * (same decoded audio content). One row per duplicate pair
-    * `(a_id, b_id, n_windows)`.
+    * `(a_id, b_id, n_windows, n_capped_buckets)` — the last column is
+    * the no-silent-caps telemetry (dropped over-cap bucket count, 0 on
+    * this fixture, oracle-replayed).
     */
   def audioFpPairs(spark: SparkSession, docs: DataFrame, dir: String,
                    maxBucket: Int = 256): DataFrame = {
@@ -249,10 +257,16 @@ object MediaDedup {
     // (doc_id, vec) structs — collecting them just to discard the
     // bucket materializes unbounded rows in single aggregation groups.
     // The extra pass shuffles only (sig, n_windows, 1).
-    val okKeys = keyed.groupBy(col("sig"), col("n_windows"))
+    val counts = keyed.groupBy(col("sig"), col("n_windows"))
       .agg(count(lit(1)).as("mm"))
-      .filter(col("mm").between(2, maxBucket))
+      .localCheckpoint() // consumed twice: key filter + cap telemetry
+    val okKeys = counts.filter(col("mm").between(2, maxBucket))
       .select(col("sig"), col("n_windows"))
+    // no-silent-caps: the dropped-bucket count rides on every pair row
+    // (0 on this fixture), so a corpus whose duplicate clusters outgrow
+    // the cap reports its own coverage loss — oracle-replayed
+    val capped = counts.filter(col("mm") > maxBucket)
+      .agg(count(lit(1)).as("n_capped_buckets"))
     keyed.join(okKeys, Seq("sig", "n_windows"), "left_semi")
       .groupBy(col("sig"), col("n_windows"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("vec")))).as("m"))
@@ -265,6 +279,7 @@ object MediaDedup {
       .filter(col("p.a_vec") === col("p.b_vec"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
         col("n_windows"))
+      .crossJoin(broadcast(capped))
   }
 
   /** The benchmark asset table for media decontamination: exact copies

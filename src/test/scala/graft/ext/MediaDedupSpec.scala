@@ -64,6 +64,23 @@ class MediaDedupSpec extends SparkSuite {
       s"re-encoded clip missing from ${pairs.mkString(", ")}")
   }
 
+  test("no-silent-caps: dropped-bucket telemetry rides the pair rows") {
+    // this fixture caps nothing — every pair row reports 0
+    val img = MediaDedup.imagePhashPairs(spark, docs, dir)
+      .select(col("n_capped_buckets")).as[Long].collect()
+    assert(img.forall(_ == 0L), s"fixture must cap nothing: ${img.toSeq}")
+    val au = MediaDedup.audioFpPairs(spark, docs, dir)
+      .select(col("n_capped_buckets")).as[Long].collect()
+    assert(au.nonEmpty && au.forall(_ == 0L))
+    // constructed over-cap universe: 300 identical signatures blow the
+    // 256-cap in all four pigeonhole chunks — the pairs are dropped
+    // (the declared cap semantics) AND the telemetry reports exactly
+    // the 4 dropped buckets instead of staying silent
+    val sigs = spark.range(300).select(col("id").as("doc_id"), lit(5L).as("sig"))
+    assert(Dedup.hammingPairs(sigs, 3, 256).isEmpty)
+    assert(Dedup.hammingCappedBuckets(sigs, 256).as[Long].head() == 4L)
+  }
+
   test("media decon: exact copy → exact tier; +16 shift → near tier only") {
     val kinds = MediaDedup.deconMedia(spark, docs, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
