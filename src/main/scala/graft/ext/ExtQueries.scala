@@ -542,6 +542,21 @@ object ExtQueries {
             MediaFeatures.defaultDir(d)))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Video content-identity dedup: a re-encoded clip (identical
+    // frames, rewritten Y4M parameter line — the fps field swapped)
+    // has a new payload hash but the same decoded frame stream. The
+    // corpus side is the store's stride-1 per-frame luma sums;
+    // arrivals are decoded for real; payload-level groups collapse
+    // BEFORE pairing (the exact-dup-before-LSH rule — fixture clips
+    // repeat every 256 doc_ids), candidates bucket on the
+    // sign-of-delta fingerprint + frame count, and survive only exact
+    // dims + frame-vector equality. Cap telemetry on every row.
+    "dedup_video_fp" -> ((s, d) =>
+      MediaDedup.videoFpPairs(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("a_id"), col("b_id"))),
+
     // Media decontamination report: exact tier = payload hash vs the
     // broadcast benchmark assets; near tier = equal dims + rotation-
     // matched 16-bin histogram (catches the +16-shifted re-rendered
@@ -2491,6 +2506,65 @@ object ExtQueries {
         |FROM fv a
         |JOIN fv b ON a.sig = b.sig AND a.nwin = b.nwin AND a.id < b.id
         |  AND a.wl = b.wl
+        |JOIN bsz s ON s.sig = a.sig AND s.nwin = a.nwin
+        |  AND s.mm BETWEEN 2 AND 256
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Video content-identity replay: per-frame luma sums from the
+    // generative formula (frame f's luma bytes sit at stream positions
+    // f·3wh .. f·3wh+wh−1) for corpus ∪ fps-swapped re-encodes,
+    // payload-group collapse on (dims, fps, frame vector), bucket
+    // discovery on (sign-of-delta fingerprint, frame count) with the
+    // cap + its telemetry, exact dims/vector-equality verify.
+    "dedup_video_fp" ->
+      """WITH vm AS (
+        |  SELECT doc_id,
+        |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
+        |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
+        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf,
+        |    ((doc_id + 9) * 2654435761 % 4294967296 % 2 + 1) * 12 AS fps
+        |  FROM documents
+        |), clips AS (
+        |  SELECT doc_id AS id, doc_id AS seed, w, h, nf, fps FROM vm
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, w, h, nf, 36 - fps FROM vm
+        |  WHERE doc_id % 67 = 0
+        |), fy AS (
+        |  SELECT id, f,
+        |    SUM((seed + (f * 3 * w * h + i) * 2654435761) % 256) AS y
+        |  FROM (SELECT id, seed, w, h, f,
+        |          unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i
+        |        FROM (SELECT id, seed, w, h,
+        |                unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+        |              FROM clips))
+        |  GROUP BY 1, 2
+        |), vec AS (
+        |  SELECT id, list(y ORDER BY f) AS vl, COUNT(*) AS nwin
+        |  FROM fy GROUP BY 1
+        |), fv AS (
+        |  SELECT v.id, c.w, c.h, c.fps, v.vl, v.nwin
+        |  FROM vec v JOIN clips c ON c.id = v.id
+        |), grp AS (
+        |  SELECT w, h, fps, vl, nwin, MIN(id) AS id
+        |  FROM fv GROUP BY 1, 2, 3, 4, 5
+        |), sigb AS (
+        |  SELECT id, k,
+        |    CASE WHEN len(vl) > k + 1 AND vl[k + 2] > vl[k + 1]
+        |      THEN (1::BIGINT << k) ELSE 0 END AS b
+        |  FROM grp, (SELECT unnest(generate_series(0, 7)) AS k)
+        |), sg AS (
+        |  SELECT id, CAST(SUM(b) AS BIGINT) AS sig FROM sigb GROUP BY 1
+        |), reps AS (
+        |  SELECT g.id, g.w, g.h, g.vl, g.nwin, s.sig
+        |  FROM grp g JOIN sg s USING (id)
+        |), bsz AS (
+        |  SELECT sig, nwin, COUNT(*) AS mm FROM reps GROUP BY 1, 2
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id, CAST(a.nwin AS BIGINT) AS n_frames,
+        |  (SELECT COUNT(*) FROM bsz WHERE mm > 256) AS n_capped_buckets
+        |FROM reps a
+        |JOIN reps b ON a.sig = b.sig AND a.nwin = b.nwin AND a.id < b.id
+        |  AND a.w = b.w AND a.h = b.h AND a.vl = b.vl
         |JOIN bsz s ON s.sig = a.sig AND s.nwin = a.nwin
         |  AND s.mm BETWEEN 2 AND 256
         |ORDER BY a_id, b_id""".stripMargin,

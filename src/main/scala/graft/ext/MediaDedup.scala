@@ -282,6 +282,89 @@ object MediaDedup {
       .crossJoin(broadcast(capped))
   }
 
+  /** Tonight's video arrivals: every `everyNth`-th corpus clip
+    * RE-ENCODED — identical frame stream (same seed, dims, frame
+    * count), rewritten Y4M parameter line (the fps field swapped
+    * 12↔24), so the payload hash differs while every decoded frame is
+    * byte-identical. The [[audioReEncodes]] shape applied to the third
+    * modality.
+    */
+  def videoReEncodes(docs: DataFrame, everyNth: Int = 67): DataFrame = {
+    requireIdHeadroom(docs)
+    docs.filter(pmod(col("doc_id"), lit(everyNth)) === 0)
+      .select(col("doc_id"),
+        (Multimodal.metaHash(6) % 32 + lit(16)).cast("int").as("w"),
+        (Multimodal.metaHash(7) % 32 + lit(16)).cast("int").as("h"),
+        (Multimodal.metaHash(8) % 8 + lit(2)).cast("int").as("nf"),
+        (lit(36) - (Multimodal.metaHash(9) % 2 + lit(1)) * lit(12))
+          .cast("int").as("fps"))
+      // rename-last (see the lateral-column-alias note above)
+      .select(col("doc_id"),
+        graft.functions.native.y4m_synth(col("doc_id"), col("w"), col("h"),
+          col("nf"), col("fps")).as("media"))
+      .select((col("doc_id") + lit(ReRenderOffset)).as("doc_id"), col("media"))
+  }
+
+  /** Video content-identity dedup over corpus ∪ re-encoded arrivals:
+    * the corpus side is the store's stride-1 per-frame luma sums (zero
+    * payload access), arrivals are decoded for real. Payload-level
+    * groups — key `(dims, fps, frame vector)`, payload identity up to
+    * the luma-sum fold — collapse BEFORE pairing (the
+    * exact-dup-before-LSH rule: fixture clips repeat every 256
+    * doc_ids, so raw pairing is quadratic in corpus size while group
+    * reps stay bounded by the distinct-content count). Group reps then
+    * bucket on `(sign-of-delta fingerprint, frame count)`
+    * ([[MediaFeatures.videoFpCol]]) — count-filtered BEFORE vector
+    * collection, cap telemetry on every row — and survive only exact
+    * dims + frame-vector equality: same decoded video content under a
+    * different container header. One row per duplicate pair
+    * `(a_id, b_id, n_frames, n_capped_buckets)`.
+    */
+  def videoFpPairs(spark: SparkSession, docs: DataFrame, dir: String,
+                   maxBucket: Int = 256): DataFrame = {
+    val stored = MediaFeatures.features(spark, dir)
+      .select(col("doc_id"), col("v_w"), col("v_h"), col("v_fps"),
+        col("frame_y").as("vec"))
+    val arrivals = videoReEncodes(docs)
+      .select(col("doc_id"),
+        graft.functions.native.y4m_decode_stats(col("media")).as("d"),
+        graft.functions.native.y4m_frame_y_sums(col("media"), 1).as("vec"))
+      .select(col("doc_id"), col("d.width").as("v_w"),
+        col("d.height").as("v_h"), col("d.fps").as("v_fps"), col("vec"))
+    val groups = stored.unionByName(arrivals)
+      .filter(col("vec").isNotNull)
+      .groupBy(col("v_w"), col("v_h"), col("v_fps"), col("vec"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("v_w"), col("v_h"), col("vec"),
+        MediaFeatures.videoFpCol(col("vec")).as("sig"),
+        size(col("vec")).cast("long").as("n_frames"))
+      .localCheckpoint() // consumed thrice: key counts + semi join + collect
+    val counts = groups.groupBy(col("sig"), col("n_frames"))
+      .agg(count(lit(1)).as("mm"))
+      .localCheckpoint() // consumed twice: key filter + cap telemetry
+    val okKeys = counts.filter(col("mm").between(2, maxBucket))
+      .select(col("sig"), col("n_frames"))
+    val capped = counts.filter(col("mm") > maxBucket)
+      .agg(count(lit(1)).as("n_capped_buckets"))
+    groups.join(okKeys, Seq("sig", "n_frames"), "left_semi")
+      .groupBy(col("sig"), col("n_frames"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("v_w"),
+        col("v_h"), col("vec")))).as("m"))
+      .select(col("n_frames"), explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + lit(2), size(col("m"))),
+          y => struct(x.getField("doc_id").as("a_id"),
+            y.getField("doc_id").as("b_id"),
+            x.getField("v_w").as("a_w"), y.getField("v_w").as("b_w"),
+            x.getField("v_h").as("a_h"), y.getField("v_h").as("b_h"),
+            x.getField("vec").as("a_vec"), y.getField("vec").as("b_vec"))))))
+        .as("p"))
+      .filter(col("p.a_w") === col("p.b_w") && col("p.a_h") === col("p.b_h") &&
+        col("p.a_vec") === col("p.b_vec"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("n_frames"))
+      .crossJoin(broadcast(capped))
+  }
+
   /** The benchmark asset table for media decontamination: exact copies
     * of every `doc_id % 97 == 0` corpus image, plus +16
     * brightness-shifted re-renders of every `doc_id % 97 == 13` image

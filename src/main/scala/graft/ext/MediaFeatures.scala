@@ -57,6 +57,13 @@ object MediaFeatures {
   val FpWindowFrames = 64
   val FpMaxBits = 35
 
+  /** Video fingerprint bits: sign-of-delta over the stride-1 per-frame
+    * luma sums (fixture clips have 2..9 frames → up to 8 bits). The
+    * bucket key a coarse signature needs only narrow candidates; exact
+    * frame-vector equality does the verifying.
+    */
+  val VideoFpMaxBits = 8
+
   def defaultDir(d: String): String = s"${Artifact.root(d)}/media_features"
 
   /** The incremental-admission twin's location (one definition — the
@@ -98,6 +105,18 @@ object MediaFeatures {
     (0 until FpMaxBits).map { k =>
       when(size(win) > k + 1 &&
           element_at(win, k + 2) > element_at(win, k + 1),
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** [[audioFpCol]]'s video twin over the per-frame luma-sum vector:
+    * bit k set iff frame k+1's luma sum strictly exceeds frame k's.
+    * Cheap enough (≤ 9 elements) to derive from the stored `frame_y`
+    * at query time — no extra stored column.
+    */
+  private[ext] def videoFpCol(sums: Column): Column =
+    (0 until VideoFpMaxBits).map { k =>
+      when(size(sums) > k + 1 &&
+          element_at(sums, k + 2) > element_at(sums, k + 1),
         lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 

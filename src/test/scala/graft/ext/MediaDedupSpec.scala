@@ -64,6 +64,26 @@ class MediaDedupSpec extends SparkSuite {
       s"re-encoded clip missing from ${pairs.mkString(", ")}")
   }
 
+  test("re-encoded video: rewritten fps field, identical decoded frames") {
+    // byte-level different payload (the parameter line changed)...
+    val srcXx = Multimodal.withFakeVideo(docs.filter(col("doc_id") === 0))
+      .select(xxhash64(col("media"))).as[Long].head()
+    val arrXx = MediaDedup.videoReEncodes(docs)
+      .filter(col("doc_id") === MediaDedup.ReRenderOffset)
+      .select(xxhash64(col("media"))).as[Long].head()
+    assert(srcXx != arrXx, "re-encode must differ at the byte level")
+    // ...but the decoded frame stream is identical, so the pair tier
+    // links the arrival's payload-group rep to the corpus rep
+    val pairs = MediaDedup.videoFpPairs(spark, docs, dir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    assert(pairs.contains((0L, MediaDedup.ReRenderOffset)),
+      s"re-encoded clip missing from ${pairs.mkString(", ")}")
+    // cap telemetry: in-data and zero on this fixture
+    val caps = MediaDedup.videoFpPairs(spark, docs, dir)
+      .select(col("n_capped_buckets")).as[Long].collect()
+    assert(caps.nonEmpty && caps.forall(_ == 0L))
+  }
+
   test("no-silent-caps: dropped-bucket telemetry rides the pair rows") {
     // this fixture caps nothing — every pair row reports 0
     val img = MediaDedup.imagePhashPairs(spark, docs, dir)
