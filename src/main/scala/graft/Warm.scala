@@ -113,6 +113,10 @@ object Warm {
     // curated-ingest lifecycle (stream_curated_corpus): root seeded +
     // wire spool streamed once here; the query measures replay+serve
     graft.stream.StreamQueries.ensureCurated(spark, d)
+    // streamed media-ingest lifecycle (stream_media_corpus): store
+    // seeded (one decode pass), arrival spool written and streamed
+    // once here; the query measures the replay-storm serve
+    graft.stream.StreamQueries.ensureMediaIngest(spark, d)
     // decontamination-gate sketch (stream_decon_corpus): the benchmark
     // cardinality pass + adaptive Bloom build happen here, so the timed
     // query measures only the streamed per-row probe

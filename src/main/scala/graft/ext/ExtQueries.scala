@@ -1641,14 +1641,16 @@ object ExtQueries {
     * term (always 0 — the generative corpus can't be malformed) so
     * every consumer mirrors [[MediaQuality.qualityFlags]]' fail-closed
     * flag and stays faithful if malformed corpus media is ever
-    * planted.
+    * planted. `mediaGateFlagsCoreFrom` restricts the replay to a
+    * doc_id subset (the streamed media ingest gates only the batch
+    * slice).
     */
-  private val mediaGateFlagsCore: String =
+  private def mediaGateFlagsCoreFrom(src: String): String =
     """WITH am AS (
       |  SELECT doc_id,
       |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
       |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels
-      |  FROM documents
+      |  FROM @MSRC@
       |), au AS (
       |  SELECT doc_id, MAX(abs(v)) AS peak,
       |    SUM(CASE WHEN (v + 32768) // 4096 IN (0, 15) THEN 1 ELSE 0 END)
@@ -1665,7 +1667,7 @@ object ExtQueries {
       |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
       |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
       |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
-      |  FROM documents
+      |  FROM @MSRC@
       |), vv AS (
       |  SELECT doc_id,
       |    SUM(CASE WHEN plane = 0 AND val // 16 = 0 THEN 1 ELSE 0 END) AS b0,
@@ -1693,7 +1695,7 @@ object ExtQueries {
       |  SELECT doc_id,
       |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
       |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
-      |  FROM documents
+      |  FROM @MSRC@
       |), ihq AS (
       |  SELECT doc_id,
       |    SUM(CASE WHEN val // 16 <= 1 THEN 1 ELSE 0 END) AS head,
@@ -1715,10 +1717,12 @@ object ExtQueries {
       |      AS video_static,
       |    CASE WHEN ihq.head * 2 > ihq.n THEN 1 ELSE 0 END AS img_dark,
       |    CASE WHEN ihq.tail * 2 > ihq.n THEN 1 ELSE 0 END AS img_bright
-      |  FROM documents d
+      |  FROM @MSRC@ d
       |  JOIN au USING (doc_id) JOIN vv USING (doc_id)
       |  JOIN stq USING (doc_id) JOIN ihq USING (doc_id)
-      |)""".stripMargin
+      |)""".stripMargin.replace("@MSRC@", src)
+
+  private val mediaGateFlagsCore: String = mediaGateFlagsCoreFrom("documents")
 
   /** The release chain's shared front-end replay: shell → strip →
     * redact → normalize (constructions shared literal-for-literal
@@ -1778,12 +1782,18 @@ object ExtQueries {
       |             || CAST((doc_id * 3) % 256 AS VARCHAR) || '.1'
       |        ELSE 'local' END)""".stripMargin
 
-  private val mediaFeatureStoreSql: String =
-    """WITH m AS (
+  /** The feature-store certification replay as a WITH-body, over a
+    * parameterizable doc_id source (`documents` for the batch store;
+    * the streamed ingest's admitted-set CTE for `stream_media_corpus`).
+    * CTE names are prefixed (`fam`/`fvm`) so the body composes with
+    * [[mediaGateFlagsCoreFrom]] without collisions.
+    */
+  private def mediaFeatureStoreBody(src: String): String =
+    """m AS (
         |  SELECT doc_id,
         |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
         |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
-        |  FROM documents
+        |  FROM @FSRC@
         |), px AS (
         |  SELECT doc_id, w, h,
         |    unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS p
@@ -1810,15 +1820,15 @@ object ExtQueries {
         |  FROM tl, (SELECT unnest(generate_series(0, 62)) AS k)
         |), dh AS (
         |  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS dhash FROM bits GROUP BY 1
-        |), am AS (
+        |), fam AS (
         |  SELECT doc_id,
         |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
         |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels
-        |  FROM documents
+        |  FROM @FSRC@
         |), asamp AS (
         |  SELECT doc_id, channels,
         |    unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
-        |  FROM am
+        |  FROM fam
         |), awin AS (
         |  SELECT doc_id, CAST((k // channels) // 64 AS INTEGER) AS win,
         |    SUM(abs((doc_id + k * 2654435761) % 65536 - 32768)) AS sa
@@ -1832,19 +1842,56 @@ object ExtQueries {
         |  FROM awl, (SELECT unnest(generate_series(0, 34)) AS k)
         |), afp AS (
         |  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS a_fp FROM afpb GROUP BY 1
-        |), vm AS (
+        |), fvm AS (
         |  SELECT doc_id,
         |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
-        |  FROM documents
+        |  FROM @FSRC@
         |)
         |SELECT d.doc_id, CAST(m.w AS BIGINT) AS img_w,
         |  CAST(m.h AS BIGINT) AS img_h, dh.dhash,
-        |  CAST(am.frames AS BIGINT) AS a_frames, afp.a_fp,
-        |  CAST(vm.nf AS BIGINT) AS v_frames
-        |FROM documents d
-        |JOIN m USING (doc_id) JOIN dh USING (doc_id) JOIN am USING (doc_id)
-        |JOIN afp USING (doc_id) JOIN vm USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |  CAST(fam.frames AS BIGINT) AS a_frames, afp.a_fp,
+        |  CAST(fvm.nf AS BIGINT) AS v_frames
+        |FROM @FSRC@ d
+        |JOIN m USING (doc_id) JOIN dh USING (doc_id) JOIN fam USING (doc_id)
+        |JOIN afp USING (doc_id) JOIN fvm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin.replace("@FSRC@", src)
+
+  private val mediaFeatureStoreSql: String =
+    "WITH " + mediaFeatureStoreBody("documents")
+
+  /** The streamed media ingest's replay: the final store must equal
+    * seed ∪ admitted-batch, where a batch doc (`doc_id % 10 = 0`) is
+    * admitted iff (a) none of the seven quality flags fire and (b) no
+    * content-identical document precedes it — under the generative
+    * formulas, full tri-modal payload equality is EXACTLY doc_id
+    * congruence mod 65536 (raster bytes mod 256, WAV samples mod
+    * 65536, every metadata hash mod a divisor of 65536), so "a seed
+    * doc exists in the class" replays the store tier and "a smaller
+    * batch doc exists in the class" replays the within-batch tier.
+    * The perceptual tier needs no extra term for REAL docs: its
+    * wav+y4m equality requirement already implies full-triple
+    * equality (mod-65536 congruence), so it can only reject planted
+    * arrivals — which, like every plant, carry ids above the real
+    * range, always lose the smaller-id rule, and never appear in the
+    * output. Features for the admitted set then replay through the
+    * shared store-certification body.
+    */
+  private[graft] val streamMediaCorpusSql: String =
+    mediaGateFlagsCoreFrom("(SELECT doc_id FROM documents WHERE doc_id % 10 = 0)") +
+    """
+      |, cadm AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT f.doc_id FROM corpflags f
+      |  WHERE f.undecodable + f.audio_silent + f.audio_clipped
+      |      + f.video_black + f.video_static + f.img_dark + f.img_bright = 0
+      |    AND NOT EXISTS (SELECT 1 FROM documents s
+      |      WHERE s.doc_id % 10 <> 0
+      |        AND s.doc_id % 65536 = f.doc_id % 65536)
+      |    AND f.doc_id = (SELECT MIN(b.doc_id) FROM documents b
+      |      WHERE b.doc_id % 10 = 0
+      |        AND b.doc_id % 65536 = f.doc_id % 65536)
+      |), """.stripMargin + mediaFeatureStoreBody("cadm")
 
   val oracles: Map[String, String] = Map(
     "dedup_canonical_rank" -> (canonicalRankSql(3) +

@@ -282,6 +282,40 @@ object MediaDedup {
       .crossJoin(broadcast(capped))
   }
 
+  /** Tri-modal re-render arrivals for the STREAMED media ingest: the
+    * source doc's wav/y4m payloads unchanged, the image re-rendered
+    * with the [[imageReRenders]] tile-(0,0) perturbation (signature
+    * within Hamming 1 of the source), re-id'd above `offset`. A
+    * document-level near-dup: exact payload identity misses the image,
+    * the ingest's perceptual tier (dHash ball + identical audio/video
+    * payload hashes) catches the document.
+    */
+  private[graft] def triModalReRenders(docs: DataFrame, everyNth: Int,
+                                       rem: Int, offset: Long): DataFrame = {
+    require(offset >= ReRenderOffset, "plant offsets start at ReRenderOffset")
+    requireIdHeadroom(docs)
+    Multimodal.withFakeAllMedia(
+        docs.filter(pmod(col("doc_id"), lit(everyNth)) === rem))
+      .withColumn("width", (Multimodal.metaHash(0) % 64 + lit(32)).cast("int"))
+      // same construction (and the same lateral-column-alias rule) as
+      // [[imageReRenders]]; doc_id is renamed LAST
+      .select(col("doc_id"),
+        concat(
+          expr("substring(img, 1, 13)"),
+          unhex(array_join(
+            transform(
+              sequence(lit(0), expr("3 * ((width + 8) div 9) - 1")),
+              j => lpad(hex(pmod(
+                pmod(col("doc_id") + j * lit(2654435761L), lit(256)) + 128,
+                lit(256))), 2, "0")),
+            "")),
+          expr("substring(img, 14 + 3 * ((width + 8) div 9), length(img))"))
+          .as("img"),
+        col("wav"), col("y4m"))
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        col("img"), col("wav"), col("y4m"))
+  }
+
   /** Tonight's video arrivals: every `everyNth`-th corpus clip
     * RE-ENCODED — identical frame stream (same seed, dims, frame
     * count), rewritten Y4M parameter line (the fps field swapped

@@ -232,16 +232,29 @@ object MediaFeatures {
     val fresh = batch.select(col("doc_id"))
       .join(already, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    if (!fresh.isEmpty) {
-      val gen = Artifact.readNextGen(spark, dir)
-      // decode BEFORE the pending marker: a decode failure must leave
-      // the artifact serving, not mid-mutation
-      val rows = decodeAll(fresh).withColumn("gen", lit(gen)).localCheckpoint()
+    if (!fresh.isEmpty) appendDecoded(spark, decodeAll(fresh), dir)
+  }
+
+  /** [[append]]'s seam for callers that already DECODED the batch —
+    * the streaming media ingest decodes each micro-batch once for its
+    * quality/dedup gates and appends the surviving feature rows
+    * directly, never re-decoding by id. The caller guarantees rows are
+    * id-unique and absent from the store; this layer owns the
+    * generation stamp, the additive fingerprint bump, and the mutation
+    * window. Rows are pinned BEFORE the pending marker: a decode
+    * failure must leave the artifact serving, not mid-mutation.
+    */
+  private[graft] def appendDecoded(spark: SparkSession, rows: DataFrame,
+                                   dir: String): Unit = {
+    Artifact.requireKind(spark, dir, MetaPrefix)
+    val gen = Artifact.readNextGen(spark, dir)
+    val pinned = rows.withColumn("gen", lit(gen)).localCheckpoint()
+    if (!pinned.isEmpty) {
       Artifact.beginMutation(spark, dir)
-      rows.write.mode("append").parquet(s"$dir/features")
+      pinned.write.mode("append").parquet(s"$dir/features")
       Artifact.writeNextGen(spark, dir, gen + 1L)
       Artifact.addToFingerprint(spark, dir, MetaPrefix.trim,
-        Artifact.fingerprint(fresh, col("doc_id")))
+        Artifact.fingerprint(pinned.select(col("doc_id")), col("doc_id")))
       Artifact.endMutation(spark, dir)
     }
   }

@@ -154,7 +154,7 @@ object Multimodal {
     * [[withFakeMedia]]/[[withFakeAudio]]/[[withFakeVideo]], payload
     * for payload.
     */
-  private[ext] def withFakeAllMedia(docs: DataFrame): DataFrame =
+  private[graft] def withFakeAllMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       (metaHash(0) % 64 + lit(32)).cast("int").as("iw"),

@@ -137,6 +137,53 @@ object StreamQueries {
       (root, spool, lmDir, wire.schema)
     })
 
+  // streamed-media-ingest lifecycle memo: (root, spool, spool schema)
+  // per (app, fixture dir) — same locking discipline as the curated
+  // memo (the thunk deletes and re-streams a shared non-temp root)
+  private val mediaIngestMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, org.apache.spark.sql.types.StructType)]
+
+  /** Build the streamed media-ingest lifecycle once per (app, fixture):
+    * reset the root, seed the [[graft.ext.MediaFeatures]] store with
+    * the doc_id%10≠0 slice (ONE decode pass — warm cost), spool
+    * tonight's tri-modal arrivals (the %10=0 slice plus the planted
+    * degenerate/dup/re-render payloads) to parquet, and stream them
+    * through the quality gate + dedup screen + store append
+    * ([[MediaIngest]]). Called from the warm phase so the one-time
+    * build lands in `build_sec`; the registered query then re-delivers
+    * the full spool against the built root through a fresh checkpoint
+    * — the replay-storm serving shape, in which the membership probe
+    * and rejection ledger must no-op every re-sent arrival without
+    * touching payload bytes.
+    */
+  def ensureMediaIngest(s: SparkSession, d: String): (String, String,
+      org.apache.spark.sql.types.StructType) = {
+    val key = s"${s.sparkContext.applicationId}#$d#media"
+    mediaIngestMemo.get(key) match {
+      case Some(v) => v
+      case None => curatedLockFor(key).synchronized {
+        mediaIngestMemo.getOrElseUpdate(key, {
+          import graft.ext.{Artifact, MediaFeatures}
+          val docs = Tables.documents(s, d).select(col("doc_id"))
+          val root = s"${Artifact.root(d)}/stream_media"
+          val rootPath = new org.apache.hadoop.fs.Path(root)
+          rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(rootPath, true)
+          MediaFeatures.ensure(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
+          val arrivals = MediaIngest.fixtureArrivals(s, docs)
+          val spool = scratchDir("graft-media-arrivals")
+          arrivals.write.mode("overwrite").parquet(spool)
+          val ckpt = scratchDir("graft-media-ingest-ckpt")
+          val q = MediaIngest.start(s,
+            FileSourceConfig(spool, "parquet", arrivals.schema), ckpt, root)
+          q.awaitTermination()
+          (root, spool, arrivals.schema)
+        })
+      }
+    }
+  }
+
   /** Fixture events as a stream, through the [[StreamSources]] seam (a
     * file config here; a Kafka config on a cluster with the connector).
     * Raw on-disk schema (ts as nanos-long under nanosAsLong=true),
@@ -399,6 +446,35 @@ object StreamQueries {
         .groupBy(col("width"))
         .agg(count(lit(1)).as("n_docs"), sum(col("r_sum")).as("total_r"))
         .orderBy(col("width"))
+    }),
+
+    // §2.9 × multimodal: STREAMED media-feature ingestion end to end —
+    // the media analog of stream_curated_corpus. Tonight's tri-modal
+    // payload arrivals (the %10=0 slice + planted degenerate /
+    // duplicate / re-rendered payloads) stream against a store seeded
+    // with the %10≠0 slice: each micro-batch is decoded ONCE, gated by
+    // the seven quality flags (fail-closed), near-dup-screened against
+    // the store and within the batch (two equi tiers, never an
+    // OR-join), and survivors append to the decode-once feature store
+    // in O(batch). The lifecycle build runs in the warm phase; each
+    // query invocation RE-DELIVERS the full spool through a fresh
+    // checkpoint — the replay-storm shape, in which the membership
+    // probe + rejection ledger must no-op every re-sent arrival
+    // WITHOUT touching payload bytes. Output is the final store's
+    // certifiable projection; the oracle replays admission (gate flags
+    // + the mod-65536 content-identity rule) and the stored features
+    // from the generative formulas, so a hash match certifies the
+    // whole streamed decode→gate→dedup→append chain.
+    "stream_media_corpus" -> ((s, d) => {
+      val (root, spool, schema) = ensureMediaIngest(s, d)
+      val ckpt = scratchDir("graft-media-corpus-ckpt")
+      val q = MediaIngest.start(s, FileSourceConfig(spool, "parquet", schema),
+        ckpt, root)
+      q.awaitTermination()
+      graft.ext.MediaFeatures.features(s, root)
+        .select(col("doc_id"), col("img_w"), col("img_h"), col("dhash"),
+          col("a_frames"), col("a_fp"), col("v_frames"))
+        .orderBy(col("doc_id"))
     }),
 
     // §2.9: incremental file-source micro-batching; complete-mode agg.
@@ -857,6 +933,12 @@ object StreamQueries {
         |)
         |SELECT * FROM good UNION ALL SELECT * FROM bad
         |ORDER BY width""".stripMargin,
+    // The streamed media admission replayed end to end: gate flags for
+    // the batch slice + the mod-65536 content-identity dup rule, then
+    // the feature-store certification body over the admitted set —
+    // see ExtQueries.streamMediaCorpusSql's scaladoc for why the
+    // perceptual tier needs no extra replay term for real documents.
+    "stream_media_corpus" -> graft.ext.ExtQueries.streamMediaCorpusSql,
     "stream_kmv_daily" -> KmvDailyOracle,
     "stream_kmv_update" -> KmvDailyOracle,
     "stream_cms_update" -> CmsDailyOracle,

@@ -1,0 +1,144 @@
+package graft.stream
+
+import graft.SparkSuite
+import graft.ext.{Artifact, MediaFeatures, MediaQuality}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streamed media-feature ingestion ([[MediaIngest]]): exactly-once
+  * admission, the quality→dedup gate order, replay-storm no-ops, the
+  * insert-only conflict contract, and batch-split invariance — the
+  * properties the registered `stream_media_corpus` query's hash match
+  * rests on.
+  */
+class MediaIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+  private lazy val seed = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+
+  private def freshRoot(name: String): String = {
+    val d = s"target/mediaingestspec/$name"
+    deleteRecursively(d)
+    MediaFeatures.ensure(spark, seed, d)
+  }
+
+  private def storeIds(dir: String): Set[Long] =
+    MediaFeatures.features(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+
+  private lazy val arrivals: DataFrame =
+    MediaIngest.fixtureArrivals(spark, docs).localCheckpoint()
+
+  test("admission: quality gate, both dup tiers, plants never admitted") {
+    val root = freshRoot("admission")
+    val before = storeIds(root)
+    val stats = MediaIngest.ingestBatch(spark, arrivals, root)
+    val after = storeIds(root)
+    // accounting identity
+    assert(stats.batchRows === stats.replayed + stats.conflicting +
+      stats.rejectedQuality + stats.rejectedDupStore +
+      stats.rejectedDupBatch + stats.accepted)
+    // every rejection path carried traffic: the 6 degenerate payloads
+    // + the truncated-image arrival (quality), the seed-sourced exact
+    // re-deliveries and tri-modal re-renders (store tier), the clones
+    // of batch docs (batch tier)
+    assert(stats.rejectedQuality >= 7, s"quality plants missing: $stats")
+    assert(stats.rejectedDupStore >= 1, s"store-tier plants missing: $stats")
+    assert(stats.rejectedDupBatch >= 1, s"batch-tier plants missing: $stats")
+    assert(stats.accepted > 0 && stats.replayed === 0 && stats.conflicting === 0)
+    // no plant id ever reaches the store; admitted ids are real batch docs
+    val admitted = after -- before
+    assert(admitted.forall(id => id < MediaQuality.PlantBase && id % 10 == 0),
+      s"non-batch ids admitted: ${admitted.filter(_ >= MediaQuality.PlantBase)}")
+    // every admitted doc passes the quality gate on the store's own rows
+    val flagged = MediaQuality.qualityFlags(
+        MediaFeatures.features(spark, root))
+      .filter(col("undecodable") + col("audio_silent") + col("audio_clipped") +
+        col("video_black") + col("video_static") + col("img_dark") +
+        col("img_bright") > 0)
+      .filter(col("doc_id").isin(admitted.toSeq: _*))
+    assert(flagged.isEmpty, "a gate-failing doc was admitted")
+  }
+
+  test("replay storm: a full re-delivery is a counted no-op") {
+    val root = freshRoot("replay")
+    MediaIngest.ingestBatch(spark, arrivals, root)
+    val metaAfterFirst = Artifact.readMeta(spark, root)
+    val idsAfterFirst = storeIds(root)
+    val again = MediaIngest.ingestBatch(spark, arrivals, root)
+    assert(again.accepted === 0, s"replay must admit nothing: $again")
+    assert(again.replayed > 0, "re-delivered admitted rows must count as replayed")
+    // rejected rows short-circuit through the ledger under their
+    // original buckets — the stats read like the first delivery
+    assert(again.rejectedQuality >= 7 && again.rejectedDupStore >= 1 &&
+      again.rejectedDupBatch >= 1, s"ledger buckets lost on replay: $again")
+    assert(Artifact.readMeta(spark, root) === metaAfterFirst,
+      "replay must not touch the store fingerprint")
+    assert(storeIds(root) === idsAfterFirst)
+  }
+
+  test("conflict: an admitted id re-offered with new content is counted, not applied") {
+    val root = freshRoot("conflict")
+    MediaIngest.ingestBatch(spark, arrivals, root)
+    // re-offer batch doc 0 with doc 10's payloads (different content)
+    val conflict = graft.ext.Multimodal.withFakeAllMedia(
+        docs.filter(col("doc_id") === 10))
+      .select(lit(0L).as("doc_id"), col("img"), col("wav"), col("y4m"))
+    val stats = MediaIngest.ingestBatch(spark, conflict, root)
+    assert(stats.conflicting === 1 && stats.accepted === 0, s"got $stats")
+    // the stored row for doc 0 is untouched (insert-only store)
+    val dhash0 = MediaFeatures.features(spark, root)
+      .filter(col("doc_id") === 0).select(col("dhash")).as[Long].head()
+    val expected = MediaFeatures.features(spark,
+        MediaFeatures.ensure(spark, docs, "target/mediaingestspec/fullref"))
+      .filter(col("doc_id") === 0).select(col("dhash")).as[Long].head()
+    assert(dhash0 === expected)
+  }
+
+  test("batch-split invariance: two id-ordered halves equal one batch") {
+    val rootOne = freshRoot("split-one")
+    MediaIngest.ingestBatch(spark, arrivals, rootOne)
+    val rootTwo = freshRoot("split-two")
+    // real docs first, plants second — the split an id-ordered spool
+    // would produce across two micro-batches; the smaller-id rule must
+    // give the same admissions either way
+    MediaIngest.ingestBatch(spark,
+      arrivals.filter(col("doc_id") < MediaQuality.PlantBase), rootTwo)
+    MediaIngest.ingestBatch(spark,
+      arrivals.filter(col("doc_id") >= MediaQuality.PlantBase), rootTwo)
+    assert(storeIds(rootTwo) === storeIds(rootOne))
+  }
+
+  test("streaming front end: checkpointed AvailableNow delivery, exactly once") {
+    val root = freshRoot("stream")
+    val spool = "target/mediaingestspec/spool"
+    deleteRecursively(spool)
+    arrivals.write.parquet(spool)
+    val ckpt = "target/mediaingestspec/ckpt"
+    deleteRecursively(ckpt)
+    var batches = List.empty[MediaIngest.MediaIngestStats]
+    val q = MediaIngest.start(spark,
+      FileSourceConfig(spool, "parquet", arrivals.schema), ckpt, root,
+      onBatch = (_, s) => batches ::= s)
+    q.awaitTermination()
+    assert(batches.nonEmpty && batches.map(_.accepted).sum > 0)
+    val idsAfterStream = storeIds(root)
+    // same checkpoint: nothing new arrives, the query drains zero rows
+    val q2 = MediaIngest.start(spark,
+      FileSourceConfig(spool, "parquet", arrivals.schema), ckpt, root)
+    q2.awaitTermination()
+    // fresh checkpoint: everything re-delivers and no-ops (the
+    // registered query's replay-storm shape)
+    val ckpt2 = "target/mediaingestspec/ckpt2"
+    deleteRecursively(ckpt2)
+    var replay = List.empty[MediaIngest.MediaIngestStats]
+    val q3 = MediaIngest.start(spark,
+      FileSourceConfig(spool, "parquet", arrivals.schema), ckpt2, root,
+      onBatch = (_, s) => replay ::= s)
+    q3.awaitTermination()
+    assert(replay.map(_.accepted).sum === 0)
+    assert(storeIds(root) === idsAfterStream)
+  }
+}
