@@ -97,6 +97,9 @@ object Warm {
     // session-memoized (not persisted — see Bpe's class doc): trained
     // here so no bpe_* query pays the training cost as first consumer
     graft.ext.Bpe.trained(spark, docs, d)
+    // release-chain memo: one text-release pass now serves two
+    // registered queries (corpus_release, corpus_release_mm)
+    graft.ext.Release.releaseCached(spark, docs)
     val emb = Tables.embeddings(spark, d)
     AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
     AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")

@@ -612,7 +612,19 @@ object ExtQueries {
     // (each stage reuses the construction its standalone query
     // certifies); the oracle replays the whole chain.
     "corpus_release" -> ((s, d) =>
-      Release.release(Tables.documents(s, d))
+      Release.releaseCached(s, Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // The MULTIMODAL release: the text chain composed with the media
+    // stages it shares a corpus with — quality gates (fail-closed),
+    // media decontamination, and the perceptual image duplicate-group
+    // collapse (keep the minimum surviving member per group). Every
+    // media stage reads the decode-once feature store; the mega-oracle
+    // composes the already-verified fragments in the declared order.
+    "corpus_release_mm" -> ((s, d) =>
+      Release.releaseMultimodal(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
         .orderBy(col("doc_id"))),
 
     // End-to-end corpus preparation: quality filter → deterministic
@@ -1519,17 +1531,21 @@ object ExtQueries {
     * convention of replaying candidate generation, not just the
     * verify rule.
     */
-  private val imagePhashCore: String =
-    """WITH m AS (
+  /** Parameterizable phash replay body (no leading WITH): `@IMGS@`
+    * supplies the image universe as `(id, seed, w, h, pert)` rows over
+    * the dims CTE `im` — corpus ∪ perturbed arrivals for the dedup
+    * family, the bare release corpus for `corpus_release_mm`. CTE
+    * names (`im`, not `m`) are chosen to compose with the decon/gate
+    * cores without collisions.
+    */
+  private def imagePhashBodyImgs(imgsSql: String): String =
+    """im AS (
       |  SELECT doc_id,
       |    (doc_id + 0) * 2654435761 % 4294967296 % 64 + 32 AS w,
       |    (doc_id + 1) * 2654435761 % 4294967296 % 64 + 32 AS h
       |  FROM documents
       |), imgs AS (
-      |  SELECT doc_id AS id, doc_id AS seed, w, h, FALSE AS pert FROM m
-      |  UNION ALL
-      |  SELECT doc_id + 10000000, doc_id, w, h, TRUE FROM m
-      |  WHERE doc_id % 41 = 0
+      |@IMGS@
       |), px AS (
       |  SELECT id, seed, w, h, pert,
       |    unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS p
@@ -1575,6 +1591,35 @@ object ExtQueries {
       |  JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk AND a.id < b.id
       |  JOIN bsz s ON s.ci = a.ci AND s.chunk = a.chunk
       |    AND s.mm BETWEEN 2 AND 256
+      |)""".stripMargin.replace("@IMGS@", imgsSql)
+
+  private val imagePhashCore: String = "WITH " + imagePhashBodyImgs(
+    """  SELECT doc_id AS id, doc_id AS seed, w, h, FALSE AS pert FROM im
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, w, h, TRUE FROM im
+      |  WHERE doc_id % 41 = 0""".stripMargin)
+
+  /** The perceptual-group replay appendix (recursive transitive
+    * closure over the rep-level pairs + label expansion through the
+    * exact-signature groups) — shared by `dedup_image_groups` and the
+    * multimodal release. Requires the enclosing query to start with
+    * WITH RECURSIVE.
+    */
+  private val imageGroupClosureBody: String =
+    """edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs WHERE hamming <= 3
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM pairs WHERE hamming <= 3
+      |), reach(id, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+      |), comp AS (
+      |  SELECT id, MIN(label) AS group_id FROM reach GROUP BY id
+      |), glab AS (
+      |  SELECT sg.id AS doc_id, COALESCE(c.group_id, g.rep_id) AS group_id
+      |  FROM sg JOIN grp g ON sg.sig = g.sig
+      |  LEFT JOIN comp c ON c.id = g.rep_id
       |)""".stripMargin
 
   /** Shared replay core for media decontamination: per-image 16-bin
@@ -1584,7 +1629,7 @@ object ExtQueries {
     * 256 — equivalent to payload equality under the generative
     * formula), near tier = equal dims ∧ rotation-matched histogram.
     */
-  private val deconMediaCore: String = {
+  private def deconMediaCoreBound(bound: Long): String = {
     val rots = Seq(0, 1, 15).map {
       case 0 => "c.l = a.l"
       case r => s"(c.l[${r + 1}:16] || c.l[1:$r]) = a.l"
@@ -1608,10 +1653,10 @@ object ExtQueries {
        |  SELECT m.doc_id, m.w, m.h, chl.l FROM m JOIN chl USING (doc_id)
        |), assets AS (
        |  SELECT doc_id + 20000000 AS bench_id, doc_id AS seed, w, h FROM m
-       |  WHERE doc_id % 97 = 0 AND doc_id < 50000
+       |  WHERE doc_id % 97 = 0 AND doc_id < @BND@
        |  UNION ALL
        |  SELECT doc_id + 30000000, doc_id + 16, w, h FROM m
-       |  WHERE doc_id % 97 = 13 AND doc_id < 50000
+       |  WHERE doc_id % 97 = 13 AND doc_id < @BND@
        |), apx AS (
        |  SELECT bench_id, seed, w, h,
        |    unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT))) AS k
@@ -1632,8 +1677,10 @@ object ExtQueries {
        |  WHERE (c.doc_id % 256) = (a.seed % 256)
        |    OR $rots
        |  GROUP BY 1
-       |)""".stripMargin
+       |)""".stripMargin.replace("@BND@", bound.toString)
   }
+
+  private val deconMediaCore: String = deconMediaCoreBound(50000L)
 
   /** Shared replay core for the media quality gates: the six
     * exact-integer predicates over the generative formulas, one row
@@ -1892,6 +1939,91 @@ object ExtQueries {
       |      WHERE b.doc_id % 10 = 0
       |        AND b.doc_id % 65536 = f.doc_id % 65536)
       |), """.stripMargin + mediaFeatureStoreBody("cadm")
+
+  /** The text release chain as a WITH-body ending in the released-set
+    * CTE `rel` — shared by `corpus_release` (bare projection) and
+    * `corpus_release_mm` (composed with the media stages).
+    */
+  private val releaseChainBody: String =
+    """nrm AS (
+         |@FRONT_CORPUS@
+         |), tk AS (
+         |  SELECT doc_id, lang, n_pii, text, string_split(text, ' ') AS t
+         |  FROM nrm
+         |), voc AS (
+         |  SELECT token, COUNT(*) AS c
+         |  FROM (SELECT unnest(t) AS token FROM tk)
+         |  GROUP BY token ORDER BY c DESC, token LIMIT 4096
+         |), consts AS (
+         |  SELECT (SELECT SUM(c) FROM voc) + (SELECT COUNT(*) FROM voc) + 1 AS d
+         |), nll AS (
+         |  SELECT s.doc_id,
+         |    round(SUM(-ln((coalesce(v.c, 0) + 1) * 1.0 / (SELECT d FROM consts)))
+         |      / COUNT(*), 6) AS mean_nll
+         |  FROM (SELECT doc_id, unnest(t) AS token FROM tk) s
+         |  LEFT JOIN voc v USING (token) GROUP BY s.doc_id
+         |), pstat AS (
+         |  SELECT CAST(SUM(CAST(mean_nll AS DECIMAL(12,6))) AS DECIMAL(38,6))
+         |      AS nll_sum,
+         |    CAST(COUNT(*) AS DECIMAL(12,0)) AS nll_n
+         |  FROM nll
+         |), gated AS (
+         |  SELECT tk.doc_id, tk.lang, tk.n_pii, tk.t
+         |  FROM tk JOIN nll USING (doc_id) CROSS JOIN pstat
+         |  WHERE len(t) >= 30
+         |    AND CAST(len(list_filter(t, x -> list_contains(
+         |      ['the','a','of','and','to','in','is','on'], x))) AS DOUBLE)
+         |      / len(t) <= 0.12
+         |    AND (CAST(mean_nll AS DECIMAL(12,6)) - CAST(0.25 AS DECIMAL(12,6)))
+         |      * nll_n <= nll_sum
+         |), segs AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(0, CAST((len(t) - 1) // 16 AS BIGINT)))
+         |            AS i
+         |        FROM gated)
+         |  WHERE i * 16 < len(t)
+         |), keep AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segs
+         |), rebuilt AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+         |  FROM keep WHERE rn = 1 GROUP BY doc_id
+         |), exact AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM rebuilt GROUP BY text
+         |), dd AS (
+         |  SELECT r.doc_id, g.lang, g.n_pii, r.text
+         |  FROM rebuilt r
+         |  JOIN exact e ON r.doc_id = e.doc_id
+         |  JOIN gated g ON g.doc_id = r.doc_id
+         |), benchsh AS (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
+         |    FROM (
+         |@FRONT_BENCH@
+         |    ))
+         |), contaminated AS (
+         |  SELECT d.doc_id FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
+         |    FROM dd) d
+         |  JOIN benchsh b USING (sh)
+         |  GROUP BY d.doc_id HAVING COUNT(*) >= 5
+         |), rel AS (
+         |  SELECT doc_id, lang, n_pii, text FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |)""".stripMargin
+        .replace("@FRONT_CORPUS@", releaseFrontEnd
+          .replace("@PLANT@", releasePlant)
+          .replace("@WHERE@", "doc_id % 10 <> 0"))
+        .replace("@FRONT_BENCH@", releaseFrontEnd
+          .replace("@PLANT@", "text")
+          .replace("@WHERE@", "doc_id % 10 = 0"))
 
   val oracles: Map[String, String] = Map(
     "dedup_canonical_rank" -> (canonicalRankSql(3) +
@@ -2386,88 +2518,46 @@ object ExtQueries {
     // dedup (first occurrence wins), exact dedup on the rebuilt text,
     // 5-gram benchmark decon, md5 digest of the released text.
     "corpus_release" ->
-      ("""WITH nrm AS (
-         |@FRONT_CORPUS@
-         |), tk AS (
-         |  SELECT doc_id, lang, n_pii, text, string_split(text, ' ') AS t
-         |  FROM nrm
-         |), voc AS (
-         |  SELECT token, COUNT(*) AS c
-         |  FROM (SELECT unnest(t) AS token FROM tk)
-         |  GROUP BY token ORDER BY c DESC, token LIMIT 4096
-         |), consts AS (
-         |  SELECT (SELECT SUM(c) FROM voc) + (SELECT COUNT(*) FROM voc) + 1 AS d
-         |), nll AS (
-         |  SELECT s.doc_id,
-         |    round(SUM(-ln((coalesce(v.c, 0) + 1) * 1.0 / (SELECT d FROM consts)))
-         |      / COUNT(*), 6) AS mean_nll
-         |  FROM (SELECT doc_id, unnest(t) AS token FROM tk) s
-         |  LEFT JOIN voc v USING (token) GROUP BY s.doc_id
-         |), pstat AS (
-         |  SELECT CAST(SUM(CAST(mean_nll AS DECIMAL(12,6))) AS DECIMAL(38,6))
-         |      AS nll_sum,
-         |    CAST(COUNT(*) AS DECIMAL(12,0)) AS nll_n
-         |  FROM nll
-         |), gated AS (
-         |  SELECT tk.doc_id, tk.lang, tk.n_pii, tk.t
-         |  FROM tk JOIN nll USING (doc_id) CROSS JOIN pstat
-         |  WHERE len(t) >= 30
-         |    AND CAST(len(list_filter(t, x -> list_contains(
-         |      ['the','a','of','and','to','in','is','on'], x))) AS DOUBLE)
-         |      / len(t) <= 0.12
-         |    AND (CAST(mean_nll AS DECIMAL(12,6)) - CAST(0.25 AS DECIMAL(12,6)))
-         |      * nll_n <= nll_sum
-         |), segs AS (
-         |  SELECT doc_id, i AS seg_idx,
-         |    array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
-         |  FROM (SELECT doc_id, t,
-         |          unnest(generate_series(0, CAST((len(t) - 1) // 16 AS BIGINT)))
-         |            AS i
-         |        FROM gated)
-         |  WHERE i * 16 < len(t)
-         |), keep AS (
-         |  SELECT doc_id, seg_idx, seg,
-         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
-         |  FROM segs
-         |), rebuilt AS (
-         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
-         |  FROM keep WHERE rn = 1 GROUP BY doc_id
-         |), exact AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM rebuilt GROUP BY text
-         |), dd AS (
-         |  SELECT r.doc_id, g.lang, g.n_pii, r.text
-         |  FROM rebuilt r
-         |  JOIN exact e ON r.doc_id = e.doc_id
-         |  JOIN gated g ON g.doc_id = r.doc_id
-         |), benchsh AS (
-         |  SELECT DISTINCT sh FROM (
-         |    SELECT unnest(list_distinct(list_transform(
-         |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
-         |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
-         |    FROM (
-         |@FRONT_BENCH@
-         |    ))
-         |), contaminated AS (
-         |  SELECT d.doc_id FROM (
-         |    SELECT doc_id, unnest(list_distinct(list_transform(
-         |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
-         |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
-         |    FROM dd) d
-         |  JOIN benchsh b USING (sh)
-         |  GROUP BY d.doc_id HAVING COUNT(*) >= 5
-         |)
+      ("WITH " + releaseChainBody + """
          |SELECT doc_id, lang, n_pii,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |  md5(text) AS text_md5
-         |FROM dd
-         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-         |ORDER BY doc_id""".stripMargin
-        .replace("@FRONT_CORPUS@", releaseFrontEnd
-          .replace("@PLANT@", releasePlant)
-          .replace("@WHERE@", "doc_id % 10 <> 0"))
-        .replace("@FRONT_BENCH@", releaseFrontEnd
-          .replace("@PLANT@", "text")
-          .replace("@WHERE@", "doc_id % 10 = 0"))),
+         |FROM rel ORDER BY doc_id""".stripMargin),
+
+    // The multimodal release: the text chain's released set (`rel`)
+    // composed with the media stages — quality gates (all seven flags,
+    // replayed over the %10≠0 slice), media decontamination (exact +
+    // near tier), and the perceptual image duplicate-group collapse
+    // (keep the minimum SURVIVING doc_id per group), in the declared
+    // stage order. Every fragment is the one its standalone query
+    // certifies.
+    "corpus_release_mm" ->
+      ("WITH RECURSIVE " + releaseChainBody + ", " +
+        mediaGateFlagsCoreFrom(
+          "(SELECT doc_id FROM documents WHERE doc_id % 10 <> 0)")
+          .stripPrefix("WITH ") + ", " +
+        deconMediaCoreBound(2000L).stripPrefix("WITH ") + ", " +
+        imagePhashBodyImgs(
+          """  SELECT doc_id AS id, doc_id AS seed, w, h, FALSE AS pert
+            |  FROM im WHERE doc_id % 10 <> 0""".stripMargin) + ", " +
+        imageGroupClosureBody + """
+          |, surv AS (
+          |  SELECT r.doc_id, r.lang, r.n_pii, r.text, gl.group_id
+          |  FROM rel r
+          |  JOIN corpflags f ON f.doc_id = r.doc_id
+          |  JOIN glab gl ON gl.doc_id = r.doc_id
+          |  WHERE f.undecodable + f.audio_silent + f.audio_clipped
+          |      + f.video_black + f.video_static + f.img_dark + f.img_bright = 0
+          |    AND r.doc_id NOT IN (SELECT doc_id FROM matches)
+          |), keepg AS (
+          |  SELECT group_id, MIN(doc_id) AS doc_id FROM surv GROUP BY 1
+          |)
+          |SELECT s.doc_id, s.lang, s.n_pii,
+          |  CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
+          |  md5(s.text) AS text_md5
+          |FROM surv s JOIN keepg k ON s.doc_id = k.doc_id
+          |ORDER BY s.doc_id""".stripMargin),
+
 
     // Perceptual image dedup replay: dHash signatures for corpus ∪
     // perturbed arrivals, banding discovery included (bucket cap
@@ -2492,20 +2582,8 @@ object ExtQueries {
     // rep.
     "dedup_image_groups" ->
       (s"""$imagePhashCore
-          |, edges AS (
-          |  SELECT a_id AS src, b_id AS dst FROM pairs WHERE hamming <= 3
-          |  UNION ALL
-          |  SELECT b_id, a_id FROM pairs WHERE hamming <= 3
-          |), reach(id, label) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
-          |), comp AS (
-          |  SELECT id, MIN(label) AS group_id FROM reach GROUP BY id
-          |)
-          |SELECT sg.id AS doc_id, COALESCE(c.group_id, g.rep_id) AS group_id
-          |FROM sg JOIN grp g ON sg.sig = g.sig
-          |LEFT JOIN comp c ON c.id = g.rep_id
+          |, $imageGroupClosureBody
+          |SELECT doc_id, group_id FROM glab
           |ORDER BY doc_id""".stripMargin
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
 

@@ -161,8 +161,17 @@ object MediaDedup {
     * `dedup_groups`.
     */
   def imageDupGroups(spark: SparkSession, docs: DataFrame, dir: String,
-                     maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val sigs = allImageSigs(spark, docs, dir).localCheckpoint()
+                     maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
+    imageDupGroupsOver(allImageSigs(spark, docs, dir), maxHamming, maxBucket)
+
+  /** The group engine over ANY `(doc_id, sig)` frame — [[imageDupGroups]]
+    * runs it over corpus ∪ arrivals; the multimodal release runs it
+    * over the release corpus alone (no arrivals belong in a release's
+    * duplicate structure).
+    */
+  private[ext] def imageDupGroupsOver(sigsIn: DataFrame, maxHamming: Int = 3,
+                                      maxBucket: Int = 256): DataFrame = {
+    val sigs = sigsIn.localCheckpoint()
     val groups = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep_id"))
       .localCheckpoint()
     val pairs = Dedup.hammingPairs(
@@ -414,9 +423,10 @@ object MediaDedup {
     */
   val BenchmarkIdBound = 50000L
 
-  def mediaBenchmark(docs: DataFrame): DataFrame = {
+  def mediaBenchmark(docs: DataFrame,
+                     benchIdBound: Long = BenchmarkIdBound): DataFrame = {
     requireIdHeadroom(docs)
-    val dims = docs.filter(col("doc_id") < BenchmarkIdBound)
+    val dims = docs.filter(col("doc_id") < benchIdBound)
       .select(col("doc_id"),
         (Multimodal.metaHash(0) % 64 + lit(32)).cast("int").as("w"),
         (Multimodal.metaHash(1) % 64 + lit(32)).cast("int").as("h"))
@@ -443,8 +453,9 @@ object MediaDedup {
     * corpus side is ONE scan of the slim feature store; assets are
     * decoded once and broadcast.
     */
-  def deconMedia(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
-    val bench = mediaBenchmark(docs)
+  def deconMedia(spark: SparkSession, docs: DataFrame, dir: String,
+                 benchIdBound: Long = BenchmarkIdBound): DataFrame = {
+    val bench = mediaBenchmark(docs, benchIdBound)
       .select(col("bench_id"), xxhash64(col("media")).as("bxx"),
         graft.functions.native.ppm_decode_stats(col("media")).as("bd"))
       .filter(col("bd").isNotNull)

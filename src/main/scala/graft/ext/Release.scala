@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus RELEASE as one oracle-verified rewrite — the
@@ -167,5 +167,86 @@ object Release {
     clean.select(col("doc_id"), col("lang"), col("n_pii"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
       md5(col("text")).as("text_md5"))
+  }
+
+  // Release-chain serving memo: the text chain is one deterministic
+  // corpus pass now consumed by TWO registered queries (corpus_release
+  // and corpus_release_mm) — computed once per (app, corpus
+  // fingerprint) under the ServingMemo discipline, so the suite pays
+  // the regex front-end + gates + dedup + decon once, not per
+  // consumer. A mutated corpus re-nets via the fingerprint key.
+  private val releaseMemo = scala.collection.concurrent.TrieMap
+    .empty[String, ServingMemo.Entry[DataFrame]]
+
+  /** [[release]] with default parameters, memoized per (app, corpus
+    * fingerprint); the returned frame is localCheckpointed (pinned by
+    * the memo entry).
+    */
+  def releaseCached(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val fp = Artifact.fingerprint(docs, col("doc_id"), col("text"))
+    ServingMemo.cached(releaseMemo,
+      s"${spark.sparkContext.applicationId}#release", fp.toString) {
+      val rel = release(docs).localCheckpoint()
+      ServingMemo.Entry(rel, Seq(rel))
+    }
+  }
+
+  /** The MULTIMODAL release: the text chain ([[release]]) composed
+    * with the media family's already-verified stages over the
+    * decode-once feature store at `mediaDir` — a released document
+    * must also
+    *  1. pass every [[MediaQuality.mediaOkFlags]] gate (all three
+    *     modality OK flags, undecodable fails closed),
+    *  2. not match a benchmark media asset
+    *     ([[MediaDedup.deconMedia]] — exact or near tier), and
+    *  3. be the FIRST SURVIVOR of its perceptual image duplicate
+    *     group ([[MediaDedup.imageDupGroupsOver]] over the release
+    *     corpus's stored dHashes — keep doc iff it is the minimum
+    *     surviving doc_id of its group, so a group whose natural rep
+    *     fell to a text gate still releases one member).
+    *
+    * Stage order (text chain → media gates → decon → group collapse)
+    * is part of the declared semantics and replayed by the oracle.
+    * Scale shape: every media stage reads the slim feature store —
+    * zero payload bytes — and the group collapse runs over group
+    * REPRESENTATIVES (bounded by distinct perceptual content, not
+    * corpus size); the release-side joins are doc_id equi joins.
+    */
+  /** The multimodal release's media-decon eval suite stays FIXED-SIZE
+    * regardless of corpus scale: assets come from `doc_id < 2000`
+    * only. The default `decon_media` bound (50000) saturates the
+    * degenerate fixture image universe at 10× — every mod-256 raster
+    * class gains a benchmark asset and the exact tier then correctly
+    * (but uselessly) empties the whole release, the same
+    * scale-dependent-cutoff failure the relative ppl gate fixed in
+    * the text chain. A fixed 2000-bound suite flags a scale-stable
+    * class fraction at every fixture size.
+    */
+  val MediaBenchBound = 2000L
+
+  def releaseMultimodal(spark: SparkSession, docs: DataFrame,
+                        mediaDir: String): DataFrame = {
+    // one row per doc, consumed by the gate semi join + the final
+    // projection — the text chain must not re-run per consumer
+    val base = releaseCached(spark, docs)
+    val okIds = MediaQuality.mediaOkFlags(spark, mediaDir)
+      .filter(col("audio_ok") && col("video_ok") && col("image_ok"))
+      .select(col("doc_id"))
+    val deconIds = MediaDedup.deconMedia(spark, docs, mediaDir,
+        benchIdBound = MediaBenchBound)
+      .select(col("doc_id"))
+    val surv = base.join(okIds, Seq("doc_id"), "left_semi")
+      .join(deconIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // consumed twice: group-min fold + final semi
+    val groups = MediaDedup.imageDupGroupsOver(
+      MediaFeatures.features(spark, mediaDir)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), col("dhash").as("sig"))
+        .filter(col("sig").isNotNull))
+    val keep = surv.select(col("doc_id"))
+      .join(groups, Seq("doc_id"))
+      .groupBy(col("group_id")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    surv.join(keep, Seq("doc_id"), "left_semi")
   }
 }

@@ -44,6 +44,43 @@ class ReleaseSpec extends SparkSuite {
       s"expected only doc 1 to be released, got $released")
   }
 
+  test("multimodal release: media stages compose, reconciled in-data") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val storeDir = {
+      val d = "target/releasespec/store"
+      deleteRecursively(d)
+      MediaFeatures.ensure(spark, docs, d)
+    }
+    val base = Release.releaseCached(spark, docs)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val mm = Release.releaseMultimodal(spark, docs, storeDir)
+    val mmIds = mm.select(col("doc_id")).as[Long].collect().toSet
+    // strictly a refinement of the text release
+    assert(mmIds.subsetOf(base) && mmIds.nonEmpty)
+    // reconcile against the stages it composes, recomputed standalone:
+    // 1. every released doc passes the funnel's media gates
+    val okIds = MediaQuality.mediaOkFlags(spark, storeDir)
+      .filter(col("audio_ok") && col("video_ok") && col("image_ok"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(mmIds.subsetOf(okIds), "a gate-failing doc was released")
+    // 2. no decon hit is released
+    val decon = MediaDedup.deconMedia(spark, docs, storeDir,
+        benchIdBound = Release.MediaBenchBound)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(mmIds.intersect(decon).isEmpty, "a contaminated doc was released")
+    // 3. exactly one released doc per touched image dup group, and it
+    // is the group's minimum SURVIVING member (group-rep collapse)
+    val groups = MediaDedup.imageDupGroupsOver(
+        MediaFeatures.features(spark, storeDir)
+          .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("dhash").as("sig")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val surv = base.filter(okIds).filterNot(decon)
+    val expected = surv.groupBy(groups).values.map(_.min).toSet
+    assert(mmIds == expected,
+      s"group collapse mismatch: extra=${mmIds -- expected} missing=${expected -- mmIds}")
+  }
+
   test("fixture release: deterministic, PII-audited, eval held out") {
     val docs = graft.Tables.documents(spark, sfDir)
     val a = Release.release(docs).collect()
