@@ -79,6 +79,40 @@ object Bench {
     hs.flatMap(_.toSeq).filter(_._2 > 0)
       .groupMapReduce(_._1)(_._2)(math.min)
 
+  /** Host-drift scalar: the MEDIAN first-pass/history ratio over the
+    * common queries. This VM drifts ±30% on identical code (r15: the
+    * driver line ran a uniform median 1.31× over history while the
+    * same-commit idle line sat at 1.03×), so an absolute `1.3×h`
+    * floor fires on EVERY query of a hot run — 44/180 retimed in the
+    * r15 gate, the shared budget spent on jitter instead of real
+    * regressions. The median over ~180 queries is exactly the uniform
+    * inflation (a real regression moves one query, not the median);
+    * dividing it out makes the floor a RELATIVE test: flag a query
+    * only when it regressed against the rest of the same run. Clamped
+    * to ≥ 1 (a faster-than-history host must not tighten floors below
+    * the absolute protocol) and to 1 when fewer than 8 common queries
+    * exist (a median of noise is noise).
+    */
+  private[graft] def driftScalar(firstPass: Seq[(String, Double, Long)],
+                                 hist: Map[String, Double]): Double = {
+    val ratios = firstPass.collect {
+      case (n, s, _) if s > 0 && hist.get(n).exists(_ > 0) => s / hist(n)
+    }.sorted
+    if (ratios.size < 8) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+  }
+
+  /** The drift-adjusted retime floor for a query with history `h`:
+    * 1.5× its drift-scaled historical time plus absolute slack. At
+    * drift 1 this is the idle-host protocol (slightly looser than the
+    * old 1.3× so sub-second jitter stops burning budget); on a
+    * uniformly hot host every floor scales by the same drift factor,
+    * so zero false positives — while a genuine 2× single-query
+    * regression still exceeds 1.5×(its own drifted floor) and is
+    * caught.
+    */
+  private[graft] def historyFloor(h: Double, drift: Double): Double =
+    math.max(retimeMinFloorSec, 1.5 * drift * h + 0.15)
+
   /** Second-pass retry order: outliers sorted by FIRST-PASS START time,
     * earliest first — NOT biggest-first. The r13 gate showed why: the
     * retry pass begins seconds after the first pass ends, so a query
@@ -167,13 +201,13 @@ object Bench {
     // window), within budget; a query's official number is the min of
     // its passes (a stall can inflate a run, nothing can deflate one).
     val hist = history()
-    // +0.15 s absolute slack on top of the 1.3× relative floor: with
-    // idle-host history lines the relative floor alone sits so close
-    // to sub-second queries' true times that ordinary jitter retimed
-    // 33/170 queries in the r14 gate — spending the shared budget on
-    // noise a real late-alphabet regression may then not get
+    // drift-normalized floors (see driftScalar/historyFloor): the r15
+    // gate retimed 44/180 on a uniformly 1.31×-hot host — totals and
+    // absolute per-query floors are the wrong primitives on this VM,
+    // so the floor tests each query against its drift-ADJUSTED history
+    val drift = driftScalar(firstPass, hist)
     def floorFor(name: String): Double = hist.get(name) match {
-      case Some(h) if h > 0 => math.max(retimeMinFloorSec, 1.3 * h + 0.15)
+      case Some(h) if h > 0 => historyFloor(h, drift)
       case _ => retimeFloorSec
     }
     val retimed = scala.collection.mutable.Map.empty[String, Double]
@@ -214,7 +248,7 @@ object Bench {
     def jsonLine(qs: Seq[(String, Double)], extra: String): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_sec":${fmt(buildSec)},"n_queries":${results.size},"n_errors":${sortedErrs.size},"errors":$errs$extra,"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_sec":${fmt(buildSec)},"drift":${fmt(drift)},"n_queries":${results.size},"n_errors":${sortedErrs.size},"errors":$errs$extra,"queries":$m,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes ONLY to bench_full.json (cwd): a
     // second stdout copy of the ~5 KB line risks landing inside the

@@ -54,6 +54,76 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.thirdPassCandidates(firstPass, recovered, floor).isEmpty)
   }
 
+  test("drift-normalized floors: a uniformly hot host flags nothing") {
+    // the r15 observation in miniature: identical code, every query a
+    // uniform ~1.31× over its committed history — the absolute 1.3×
+    // floor retimed 44/180 of these; the drift floor must flag ZERO
+    val hist = (1 to 20).map(i => s"q$i" -> (0.2 + i * 0.1)).toMap
+    val hot = hist.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((n, h), i) => (n, 1.31 * h, i * 1000L)
+    }
+    val drift = Bench.driftScalar(hot, hist)
+    assert(math.abs(drift - 1.31) < 0.02, s"drift=$drift")
+    def floor(n: String) = Bench.historyFloor(hist(n), drift)
+    assert(Bench.retryOrder(hot, floor).isEmpty,
+      "uniform host drift must not spend the retry budget")
+    // ...while a genuine single-query 3× regression ON the same hot
+    // host (measured 1.31 × 3 × h) still exceeds its drifted floor
+    val regressed = hot.map { case (n, s, t) =>
+      if (n == "q15") (n, s * 3, t) else (n, s, t) }
+    val drift2 = Bench.driftScalar(regressed, hist)
+    def floor2(n: String) = Bench.historyFloor(hist(n), drift2)
+    assert(Bench.retryOrder(regressed, floor2) == Seq("q15"),
+      "a real regression must still be caught on a hot host")
+  }
+
+  test("drift replay of the committed r15 hot-host line") {
+    // the real data the protocol change exists for: the r15 driver
+    // gate line (uniformly hot) against the committed builder history
+    // tolerant of both line formats: the builder's compact stdout line
+    // and the driver's pretty-printed wrapper (whose tail keeps only
+    // the ~39 most expensive queries — the biased-expensive subset is
+    // exactly where the old floors burned the retry budget)
+    def queriesOf(path: String): Map[String, Double] = {
+      val f = new java.io.File(path)
+      if (!f.exists) return Map.empty
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val qIdx = text.indexOf("\"queries\"")
+      if (qIdx < 0) return Map.empty
+      val open = text.indexOf('{', qIdx)
+      val end = if (open < 0) -1 else text.indexOf('}', open)
+      if (end < 0) return Map.empty
+      "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r
+        .findAllMatchIn(text.substring(open + 1, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val hot = queriesOf("BENCH_r15.json")
+    val hist = Bench.mergeHistories(Seq(
+      queriesOf("BENCH_r15_builder.json"),
+      queriesOf("bench_history/BENCH_r14_builder.json")))
+    assume(hot.nonEmpty && hist.nonEmpty, "committed lines not present")
+    val pass = hot.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((n, s), i) => (n, s, i * 1000L) }
+    val drift = Bench.driftScalar(pass, hist)
+    assert(drift > 1.1, s"the r15 line was hot; drift=$drift")
+    def floor(n: String) =
+      hist.get(n).filter(_ > 0).fold(1.5)(h => Bench.historyFloor(h, drift))
+    val flagged = Bench.retryOrder(pass, floor)
+    // the old protocol flagged 44 of these; drift normalization must
+    // cut the false-positive storm to a handful of genuine outliers
+    assert(flagged.size <= 8, s"still ${flagged.size} flagged: $flagged")
+    // and a synthetic 2.5× regression planted on one mid-pack query of
+    // the SAME hot line is still caught
+    val victim = pass.filter(p => hist.contains(p._1)).apply(pass.size / 2)._1
+    val planted = pass.map { case (n, s, t) =>
+      if (n == victim) (n, s * 2.5, t) else (n, s, t) }
+    val drift3 = Bench.driftScalar(planted, hist)
+    def floor3(n: String) =
+      hist.get(n).filter(_ > 0).fold(1.5)(h => Bench.historyFloor(h, drift3))
+    assert(Bench.retryOrder(planted, floor3).contains(victim),
+      s"planted regression on $victim not caught")
+  }
+
   test("history floors take the per-query min over builder lines") {
     // one clean line in the two-line window keeps a loaded-host line
     // (every number ~1.35x hot) from inflating the floors
