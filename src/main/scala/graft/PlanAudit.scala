@@ -28,7 +28,9 @@ object PlanAudit {
         "text_extract_markup", "train_pack_spans", "audio_decode_stats",
         "decon_semantic", "dedup_containment_incr", "video_decode_stats",
         "video_shot_cuts", "mm_hist_neighbors", "mm_multimodal_profile",
-        "stream_media_gate")
+        "stream_media_gate", "decon_media", "dedup_image_phash",
+        "dedup_audio_fp", "dedup_video_fp", "dedup_image_groups",
+        "corpus_release_mm")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
