@@ -85,6 +85,13 @@ object Maintenance {
         graft.ext.MediaFeatures.MetaPrefix) {
       graft.ext.MediaFeatures.compact(spark, graft.ext.MediaFeatures.seedDir(d))
     }
+    // the streamed media-ingest root: the same MediaFeatures store
+    // lifecycle (its rejection ledger is a pure cache of gate
+    // decisions — compaction removes no documents, so it stays valid)
+    run("stream_media", s"$root/stream_media",
+        graft.ext.MediaFeatures.MetaPrefix) {
+      graft.ext.MediaFeatures.compact(spark, s"$root/stream_media")
+    }
     // serving_daily is NOT swept: dynamic partition overwrite leaves one
     // file per day by construction, so it never fragments
     val ann = AnnIndex.defaultRoot(d)

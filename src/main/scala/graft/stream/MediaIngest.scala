@@ -297,6 +297,20 @@ object MediaIngest {
       ledgQ + nQuality, ledgS + nDupStore, ledgB + nDupBatch, nAccepted)
   }
 
+  /** Right-to-be-forgotten for the streamed store: tombstone the docs
+    * through the store's own removal, then drop the rejection ledger
+    * wholesale — a removed doc may have been the very content match
+    * that rejected a near-dup arrival, so cached gate decisions are no
+    * longer implied by the shrunken store (the
+    * [[IncrementalIngest.removeDocs]] rule; losing the ledger costs
+    * re-evaluation on re-offer, never correctness).
+    */
+  def removeDocs(spark: SparkSession, ids: DataFrame, dir: String): Unit = {
+    MediaFeatures.removeDocs(spark, ids, dir)
+    CorpusStore.fs(spark, dir).delete(new Path(rejectionsPath(dir)), true)
+    ()
+  }
+
   /** The streaming front end: any [[SourceConfig]] of
     * `(doc_id, img, wav, y4m)` rows → [[ingestBatch]] per micro-batch
     * under a checkpoint. `Trigger.AvailableNow` drains what has
