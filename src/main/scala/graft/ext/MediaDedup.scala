@@ -325,6 +325,49 @@ object MediaDedup {
         col("img"), col("wav"), col("y4m"))
   }
 
+  /** Tri-modal VIDEO re-encode arrivals for the streaming ingest: the
+    * source doc's img/wav payloads unchanged, the y4m re-synthesized
+    * with the fps field swapped (identical frame bytes — the
+    * [[videoReEncodes]] construction), re-id'd above `offset`.
+    */
+  private[graft] def triModalVideoReEncodes(docs: DataFrame, everyNth: Int,
+                                            rem: Int, offset: Long): DataFrame = {
+    require(offset >= ReRenderOffset, "plant offsets start at ReRenderOffset")
+    requireIdHeadroom(docs)
+    Multimodal.withFakeAllMedia(
+        docs.filter(pmod(col("doc_id"), lit(everyNth)) === rem))
+      .select(col("doc_id"), col("img"), col("wav"),
+        graft.functions.native.y4m_synth(col("doc_id"),
+          (Multimodal.metaHash(6) % 32 + lit(16)).cast("int"),
+          (Multimodal.metaHash(7) % 32 + lit(16)).cast("int"),
+          (Multimodal.metaHash(8) % 8 + lit(2)).cast("int"),
+          (lit(36) - (Multimodal.metaHash(9) % 2 + lit(1)) * lit(12))
+            .cast("int")).as("y4m"))
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        col("img"), col("wav"), col("y4m"))
+  }
+
+  /** Tri-modal AUDIO re-encode arrivals for the streaming ingest: the
+    * source doc's img/y4m payloads unchanged, the wav re-synthesized
+    * with the sample-rate field rewritten to 48 kHz (identical PCM —
+    * the [[audioReEncodes]] construction), re-id'd above `offset`.
+    */
+  private[graft] def triModalAudioReEncodes(docs: DataFrame, everyNth: Int,
+                                            rem: Int, offset: Long): DataFrame = {
+    require(offset >= ReRenderOffset, "plant offsets start at ReRenderOffset")
+    requireIdHeadroom(docs)
+    Multimodal.withFakeAllMedia(
+        docs.filter(pmod(col("doc_id"), lit(everyNth)) === rem))
+      .select(col("doc_id"), col("img"),
+        graft.functions.native.wav_synth(col("doc_id"),
+          (Multimodal.metaHash(3) % 2048 + lit(256)).cast("int"),
+          (Multimodal.metaHash(4) % 2 + lit(1)).cast("int"),
+          lit(48000)).as("wav"),
+        col("y4m"))
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        col("img"), col("wav"), col("y4m"))
+  }
+
   /** Tonight's video arrivals: every `everyNth`-th corpus clip
     * RE-ENCODED — identical frame stream (same seed, dims, frame
     * count), rewritten Y4M parameter line (the fps field swapped

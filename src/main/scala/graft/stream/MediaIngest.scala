@@ -23,17 +23,42 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * healthy re-render and then be dropped itself — the
   * [[CuratedIngest]] rationale).
   *
-  * Dedup tiers (both plain equi joins — the decon_media lesson: an OR
+  * Dedup tiers (all plain equi joins — the decon_media lesson: an OR
   * of join conditions plans as a BroadcastNestedLoopJoin):
   *  - exact document dup: the `(img, wav, y4m)` payload-hash triple
   *    matches a stored doc (a re-delivered document under a new id);
-  *  - perceptual re-render: identical wav+y4m payload hashes AND the
-  *    image dHash within Hamming `maxHamming` of the stored doc's (a
+  *  - image re-render: identical wav+y4m payload hashes AND the image
+  *    dHash within Hamming `maxHamming` of the stored doc's (a
   *    watermarked/re-rendered image inside an otherwise identical
-  *    document). Within a batch the same two tiers run against
-  *    smaller-id siblings (exact groups keep the min id; perceptual
-  *    pairs drop the larger id), so admission is invariant to how the
-  *    arrival set splits into micro-batches.
+  *    document);
+  *  - video re-encode: identical img+wav payload hashes AND an
+  *    identical decoded per-frame luma-sum vector (same frames under
+  *    a rewritten Y4M parameter line — the `dedup_video_fp` rule);
+  *  - audio re-encode: identical img+y4m payload hashes AND an
+  *    identical decoded 64-frame window-energy vector (same PCM under
+  *    a rewritten container header — the `dedup_audio_fp` rule).
+  *  One modality may be re-encoded per arrival; a doc re-encoding TWO
+  *  modalities at once is new content by this screen's definition
+  *  (each tier anchors on the two untouched payload hashes, keeping
+  *  every join an equi join — no cross-modality OR).
+  *  Within a batch the same tiers run against smaller-id siblings
+  *  (exact groups keep the min id; perceptual/re-encode pairs drop
+  *  the larger id), so admission is invariant to how the arrival set
+  *  splits into micro-batches.
+  *
+  *  The re-encode tiers are ORACLE-NEUTRAL for real corpus docs: a
+  *  natural tier-3/4 hit needs the wav (resp. y4m) payload hash equal,
+  *  which under the generative formulas implies full mod-65536 (resp.
+  *  mod-256 + decoded-vector) congruence... concretely, every natural
+  *  hit of tiers 2-4 is already a tier-1 hit (wav-hash equality ⇒
+  *  doc_id ≡ mod 65536 ⇒ the whole triple equal; img+y4m-hash equality
+  *  ⇒ ≡ mod 256, and two distinct-mod-65536 clips' sample streams
+  *  differ, so their window/frame SUM vectors differ — up to
+  *  astronomically unlikely multi-window sum collisions, the same
+  *  caveat class as the xxhash64-equality tiers), so the admitted
+  *  REAL set replays with the tier-1 rule alone — only planted
+  *  arrivals (ids above the real range, never admitted either way)
+  *  exercise tiers 2-4.
   *
   * Exactly-once + replay storms: a re-delivered `(doc_id, payload)`
   * whose content hash matches the store short-circuits at the
@@ -78,6 +103,8 @@ object MediaIngest {
   val ExactDupOffset = 50000000L
   val ReRenderOffset = 60000000L
   val CloneOffset = 70000000L
+  val VideoReEncodeOffset = 80000000L
+  val AudioReEncodeOffset = 90000000L
 
   private def requireIdHeadroom(docs: DataFrame): Unit = {
     val mx = docs.agg(max(col("doc_id"))).head()
@@ -97,6 +124,10 @@ object MediaIngest {
     *    when it arrives alongside its source);
     *  - tri-modal image re-renders of every `% 419 = 2` doc
     *    (perceptual tier);
+    *  - tri-modal VIDEO re-encodes of every `% 431 = 3` doc and AUDIO
+    *    re-encodes of every `% 433 = 4` doc (the re-encode tiers —
+    *    identical decoded content under a rewritten container header
+    *    in exactly one modality);
     *  - byte-identical clones of every `% 530 = 0` BATCH doc under new
     *    ids (within-batch exact tier).
     * Plant ids are strictly larger than all real ids, so plants can
@@ -113,6 +144,10 @@ object MediaIngest {
       .select((col("doc_id") + lit(ExactDupOffset)).as("doc_id"),
         col("img"), col("wav"), col("y4m"))
     val reRenders = MediaDedup.triModalReRenders(docs, 419, 2, ReRenderOffset)
+    val videoReEnc =
+      MediaDedup.triModalVideoReEncodes(docs, 431, 3, VideoReEncodeOffset)
+    val audioReEnc =
+      MediaDedup.triModalAudioReEncodes(docs, 433, 4, AudioReEncodeOffset)
     val clones = Multimodal.withFakeAllMedia(
         docs.filter(pmod(col("doc_id"), lit(530)) === 0))
       .select((col("doc_id") + lit(CloneOffset)).as("doc_id"),
@@ -124,6 +159,7 @@ object MediaIngest {
       .select(lit(UndecodableId).as("doc_id"),
         expr("substring(img, 1, 10)").as("img"), col("wav"), col("y4m"))
     batch.unionByName(exactDups).unionByName(reRenders)
+      .unionByName(videoReEnc).unionByName(audioReEnc)
       .unionByName(clones).unionByName(quality).unionByName(undecodable)
   }
 
@@ -229,12 +265,16 @@ object MediaIngest {
       .join(broadcast(qualityRejects), Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
-    // 2. dup screen vs the STORE: two equi hash joins (never an OR)
+    // 2. dup screen vs the STORE: four equi hash joins (never an OR),
+    // each tier anchored on the two UNTOUCHED payload hashes with its
+    // re-encoded modality verified by decoded content
     val storeSlim = store.select(col("doc_id").as("s_id"),
       col("img_xx").as("s_img"), col("wav_xx").as("s_wav"),
-      col("y4m_xx").as("s_y4m"), col("dhash").as("s_dhash"))
+      col("y4m_xx").as("s_y4m"), col("dhash").as("s_dhash"),
+      col("frame_y").as("s_fy"), col("a_fp_windows").as("s_aw"))
     val batchKeys = afterQuality.select(col("doc_id"), col("img_xx"),
-      col("wav_xx"), col("y4m_xx"), col("dhash"))
+      col("wav_xx"), col("y4m_xx"), col("dhash"), col("frame_y"),
+      col("a_fp_windows"))
     val tier1 = storeSlim.join(broadcast(batchKeys),
         col("img_xx") === col("s_img") && col("wav_xx") === col("s_wav") &&
           col("y4m_xx") === col("s_y4m"))
@@ -243,31 +283,53 @@ object MediaIngest {
         col("wav_xx") === col("s_wav") && col("y4m_xx") === col("s_y4m") &&
           bit_count(col("dhash").bitwiseXOR(col("s_dhash"))) <= maxHamming)
       .select(col("doc_id"))
-    val dupStoreIds = tier1.unionByName(tier2).distinct().localCheckpoint()
+    val tier3 = storeSlim.join(broadcast(batchKeys),
+        col("img_xx") === col("s_img") && col("wav_xx") === col("s_wav") &&
+          col("frame_y") === col("s_fy"))
+      .select(col("doc_id"))
+    val tier4 = storeSlim.join(broadcast(batchKeys),
+        col("img_xx") === col("s_img") && col("y4m_xx") === col("s_y4m") &&
+          col("a_fp_windows") === col("s_aw"))
+      .select(col("doc_id"))
+    val dupStoreIds = tier1.unionByName(tier2).unionByName(tier3)
+      .unionByName(tier4).distinct().localCheckpoint()
     val nDupStore = dupStoreIds.count()
     val afterStore = afterQuality
       .join(broadcast(dupStoreIds), Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
     // 3. within the batch: exact-content groups keep the min id, then
-    // perceptual pairs among the group reps drop the larger id — the
-    // same two tiers, so admission is batch-split-invariant
+    // the three re-render/re-encode pair tiers among the group reps
+    // drop the larger id — the same tiers as the store screen, so
+    // admission is batch-split-invariant
     val reps = afterStore
       .groupBy(col("img_xx"), col("wav_xx"), col("y4m_xx"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val repRows = afterStore
       .join(broadcast(reps), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("wav_xx"), col("y4m_xx"), col("dhash"))
+      .select(col("doc_id"), col("img_xx"), col("wav_xx"), col("y4m_xx"),
+        col("dhash"), col("frame_y"), col("a_fp_windows"))
       .localCheckpoint()
-    val tier2Losers = repRows.as("a").join(repRows.as("b"),
+    def pairLosers(cond: org.apache.spark.sql.Column) =
+      repRows.as("a").join(repRows.as("b"),
+          col("a.doc_id") < col("b.doc_id") && cond)
+        .select(col("b.doc_id").as("doc_id"))
+    val batchLosers = pairLosers(
         col("a.wav_xx") === col("b.wav_xx") &&
           col("a.y4m_xx") === col("b.y4m_xx") &&
-          col("a.doc_id") < col("b.doc_id") &&
           bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= maxHamming)
-      .select(col("b.doc_id").as("doc_id")).distinct()
+      .unionByName(pairLosers(
+        col("a.img_xx") === col("b.img_xx") &&
+          col("a.wav_xx") === col("b.wav_xx") &&
+          col("a.frame_y") === col("b.frame_y")))
+      .unionByName(pairLosers(
+        col("a.img_xx") === col("b.img_xx") &&
+          col("a.y4m_xx") === col("b.y4m_xx") &&
+          col("a.a_fp_windows") === col("b.a_fp_windows")))
+      .distinct()
     val acceptedIds = repRows.select(col("doc_id"))
-      .join(broadcast(tier2Losers), Seq("doc_id"), "left_anti")
+      .join(broadcast(batchLosers), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val accepted = decoded
       .join(broadcast(acceptedIds), Seq("doc_id"), "left_semi")

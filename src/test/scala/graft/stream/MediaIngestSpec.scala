@@ -47,6 +47,16 @@ class MediaIngestSpec extends SparkSuite {
     assert(stats.rejectedQuality >= 7, s"quality plants missing: $stats")
     assert(stats.rejectedDupStore >= 1, s"store-tier plants missing: $stats")
     assert(stats.rejectedDupBatch >= 1, s"batch-tier plants missing: $stats")
+    // the single-modality re-encode plants (video fps swap, audio
+    // 48 kHz header) differ from their sources in exactly one payload
+    // hash — the exact tier is blind to them; tiers 3/4 must reject
+    // every one (their sources are all real docs, seed or batch)
+    val dupRejected = stats.rejectedDupStore + stats.rejectedDupBatch
+    val nVideoPlants = docs.filter(pmod(col("doc_id"), lit(431)) === 3).count()
+    val nAudioPlants = docs.filter(pmod(col("doc_id"), lit(433)) === 4).count()
+    assert(nVideoPlants > 0 && nAudioPlants > 0, "re-encode plants must exist")
+    assert(dupRejected >= nVideoPlants + nAudioPlants,
+      s"re-encode plants not all rejected: $stats")
     assert(stats.accepted > 0 && stats.replayed === 0 && stats.conflicting === 0)
     // no plant id ever reaches the store; admitted ids are real batch docs
     val admitted = after -- before
