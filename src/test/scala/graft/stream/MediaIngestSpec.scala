@@ -121,6 +121,24 @@ class MediaIngestSpec extends SparkSuite {
     assert(storeIds(rootTwo) === storeIds(rootOne))
   }
 
+  test("a root left mid-mutation fails loud, and re-ensure recovers it") {
+    val root = freshRoot("crash")
+    MediaIngest.ingestBatch(spark, arrivals, root)
+    // simulate a crash inside an append's mutation window
+    Artifact.beginMutation(spark, root)
+    val e = intercept[IllegalStateException] {
+      MediaIngest.ingestBatch(spark, arrivals, root)
+    }
+    assert(e.getMessage.contains("unfinished"),
+      s"pending mutation must fail loud: ${e.getMessage}")
+    // the lifecycle recovery path: re-ensure rebuilds to the seed state
+    // (ensure distrusts a pending artifact), after which ingestion
+    // replays idempotently
+    MediaFeatures.ensure(spark, seed, root)
+    val stats = MediaIngest.ingestBatch(spark, arrivals, root)
+    assert(stats.accepted > 0, s"post-recovery replay must re-admit: $stats")
+  }
+
   test("streaming front end: checkpointed AvailableNow delivery, exactly once") {
     val root = freshRoot("stream")
     val spool = "target/mediaingestspec/spool"
