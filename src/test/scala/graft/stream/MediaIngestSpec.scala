@@ -1,7 +1,7 @@
 package graft.stream
 
 import graft.SparkSuite
-import graft.ext.{Artifact, MediaFeatures, MediaQuality}
+import graft.ext.{Artifact, MediaDedup, MediaFeatures, MediaQuality}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,35 @@ class MediaIngestSpec extends SparkSuite {
     MediaIngest.ingestBatch(spark,
       arrivals.filter(col("doc_id") >= MediaQuality.PlantBase), rootTwo)
     assert(storeIds(rootTwo) === storeIds(rootOne))
+  }
+
+  test("removal invalidates the ledger: a rejected near-dup re-offers once its match leaves") {
+    val root = freshRoot("removal")
+    MediaIngest.ingestBatch(spark, arrivals, root)
+    val reRenders = MediaDedup
+      .triModalReRenders(docs, 419, 2, MediaIngest.ReRenderOffset)
+      .localCheckpoint()
+    // pick a re-render arrival that passes the quality gate (its fate
+    // is then decided purely by the dedup screen)
+    val ok = MediaQuality.qualityFlags(MediaFeatures.decodeMedia(reRenders))
+      .filter(col("undecodable") + col("audio_silent") + col("audio_clipped") +
+        col("video_black") + col("video_static") + col("img_dark") +
+        col("img_bright") === 0)
+      .select(col("doc_id")).as[Long].collect()
+    assert(ok.nonEmpty, "need a gate-passing re-render plant")
+    val arrival = ok.min
+    val source = arrival - MediaIngest.ReRenderOffset
+    val one = reRenders.filter(col("doc_id") === arrival)
+    // before removal the re-offer short-circuits in the ledger
+    val pre = MediaIngest.ingestBatch(spark, one, root)
+    assert(pre.accepted === 0 &&
+      pre.rejectedDupStore + pre.rejectedDupBatch === 1, s"got $pre")
+    // remove the matched source — the ledger drops with it, so the
+    // cached rejection is no longer implied and the re-offer re-gates
+    MediaIngest.removeDocs(spark, Seq(source).toDF("doc_id"), root)
+    val post = MediaIngest.ingestBatch(spark, one, root)
+    assert(post.accepted === 1,
+      s"rejection must be re-evaluated after its match left: $post")
   }
 
   test("a root left mid-mutation fails loud, and re-ensure recovers it") {
