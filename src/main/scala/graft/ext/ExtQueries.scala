@@ -575,6 +575,19 @@ object ExtQueries {
             MediaFeatures.defaultDir(d)))
         .orderBy(col("doc_id"))),
 
+    // Audio/video decontamination: the decon_media discipline for the
+    // other two modalities — exact tier by stored payload hash, content
+    // tier by decoded fingerprint + exact vector equality (catches the
+    // 48 kHz / fps-swapped re-encoded assets the exact tier misses).
+    // Assets bounded to a FIXED 2000-id eval suite (video payload
+    // identity is mod-256 congruence here — a growing slice saturates
+    // all 256 classes).
+    "decon_media_av" -> ((s, d) =>
+      MediaDedup.deconMediaAv(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("doc_id"), col("modality"))),
+
     // Full perceptual duplicate GROUPS: connected components over the
     // rep-level Hamming pairs, expanded through the exact-signature
     // groups so every doc carries its cluster label — the image
@@ -2708,6 +2721,83 @@ object ExtQueries {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM matches)
          |ORDER BY doc_id""".stripMargin,
+
+    // Audio/video decon replay: the CONTENT tiers replay the engine's
+    // true rule — decoded vector equality (every asset's decoded
+    // vector equals its source doc's corpus vector: re-encoding keeps
+    // the PCM / frame bytes) — NOT a doc_id congruence: fixture videos
+    // whose w·h ≡ 0 (mod 256) fold to id-INDEPENDENT luma sums
+    // (complete mod-256 residue cycles), so the lossy-fold tier
+    // genuinely matches them across congruence classes (safe-direction
+    // over-removal, the Bloom-decon FP precedent; such clips are also
+    // exactly the luma-static ones the quality gate rejects). The
+    // EXACT tiers stay congruences: payload equality is ≡ mod 65536
+    // (audio) / ≡ mod 256 (video, fps hash divides it), and only the
+    // exact-slice assets can payload-match (the re-encodes carry a
+    // rate/fps no corpus doc has).
+    "decon_media_av" ->
+      """WITH aw AS (
+        |  SELECT doc_id, list(sa ORDER BY win) AS wl FROM (
+        |    SELECT doc_id, CAST((k // channels) // 64 AS INTEGER) AS win,
+        |      SUM(abs((doc_id + k * 2654435761) % 65536 - 32768)) AS sa
+        |    FROM (SELECT doc_id, channels,
+        |            unnest(generate_series(0,
+        |              CAST(frames * channels - 1 AS BIGINT))) AS k
+        |          FROM (SELECT doc_id,
+        |                  (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256
+        |                    AS frames,
+        |                  (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1
+        |                    AS channels
+        |                FROM documents))
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), fyv AS (
+        |  SELECT doc_id, list(y ORDER BY f) AS vl FROM (
+        |    SELECT doc_id, f,
+        |      SUM((doc_id + (f * 3 * w * h + i) * 2654435761) % 256) AS y
+        |    FROM (SELECT doc_id, w, h, f,
+        |            unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i
+        |          FROM (SELECT doc_id, w, h,
+        |                  unnest(generate_series(0, CAST(nf - 1 AS BIGINT)))
+        |                    AS f
+        |                FROM (SELECT doc_id,
+        |                        (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16
+        |                          AS w,
+        |                        (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16
+        |                          AS h,
+        |                        (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2
+        |                          AS nf
+        |                      FROM documents)))
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), amatch AS (
+        |  SELECT d.doc_id,
+        |    MAX(CASE WHEN a.s % 97 = 31 AND d.doc_id % 65536 = a.s % 65536
+        |        THEN 2 ELSE 1 END) AS pri
+        |  FROM aw d
+        |  JOIN (SELECT w.doc_id AS s, w.wl FROM aw w
+        |        WHERE w.doc_id < 2000
+        |          AND (w.doc_id % 97 = 31 OR w.doc_id % 97 = 47)) a
+        |    ON d.wl = a.wl
+        |  GROUP BY 1
+        |), vmatch AS (
+        |  SELECT d.doc_id,
+        |    MAX(CASE WHEN v.s % 97 = 59 AND d.doc_id % 256 = v.s % 256
+        |        THEN 2 ELSE 1 END) AS pri
+        |  FROM fyv d
+        |  JOIN (SELECT f.doc_id AS s, f.vl FROM fyv f
+        |        WHERE f.doc_id < 2000
+        |          AND (f.doc_id % 97 = 59 OR f.doc_id % 97 = 73)) v
+        |    ON d.vl = v.vl
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, modality,
+        |  CASE WHEN pri = 2 THEN 'exact' ELSE 'content' END AS match_kind
+        |FROM (
+        |  SELECT doc_id, 'audio' AS modality, pri FROM amatch
+        |  UNION ALL
+        |  SELECT doc_id, 'video' AS modality, pri FROM vmatch)
+        |ORDER BY doc_id, modality""".stripMargin,
 
     // Multimodal pack replay: the same prefix-sum packing as
     // train_pack, with the per-doc cost = text tokens + image patches

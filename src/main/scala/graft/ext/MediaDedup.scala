@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Media-level dedup + decontamination over the [[MediaFeatures]]
@@ -545,4 +545,121 @@ object MediaDedup {
     docs.select(col("doc_id"))
       .join(deconMedia(spark, docs, dir).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+
+  /** Fixed bound for the audio/video decon eval suites — NOT the image
+    * tier's 50000: video payload identity is mod-256 congruence on
+    * this fixture, so an asset slice that keeps growing with the
+    * corpus eventually covers all 256 classes and flags everything
+    * (the corpus_release_mm lesson). 2000 keeps the flagged class
+    * fraction scale-stable.
+    */
+  val AvBenchBound = 2000L
+
+  /** Audio benchmark assets: exact wav copies of the `%97=31` slice
+    * plus 48 kHz re-encodes (identical PCM, rewritten rate field) of
+    * the `%97=47` slice, both bounded to `doc_id < AvBenchBound`.
+    */
+  def audioBenchmark(docs: DataFrame): DataFrame = {
+    requireIdHeadroom(docs)
+    val base = docs.filter(col("doc_id") < AvBenchBound)
+      .select(col("doc_id"),
+        (Multimodal.metaHash(3) % 2048 + lit(256)).cast("int").as("frames"),
+        (Multimodal.metaHash(4) % 2 + lit(1)).cast("int").as("channels"),
+        ((Multimodal.metaHash(5) % 2 + lit(1)) * lit(8000)).cast("int").as("rate"))
+    val exact = base.filter(pmod(col("doc_id"), lit(97)) === 31)
+      .select(col("doc_id"), graft.functions.native.wav_synth(col("doc_id"),
+        col("frames"), col("channels"), col("rate")).as("media"))
+    val reEnc = base.filter(pmod(col("doc_id"), lit(97)) === 47)
+      .select(col("doc_id"), graft.functions.native.wav_synth(col("doc_id"),
+        col("frames"), col("channels"), lit(48000)).as("media"))
+    exact.select((col("doc_id") + lit(ExactAssetOffset)).as("bench_id"),
+        col("media"))
+      .unionByName(reEnc.select(
+        (col("doc_id") + lit(NearAssetOffset)).as("bench_id"), col("media")))
+  }
+
+  /** Video benchmark assets: exact y4m copies of the `%97=59` slice
+    * plus fps-swapped re-encodes (identical frames, rewritten
+    * parameter line) of the `%97=73` slice, bounded like
+    * [[audioBenchmark]].
+    */
+  def videoBenchmark(docs: DataFrame): DataFrame = {
+    requireIdHeadroom(docs)
+    val base = docs.filter(col("doc_id") < AvBenchBound)
+      .select(col("doc_id"),
+        (Multimodal.metaHash(6) % 32 + lit(16)).cast("int").as("w"),
+        (Multimodal.metaHash(7) % 32 + lit(16)).cast("int").as("h"),
+        (Multimodal.metaHash(8) % 8 + lit(2)).cast("int").as("nf"),
+        ((Multimodal.metaHash(9) % 2 + lit(1)) * lit(12)).cast("int").as("fps"))
+    val exact = base.filter(pmod(col("doc_id"), lit(97)) === 59)
+      .select(col("doc_id"), graft.functions.native.y4m_synth(col("doc_id"),
+        col("w"), col("h"), col("nf"), col("fps")).as("media"))
+    val reEnc = base.filter(pmod(col("doc_id"), lit(97)) === 73)
+      .select(col("doc_id"), graft.functions.native.y4m_synth(col("doc_id"),
+        col("w"), col("h"), col("nf"), lit(36) - col("fps")).as("media"))
+    exact.select((col("doc_id") + lit(ExactAssetOffset)).as("bench_id"),
+        col("media"))
+      .unionByName(reEnc.select(
+        (col("doc_id") + lit(NearAssetOffset)).as("bench_id"), col("media")))
+  }
+
+  /** Audio/video decontamination — the [[deconMedia]] discipline for
+    * the other two modalities, so an eval CLIP inside the training
+    * corpus is caught even re-encoded:
+    *  - `exact` tier: stored payload hash equals a benchmark asset's
+    *    (broadcast hash join on the hash);
+    *  - `content` tier: the decoded content fingerprint matches — for
+    *    audio the (35-bit fingerprint, window count) equi key with
+    *    exact window-energy-vector equality as residual, for video the
+    *    (8-bit luma fingerprint, frame count) key with exact frame-sum
+    *    vector equality — which catches the re-encoded assets (same
+    *    PCM / frames under a rewritten container header) the exact
+    *    tier is blind to.
+    * One row per matched (doc, modality), priority exact > content.
+    * Corpus side: one scan of the slim feature store; assets decoded
+    * once and broadcast; every join an equi hash join.
+    */
+  def deconMediaAv(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    val store = MediaFeatures.features(spark, dir)
+      .select(col("doc_id"), col("wav_xx"), col("a_fp"), col("a_fp_windows"),
+        col("y4m_xx"), col("frame_y"))
+    val aAssets = audioBenchmark(docs)
+      .select(xxhash64(col("media")).as("bxx"),
+        transform(graft.functions.native.wav_window_stats(
+          col("media"), MediaFeatures.FpWindowFrames),
+          w => w.getField("sum_abs")).as("bvec"))
+      .select(col("bxx"), MediaFeatures.audioFpCol(col("bvec")).as("bsig"),
+        size(col("bvec")).cast("long").as("bn"), col("bvec"))
+      .filter(col("bn") > 0)
+      .localCheckpoint()
+    val vAssets = videoBenchmark(docs)
+      .select(xxhash64(col("media")).as("bxx"),
+        graft.functions.native.y4m_frame_y_sums(col("media"), 1).as("bvec"))
+      .select(col("bxx"), MediaFeatures.videoFpCol(col("bvec")).as("bsig"),
+        size(col("bvec")).cast("long").as("bn"), col("bvec"))
+      .filter(col("bn") > 0)
+      .localCheckpoint()
+    def tiers(modality: String, pxx: Column, sig: Column, vec: Column,
+              assets: DataFrame): DataFrame = {
+      val exact = store
+        .join(broadcast(assets.select(col("bxx"))), pxx === col("bxx"),
+          "left_semi")
+        .select(col("doc_id"), lit(modality).as("modality"), lit(2).as("pri"))
+      val content = store
+        .join(broadcast(assets.select(col("bsig"), col("bn"), col("bvec"))),
+          sig === col("bsig") && size(vec).cast("long") === col("bn") &&
+            vec === col("bvec"),
+          "left_semi")
+        .select(col("doc_id"), lit(modality).as("modality"), lit(1).as("pri"))
+      exact.unionByName(content)
+    }
+    tiers("audio", col("wav_xx"), col("a_fp"), col("a_fp_windows"), aAssets)
+      .unionByName(tiers("video", col("y4m_xx"),
+        MediaFeatures.videoFpCol(col("frame_y")), col("frame_y"), vAssets))
+      .groupBy(col("doc_id"), col("modality"))
+      .agg(max(col("pri")).as("pri"))
+      .select(col("doc_id"), col("modality"),
+        when(col("pri") === 2, lit("exact")).otherwise(lit("content"))
+          .as("match_kind"))
+  }
 }

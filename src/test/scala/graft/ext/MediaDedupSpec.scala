@@ -101,6 +101,19 @@ class MediaDedupSpec extends SparkSuite {
     assert(Dedup.hammingCappedBuckets(sigs, 256).as[Long].head() == 4L)
   }
 
+  test("audio/video decon: exact copies → exact tier; re-encodes → content tier") {
+    val kinds = MediaDedup.deconMediaAv(spark, docs, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2))
+      .toMap
+    // the %97=31/59 bounded slices are byte-exact asset copies; the
+    // %97=47/73 slices are re-encodes (48 kHz header / fps swap) whose
+    // payload hash differs — only the decoded-content tier sees them
+    assert(kinds.get((31L, "audio")).contains("exact"), s"got $kinds")
+    assert(kinds.get((59L, "video")).contains("exact"), s"got $kinds")
+    assert(kinds.get((47L, "audio")).contains("content"), s"got $kinds")
+    assert(kinds.get((73L, "video")).contains("content"), s"got $kinds")
+  }
+
   test("media decon: exact copy → exact tier; +16 shift → near tier only") {
     val kinds = MediaDedup.deconMedia(spark, docs, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -37,8 +37,9 @@ class MediaPlanSpec extends SparkSuite {
       "dedup_image_phash" -> 1, "dedup_audio_fp" -> 1, "dedup_video_fp" -> 1)
     val family = Seq("dedup_image_phash", "dedup_apply_image",
       "dedup_image_groups", "dedup_audio_fp", "dedup_video_fp",
-      "decon_media_apply", "mm_quality_gate", "mm_feature_store",
-      "mm_hist_neighbors", "video_shot_cuts", "corpus_release_mm")
+      "decon_media_apply", "decon_media_av", "mm_quality_gate",
+      "mm_feature_store", "mm_hist_neighbors", "video_shot_cuts",
+      "corpus_release_mm")
     for (q <- family) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
