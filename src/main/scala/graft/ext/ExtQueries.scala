@@ -2596,7 +2596,9 @@ object ExtQueries {
     "dedup_image_groups" ->
       (s"""$imagePhashCore
           |, $imageGroupClosureBody
-          |SELECT doc_id, group_id FROM glab
+          |SELECT doc_id, group_id,
+          |  (SELECT COUNT(*) FROM bsz WHERE mm > 256) AS n_capped_buckets
+          |FROM glab
           |ORDER BY doc_id""".stripMargin
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
 

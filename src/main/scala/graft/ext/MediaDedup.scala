@@ -162,27 +162,34 @@ object MediaDedup {
     */
   def imageDupGroups(spark: SparkSession, docs: DataFrame, dir: String,
                      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
-    imageDupGroupsOver(allImageSigs(spark, docs, dir), maxHamming, maxBucket)
+    imageDupGroupsOver(allImageSigs(spark, docs, dir), maxHamming, maxBucket,
+      capTelemetry = true)
 
   /** The group engine over ANY `(doc_id, sig)` frame — [[imageDupGroups]]
     * runs it over corpus ∪ arrivals; the multimodal release runs it
     * over the release corpus alone (no arrivals belong in a release's
-    * duplicate structure).
+    * duplicate structure). `capTelemetry` rides the no-silent-caps
+    * `n_capped_buckets` column on every row (the registered report
+    * carries it; composition consumers that only read the labels skip
+    * the extra one-row cross join).
     */
   private[ext] def imageDupGroupsOver(sigsIn: DataFrame, maxHamming: Int = 3,
-                                      maxBucket: Int = 256): DataFrame = {
+                                      maxBucket: Int = 256,
+                                      capTelemetry: Boolean = false): DataFrame = {
     val sigs = sigsIn.localCheckpoint()
     val groups = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep_id"))
       .localCheckpoint()
-    val pairs = Dedup.hammingPairs(
-      groups.select(col("rep_id").as("doc_id"), col("sig")),
-      maxHamming, maxBucket)
+    val reps = groups.select(col("rep_id").as("doc_id"), col("sig"))
+    val pairs = Dedup.hammingPairs(reps, maxHamming, maxBucket)
     val comp = Dedup.duplicateGroups(pairs)
       .withColumnRenamed("doc_id", "rep_id")
-    sigs.join(groups, Seq("sig"))
+    val labeled = sigs.join(groups, Seq("sig"))
       .join(comp, Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("rep_id")).as("group_id"))
+    if (!capTelemetry) labeled
+    else labeled.crossJoin(
+      broadcast(Dedup.hammingCappedBuckets(reps, maxBucket)))
   }
 
   /** Perceptual near-dup pairs between GROUP REPRESENTATIVES:

@@ -34,7 +34,8 @@ class MediaPlanSpec extends SparkSuite {
 
   test("media family: no unbounded nested-loop join in any plan") {
     val allowedBnlj = Map( // the 1-row telemetry cross join only
-      "dedup_image_phash" -> 1, "dedup_audio_fp" -> 1, "dedup_video_fp" -> 1)
+      "dedup_image_phash" -> 1, "dedup_audio_fp" -> 1, "dedup_video_fp" -> 1,
+      "dedup_image_groups" -> 1)
     val family = Seq("dedup_image_phash", "dedup_apply_image",
       "dedup_image_groups", "dedup_audio_fp", "dedup_video_fp",
       "decon_media_apply", "decon_media_av", "mm_quality_gate",
