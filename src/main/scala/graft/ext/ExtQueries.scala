@@ -557,6 +557,33 @@ object ExtQueries {
             MediaFeatures.defaultDir(d)))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // PERCEPTUAL (resize-robust) video dedup: a re-render at 2× the
+    // resolution (real nearest-neighbor upscale re-encode — new
+    // payload hash, new dims, new frame vector) evades every exact
+    // tier; this one verifies resolution-NORMALIZED frame means by
+    // exact cross-multiplied integer equality. Content groups (fps
+    // excluded) collapse before pairing; candidates bucket on the
+    // scale-invariant sign-of-delta fingerprint + frame count; cap
+    // telemetry on every row.
+    "dedup_video_percep" -> ((s, d) =>
+      MediaDedup.videoPercepPairs(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // PERCEPTUAL (resample-robust) audio dedup: a 2× nearest-neighbor
+    // resample (same waveform, doubled rate and frame count) evades
+    // the exact 64-frame window tier; this one compares the
+    // TIME-normalized energy envelope — windows of 64·(rate/8000)
+    // frames, exact cross-multiplied equality against the rate. The
+    // corpus envelope derives from the STORED 64-frame windows
+    // (adjacent sums — zero payload access); arrivals decode for real.
+    "dedup_audio_percep" -> ((s, d) =>
+      MediaDedup.audioPercepPairs(s, Tables.documents(s, d),
+          MediaFeatures.ensure(s, Tables.documents(s, d),
+            MediaFeatures.defaultDir(d)))
+        .orderBy(col("a_id"), col("b_id"))),
+
     // Media decontamination report: exact tier = payload hash vs the
     // broadcast benchmark assets; near tier = equal dims + rotation-
     // matched 16-bin histogram (catches the +16-shifted re-rendered
@@ -2705,6 +2732,133 @@ object ExtQueries {
         |FROM reps a
         |JOIN reps b ON a.sig = b.sig AND a.nwin = b.nwin AND a.id < b.id
         |  AND a.w = b.w AND a.h = b.h AND a.vl = b.vl
+        |JOIN bsz s ON s.sig = a.sig AND s.nwin = a.nwin
+        |  AND s.mm BETWEEN 2 AND 256
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Perceptual video replay: frame-sum vectors from the generative
+    // formula for corpus clips; the 2× NN-upscaled re-renders replay
+    // through the resize rule itself — each source pixel is counted
+    // 2·2 times, so the plant's frame sum is exactly 4× the source's
+    // at 2×-doubled dims. Content groups key (dims, vector) — fps
+    // excluded, matching the engine — and pairs survive the exact
+    // cross-multiplied normalized-mean equality
+    // a_vl[f]·(b_w·b_h) = b_vl[f]·(a_w·a_h), replayed as the VECTOR
+    // arithmetic (never a doc_id congruence — complete-cycle clips
+    // with w·h ≡ 0 mod 256 genuinely match across dims; the
+    // decon_media_av lesson).
+    "dedup_video_percep" ->
+      """WITH vm AS (
+        |  SELECT doc_id,
+        |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
+        |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
+        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
+        |  FROM documents
+        |), clips AS (
+        |  SELECT doc_id AS id, doc_id AS seed, w, h, w AS bw, h AS bh,
+        |    nf, 1 AS mult
+        |  FROM vm
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 2 * w, 2 * h, w, h, nf, 4
+        |  FROM vm WHERE doc_id % 71 = 0
+        |), fy AS (
+        |  SELECT id, f,
+        |    mult * SUM((seed + (f * 3 * bw * bh + i) * 2654435761) % 256) AS y
+        |  FROM (SELECT id, seed, bw, bh, mult, f,
+        |          unnest(generate_series(0, CAST(bw * bh - 1 AS BIGINT))) AS i
+        |        FROM (SELECT id, seed, bw, bh, mult,
+        |                unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+        |              FROM clips))
+        |  GROUP BY id, f, mult
+        |), vec AS (
+        |  SELECT id, list(y ORDER BY f) AS vl, COUNT(*) AS nwin
+        |  FROM fy GROUP BY 1
+        |), fv AS (
+        |  SELECT v.id, c.w, c.h, v.vl, v.nwin
+        |  FROM vec v JOIN clips c ON c.id = v.id
+        |), grp AS (
+        |  SELECT w, h, vl, nwin, MIN(id) AS id FROM fv GROUP BY 1, 2, 3, 4
+        |), sigb AS (
+        |  SELECT id, k,
+        |    CASE WHEN len(vl) > k + 1 AND vl[k + 2] > vl[k + 1]
+        |      THEN (1::BIGINT << k) ELSE 0 END AS b
+        |  FROM grp, (SELECT unnest(generate_series(0, 7)) AS k)
+        |), sg AS (
+        |  SELECT id, CAST(SUM(b) AS BIGINT) AS sig FROM sigb GROUP BY 1
+        |), reps AS (
+        |  SELECT g.id, g.w, g.h, g.vl, g.nwin, s.sig
+        |  FROM grp g JOIN sg s USING (id)
+        |), bsz AS (
+        |  SELECT sig, nwin, COUNT(*) AS mm FROM reps GROUP BY 1, 2
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id, CAST(a.nwin AS BIGINT) AS n_frames,
+        |  (SELECT COUNT(*) FROM bsz WHERE mm > 256) AS n_capped_buckets
+        |FROM reps a
+        |JOIN reps b ON a.sig = b.sig AND a.nwin = b.nwin AND a.id < b.id
+        |  AND list_transform(a.vl, x -> x * b.w * b.h)
+        |    = list_transform(b.vl, x -> x * a.w * a.h)
+        |JOIN bsz s ON s.sig = a.sig AND s.nwin = a.nwin
+        |  AND s.mm BETWEEN 2 AND 256
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Perceptual audio replay: time-normalized energy envelopes from
+    // the generative sample formula — window = 64·(rate/8000) frames
+    // (equal time spans at every rate); the 2× NN resamples replay
+    // through the resample rule itself (source frame = output frame
+    // // 2, doubled rate and frame count). Groups key (rate,
+    // envelope); pairs survive the exact cross-multiplied equality
+    // a_wl[t]·b_rate = b_wl[t]·a_rate.
+    "dedup_audio_percep" ->
+      """WITH am AS (
+        |  SELECT doc_id,
+        |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
+        |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels,
+        |    ((doc_id + 5) * 2654435761 % 4294967296 % 2 + 1) * 8000 AS rate
+        |  FROM documents
+        |), clips AS (
+        |  SELECT doc_id AS id, doc_id AS seed, frames, channels, rate,
+        |    1 AS dup
+        |  FROM am
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 2 * frames, channels, 2 * rate, 2
+        |  FROM am WHERE doc_id % 83 = 0
+        |), samp AS (
+        |  SELECT id, seed, channels, rate, dup,
+        |    unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
+        |  FROM clips
+        |), win AS (
+        |  SELECT id, CAST((k // channels) // (64 * (rate // 8000)) AS INTEGER)
+        |      AS win,
+        |    SUM(abs((seed + (((k // channels) // dup) * channels + k % channels)
+        |      * 2654435761) % 65536 - 32768)) AS sa
+        |  FROM samp GROUP BY 1, 2
+        |), vec AS (
+        |  SELECT id, list(sa ORDER BY win) AS wl, COUNT(*) AS nwin
+        |  FROM win GROUP BY 1
+        |), fv AS (
+        |  SELECT v.id, c.rate, v.wl, v.nwin
+        |  FROM vec v JOIN clips c ON c.id = v.id
+        |), grp AS (
+        |  SELECT rate, wl, nwin, MIN(id) AS id FROM fv GROUP BY 1, 2, 3
+        |), sigb AS (
+        |  SELECT id, k,
+        |    CASE WHEN len(wl) > k + 1 AND wl[k + 2] > wl[k + 1]
+        |      THEN (1::BIGINT << k) ELSE 0 END AS b
+        |  FROM grp, (SELECT unnest(generate_series(0, 34)) AS k)
+        |), sg AS (
+        |  SELECT id, CAST(SUM(b) AS BIGINT) AS sig FROM sigb GROUP BY 1
+        |), reps AS (
+        |  SELECT g.id, g.rate, g.wl, g.nwin, s.sig
+        |  FROM grp g JOIN sg s USING (id)
+        |), bsz AS (
+        |  SELECT sig, nwin, COUNT(*) AS mm FROM reps GROUP BY 1, 2
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id, CAST(a.nwin AS BIGINT) AS n_windows,
+        |  (SELECT COUNT(*) FROM bsz WHERE mm > 256) AS n_capped_buckets
+        |FROM reps a
+        |JOIN reps b ON a.sig = b.sig AND a.nwin = b.nwin AND a.id < b.id
+        |  AND list_transform(a.wl, x -> x * b.rate)
+        |    = list_transform(b.wl, x -> x * a.rate)
         |JOIN bsz s ON s.sig = a.sig AND s.nwin = a.nwin
         |  AND s.mm BETWEEN 2 AND 256
         |ORDER BY a_id, b_id""".stripMargin,

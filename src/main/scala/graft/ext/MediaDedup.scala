@@ -458,6 +458,213 @@ object MediaDedup {
       .crossJoin(broadcast(capped))
   }
 
+  /** Tonight's RESIZED video arrivals: every `everyNth`-th corpus clip
+    * re-rendered at 2× resolution through the REAL nearest-neighbor
+    * upscale re-encode ([[graft.functions.Y4mKernel.resizeNn]]: parse
+    * the canonical payload, duplicate each pixel 2×2 in all three
+    * planes, re-emit) — the single most common real-world video-dup
+    * class: same content, different `w×h`. Every existing tier is
+    * blind to it (the payload hash, the dims-keyed payload groups, and
+    * the exact frame-vector all change), which is exactly the gap this
+    * tier closes.
+    */
+  def videoResizedReEncodes(docs: DataFrame, everyNth: Int = 71): DataFrame = {
+    requireIdHeadroom(docs)
+    docs.filter(pmod(col("doc_id"), lit(everyNth)) === 0)
+      .select(col("doc_id"),
+        (Multimodal.metaHash(6) % 32 + lit(16)).cast("int").as("w"),
+        (Multimodal.metaHash(7) % 32 + lit(16)).cast("int").as("h"),
+        (Multimodal.metaHash(8) % 8 + lit(2)).cast("int").as("nf"),
+        ((Multimodal.metaHash(9) % 2 + lit(1)) * lit(12)).cast("int").as("fps"))
+      // rename-last (see the lateral-column-alias note above)
+      .select(col("doc_id"),
+        graft.functions.native.y4m_resize_nn(
+          graft.functions.native.y4m_synth(col("doc_id"), col("w"), col("h"),
+            col("nf"), col("fps")), 2).as("media"))
+      .select((col("doc_id") + lit(ReRenderOffset)).as("doc_id"), col("media"))
+  }
+
+  /** PERCEPTUAL (resize-robust) video dedup over corpus ∪ resized
+    * re-renders: where [[videoFpPairs]] verifies exact dims + exact
+    * frame-vector equality (and so misses any re-render at a different
+    * resolution), this tier compares the resolution-NORMALIZED frame
+    * means — exact cross-multiplied integer equality
+    * `a_vec[f]·(b_w·b_h) = b_vec[f]·(a_w·a_h)` for every frame, which
+    * any mean-preserving resize (nearest-neighbor integer upscaling,
+    * average-pooling downscale) satisfies bit-for-bit. The
+    * sign-of-delta fingerprint ([[MediaFeatures.videoFpCol]]) is
+    * already scale-invariant (positive scaling preserves strict
+    * order), so the same bucket key works — candidates bucket on
+    * `(fingerprint, frame count)` WITHOUT dims. Content groups —
+    * key `(dims, frame vector)`, fps deliberately excluded: the
+    * percep identity ignores container parameters — collapse before
+    * pairing, count-filtered before vector collection, cap telemetry
+    * on every row. One row per duplicate pair
+    * `(a_id, b_id, n_frames, n_capped_buckets)`.
+    *
+    * Fixture note: clips whose plane size w·h ≡ 0 (mod 256) fold to
+    * the id-independent complete-cycle luma sum `w·h·127.5` per frame,
+    * so every such clip's normalized mean is 127.5 — cross-DIMENSION
+    * pairs among those degenerate reps are genuine hits of the
+    * normalized-mean identity (the decon_media_av lesson: the oracle
+    * replays the vector arithmetic, never a doc_id congruence), and
+    * their rep count is bounded by the distinct (dims, frame-count)
+    * combinations regardless of corpus size.
+    */
+  def videoPercepPairs(spark: SparkSession, docs: DataFrame, dir: String,
+                       maxBucket: Int = 256): DataFrame = {
+    val stored = MediaFeatures.features(spark, dir)
+      .select(col("doc_id"), col("v_w"), col("v_h"), col("frame_y").as("vec"))
+    val arrivals = videoResizedReEncodes(docs)
+      .select(col("doc_id"),
+        graft.functions.native.y4m_decode_stats(col("media")).as("d"),
+        graft.functions.native.y4m_frame_y_sums(col("media"), 1).as("vec"))
+      .select(col("doc_id"), col("d.width").as("v_w"),
+        col("d.height").as("v_h"), col("vec"))
+    val groups = stored.unionByName(arrivals)
+      .filter(col("vec").isNotNull)
+      .groupBy(col("v_w"), col("v_h"), col("vec"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), (col("v_w") * col("v_h")).as("area"),
+        MediaFeatures.videoFpCol(col("vec")).as("sig"),
+        size(col("vec")).cast("long").as("n_frames"), col("vec"))
+      .localCheckpoint() // consumed thrice: key counts + semi join + collect
+    val counts = groups.groupBy(col("sig"), col("n_frames"))
+      .agg(count(lit(1)).as("mm"))
+      .localCheckpoint() // consumed twice: key filter + cap telemetry
+    val okKeys = counts.filter(col("mm").between(2, maxBucket))
+      .select(col("sig"), col("n_frames"))
+    val capped = counts.filter(col("mm") > maxBucket)
+      .agg(count(lit(1)).as("n_capped_buckets"))
+    groups.join(okKeys, Seq("sig", "n_frames"), "left_semi")
+      .groupBy(col("sig"), col("n_frames"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("area"),
+        col("vec")))).as("m"))
+      .select(col("n_frames"), explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + lit(2), size(col("m"))),
+          y => struct(x.getField("doc_id").as("a_id"),
+            y.getField("doc_id").as("b_id"),
+            x.getField("area").as("a_area"), y.getField("area").as("b_area"),
+            x.getField("vec").as("a_vec"), y.getField("vec").as("b_vec"))))))
+        .as("p"))
+      .filter(transform(col("p.a_vec"), x => x * col("p.b_area")) ===
+        transform(col("p.b_vec"), x => x * col("p.a_area")))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("n_frames"))
+      .crossJoin(broadcast(capped))
+  }
+
+  /** Tonight's RESAMPLED audio arrivals: every `everyNth`-th corpus
+    * clip re-encoded at 2× sample rate through the REAL
+    * nearest-neighbor resample ([[graft.functions.WavKernel.resampleNn]]:
+    * parse the canonical payload, duplicate each frame, re-emit at
+    * `2·rate` with `2·frames` — same duration, same waveform) — the
+    * audio analog of a resolution change. The exact fingerprint tier
+    * ([[audioFpPairs]]) is blind to it: the 64-FRAME window energies
+    * cover half the time span after resampling, so neither the window
+    * vector nor its signature survives.
+    */
+  def audioResamples(docs: DataFrame, everyNth: Int = 83): DataFrame = {
+    requireIdHeadroom(docs)
+    docs.filter(pmod(col("doc_id"), lit(everyNth)) === 0)
+      .select(col("doc_id"),
+        (Multimodal.metaHash(3) % 2048 + lit(256)).cast("int").as("frames"),
+        (Multimodal.metaHash(4) % 2 + lit(1)).cast("int").as("channels"),
+        ((Multimodal.metaHash(5) % 2 + lit(1)) * lit(8000)).cast("int").as("rate"))
+      // rename-last (see the lateral-column-alias note above)
+      .select(col("doc_id"),
+        graft.functions.native.wav_resample_nn(
+          graft.functions.native.wav_synth(col("doc_id"), col("frames"),
+            col("channels"), col("rate")), 2).as("media"))
+      .select((col("doc_id") + lit(ReRenderOffset)).as("doc_id"), col("media"))
+  }
+
+  /** Base rate for the time-normalized audio envelope: one envelope
+    * window = the time span of [[MediaFeatures.FpWindowFrames]] frames
+    * at 8 kHz (= 8 ms). Clips whose rate is a multiple of this
+    * participate; others are skipped (no fixture clip is).
+    */
+  val EnvelopeBaseRate = 8000L
+
+  /** Rate-normalized energy envelope: the stored 64-frame `sum_abs`
+    * windows regrouped into TIME windows of `64·g` frames where
+    * `g = rate / 8000` — adjacent-window sums, so the regroup is exact
+    * and derivable from the persisted store without re-decoding (the
+    * short final window folds in identically by ceil grouping).
+    */
+  private def timeEnvelope(vec: Column, g: Column): Column =
+    transform(
+      sequence(lit(0), floor((size(vec) + g - 1) / g).cast("int") - 1),
+      t => aggregate(slice(vec, t * g + 1, g), lit(0L), (acc, x) => acc + x))
+
+  /** PERCEPTUAL (resample-robust) audio dedup over corpus ∪ resampled
+    * arrivals: where [[audioFpPairs]] verifies exact 64-frame window
+    * vectors (same SAMPLE stream), this tier compares the TIME-domain
+    * energy envelope normalized by rate — windows of `64·(rate/8000)`
+    * frames (equal time spans at every rate), verified by exact
+    * cross-multiplied integer equality
+    * `a_env[w]·b_rate = b_env[w]·a_rate` for every window, which a
+    * nearest-neighbor resample satisfies bit-for-bit (each time
+    * window holds `factor` copies of the same samples → `sum_abs`
+    * scales by exactly the rate ratio). Corpus side derives the
+    * envelope from the STORED 64-frame windows (adjacent-window sums —
+    * zero payload access); arrivals decode for real. Content groups —
+    * key `(rate, envelope)` — collapse before pairing; candidates
+    * bucket on `(sign-of-delta fingerprint, window count)` (the
+    * fingerprint is scale-invariant, so a resampled clip lands in its
+    * source's bucket); count-filtered before vector collection, cap
+    * telemetry on every row. One row per duplicate pair
+    * `(a_id, b_id, n_windows, n_capped_buckets)`.
+    */
+  def audioPercepPairs(spark: SparkSession, docs: DataFrame, dir: String,
+                       maxBucket: Int = 256): DataFrame = {
+    val stored = MediaFeatures.features(spark, dir)
+      .select(col("doc_id"), col("a_rate").as("rate"),
+        col("a_fp_windows").as("w64"))
+    val arrivals = audioResamples(docs)
+      .select(col("doc_id"),
+        graft.functions.native.wav_decode_stats(col("media")).as("d"),
+        transform(graft.functions.native.wav_window_stats(
+          col("media"), MediaFeatures.FpWindowFrames),
+          w => w.getField("sum_abs")).as("w64"))
+      .select(col("doc_id"), col("d.sample_rate").as("rate"), col("w64"))
+    val keyed = stored.unionByName(arrivals)
+      .filter(col("w64").isNotNull && size(col("w64")) > 0 &&
+        col("rate") % lit(EnvelopeBaseRate) === 0)
+      .withColumn("g", (col("rate") / lit(EnvelopeBaseRate)).cast("int"))
+      .select(col("doc_id"), col("rate"),
+        timeEnvelope(col("w64"), col("g")).as("tvec"))
+    val groups = keyed.groupBy(col("rate"), col("tvec"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("rate"),
+        MediaFeatures.audioFpCol(col("tvec")).as("sig"),
+        size(col("tvec")).cast("long").as("n_windows"), col("tvec"))
+      .localCheckpoint() // consumed thrice: key counts + semi join + collect
+    val counts = groups.groupBy(col("sig"), col("n_windows"))
+      .agg(count(lit(1)).as("mm"))
+      .localCheckpoint() // consumed twice: key filter + cap telemetry
+    val okKeys = counts.filter(col("mm").between(2, maxBucket))
+      .select(col("sig"), col("n_windows"))
+    val capped = counts.filter(col("mm") > maxBucket)
+      .agg(count(lit(1)).as("n_capped_buckets"))
+    groups.join(okKeys, Seq("sig", "n_windows"), "left_semi")
+      .groupBy(col("sig"), col("n_windows"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("rate"),
+        col("tvec")))).as("m"))
+      .select(col("n_windows"), explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + lit(2), size(col("m"))),
+          y => struct(x.getField("doc_id").as("a_id"),
+            y.getField("doc_id").as("b_id"),
+            x.getField("rate").as("a_rate"), y.getField("rate").as("b_rate"),
+            x.getField("tvec").as("a_vec"), y.getField("tvec").as("b_vec"))))))
+        .as("p"))
+      .filter(transform(col("p.a_vec"), x => x * col("p.b_rate")) ===
+        transform(col("p.b_vec"), x => x * col("p.a_rate")))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("n_windows"))
+      .crossJoin(broadcast(capped))
+  }
+
   /** The benchmark asset table for media decontamination: exact copies
     * of every `doc_id % 97 == 0` corpus image, plus +16
     * brightness-shifted re-renders of every `doc_id % 97 == 13` image

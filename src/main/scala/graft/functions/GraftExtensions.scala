@@ -59,6 +59,8 @@ object GraftExtensions {
     two("rolling_min_hash")((t, w) => RollingMinHash(t, intArg(w, "rolling_min_hash window"))),
     one("repetition_stats")(TokenRepetitionStats(_)),
     one("ppm_decode_stats")(PpmDecodeStats(_)),
+    two("y4m_resize_nn")((m, f) => Y4mResizeNn(m, intArg(f, "y4m_resize_nn factor"))),
+    two("wav_resample_nn")((m, f) => WavResampleNn(m, intArg(f, "wav_resample_nn factor"))),
     "ppm_synth" -> { args =>
       require(args.length == 3, s"ppm_synth expects 3 arguments, got ${args.length}")
       PpmSynth(args(0), args(1), args(2))

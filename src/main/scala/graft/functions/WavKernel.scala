@@ -137,6 +137,43 @@ object WavKernel {
     Array(channels.toLong, sampleRate, frames)
   }
 
+  /** REAL nearest-neighbor (sample-and-hold) resample re-encode: parse
+    * a canonical WAV payload and re-emit it at `factor·sampleRate`
+    * with `factor·frames` frames — output frame `f` copies source
+    * frame `f div factor` verbatim (all channels), so the duration is
+    * preserved and every 1-frame span of source audio is represented
+    * by `factor` identical output frames. The audio analog of an image
+    * resize: the output is a well-formed canonical payload [[decode]]
+    * accepts, whose per-TIME-window `sum_abs` is exactly `factor`
+    * times the source's — the rate-normalized invariant the
+    * resample-robust dedup tier verifies. Returns null for malformed
+    * payloads or a factor that breaches [[MaxFrames]]/[[MaxSampleRate]].
+    */
+  def resampleNn(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    if (factor < 1) return null
+    val hdr = parseHeader(bytes)
+    if (hdr == null) return null
+    val channels = hdr(0).toInt
+    val rate = hdr(1)
+    val frames = hdr(2)
+    val oFrames = frames * factor
+    val oRate = rate * factor
+    if (oFrames > MaxFrames || oRate > MaxSampleRate) return null
+    val out = synth(0L, oFrames.toInt, channels, oRate.toInt)
+    var f = 0
+    while (f < oFrames) {
+      val srcOff = 44 + 2 * (f / factor).toInt * channels
+      val dstOff = 44 + 2 * f.toInt * channels
+      var c = 0
+      while (c < 2 * channels) {
+        out(dstOff + c) = bytes(srcOff + c)
+        c += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** Parse a canonical WAV payload and fold the sample stream into
     * integer stats in one pass: `(n_channels, sample_rate, n_frames,
     * duration_ms, c0_sum, all_sum, peak, hist[16])` where `duration_ms

@@ -205,6 +205,64 @@ object Y4mKernel {
       new GenericArrayData(hist.map(v => v: Any))))
   }
 
+  /** REAL nearest-neighbor upscale re-encode: parse a canonical Y4M
+    * payload and re-emit it at `(factor·w, factor·h)` — each output
+    * plane pixel `(x, y)` copies source pixel `(x div factor,
+    * y div factor)`, for all three planes, same fps and frame count.
+    * The video analog of an image resize stage: the output is a
+    * well-formed canonical stream [[decode]] accepts, whose per-frame
+    * luma SUM is exactly `factor²` times the source's (every source
+    * pixel is counted `factor²` times), so the normalized frame MEAN
+    * is bit-preserved — the invariant the resize-robust dedup tier
+    * verifies. Returns null for malformed payloads or a factor that
+    * would breach [[MaxDim]] / the 1 GiB payload cap.
+    */
+  def resizeNn(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    if (factor < 1) return null
+    val hdr = parseHeader(bytes)
+    if (hdr == null) return null
+    val w = hdr(0).toInt; val h = hdr(1).toInt
+    val fps = hdr(2).toInt; val nFrames = hdr(3).toInt
+    val ow = w * factor; val oh = h * factor
+    if (ow > MaxDim || oh > MaxDim) return null
+    val header = s"YUV4MPEG2 W$ow H$oh F$fps:1 Ip A1:1 C444\n"
+    val srcPlane = w * h
+    val outPlane = ow * oh
+    val total = header.length.toLong + nFrames.toLong * (6L + 3L * outPlane)
+    if (total > (1L << 30)) return null
+    val out = new Array[Byte](total.toInt)
+    var off = 0
+    def ascii(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+      off += s.length
+    }
+    ascii(header)
+    var src = hdr(4).toInt
+    var f = 0
+    while (f < nFrames) {
+      src += 6 // source FRAME\n
+      ascii(FrameMarker)
+      var p = 0
+      while (p < 3) {
+        var y = 0
+        while (y < oh) {
+          val srcRow = src + p * srcPlane + (y / factor) * w
+          var x = 0
+          while (x < ow) {
+            out(off) = bytes(srcRow + x / factor)
+            off += 1; x += 1
+          }
+          y += 1
+        }
+        p += 1
+      }
+      src += 3 * srcPlane
+      f += 1
+    }
+    out
+  }
+
   /** Per-frame luma sums for every `every`-th frame (0, every, 2·every,
     * …) — the REAL frame-sampling stage: each sampled frame's Y plane
     * is folded from the payload bytes, so element `i` of the result is

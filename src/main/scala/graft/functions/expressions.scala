@@ -1601,6 +1601,78 @@ case class Y4mFrameYSums(child: Expression, every: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** REAL nearest-neighbor video upscale re-encode: parses the canonical
+  * Y4M payload and re-emits it at `(factor·w, factor·h)` with each
+  * output pixel copying source pixel `(x div factor, y div factor)` —
+  * [[Y4mKernel.resizeNn]], the resize stage of a multimodal pipeline
+  * as a codegen'd expression. NULL for malformed payloads or a factor
+  * that breaches the dim/size caps (quarantine, not failure).
+  */
+case class Y4mResizeNn(child: Expression, factor: Int)
+    extends UnaryExpression {
+  require(factor > 0, s"resize factor must be positive: $factor")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"y4m_resize_nn expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Y4mKernel.resizeNn(v.asInstanceOf[Array[Byte]], factor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.Y4mKernel.resizeNn($b, $factor);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** REAL nearest-neighbor (sample-and-hold) audio resample re-encode:
+  * parses the canonical WAV payload and re-emits it at
+  * `factor·sampleRate` with each source frame duplicated `factor`
+  * times — [[WavKernel.resampleNn]], the resample stage of an audio
+  * pipeline as a codegen'd expression. NULL for malformed payloads or
+  * a factor that breaches the frame/rate caps.
+  */
+case class WavResampleNn(child: Expression, factor: Int)
+    extends UnaryExpression {
+  require(factor > 0, s"resample factor must be positive: $factor")
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wav_resample_nn expects a binary payload, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WavKernel.resampleNn(v.asInstanceOf[Array[Byte]], factor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |${ev.value} = graft.functions.WavKernel.resampleNn($b, $factor);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-facing API for the native expressions. */
 object native {
   private def toCol(e: Expression): Column = bridge.toColumn(e)
@@ -1727,6 +1799,19 @@ object native {
     * malformed payloads.
     */
   def y4m_header(media: Column): Column = toCol(Y4mHeaderMeta(ex(media)))
+
+  /** Real nearest-neighbor Y4M upscale re-encode (`factor`× dims,
+    * same frames/fps); NULL for malformed payloads or cap breaches.
+    */
+  def y4m_resize_nn(media: Column, factor: Int): Column =
+    toCol(Y4mResizeNn(ex(media), factor))
+
+  /** Real nearest-neighbor WAV resample re-encode (`factor`× rate and
+    * frames, same duration); NULL for malformed payloads or cap
+    * breaches.
+    */
+  def wav_resample_nn(media: Column, factor: Int): Column =
+    toCol(WavResampleNn(ex(media), factor))
 
   /** Header-only P6 geometry parse (no raster fold); NULL for
     * malformed payloads.

@@ -84,6 +84,69 @@ class MediaDedupSpec extends SparkSuite {
     assert(caps.nonEmpty && caps.forall(_ == 0L))
   }
 
+  test("resized video: 2x re-render evades the exact tier, caught by percep") {
+    // the resized arrival is a REAL nearest-neighbor re-encode: new
+    // payload bytes, new dims, new frame-sum vector — every exact tier
+    // is blind to it
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .select(xxhash64(col("media")).as("xx"),
+        graft.functions.native.y4m_decode_stats(col("media")).as("d"),
+        graft.functions.native.y4m_frame_y_sums(col("media"), 1).as("vec"))
+      .select(col("xx"), col("d.width").as("w"), col("d.height").as("h"),
+        col("d.n_frames").as("nf"), col("vec"))
+      .as[(Long, Long, Long, Long, Seq[Long])].head()
+    val src = stats(Multimodal.withFakeVideo(docs.filter(col("doc_id") === 0)))
+    val arr = stats(MediaDedup.videoResizedReEncodes(docs)
+      .filter(col("doc_id") === MediaDedup.ReRenderOffset))
+    assert(src._1 != arr._1, "resize must change the payload bytes")
+    assert(arr._2 == 2 * src._2 && arr._3 == 2 * src._3,
+      "resize must double the decoded dims")
+    assert(arr._4 == src._4, "resize keeps the frame count")
+    assert(arr._5 == src._5.map(_ * 4),
+      "NN 2x upscale quadruples each frame's luma sum exactly (mean preserved)")
+    assert(arr._5 != src._5,
+      "the raw frame vector changes — the exact video tier is blind")
+    // the normalized-mean tier links the arrival to its source's rep
+    val pairs = MediaDedup.videoPercepPairs(spark, docs, dir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    assert(pairs.contains((0L, MediaDedup.ReRenderOffset)),
+      s"resized re-render missing from ${pairs.mkString(", ")}")
+    val caps = MediaDedup.videoPercepPairs(spark, docs, dir)
+      .select(col("n_capped_buckets")).as[Long].collect()
+    assert(caps.nonEmpty && caps.forall(_ == 0L))
+  }
+
+  test("resampled audio: 2x rate evades the exact tier, caught by percep") {
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .select(xxhash64(col("media")).as("xx"),
+        graft.functions.native.wav_decode_stats(col("media")).as("d"),
+        transform(graft.functions.native.wav_window_stats(
+          col("media"), MediaFeatures.FpWindowFrames),
+          w => w.getField("sum_abs")).as("w64"))
+      .select(col("xx"), col("d.sample_rate").as("rate"),
+        col("d.n_frames").as("nf"), col("d.duration_ms").as("ms"), col("w64"))
+      .as[(Long, Long, Long, Long, Seq[Long])].head()
+    val src = stats(Multimodal.withFakeAudio(docs.filter(col("doc_id") === 0)))
+    val arr = stats(MediaDedup.audioResamples(docs)
+      .filter(col("doc_id") === MediaDedup.ReRenderOffset))
+    assert(src._1 != arr._1, "resample must change the payload bytes")
+    assert(arr._2 == 2 * src._2 && arr._3 == 2 * src._3,
+      "NN resample doubles rate and frames")
+    assert(arr._4 == src._4, "duration is preserved")
+    // the exact 64-FRAME window vector changes (each window now covers
+    // half the time span) — the exact audio tier is blind to a resample
+    assert(arr._5 != src._5,
+      "raw 64-frame window vectors must diverge under resampling")
+    // ...the time-normalized envelope tier links it to its source
+    val pairs = MediaDedup.audioPercepPairs(spark, docs, dir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    assert(pairs.contains((0L, MediaDedup.ReRenderOffset)),
+      s"resampled clip missing from ${pairs.mkString(", ")}")
+    val caps = MediaDedup.audioPercepPairs(spark, docs, dir)
+      .select(col("n_capped_buckets")).as[Long].collect()
+    assert(caps.nonEmpty && caps.forall(_ == 0L))
+  }
+
   test("no-silent-caps: dropped-bucket telemetry rides the pair rows") {
     // this fixture caps nothing — every pair row reports 0
     val img = MediaDedup.imagePhashPairs(spark, docs, dir)

@@ -35,9 +35,11 @@ class MediaPlanSpec extends SparkSuite {
   test("media family: no unbounded nested-loop join in any plan") {
     val allowedBnlj = Map( // the 1-row telemetry cross join only
       "dedup_image_phash" -> 1, "dedup_audio_fp" -> 1, "dedup_video_fp" -> 1,
+      "dedup_video_percep" -> 1, "dedup_audio_percep" -> 1,
       "dedup_image_groups" -> 1)
     val family = Seq("dedup_image_phash", "dedup_apply_image",
       "dedup_image_groups", "dedup_audio_fp", "dedup_video_fp",
+      "dedup_video_percep", "dedup_audio_percep",
       "decon_media_apply", "decon_media_av", "mm_quality_gate",
       "mm_feature_store", "mm_hist_neighbors", "video_shot_cuts",
       "corpus_release_mm")
