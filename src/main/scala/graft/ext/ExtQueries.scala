@@ -1962,6 +1962,16 @@ object ExtQueries {
     * range, always lose the smaller-id rule, and never appear in the
     * output. Features for the admitted set then replay through the
     * shared store-certification body.
+    *
+    * Validity bounds (documented, not incidental): the within-batch
+    * MIN term quantifies over gate-PASSING batch docs (the engine
+    * keeps the min id among quality SURVIVORS — a gated sibling must
+    * not shadow its class), and the min-per-class rule itself equals
+    * the engine's first-wins-across-batches semantics only while
+    * (a) the fixture drains as ONE `AvailableNow` batch and (b) no two
+    * real batch docs share a mod-65536 class — true below doc_id
+    * lcm(65536, 10) = 327,680, far above every fixture's id range
+    * (see the [[graft.stream.MediaIngest]] admission scaladoc).
     */
   private[graft] val streamMediaCorpusSql: String =
     mediaGateFlagsCoreFrom("(SELECT doc_id FROM documents WHERE doc_id % 10 = 0)") +
@@ -1975,9 +1985,10 @@ object ExtQueries {
       |    AND NOT EXISTS (SELECT 1 FROM documents s
       |      WHERE s.doc_id % 10 <> 0
       |        AND s.doc_id % 65536 = f.doc_id % 65536)
-      |    AND f.doc_id = (SELECT MIN(b.doc_id) FROM documents b
-      |      WHERE b.doc_id % 10 = 0
-      |        AND b.doc_id % 65536 = f.doc_id % 65536)
+      |    AND f.doc_id = (SELECT MIN(g.doc_id) FROM corpflags g
+      |      WHERE g.undecodable + g.audio_silent + g.audio_clipped
+      |          + g.video_black + g.video_static + g.img_dark + g.img_bright = 0
+      |        AND g.doc_id % 65536 = f.doc_id % 65536)
       |), """.stripMargin + mediaFeatureStoreBody("cadm")
 
   /** The text release chain as a WITH-body ending in the released-set

@@ -43,8 +43,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  every join an equi join — no cross-modality OR).
   *  Within a batch the same tiers run against smaller-id siblings
   *  (exact groups keep the min id; perceptual/re-encode pairs drop
-  *  the larger id), so admission is invariant to how the arrival set
-  *  splits into micro-batches.
+  *  the larger id). ACROSS micro-batches admission is FIRST-WINS, not
+  *  min-id: the store tier rejects any later arrival that matches an
+  *  already-admitted doc, whichever id is smaller — the store is
+  *  insert-only by contract, so an earlier-admitted larger id is
+  *  never displaced. The min-id rule holds only within one batch.
+  *  The `stream_media_corpus` oracle replays a global min-per-class
+  *  rule, which coincides with first-wins under two preconditions it
+  *  depends on: (a) the fixture drains as a SINGLE batch
+  *  (`Trigger.AvailableNow` with no `maxFilesPerTrigger` cap — a
+  *  file-capped or Kafka source splitting same-class real docs across
+  *  batches in descending-id order would diverge), and (b) no two
+  *  REAL batch docs share a content class, true below doc_id
+  *  ~327,680 (= lcm(65536, 10): the smallest gap between two
+  *  `% 10 = 0` ids in one mod-65536 class) — far above every
+  *  fixture's id range.
   *
   *  The re-encode tiers are ORACLE-NEUTRAL for real corpus docs: a
   *  natural tier-3/4 hit needs the wav (resp. y4m) payload hash equal,
@@ -201,10 +214,16 @@ object MediaIngest {
     Artifact.requireKind(spark, dir, MediaFeatures.MetaPrefix)
     val b = batch.select(col("doc_id"), col("img"), col("wav"), col("y4m"))
     // the REPLAY path's whole cost: payload hashes in-row (no decode),
-    // one slim row per arrival
+    // one slim row per arrival. Duplicate doc_ids within a batch pick
+    // ONE surviving row deterministically — min content hash — and
+    // every downstream consumer (the ledger's hash pin AND the decode
+    // input) derives from that same selection, so a replay of the
+    // same batch re-computes identical hashes (a nondeterministic
+    // dropDuplicates here could pin one sibling's hash while gating
+    // the other's payload)
     val hashed = b.select(col("doc_id"),
         contentHash(col("img"), col("wav"), col("y4m")).as("batch_h"))
-      .dropDuplicates("doc_id")
+      .groupBy(col("doc_id")).agg(min(col("batch_h")).as("batch_h"))
       .localCheckpoint()
     val batchRows = hashed.count()
     val store = MediaFeatures.features(spark, dir)
@@ -243,14 +262,25 @@ object MediaIngest {
       return MediaIngestStats(batchRows, replayed, conflicting,
         ledgQ, ledgS, ledgB, 0L)
 
-    // fresh rows: decode ONCE, everything downstream reads slim stats
+    // fresh rows: decode ONCE, everything downstream reads slim stats.
+    // The semi join keys on (doc_id, batch_h) so the decoded row IS
+    // the canonical (min-content-hash) selection the ledger pins —
+    // identical-content siblings surviving it collapse to one row.
+    // No broadcast hints anywhere in this batch's joins: the batch is
+    // caller-sized (a backfill may arrive as one burst), so pinning
+    // batch-derived frames to the driver's broadcast path grows the
+    // driver with batch size — AQE broadcasts slim batches and
+    // degrades oversized ones to a shuffle join instead of a driver
+    // OOM (the MediaFeatures.append rule).
     val freshIds = marked
       .filter(col("corpus_h").isNull && col("kind").isNull)
       .select(col("doc_id"), col("batch_h")).localCheckpoint()
     val decoded = MediaFeatures.decodeMedia(
-        b.join(broadcast(freshIds.select(col("doc_id"))), Seq("doc_id"),
-            "left_semi")
-          .dropDuplicates("doc_id"))
+        b.withColumn("batch_h",
+            contentHash(col("img"), col("wav"), col("y4m")))
+          .join(freshIds, Seq("doc_id", "batch_h"), "left_semi")
+          .dropDuplicates("doc_id")
+          .drop("batch_h"))
       .localCheckpoint()
 
     // 1. quality gate (fail-closed: undecodable counts as a flag)
@@ -262,7 +292,7 @@ object MediaIngest {
       .select(col("doc_id")).localCheckpoint()
     val nQuality = qualityRejects.count()
     val afterQuality = decoded
-      .join(broadcast(qualityRejects), Seq("doc_id"), "left_anti")
+      .join(qualityRejects, Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
     // 2. dup screen vs the STORE: four equi hash joins (never an OR),
@@ -275,19 +305,19 @@ object MediaIngest {
     val batchKeys = afterQuality.select(col("doc_id"), col("img_xx"),
       col("wav_xx"), col("y4m_xx"), col("dhash"), col("frame_y"),
       col("a_fp_windows"))
-    val tier1 = storeSlim.join(broadcast(batchKeys),
+    val tier1 = storeSlim.join(batchKeys,
         col("img_xx") === col("s_img") && col("wav_xx") === col("s_wav") &&
           col("y4m_xx") === col("s_y4m"))
       .select(col("doc_id"))
-    val tier2 = storeSlim.join(broadcast(batchKeys),
+    val tier2 = storeSlim.join(batchKeys,
         col("wav_xx") === col("s_wav") && col("y4m_xx") === col("s_y4m") &&
           bit_count(col("dhash").bitwiseXOR(col("s_dhash"))) <= maxHamming)
       .select(col("doc_id"))
-    val tier3 = storeSlim.join(broadcast(batchKeys),
+    val tier3 = storeSlim.join(batchKeys,
         col("img_xx") === col("s_img") && col("wav_xx") === col("s_wav") &&
           col("frame_y") === col("s_fy"))
       .select(col("doc_id"))
-    val tier4 = storeSlim.join(broadcast(batchKeys),
+    val tier4 = storeSlim.join(batchKeys,
         col("img_xx") === col("s_img") && col("y4m_xx") === col("s_y4m") &&
           col("a_fp_windows") === col("s_aw"))
       .select(col("doc_id"))
@@ -295,7 +325,7 @@ object MediaIngest {
       .unionByName(tier4).distinct().localCheckpoint()
     val nDupStore = dupStoreIds.count()
     val afterStore = afterQuality
-      .join(broadcast(dupStoreIds), Seq("doc_id"), "left_anti")
+      .join(dupStoreIds, Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
     // 3. within the batch: exact-content groups keep the min id, then
@@ -307,7 +337,7 @@ object MediaIngest {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val repRows = afterStore
-      .join(broadcast(reps), Seq("doc_id"), "left_semi")
+      .join(reps, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("img_xx"), col("wav_xx"), col("y4m_xx"),
         col("dhash"), col("frame_y"), col("a_fp_windows"))
       .localCheckpoint()
@@ -329,10 +359,10 @@ object MediaIngest {
           col("a.a_fp_windows") === col("b.a_fp_windows")))
       .distinct()
     val acceptedIds = repRows.select(col("doc_id"))
-      .join(broadcast(batchLosers), Seq("doc_id"), "left_anti")
+      .join(batchLosers, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val accepted = decoded
-      .join(broadcast(acceptedIds), Seq("doc_id"), "left_semi")
+      .join(acceptedIds, Seq("doc_id"), "left_semi")
     val nAccepted = acceptedIds.count()
     val nDupBatch = freshCount - nQuality - nDupStore - nAccepted
 
@@ -345,9 +375,9 @@ object MediaIngest {
       val kinds = qualityRejects.withColumn("kind", lit("quality"))
         .unionByName(dupStoreIds.withColumn("kind", lit("dup_store")))
         .unionByName(afterStore.select(col("doc_id"))
-          .join(broadcast(acceptedIds), Seq("doc_id"), "left_anti")
+          .join(acceptedIds, Seq("doc_id"), "left_anti")
           .withColumn("kind", lit("dup_batch")))
-      try freshIds.join(broadcast(kinds), Seq("doc_id"))
+      try freshIds.join(kinds, Seq("doc_id"))
         .select(col("doc_id"), col("batch_h").as("rej_h"), col("kind"))
         .write.mode("append").parquet(rejectionsPath(dir))
       catch { case scala.util.control.NonFatal(e) =>
