@@ -59,14 +59,77 @@ object KeyValue {
       col("event_type").as("value"),
       lit("top_genre").as("record_type"))
 
-  /** The full serving table: union of all three item families, sorted by
-    * (pk, sk) — the layout that makes §2.10 lookups row-group-prunable.
+  /** R4 (beyond the reference's three families): the media corpus's
+    * per-day language profile as serving items, keyed
+    * `MEDIA#<lang>#DATE#<d>` / `METRIC#<name>` — so the media family's
+    * daily card is a key lookup like every other §2.10 read, not an
+    * aggregation at query time. Measures are SERVED from the decode-once
+    * feature store (one slim doc_id join — no payload access, the
+    * [[graft.ext.MediaFeatures.profileStored]] shape), sliced per ingest
+    * day. The fixture corpus carries no ingest date, so [[docDay]]
+    * derives a deterministic 7-day calendar from doc_id — the stand-in
+    * for the arrival date a real pipeline's manifest provides — which
+    * keeps every value SQL-replayable. The family exists only when the
+    * corpus table does (a music-only deployment serves the original
+    * three families untouched).
+    */
+  private[graft] def docDay(docId: Column): Column =
+    date_add(lit("2024-01-01").cast("date"), pmod(docId, lit(7)).cast("int"))
+
+  private[graft] def hasDocs(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def mediaProfileItems(spark: SparkSession, dir: String,
+                        days: Option[Seq[String]] = None): DataFrame = {
+    import graft.ext.MediaFeatures
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        docDay(col("doc_id")).cast("string").as("day"))
+    val scoped = days.fold(docs)(ds => docs.filter(col("day").isin(ds: _*)))
+    val feats = MediaFeatures.features(spark,
+        MediaFeatures.ensure(spark, graft.Tables.documents(spark, dir),
+          MediaFeatures.defaultDir(dir)))
+      .select(col("doc_id"), (col("img_w") * col("img_h")).as("px"),
+        col("a_ms"), col("a_peak"), col("v_frames"), col("y_sum"))
+      .filter(col("px").isNotNull && col("a_ms").isNotNull &&
+        col("v_frames").isNotNull)
+    scoped.join(feats, "doc_id")
+      .groupBy(col("lang"), col("day"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("px")).as("px_total"),
+        sum(col("a_ms")).as("audio_ms_total"),
+        max(col("a_peak")).as("audio_peak_max"),
+        sum(col("v_frames")).as("video_frames_total"),
+        sum(col("y_sum")).as("video_y_total"))
+      .select(
+        concat_ws("#", lit("MEDIA"), col("lang"), lit("DATE"), col("day")).as("pk"),
+        expr(
+          """stack(6,
+            |  'n_docs',              CAST(n_docs AS STRING),
+            |  'px_total',            CAST(px_total AS STRING),
+            |  'audio_ms_total',      CAST(audio_ms_total AS STRING),
+            |  'audio_peak_max',      CAST(audio_peak_max AS STRING),
+            |  'video_frames_total',  CAST(video_frames_total AS STRING),
+            |  'video_y_total',       CAST(video_y_total AS STRING)
+            |) AS (metric_type, value)""".stripMargin))
+      .select(col("pk"), concat(lit("METRIC#"), col("metric_type")).as("sk"),
+        col("value"), lit("media_profile").as("record_type"))
+  }
+
+  /** The full serving table: union of all item families (the three
+    * reference projections plus the media profile when a corpus table
+    * exists), sorted by (pk, sk) — the layout that makes §2.10 lookups
+    * row-group-prunable.
     */
   def servingTable(spark: SparkSession, dir: String): DataFrame = {
     val kpis = Kpis.genreKpis(Enrich.enriched(spark, dir))
-    kpiItems(kpis)
+    val base = kpiItems(kpis)
       .unionByName(topSongItems(Kpis.topPartsPerFlagDay(spark, dir)))
       .unionByName(topGenreItems(Kpis.topTypesPerDay(spark, dir)))
+    if (hasDocs(spark, dir)) base.unionByName(mediaProfileItems(spark, dir))
+    else base
   }
 
   /** The serving store at rest: the table written range-partitioned and
@@ -81,8 +144,10 @@ object KeyValue {
     */
   def ensureStore(spark: SparkSession, dir: String): String = {
     import graft.ext.Artifact
-    val fp = Artifact.fileFingerprint(spark,
-      s"$dir/events.parquet", s"$dir/customer.parquet", s"$dir/lineitem.parquet")
+    val srcs = Seq(s"$dir/events.parquet", s"$dir/customer.parquet",
+      s"$dir/lineitem.parquet") ++
+      (if (hasDocs(spark, dir)) Seq(s"$dir/documents.parquet") else Nil)
+    val fp = Artifact.fileFingerprint(spark, srcs: _*)
     val root = s"${Artifact.root(dir)}/serving"
     Artifact.ensure(spark, root, s"serving v1 fp=$fp") {
       servingTable(spark, dir)
@@ -101,13 +166,15 @@ object KeyValue {
   private def dayOf(pk: Column): Column =
     regexp_extract(pk, "DATE#([0-9]{4}-[0-9]{2}-[0-9]{2})", 1)
 
-  /** Per-day content fingerprints of the two DATE-BEARING serving
-    * inputs: `(d, ev_n, ev_h, li_n, li_h)` — count + order-independent
-    * hash-sum per day, one narrow scan each (with a date-partitioned
-    * fact table these scans prune to the partitions that changed). The
-    * non-date input (customer) gets a single file-level fingerprint in
-    * the store metadata instead: a dimension change invalidates every
-    * day.
+  /** Per-day content fingerprints of the DATE-BEARING serving inputs:
+    * `(d, ev_n, ev_h, li_n, li_h, doc_n, doc_h)` — count +
+    * order-independent hash-sum per day, one narrow scan each (with a
+    * date-partitioned fact table these scans prune to the partitions
+    * that changed). The corpus table's per-day slice keys on the
+    * derived ingest day ([[docDay]]); zeros when no corpus table
+    * exists. The non-date input (customer) gets a single file-level
+    * fingerprint in the store metadata instead: a dimension change
+    * invalidates every day.
     */
   def dayFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
@@ -118,10 +185,20 @@ object KeyValue {
       .groupBy(to_date(col("l_shipdate")).cast("string").as("d"))
       .agg(count(lit(1)).as("li_n"),
         sum(xxhash64(col("l_returnflag"), col("l_shipdate"), col("l_partkey"))).as("li_h"))
-    ev.join(li, Seq("d"), "full_outer")
-      .select(col("d"),
-        coalesce(col("ev_n"), lit(0L)).as("ev_n"), coalesce(col("ev_h"), lit(0L)).as("ev_h"),
-        coalesce(col("li_n"), lit(0L)).as("li_n"), coalesce(col("li_h"), lit(0L)).as("li_h"))
+    val joined =
+      if (!hasDocs(spark, dir))
+        ev.join(li, Seq("d"), "full_outer")
+          .withColumn("doc_n", lit(0L)).withColumn("doc_h", lit(0L))
+      else ev.join(li, Seq("d"), "full_outer")
+        .join(graft.Tables.documents(spark, dir)
+          .groupBy(docDay(col("doc_id")).cast("string").as("d"))
+          .agg(count(lit(1)).as("doc_n"),
+            sum(xxhash64(col("doc_id"), col("lang"))).as("doc_h")),
+          Seq("d"), "full_outer")
+    joined.select(col("d"),
+      coalesce(col("ev_n"), lit(0L)).as("ev_n"), coalesce(col("ev_h"), lit(0L)).as("ev_h"),
+      coalesce(col("li_n"), lit(0L)).as("li_n"), coalesce(col("li_h"), lit(0L)).as("li_h"),
+      coalesce(col("doc_n"), lit(0L)).as("doc_n"), coalesce(col("doc_h"), lit(0L)).as("doc_h"))
   }
 
   /** The serving table scoped to the given days. Every item family is
@@ -134,9 +211,12 @@ object KeyValue {
   def servingTableForDays(spark: SparkSession, dir: String, days: Seq[String]): DataFrame = {
     val enrichedD = Enrich.enriched(spark, dir)
       .filter(col("date").cast("string").isin(days: _*))
-    kpiItems(Kpis.genreKpis(enrichedD))
+    val base = kpiItems(Kpis.genreKpis(enrichedD))
       .unionByName(topSongItems(Kpis.topPartsPerFlagDay(spark, dir, days = Some(days))))
       .unionByName(topGenreItems(Kpis.topTypesPerDay(spark, dir, days = Some(days))))
+    if (hasDocs(spark, dir))
+      base.unionByName(mediaProfileItems(spark, dir, Some(days)))
+    else base
   }
 
   /** The incremental serving store: day-partitioned at rest
@@ -159,10 +239,15 @@ object KeyValue {
     import graft.ext.Artifact
     val root = s"${Artifact.root(dir)}/serving_daily"
     val storePath = s"$root/store"
-    val metaLine = s"serving-daily v1 cust=${Artifact.fileFingerprint(spark, s"$dir/customer.parquet")}"
+    // v2: the day fingerprint grew the corpus columns (media items) —
+    // the version bump rebuilds any v1 store instead of misreading its
+    // narrower daymeta schema
+    val metaLine = s"serving-daily v2 cust=${Artifact.fileFingerprint(spark, s"$dir/customer.parquet")}"
 
     val current = dayFingerprints(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))
       .toMap
 
     def writeAllDays(days: Seq[String]): Unit =
@@ -173,8 +258,9 @@ object KeyValue {
         .write.partitionBy("d")
         .mode("overwrite").parquet(storePath)
     def writeDayMeta(): Unit =
-      spark.createDataFrame(current.toSeq.map { case (d, (a, b, c2, e)) => (d, a, b, c2, e) })
-        .toDF("d", "ev_n", "ev_h", "li_n", "li_h")
+      spark.createDataFrame(current.toSeq.map {
+          case (d, (a, b, c2, e, f, g)) => (d, a, b, c2, e, f, g) })
+        .toDF("d", "ev_n", "ev_h", "li_n", "li_h", "doc_n", "doc_h")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/daymeta")
 
     if (Artifact.hasPendingMutation(spark, root) ||
@@ -186,7 +272,9 @@ object KeyValue {
       Artifact.writeMeta(spark, root, metaLine)
     } else {
       val stored = spark.read.parquet(s"$root/daymeta").collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6)))
         .toMap
       val changed = current.filter { case (d, fp) => stored.get(d) != Some(fp) }.keys.toSeq.sorted
       val removed = (stored.keySet -- current.keySet).toSeq.sorted

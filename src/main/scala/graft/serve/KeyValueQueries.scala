@@ -117,6 +117,19 @@ object KeyValueQueries {
         .orderBy(col("pk"), col("sk"))
     }),
 
+    // Lookup family 4 (beyond the reference's three): the media
+    // corpus's per-day language profile served as key lookups —
+    // pk prefix MEDIA#en# + exact metric sk (the en pixel-volume time
+    // series), through the INCREMENTAL day-partitioned store, so media
+    // rows ride the same O(changed-days) refresh lifecycle as the
+    // music KPIs. Values come from the decode-once feature store;
+    // the oracle replays them generatively.
+    "l4_media_profile_lookup" -> ((s, d) =>
+      KeyValue.dailyStoreCached(s, d)
+        .filter(col("pk").startsWith("MEDIA#en#") &&
+          col("sk") === "METRIC#px_total")
+        .orderBy(col("pk"), col("sk"))),
+
     // K5: keyed upsert snapshot — the batch analogue of the reference's
     // DynamoDB overwrite-by-pk ingestion (dynamodb-ingestion.py
     // batch_writer: the last write per key wins). A correction batch is
@@ -182,6 +195,58 @@ object KeyValueQueries {
           |SELECT * FROM serving
           |WHERE pk = 'DATE#' || CAST((SELECT MIN(CAST(ts AS DATE)) FROM events) AS VARCHAR)
           |  AND sk BETWEEN 'GENRE_RANK#1' AND 'GENRE_RANK#3'
-          |ORDER BY pk, sk""".stripMargin)
+          |ORDER BY pk, sk""".stripMargin),
+
+    // Media profile replay: the mm_multimodal_profile generative body
+    // (image pixel volume from the metadata formula; audio peak from
+    // the full sample replay; video luma from the full byte replay),
+    // grouped by (lang, derived ingest day), reshaped to the MEDIA#
+    // item family and filtered like the engine's lookup.
+    "l4_media_profile_lookup" ->
+      """WITH au AS (
+        |  SELECT doc_id,
+        |    (doc_id + 3) * 2654435761 % 4294967296 % 2048 + 256 AS frames,
+        |    (doc_id + 4) * 2654435761 % 4294967296 % 2 + 1 AS channels,
+        |    ((doc_id + 5) * 2654435761 % 4294967296 % 2 + 1) * 8000 AS rate
+        |  FROM documents
+        |), ap AS (
+        |  SELECT doc_id, frames * 1000 // rate AS audio_ms,
+        |    MAX(abs((doc_id + k * 2654435761) % 65536 - 32768)) AS apeak
+        |  FROM (SELECT doc_id, frames, rate,
+        |          unnest(generate_series(0, CAST(frames * channels - 1 AS BIGINT))) AS k
+        |        FROM au) GROUP BY 1, 2
+        |), vm AS (
+        |  SELECT doc_id,
+        |    (doc_id + 6) * 2654435761 % 4294967296 % 32 + 16 AS w,
+        |    (doc_id + 7) * 2654435761 % 4294967296 % 32 + 16 AS h,
+        |    (doc_id + 8) * 2654435761 % 4294967296 % 8 + 2 AS nf
+        |  FROM documents
+        |), vv AS (
+        |  SELECT doc_id, nf,
+        |    SUM(CASE WHEN (j % (w * h * 3)) // (w * h) = 0
+        |        THEN (doc_id + j * 2654435761) % 256 ELSE 0 END) AS vy
+        |  FROM (SELECT doc_id, w, h, nf,
+        |          unnest(generate_series(0, CAST(nf * w * h * 3 - 1 AS BIGINT))) AS j
+        |        FROM vm) GROUP BY 1, 2
+        |), im AS (
+        |  SELECT doc_id,
+        |    ((doc_id + 0) * 2654435761 % 4294967296 % 64 + 32)
+        |    * ((doc_id + 1) * 2654435761 % 4294967296 % 64 + 32) AS px
+        |  FROM documents
+        |), prof AS (
+        |  SELECT d.lang,
+        |    CAST(DATE '2024-01-01' + CAST(d.doc_id % 7 AS INTEGER) AS VARCHAR)
+        |      AS day,
+        |    CAST(SUM(im.px) AS BIGINT) AS px_total
+        |  FROM documents d
+        |  JOIN im USING (doc_id) JOIN ap USING (doc_id) JOIN vv USING (doc_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT 'MEDIA#' || lang || '#DATE#' || day AS pk,
+        |  'METRIC#px_total' AS sk,
+        |  CAST(px_total AS VARCHAR) AS value,
+        |  'media_profile' AS record_type
+        |FROM prof WHERE lang = 'en'
+        |ORDER BY pk, sk""".stripMargin
   )
 }

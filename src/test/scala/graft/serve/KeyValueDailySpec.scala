@@ -125,6 +125,49 @@ class KeyValueDailySpec extends SparkSuite {
     assert(storeRows() == fullRebuildRows())
   }
 
+  /** Media items ride the same O(changed-days) lifecycle: docs land in
+    * the store keyed `MEDIA#<lang>#DATE#<d>` (d = the derived ingest
+    * day), a corpus change refreshes ONLY the ingest days it touches,
+    * and event/lineitem days stay untouched by a corpus-only change.
+    */
+  private def writeDocs(relabel: Boolean = false): Unit =
+    Seq((1L, "alpha beta", if (relabel) "fr" else "en", "s1", 10L),
+        (2L, "gamma delta", "en", "s1", 11L),
+        (8L, "epsilon zeta", "de", "s2", 12L)) // 8 % 7 = 1 → shares doc 1's day
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+
+  test("daily store: media items refresh per derived ingest day") {
+    deleteRecursively(fixture); deleteRecursively(root)
+    deleteRecursively("target/artifacts/kvdailyfx/media_features")
+    writeFixture(); writeDocs()
+    KeyValue.ensureStoreDaily(spark, fixture)
+    assert(storeRows() == fullRebuildRows(), "media items must match the full build")
+    val media = storeRows().filter(_._4 == "media_profile")
+    assert(media.exists(_._1.startsWith("MEDIA#en#DATE#2024-01-02")) &&
+      media.exists(_._1.startsWith("MEDIA#en#DATE#2024-01-03")) &&
+      media.exists(_._1.startsWith("MEDIA#de#DATE#2024-01-02")),
+      s"expected per-day media items, got ${media.map(_._1)}")
+    // doc 1 changes lang → only its ingest day (2024-01-02) rewrites;
+    // the feature store is doc_id-keyed, so no media rebuild either
+    val docDayDir = new java.io.File(s"$root/store/d=2024-01-02")
+    val otherDocDay = new java.io.File(s"$root/store/d=2024-01-03")
+    val (tDoc, tOther, tEv) =
+      (docDayDir.lastModified, otherDocDay.lastModified, partMtime(1))
+    Thread.sleep(1100) // mtime granularity
+    writeDocs(relabel = true)
+    KeyValue.ensureStoreDaily(spark, fixture)
+    assert(new java.io.File(s"$root/store/d=2024-01-02").lastModified != tDoc,
+      "the touched ingest day must be rewritten")
+    assert(otherDocDay.lastModified == tOther && partMtime(1) == tEv,
+      "untouched ingest/event days must not be rewritten")
+    assert(storeRows() == fullRebuildRows())
+    val relabeled = storeRows().filter(_._4 == "media_profile")
+    assert(relabeled.exists(_._1.startsWith("MEDIA#fr#DATE#2024-01-02")) &&
+      !relabeled.exists(_._1.startsWith("MEDIA#en#DATE#2024-01-02")),
+      s"the relabeled day must serve the new lang: ${relabeled.map(_._1)}")
+  }
+
   test("daily store: day partitions prune lookups, rows sorted by (pk, sk) within a day") {
     deleteRecursively(fixture); deleteRecursively(root)
     writeFixture()

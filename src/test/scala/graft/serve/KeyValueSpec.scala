@@ -48,8 +48,14 @@ class KeyValueSpec extends SparkSuite {
   test("§2.10: begins_with + between predicates select consistent slices") {
     val serving = KeyValue.servingTable(spark, sfDir).cache()
     try {
-      val metricRows = serving.filter(col("sk").startsWith("METRIC#")).count()
+      // METRIC# items come in fixed-width families: 4 per genre-KPI
+      // row (R1), 6 per media-profile (lang, day) row (R4)
+      val metricRows = serving.filter(col("sk").startsWith("METRIC#") &&
+        col("record_type") === "genre_metric").count()
       assert(metricRows > 0 && metricRows % 4 == 0)
+      val mediaRows = serving.filter(col("sk").startsWith("METRIC#") &&
+        col("record_type") === "media_profile").count()
+      assert(mediaRows > 0 && mediaRows % 6 == 0)
       val ranks = serving
         .filter(col("sk").between("GENRE_RANK#1", "GENRE_RANK#3"))
         .select("sk").distinct().as[String].collect().toSet
