@@ -98,8 +98,59 @@ object Bench {
     val ratios = firstPass.collect {
       case (n, s, _) if s > 0 && hist.get(n).exists(_ > 0) => s / hist(n)
     }.sorted
-    if (ratios.size < 8) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    if (ratios.size < 8) 1.0
+    // CAPPED at 1.5 (r16 advice): an uncapped scalar would also absorb
+    // a genuinely UNIFORM code regression — a change that slows every
+    // query 2× is indistinguishable from a hot host by the median
+    // alone, and uncapped floors would scale up with it and never
+    // retime. 1.5 covers this VM's observed ±30-48% thermal band;
+    // beyond it floors stop stretching, retimes fire, and the
+    // still-slow numbers surface in the line. The probe_ratio field
+    // ([[hostProbe]]) is the independent signal that disambiguates:
+    // drift high + probe at par = the CODE got slower.
+    else math.min(1.5, math.max(1.0, ratios(ratios.size / 2)))
   }
+
+  /** Engine-independent host-speed probe: a fixed single-threaded
+    * integer loop (no Spark, no IO — pure CPU), min of 3 runs. Its
+    * time moves with host contention/thermals and NEVER with engine
+    * code, so `probe_sec / historical-min-probe` is the load signal
+    * that cross-checks the drift scalar: a hot host raises both; a
+    * uniform code regression raises drift while the probe stays at
+    * par. Emitted as `probe_sec` + `probe_ratio` in the bench line.
+    */
+  private[graft] def hostProbe(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var k = 0L
+      while (k < 200000000L) { acc += (k * 2654435761L) ^ (acc >>> 7); k += 1 }
+      // fold acc into the timing so the JIT cannot elide the loop
+      if (acc == 42L) System.err.println("probe")
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
+  /** Historical minimum probe time over the same builder-line window
+    * [[history]] reads (absent in pre-r17 lines → None → ratio 1).
+    */
+  private def probeHistory(): Option[Double] =
+    try {
+      val files = Option(new java.io.File("bench_history").listFiles)
+        .getOrElse(Array.empty) ++
+        Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+      val vals = files
+        .filter(_.getName.matches("BENCH_r\\d+_builder\\.json"))
+        .flatMap { f =>
+          val text = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          "\"probe_sec\":(-?[0-9.]+)".r.findFirstMatchIn(text)
+            .map(_.group(1).toDouble)
+        }
+        .filter(_ > 0)
+      if (vals.isEmpty) None else Some(vals.min)
+    } catch { case _: Throwable => None }
 
   /** The drift-adjusted retime floor for a query with history `h`:
     * 1.5× its drift-scaled historical time plus absolute slack. At
@@ -169,6 +220,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm failed: ${e.getMessage}"); -1.0
       }
+    // Host-speed probe BEFORE the timed passes: engine-independent, so
+    // its ratio to history separates "hot host" from "uniformly slower
+    // code" when the drift scalar is elevated (see driftScalar's cap).
+    val probeSec = hostProbe()
+    val probeRatio = probeHistory().fold(1.0)(h => probeSec / h)
     var errors = List.empty[String]
     def timeOne(name: String,
                 fn: (org.apache.spark.sql.SparkSession, String)
@@ -248,7 +304,7 @@ object Bench {
     def jsonLine(qs: Seq[(String, Double)], extra: String): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_sec":${fmt(buildSec)},"drift":${fmt(drift)},"n_queries":${results.size},"n_errors":${sortedErrs.size},"errors":$errs$extra,"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_sec":${fmt(buildSec)},"drift":${fmt(drift)},"probe_sec":${fmt(probeSec)},"probe_ratio":${fmt(probeRatio)},"n_queries":${results.size},"n_errors":${sortedErrs.size},"errors":$errs$extra,"queries":$m,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes ONLY to bench_full.json (cwd): a
     // second stdout copy of the ~5 KB line risks landing inside the

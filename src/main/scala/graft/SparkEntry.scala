@@ -8,14 +8,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * check inventory coverage line by line. Every SQL-expressible query has
   * a DuckDB oracle in [[oracleSql]] with identical output column names
   * and an identical deterministic ORDER BY — the driver hash-compares
-  * the full result (171 of 180 queries as of r15, MinHash/LSH dedup,
+  * the full result (178 of 187 queries as of r17, MinHash/LSH dedup,
   * the P6/WAV/Y4M media decodes with their downstream stages — the
   * decode-once feature store and its serves, perceptual image /
-  * audio-fingerprint dedup, media decontamination, the quality
-  * gates, the streamed media gate — the asymmetric-containment
+  * audio-fingerprint / video content-identity dedup, the
+  * resize-robust video and resample-robust audio perceptual tiers,
+  * media decontamination across all three modalities, the quality
+  * gates, the streamed media ingest — the asymmetric-containment
   * family with its persisted index, semantic decontamination, markup
   * extraction, the update-mode streaming sketches, the ingest-time
-  * decontamination gate, and the end-to-end corpus release included).
+  * decontamination gate, the end-to-end text and multimodal corpus
+  * releases, and the media-profile serving family included).
   *
   * The 9 declared no-oracle queries (driver reports `err: no_oracle`,
   * rows_match null — NOT a rows-only pass) are the irreducible set

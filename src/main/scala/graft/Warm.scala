@@ -34,6 +34,31 @@ object Warm {
     "s5_avro_roundtrip",      // avro datasource init
     "s6_schema_evolution")    // mergeSchema listing path
 
+  /** CLI: `runMain graft.Warm [sfDir]` — the warm phase alone, for
+    * measuring build_sec without a full bench run (pair with
+    * `SPARK_GRAFT_WARM_DEBUG=1` for the per-step breakdown).
+    */
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    println(f"[warm] total ${ensureAll(spark, d)}%.1f s")
+    spark.stop()
+  }
+
+  /** Per-step wall timing, printed when `SPARK_GRAFT_WARM_DEBUG` is set
+    * — the warm phase is 30%+ of a gate line, so WHERE it goes must be
+    * measurable without code edits.
+    */
+  private val debugSteps = sys.env.contains("SPARK_GRAFT_WARM_DEBUG")
+  private def step[A](name: String)(f: => A): A = {
+    val t = System.nanoTime()
+    val r = f
+    if (debugSteps)
+      println(f"[warm] $name ${(System.nanoTime() - t) / 1e9}%.2f s")
+    r
+  }
+
   /** Build (or freshness-check) all artifacts for a fixture dir; returns
     * wall seconds spent — reported by Bench as `build_sec` so the
     * per-query numbers stay honest.
@@ -41,89 +66,89 @@ object Warm {
   def ensureAll(spark: SparkSession, d: String): Double = {
     val t0 = System.nanoTime()
     val docs = Tables.documents(spark, d)
-    val pairDir = Dedup.ensurePairs(spark, docs, s"${Artifact.root(d)}/neardup")
-    Dedup.ensureGroups(spark, pairDir, s"${Artifact.root(d)}/dupgroups")
-    Dedup.ensureBandIndex(spark,
+    val pairDir = step("neardup")(Dedup.ensurePairs(spark, docs, s"${Artifact.root(d)}/neardup"))
+    step("dupgroups")(Dedup.ensureGroups(spark, pairDir, s"${Artifact.root(d)}/dupgroups"))
+    step("bandindex")(Dedup.ensureBandIndex(spark,
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-      s"${Artifact.root(d)}/bandindex")
+      s"${Artifact.root(d)}/bandindex"))
     // containment index twins: full corpus (serves dedup_containment /
     // dedup_apply_containment) and the %10≠0 slice (the indexed corpus
     // dedup_containment_incr probes) — the posting-stats exchange runs
     // here, once, not per query
-    Dedup.ensureContainment(spark, docs, s"${Artifact.root(d)}/containment")
-    Dedup.ensureContainment(spark,
+    step("containment")(Dedup.ensureContainment(spark, docs, s"${Artifact.root(d)}/containment"))
+    step("containment_corpus")(Dedup.ensureContainment(spark,
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-      s"${Artifact.root(d)}/containment_corpus")
-    graft.ext.TrainingSet.writeShards(spark, docs, s"${Artifact.root(d)}/shards")
-    graft.ext.LanguageModel.ensureLm(spark, docs, s"${Artifact.root(d)}/unigram_lm")
-    graft.ext.LanguageModel.ensureLm(spark, docs.filter(col("lang") === "en"),
-      s"${Artifact.root(d)}/unigram_lm_target")
+      s"${Artifact.root(d)}/containment_corpus"))
+    step("shards")(graft.ext.TrainingSet.writeShards(spark, docs, s"${Artifact.root(d)}/shards"))
+    step("unigram_lm")(graft.ext.LanguageModel.ensureLm(spark, docs, s"${Artifact.root(d)}/unigram_lm"))
+    step("unigram_lm_target")(graft.ext.LanguageModel.ensureLm(spark, docs.filter(col("lang") === "en"),
+      s"${Artifact.root(d)}/unigram_lm_target"))
     // seed-slice LM: the stream_curated_corpus quality gate scores
     // against a model trained on the seed (doc_id%10<>0) corpus only
-    graft.ext.LanguageModel.ensureLm(spark,
+    step("unigram_lm_seed")(graft.ext.LanguageModel.ensureLm(spark,
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-      s"${Artifact.root(d)}/unigram_lm_seed")
+      s"${Artifact.root(d)}/unigram_lm_seed"))
     // prime the session vocab memos: the first scorer against each LM
     // would otherwise pay the one-time ledger netting inside its own
     // per-query measurement
     for (lm <- Seq("unigram_lm", "unigram_lm_target", "unigram_lm_seed"))
-      graft.ext.LanguageModel.warmVocab(spark, s"${Artifact.root(d)}/$lm")
-    graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
-      s"${Artifact.root(d)}/nbclass")
-    graft.ext.LrClassifier.ensureLr(spark,
-      graft.ext.LrClassifier.fixtureSeed(docs), s"${Artifact.root(d)}/lrclass")
-    graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm")
+      step(s"warmVocab:$lm")(graft.ext.LanguageModel.warmVocab(spark, s"${Artifact.root(d)}/$lm"))
+    step("nbclass")(graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
+      s"${Artifact.root(d)}/nbclass"))
+    step("lrclass")(graft.ext.LrClassifier.ensureLr(spark,
+      graft.ext.LrClassifier.fixtureSeed(docs), s"${Artifact.root(d)}/lrclass"))
+    step("bigram_lm")(graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm"))
     // same memo priming for the classifier and bigram serving preps
-    graft.ext.Classifier.warmServing(spark, s"${Artifact.root(d)}/nbclass")
-    graft.ext.BigramModel.warmServing(spark, s"${Artifact.root(d)}/bigram_lm")
-    graft.ext.InvertedIndex.ensureIndex(spark, docs, s"${Artifact.root(d)}/invindex")
+    step("warmServing:nb")(graft.ext.Classifier.warmServing(spark, s"${Artifact.root(d)}/nbclass"))
+    step("warmServing:bigram")(graft.ext.BigramModel.warmServing(spark, s"${Artifact.root(d)}/bigram_lm"))
+    step("invindex")(graft.ext.InvertedIndex.ensureIndex(spark, docs, s"${Artifact.root(d)}/invindex"))
     // per-doc media fixture files (s7_binary_source reads the SCAN;
     // the one-time 5000-file staging belongs here, not in its window)
-    graft.ext.Multimodal.ensureMediaFiles(spark, d)
-    graft.ext.Multimodal.ensureMediaGateSpool(spark, d)
+    step("mediaFiles")(graft.ext.Multimodal.ensureMediaFiles(spark, d))
+    step("mediaGateSpool")(graft.ext.Multimodal.ensureMediaGateSpool(spark, d))
     // decode-once media feature store: the ONE tri-modal decode pass —
     // every mm_*/video_*/audio_* serve and the media dedup/decon/gate
     // families read stored features instead of re-decoding payloads
-    graft.ext.MediaFeatures.ensure(spark, Tables.documents(spark, d),
-      graft.ext.MediaFeatures.defaultDir(d))
+    step("mediaFeatures")(graft.ext.MediaFeatures.ensure(spark, Tables.documents(spark, d),
+      graft.ext.MediaFeatures.defaultDir(d)))
     // incremental-admission twin: the %10≠0 seed slice the
     // mm_features_incr query appends tonight's batch onto; a prior
     // app's append (union state) is accepted as-is — the query's
     // admission probe is then the measured no-op steady state
-    graft.ext.MediaFeatures.ensureSeedOrUnion(spark,
+    step("mediaFeaturesSeed")(graft.ext.MediaFeatures.ensureSeedOrUnion(spark,
       Tables.documents(spark, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
       Tables.documents(spark, d),
-      graft.ext.MediaFeatures.seedDir(d))
+      graft.ext.MediaFeatures.seedDir(d)))
     // session-memoized (not persisted — see Bpe's class doc): trained
     // here so no bpe_* query pays the training cost as first consumer
-    graft.ext.Bpe.trained(spark, docs, d)
+    step("bpe")(graft.ext.Bpe.trained(spark, docs, d))
     // release-chain memo: one text-release pass now serves two
     // registered queries (corpus_release, corpus_release_mm)
-    graft.ext.Release.releaseCached(spark, docs)
+    step("release")(graft.ext.Release.releaseCached(spark, docs))
     val emb = Tables.embeddings(spark, d)
-    AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16")
-    AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8")
-    AnnIndex.ensureIvfPq(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivfpq_c16_m8")
-    AnnIndex.ensureSrp(spark, emb, s"${AnnIndex.defaultRoot(d)}/srp_h8t4")
+    step("ann:ivf")(AnnIndex.ensureIvf(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivf_c16"))
+    step("ann:pq")(AnnIndex.ensurePq(spark, emb, s"${AnnIndex.defaultRoot(d)}/pq_m8"))
+    step("ann:ivfpq")(AnnIndex.ensureIvfPq(spark, emb, s"${AnnIndex.defaultRoot(d)}/ivfpq_c16_m8"))
+    step("ann:srp")(AnnIndex.ensureSrp(spark, emb, s"${AnnIndex.defaultRoot(d)}/srp_h8t4"))
     // serving store: build AND the load-once memory materialization
-    graft.serve.KeyValue.servingTableCached(spark, d)
+    step("serving")(graft.serve.KeyValue.servingTableCached(spark, d))
     // co-located bucketed fact tables (j5_bucketed_join)
-    graft.analytics.Bucketed.ensureTables(spark, d)
+    step("bucketed")(graft.analytics.Bucketed.ensureTables(spark, d))
     // incremental day-partitioned store (l1_metric_lookup_daily):
     // build AND the load-once materialization (the day layout's many
     // partition directories make per-query listing the dominant cost)
-    graft.serve.KeyValue.dailyStoreCached(spark, d)
+    step("servingDaily")(graft.serve.KeyValue.dailyStoreCached(spark, d))
     // curated-ingest lifecycle (stream_curated_corpus): root seeded +
     // wire spool streamed once here; the query measures replay+serve
-    graft.stream.StreamQueries.ensureCurated(spark, d)
+    step("streamCurated")(graft.stream.StreamQueries.ensureCurated(spark, d))
     // streamed media-ingest lifecycle (stream_media_corpus): store
     // seeded (one decode pass), arrival spool written and streamed
     // once here; the query measures the replay-storm serve
-    graft.stream.StreamQueries.ensureMediaIngest(spark, d)
+    step("streamMedia")(graft.stream.StreamQueries.ensureMediaIngest(spark, d))
     // decontamination-gate sketch (stream_decon_corpus): the benchmark
     // cardinality pass + adaptive Bloom build happen here, so the timed
     // query measures only the streamed per-row probe
-    graft.stream.StreamQueries.deconSketch(spark, d)
+    step("deconSketch")(graft.stream.StreamQueries.deconSketch(spark, d))
     // One untimed steady-state serve per remaining artifact/expression
     // family (r10 advice #1): the fixture-table page-cache warmup above
     // fixed the document-table families, but on a fresh host the FIRST
@@ -139,8 +164,9 @@ object Warm {
     // warming a family and re-introduce first-serve inflation
     require(missing.isEmpty, s"Warm.warmServeQueries not in SparkEntry.queries: ${missing.mkString(", ")}")
     for (q <- warmServeQueries)
-      try GraftSession.forceAndCount(SparkEntry.queries(q)(spark, d))
-      catch { case _: Throwable => () } // warm-only: Bench reports real failures
+      step(s"serve:$q")(
+        try GraftSession.forceAndCount(SparkEntry.queries(q)(spark, d))
+        catch { case _: Throwable => () }) // warm-only: Bench reports real failures
     (System.nanoTime() - t0) / 1e9
   }
 }

@@ -49,6 +49,35 @@ object Bucketed {
     val meta = s"bucketed v1 buckets=$buckets fp=${Artifact.fileFingerprint(spark,
       s"$dir/lineitem.parquet", s"$dir/orders.parquet")}"
     val registered = spark.catalog.tableExists(liName) && spark.catalog.tableExists(ordName)
+    // Fresh-session fast path: the bucketed FILES persist under the
+    // warehouse, but the in-memory catalog forgets them with the app —
+    // a full two-table rewrite per session for byte-identical data.
+    // When the metadata line still matches the source files, re-declare
+    // the tables over the existing files (same bucket/sort spec
+    // saveAsTable recorded; the writer's bucket-id file naming is what
+    // the declared spec expects), paying a listing instead of a write.
+    // BucketedJoinSpec's zero-Exchange plan pin fails loud if a
+    // re-registration ever lies about the layout.
+    if (!registered && !Artifact.hasPendingMutation(spark, root) &&
+        Artifact.readMeta(spark, root).contains(meta)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val specs = Seq(liName -> "l_orderkey", ordName -> "o_orderkey")
+      if (specs.forall { case (t, _) =>
+            fs.exists(new org.apache.hadoop.fs.Path(warehouse, t)) }) {
+        specs.foreach { case (t, key) =>
+          val loc = new org.apache.hadoop.fs.Path(warehouse, t).toString
+          val ddl = spark.read.parquet(loc).schema.toDDL
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(
+            s"""CREATE TABLE $t ($ddl) USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+        }
+        return
+      }
+    }
     if (!registered || Artifact.hasPendingMutation(spark, root) ||
         !Artifact.readMeta(spark, root).contains(meta)) {
       val warehouse = new org.apache.hadoop.fs.Path(

@@ -186,8 +186,23 @@ object Release {
     val fp = Artifact.fingerprint(docs, col("doc_id"), col("text"))
     ServingMemo.cached(releaseMemo,
       s"${spark.sparkContext.applicationId}#release", fp.toString) {
-      val rel = release(docs).localCheckpoint()
-      ServingMemo.Entry(rel, Seq(rel))
+      // the chain is deterministic per corpus fingerprint, so its
+      // result PERSISTS across apps (keyed on the fingerprint — the
+      // path needs no fixture dir): a warm fixture reads the released
+      // corpus back instead of re-running the 6+ s chain per session.
+      // The _DONE marker commits the write; a crash mid-write rebuilds.
+      val dir = s"target/artifacts/release_memo/${fp.replace(':', '_')}"
+      val done = new org.apache.hadoop.fs.Path(s"$dir/_DONE")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(done)) {
+        val rel = spark.read.parquet(s"$dir/rel")
+        ServingMemo.Entry(rel, Seq.empty)
+      } else {
+        val rel = release(docs).localCheckpoint()
+        rel.write.mode("overwrite").parquet(s"$dir/rel")
+        fs.create(done, true).close()
+        ServingMemo.Entry(rel, Seq(rel))
+      }
     }
   }
 

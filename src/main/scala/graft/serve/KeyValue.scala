@@ -244,6 +244,34 @@ object KeyValue {
     // narrower daymeta schema
     val metaLine = s"serving-daily v2 cust=${Artifact.fileFingerprint(spark, s"$dir/customer.parquet")}"
 
+    // FILE-LEVEL fast path before any data scan: the per-day CONTENT
+    // fingerprints below cost three aggregation passes over the full
+    // fact/corpus tables — the right freshness check after a mutation,
+    // but 4+ s of every warm phase on an untouched fixture. If the
+    // source FILES are byte-level unchanged (same paths/sizes/mtimes —
+    // the same evidence ensureStore trusts), day contents cannot have
+    // changed and the store serves as-is.
+    val srcFpPath = new org.apache.hadoop.fs.Path(s"$root/srcmeta")
+    val srcFs = srcFpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcFp = Artifact.fileFingerprint(spark,
+      (Seq(s"$dir/events.parquet", s"$dir/lineitem.parquet") ++
+        (if (hasDocs(spark, dir)) Seq(s"$dir/documents.parquet") else Nil)): _*)
+    def readSrcFp: Option[String] =
+      if (!srcFs.exists(srcFpPath)) None
+      else {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(srcFs.open(srcFpPath)))
+        try Option(in.readLine()).map(_.trim) finally in.close()
+      }
+    def writeSrcFp(): Unit = {
+      val out = srcFs.create(srcFpPath, true)
+      try out.write(srcFp.getBytes("UTF-8")) finally out.close()
+    }
+    if (!Artifact.hasPendingMutation(spark, root) &&
+        Artifact.readMeta(spark, root).contains(metaLine) &&
+        readSrcFp.contains(srcFp))
+      return storePath
+
     val current = dayFingerprints(spark, dir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
@@ -308,6 +336,7 @@ object KeyValue {
         Artifact.endMutation(spark, root)
       }
     }
+    writeSrcFp() // the file-level fast path re-arms after any outcome
     storePath
   }
 

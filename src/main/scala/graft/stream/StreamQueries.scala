@@ -79,6 +79,41 @@ object StreamQueries {
     curatedLocks(key)
   }
 
+  /** A persisted lifecycle-done marker: the ingest lifecycles below are
+    * DETERMINISTIC given the corpus (seed slice, spool content, and the
+    * admission outcome are all pure functions of the documents table),
+    * so a root left in the post-stream state by a previous app is
+    * exactly the state this app would rebuild — rebuilding it per
+    * session cost 12+ s of every bench warm phase for byte-identical
+    * results. The marker records the input fingerprint; a fingerprint
+    * mismatch (corpus changed), a missing spool, or a pending mutation
+    * falls back to the full delete+seed+stream build.
+    */
+  private def lifecycleMarker(s: SparkSession, root: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$root/lifecycle_done")
+
+  private def markerContent(s: SparkSession, root: String): Option[String] = {
+    val p = lifecycleMarker(s, root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+      try Option(in.readLine()).map(_.trim) finally in.close()
+    }
+  }
+
+  private def writeMarker(s: SparkSession, root: String, fp: String): Unit = {
+    val p = lifecycleMarker(s, root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def dirExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Build the curated-ingest lifecycle once per (app, fixture): reset
     * the root, seed it with the doc_id%10≠0 slice, shape the remaining
     * slice into Kafka wire rows IN-PLAN (two topic partitions keyed on
@@ -88,7 +123,10 @@ object StreamQueries {
     * to parquet, and stream them through the perplexity gate + the
     * exactly-once near-dup admission. Called from the warm phase so the
     * one-time build lands in `build_sec`; the registered query then
-    * measures replay+serve against the returned root/spool.
+    * measures replay+serve against the returned root/spool. The
+    * post-stream root + spool persist across apps under the lifecycle
+    * marker, so a warm fixture pays one fingerprint scan, not a
+    * rebuild.
     */
   def ensureCurated(s: SparkSession, d: String): (String, String, String,
       org.apache.spark.sql.types.StructType) = {
@@ -111,9 +149,7 @@ object StreamQueries {
       val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       val lmDir = LanguageModel.ensureLm(s, seed, s"${Artifact.root(d)}/unigram_lm_seed")
       val root = s"${Artifact.root(d)}/stream_curated"
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rootPath, true)
-      IncrementalIngest.init(s, seed, root)
+      val spool = s"${Artifact.root(d)}/stream_curated_spool"
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("partition")).orderBy(col("doc_id"))
       val wire = batch
@@ -126,14 +162,22 @@ object StreamQueries {
           (row_number().over(w) - 1).cast("long").as("offset"),
           lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"),
           lit(0).as("timestampType"))
-      val spool = scratchDir("graft-curated-wire")
-      wire.write.mode("overwrite").parquet(spool)
-      val wireStream = StreamSources.open(s,
-        FileSourceConfig(spool, "parquet", wire.schema))
-      val ckpt = scratchDir("graft-curated-ckpt")
-      val q = CuratedIngest.start(s, KafkaWireSource(wireStream, CuratedValueSchema),
-        ckpt, root, lmDir, maxMeanNll = 3.40625)
-      q.awaitTermination()
+      val fp = s"curated ${Artifact.fingerprint(docs, col("doc_id"), col("text"))}"
+      if (!markerContent(s, root).contains(fp) ||
+          Artifact.hasPendingMutation(s, root) || !dirExists(s, spool)) {
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(rootPath, true)
+        IncrementalIngest.init(s, seed, root)
+        wire.write.mode("overwrite").parquet(spool)
+        val wireStream = StreamSources.open(s,
+          FileSourceConfig(spool, "parquet", wire.schema))
+        val ckpt = scratchDir("graft-curated-ckpt")
+        val q = CuratedIngest.start(s, KafkaWireSource(wireStream, CuratedValueSchema),
+          ckpt, root, lmDir, maxMeanNll = 3.40625)
+        q.awaitTermination()
+        writeMarker(s, root, fp)
+      }
       (root, spool, lmDir, wire.schema)
     })
 
@@ -166,18 +210,23 @@ object StreamQueries {
           import graft.ext.{Artifact, MediaFeatures}
           val docs = Tables.documents(s, d).select(col("doc_id"))
           val root = s"${Artifact.root(d)}/stream_media"
-          val rootPath = new org.apache.hadoop.fs.Path(root)
-          rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .delete(rootPath, true)
-          MediaFeatures.ensure(s,
-            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
+          val spool = s"${Artifact.root(d)}/stream_media_spool"
           val arrivals = MediaIngest.fixtureArrivals(s, docs)
-          val spool = scratchDir("graft-media-arrivals")
-          arrivals.write.mode("overwrite").parquet(spool)
-          val ckpt = scratchDir("graft-media-ingest-ckpt")
-          val q = MediaIngest.start(s,
-            FileSourceConfig(spool, "parquet", arrivals.schema), ckpt, root)
-          q.awaitTermination()
+          val fp = s"media ${Artifact.fingerprint(docs, col("doc_id"))}"
+          if (!markerContent(s, root).contains(fp) ||
+              Artifact.hasPendingMutation(s, root) || !dirExists(s, spool)) {
+            val rootPath = new org.apache.hadoop.fs.Path(root)
+            rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .delete(rootPath, true)
+            MediaFeatures.ensure(s,
+              docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
+            arrivals.write.mode("overwrite").parquet(spool)
+            val ckpt = scratchDir("graft-media-ingest-ckpt")
+            val q = MediaIngest.start(s,
+              FileSourceConfig(spool, "parquet", arrivals.schema), ckpt, root)
+            q.awaitTermination()
+            writeMarker(s, root, fp)
+          }
           (root, spool, arrivals.schema)
         })
       }

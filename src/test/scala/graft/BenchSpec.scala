@@ -77,6 +77,31 @@ class BenchSpec extends AnyFunSuite {
       "a real regression must still be caught on a hot host")
   }
 
+  test("drift scalar is capped: a uniform code regression cannot vanish into it") {
+    // a change that slows EVERY query 3× is indistinguishable from
+    // host heat by the median alone — the cap (1.5, above the VM's
+    // observed thermal band) stops the floors from stretching with it,
+    // so the regressed queries DO flag and the slowdown surfaces in
+    // retimed counts + totals instead of disappearing (r16 advice).
+    // Detection threshold for a UNIFORM slowdown is cap×multiplier =
+    // 2.25×; between the thermal band and that line the retime gate
+    // stays quiet by design and the engine-independent probe_ratio in
+    // the bench line is the signal that says which case it was.
+    val hist = (1 to 20).map(i => s"q$i" -> (0.5 + i * 0.1)).toMap
+    val slowCode = hist.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((n, h), i) => (n, 3.0 * h, i * 1000L)
+    }
+    val drift = Bench.driftScalar(slowCode, hist)
+    assert(drift == 1.5, s"scalar must cap at 1.5, got $drift")
+    def floor(n: String) = Bench.historyFloor(hist(n), drift)
+    val flagged = Bench.retryOrder(slowCode, floor)
+    assert(flagged.size == 20,
+      s"a uniform 3x regression must flag everywhere, got ${flagged.size}")
+    // the probe is engine-independent and strictly positive
+    val p = Bench.hostProbe()
+    assert(p > 0.0 && p < 30.0, s"probe out of range: $p")
+  }
+
   test("drift replay of the committed r15 hot-host line") {
     // the real data the protocol change exists for: the r15 driver
     // gate line (uniformly hot) against the committed builder history
