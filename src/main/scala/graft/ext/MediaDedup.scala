@@ -490,8 +490,11 @@ object MediaDedup {
     * resolution), this tier compares the resolution-NORMALIZED frame
     * means — exact cross-multiplied integer equality
     * `a_vec[f]·(b_w·b_h) = b_vec[f]·(a_w·a_h)` for every frame, which
-    * any mean-preserving resize (nearest-neighbor integer upscaling,
-    * average-pooling downscale) satisfies bit-for-bit. The
+    * any EXACTLY mean-preserving resize satisfies bit-for-bit —
+    * nearest-neighbor integer upscaling always; average-pooling
+    * downscales when the block sums divide evenly (integer rounding
+    * otherwise perturbs the mean by <1/block, a near-miss this exact
+    * tier deliberately does not chase). The
     * sign-of-delta fingerprint ([[MediaFeatures.videoFpCol]]) is
     * already scale-invariant (positive scaling preserves strict
     * order), so the same bucket key works — candidates bucket on
