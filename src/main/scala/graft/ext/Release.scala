@@ -191,6 +191,10 @@ object Release {
       // path needs no fixture dir): a warm fixture reads the released
       // corpus back instead of re-running the 6+ s chain per session.
       // The _DONE marker commits the write; a crash mid-write rebuilds.
+      // Growth is one entry per distinct corpus ever released (shared
+      // across fixtures, so entries must never be pruned by "not the
+      // current fixture's fingerprint"); a deployment would retire old
+      // fingerprints by retention policy, not by this library.
       val dir = s"target/artifacts/release_memo/${fp.replace(':', '_')}"
       val done = new org.apache.hadoop.fs.Path(s"$dir/_DONE")
       val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
