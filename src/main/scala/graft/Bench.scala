@@ -121,8 +121,12 @@ object Bench {
     * 1.04) during a run whose drift scalar read 1.42 on IDENTICAL
     * code — this VM's drift lives in multi-core throughput
     * (hypervisor steal / memory bandwidth under parallel load), which
-    * only a parallel workload feels. The thread count is FIXED at the
-    * gate's SPARK_GRAFT_CPUS so probe times compare across rounds.
+    * only a parallel workload feels. The thread count is a FIXED
+    * constant (8) — deliberately NOT derived from SPARK_GRAFT_CPUS, so
+    * probe times stay comparable across rounds even if the gate's CPU
+    * setting ever changes; [[probeHistory]] filters on `probe_v`, and
+    * a probe-shape change (thread count included) must bump
+    * [[ProbeVersion]].
     * Its time moves with host contention and NEVER with engine code,
     * so `probe_sec / historical-min-probe` is the load signal that
     * cross-checks the drift scalar: a hot host raises both; a uniform

@@ -49,6 +49,7 @@ object Bucketed {
     val meta = s"bucketed v1 buckets=$buckets fp=${Artifact.fileFingerprint(spark,
       s"$dir/lineitem.parquet", s"$dir/orders.parquet")}"
     val registered = spark.catalog.tableExists(liName) && spark.catalog.tableExists(ordName)
+    val anyRegistered = spark.catalog.tableExists(liName) || spark.catalog.tableExists(ordName)
     // Fresh-session fast path: the bucketed FILES persist under the
     // warehouse, but the in-memory catalog forgets them with the app —
     // a full two-table rewrite per session for byte-identical data.
@@ -58,7 +59,12 @@ object Bucketed {
     // the declared spec expects), paying a listing instead of a write.
     // BucketedJoinSpec's zero-Exchange plan pin fails loud if a
     // re-registration ever lies about the layout.
-    if (!registered && !Artifact.hasPendingMutation(spark, root) &&
+    // Gated on NEITHER table being registered: with exactly one still
+    // registered as a MANAGED table, the fast path's DROP would delete
+    // its warehouse directory and re-declare an external table over the
+    // now-empty location — a silently empty bucketed table. The partial
+    // state falls through to the full rebuild below instead.
+    if (!anyRegistered && !Artifact.hasPendingMutation(spark, root) &&
         Artifact.readMeta(spark, root).contains(meta)) {
       val warehouse = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"))

@@ -183,14 +183,26 @@ object Release {
     * the memo entry).
     */
   def releaseCached(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val fp = Artifact.fingerprint(docs, col("doc_id"), col("text"))
+    // the fingerprint covers EVERY input column the chain reads:
+    // `source` survives markup extraction into the released text/md5
+    // and `lang` is carried to the output, so a corpus whose lang or
+    // source changed under identical (doc_id, text) must re-key — with
+    // the persisted memo an under-keyed fingerprint would serve a stale
+    // released corpus across sessions, not just within one app
+    val fp = Artifact.fingerprint(docs,
+      col("doc_id"), col("text"), col("lang"), col("source"))
     ServingMemo.cached(releaseMemo,
       s"${spark.sparkContext.applicationId}#release", fp.toString) {
       // the chain is deterministic per corpus fingerprint, so its
       // result PERSISTS across apps (keyed on the fingerprint — the
       // path needs no fixture dir): a warm fixture reads the released
       // corpus back instead of re-running the 6+ s chain per session.
-      // The _DONE marker commits the write; a crash mid-write rebuilds.
+      // The _DONE marker commits the write, and the write runs under
+      // the house pending-mutation window (begin before the overwrite,
+      // end after the marker) so a concurrent reader of the same
+      // fingerprint key sees either the committed store or a
+      // mid-mutation state it rebuilds from — never a half-written
+      // directory served as fresh. A crash mid-write rebuilds.
       // Growth is one entry per distinct corpus ever released (shared
       // across fixtures, so entries must never be pruned by "not the
       // current fixture's fingerprint"); a deployment would retire old
@@ -198,13 +210,15 @@ object Release {
       val dir = s"target/artifacts/release_memo/${fp.replace(':', '_')}"
       val done = new org.apache.hadoop.fs.Path(s"$dir/_DONE")
       val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(done)) {
+      if (fs.exists(done) && !Artifact.hasPendingMutation(spark, dir)) {
         val rel = spark.read.parquet(s"$dir/rel")
         ServingMemo.Entry(rel, Seq.empty)
       } else {
         val rel = release(docs).localCheckpoint()
+        Artifact.beginMutation(spark, dir)
         rel.write.mode("overwrite").parquet(s"$dir/rel")
         fs.create(done, true).close()
+        Artifact.endMutation(spark, dir)
         ServingMemo.Entry(rel, Seq(rel))
       }
     }

@@ -267,9 +267,18 @@ object KeyValue {
       val out = srcFs.create(srcFpPath, true)
       try out.write(srcFp.getBytes("UTF-8")) finally out.close()
     }
+    // The srcmeta match alone is not evidence the STORE survived: a
+    // partially deleted root (store or daymeta removed, srcmeta left)
+    // would be served as fresh and fail only at read time — and
+    // writeSrcFp() at the bottom re-arms the fast path even on the
+    // incremental branch, making the broken state sticky. Require both
+    // directories to still exist, else fall back to the fingerprint scan
+    // (whose full-rebuild branch recreates them).
     if (!Artifact.hasPendingMutation(spark, root) &&
         Artifact.readMeta(spark, root).contains(metaLine) &&
-        readSrcFp.contains(srcFp))
+        readSrcFp.contains(srcFp) &&
+        srcFs.exists(new org.apache.hadoop.fs.Path(storePath)) &&
+        srcFs.exists(new org.apache.hadoop.fs.Path(s"$root/daymeta")))
       return storePath
 
     val current = dayFingerprints(spark, dir).collect()
@@ -292,8 +301,12 @@ object KeyValue {
         .coalesce(1).write.mode("overwrite").parquet(s"$root/daymeta")
 
     if (Artifact.hasPendingMutation(spark, root) ||
-        !Artifact.readMeta(spark, root).contains(metaLine)) {
-      // full (re)build: dimension changed, first build, or crashed refresh
+        !Artifact.readMeta(spark, root).contains(metaLine) ||
+        !srcFs.exists(new org.apache.hadoop.fs.Path(storePath)) ||
+        !srcFs.exists(new org.apache.hadoop.fs.Path(s"$root/daymeta"))) {
+      // full (re)build: dimension changed, first build, crashed refresh,
+      // or a partially deleted root (the incremental branch below READS
+      // daymeta, so a missing directory must land here, not there)
       writeAllDays(current.keys.toSeq.sorted)
       writeDayMeta()
       Artifact.endMutation(spark, root)
