@@ -11,6 +11,20 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Partition-discovery listing job sizing (r18 optimization,
+      // guide §6 small-files): Spark's default
+      // parallelPartitionDiscovery.parallelism is 10000, which on a
+      // many-partition table (the day-partitioned serving store has
+      // ~2.5k `d=` directories) schedules ONE LISTING TASK PER
+      // DIRECTORY — ~2.5k tasks of microseconds of work each, ~4-6 s
+      // of pure scheduling overhead per discovery. Cap the listing job
+      // at 4 tasks per core (floor 32): the same listing in ~20-40
+      // paths per task. Scale-adaptive via the core count, not a local
+      // constant; on a real cluster the cap scales with executors, and
+      // fewer, larger listing tasks is exactly what object-store
+      // listing wants too.
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        (math.max(32, 4 * shufflePartitions.toIntOption.getOrElse(8))).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 only reads it as
       // a long; graft.Tables.events converts to µs TimestampType.

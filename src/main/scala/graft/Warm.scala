@@ -95,8 +95,8 @@ object Warm {
       step(s"warmVocab:$lm")(graft.ext.LanguageModel.warmVocab(spark, s"${Artifact.root(d)}/$lm"))
     step("nbclass")(graft.ext.Classifier.ensureNb(spark, graft.ext.Classifier.fixtureSeed(docs),
       s"${Artifact.root(d)}/nbclass"))
-    step("lrclass")(graft.ext.LrClassifier.ensureLr(spark,
-      graft.ext.LrClassifier.fixtureSeed(docs), s"${Artifact.root(d)}/lrclass"))
+    step("lrclass")(graft.ext.LrClassifier.ensureLrFixture(spark, docs,
+      s"${Artifact.root(d)}/lrclass"))
     step("bigram_lm")(graft.ext.BigramModel.ensureLm2(spark, docs, s"${Artifact.root(d)}/bigram_lm"))
     // same memo priming for the classifier and bigram serving preps
     step("warmServing:nb")(graft.ext.Classifier.warmServing(spark, s"${Artifact.root(d)}/nbclass"))

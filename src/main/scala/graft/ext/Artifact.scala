@@ -31,11 +31,51 @@ private[graft] object Artifact {
     * identifying columns — one narrow scan, no shuffle. NOTE: the
     * hash-sum is additive (exploited by the append paths) but thereby
     * collision-weakened — a freshness guard, never a correctness check.
+    *
+    * Session-memoized for deterministic, fully FILE-BACKED frames
+    * (r18 optimization): every artifact serve pays this scan for its
+    * freshness check, and one bench session fingerprints the same
+    * handful of fixture-derived frames 60+ times. When the frame's
+    * content is provably a pure function of its input files
+    * ([[org.apache.spark.sql.graftbridge.bridge.deterministicFileKey]]:
+    * all leaves are file relations, no non-deterministic expression),
+    * the result is memoized under (session, canonical plan, columns,
+    * input file paths+sizes+mtimes). A rewritten input can never
+    * collide with its old key — Spark part-file names are unique per
+    * write, and size/mtime guard hand-written files — so a memo hit is
+    * exactly the value a recompute would produce. Non-file-backed or
+    * non-deterministic plans (localCheckpoints, in-memory test frames,
+    * rand()) always recompute, and so do scans over more than 4096
+    * input files (per-file stat cost would rival the scan).
     */
   def fingerprint(df: DataFrame, cols: Column*): String = {
-    val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    def compute(): String = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).head()
+      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
+    org.apache.spark.sql.graftbridge.bridge.deterministicFileKey(df) match {
+      case Some(planKey) =>
+        val files = df.inputFiles
+        if (files.isEmpty || files.length > 4096) compute()
+        else {
+          val conf = df.sparkSession.sparkContext.hadoopConfiguration
+          val listing = files.sorted.map { f =>
+            val p = new Path(f)
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            s"$f:${st.getLen}:${st.getModificationTime}"
+          }.mkString("|")
+          val key = java.util.UUID.nameUUIDFromBytes(
+            (System.identityHashCode(df.sparkSession).toString + "§" + planKey + "§" +
+              cols.mkString(",") + "§" + listing).getBytes("UTF-8")).toString
+          fpMemo.getOrElseUpdate(key, compute())
+        }
+      case None => compute()
+    }
   }
+
+  // fingerprint memo: value strings are tiny; growth is bounded by
+  // distinct (plan, file-set) pairs ever fingerprinted in the JVM
+  private val fpMemo = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** File-level fingerprint over input table paths: a digest of every
     * file's (path relative to its input root, size, modification time) —

@@ -964,7 +964,7 @@ object ExtQueries {
     // SQL (the k-means/BPE pattern) and the corpus scores hash-match.
     "classify_lr_scores" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = LrClassifier.ensureLr(s, LrClassifier.fixtureSeed(docs),
+      val dir = LrClassifier.ensureLrFixture(s, docs,
         s"${Artifact.root(d)}/lrclass")
       LrClassifier.score(s, docs, dir).orderBy(col("doc_id"))
     }),
@@ -972,7 +972,7 @@ object ExtQueries {
     // The filter decision at the dyadic p >= 1/2 threshold.
     "classify_lr_pred" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = LrClassifier.ensureLr(s, LrClassifier.fixtureSeed(docs),
+      val dir = LrClassifier.ensureLrFixture(s, docs,
         s"${Artifact.root(d)}/lrclass")
       LrClassifier.predict(s, docs, dir).orderBy(col("doc_id"))
     }),
@@ -984,7 +984,7 @@ object ExtQueries {
     // not only by LrClassifierSpec.
     "classify_lr_report" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = LrClassifier.ensureLr(s, LrClassifier.fixtureSeed(docs),
+      val dir = LrClassifier.ensureLrFixture(s, docs,
         s"${Artifact.root(d)}/lrclass")
       LrClassifier.agreementReport(s, docs, dir).orderBy(col("segment"))
     }),

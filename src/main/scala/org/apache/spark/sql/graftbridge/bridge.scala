@@ -26,4 +26,29 @@ object bridge {
   /** The analyzed plan of a DataFrame (to build new plan nodes on top). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** A stable memo key for a frame whose content is fully determined
+    * by its input FILES: `Some(canonicalized-plan string)` when every
+    * leaf of the analyzed plan is a file-source relation and no
+    * expression anywhere in the plan is non-deterministic; `None`
+    * otherwise (in-memory relations, localCheckpoints, streaming
+    * sources, rand()...). Callers must additionally key on the input
+    * file listing (paths + sizes + mtimes — `df.inputFiles`) because
+    * the canonicalized plan normalizes away data identity; together
+    * the two determine the frame's content exactly, since the plan's
+    * operators are all deterministic functions of the files.
+    */
+  def deterministicFileKey(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed
+    val leaves = plan.collectLeaves()
+    val fileBacked = leaves.nonEmpty && leaves.forall {
+      case l: LogicalRelation => l.relation.isInstanceOf[HadoopFsRelation]
+      case _ => false
+    }
+    if (!fileBacked) None
+    else if (plan.find(p =>
+        p.expressions.exists(e => e.exists(!_.deterministic))).isDefined) None
+    else Some(plan.canonicalized.toString)
+  }
 }
