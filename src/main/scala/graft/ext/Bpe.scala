@@ -32,13 +32,17 @@ import org.apache.spark.sql.functions._
   * every symbol individually wrapped so matches anchor on whole symbols
   * and adjacent matches share no characters).
   *
-  * Deliberately NOT a persisted delta-lifecycle artifact (unlike the
+  * Deliberately NOT a delta-lifecycle artifact (unlike the
   * NB/unigram/bigram/inverted-index family): the merge list is an
   * order-sensitive chain of global argmaxes, so there is no O(batch)
   * append that preserves it — any corpus change can reorder round 1 and
   * invalidate everything after. Tokenizers are retrained, not patched;
   * pretending otherwise would be a correctness bug dressed as a feature.
-  * Within a session the result is memoized per fixture dir.
+  * The TRAINED result is still a persisted, fingerprint-guarded
+  * artifact ([[trained]], r18): any corpus or parameter change triggers
+  * a FULL retrain — never an append — and an unchanged corpus serves
+  * the stored merge list + vocabulary segmentation instead of
+  * re-training identically every session.
   */
 object Bpe {
 
@@ -110,20 +114,43 @@ object Bpe {
   }
 
   /** Session-scoped memo: queries share one training run per fixture
-    * dir (three queries would otherwise re-train identically; see the
-    * class doc for why this is a cache and not a persisted artifact).
+    * dir (three queries would otherwise re-train identically).
     */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[Merge], DataFrame)]
 
+  /** Trained tokenizer, persisted as a fingerprint-guarded artifact
+    * (r18 optimization): the merge list + final vocabulary
+    * segmentation are written once per corpus content and re-served
+    * across sessions — every warm phase previously re-trained the
+    * identical tokenizer (~1.9 s of the bench build line). This is
+    * NOT a delta lifecycle (the class-doc argument stands: the merge
+    * chain of global argmaxes admits no O(batch) append) — `ensure`
+    * does a FULL retrain on any corpus or parameter change, which is
+    * exactly "tokenizers are retrained, not patched" made persistent:
+    * a shipped tokenizer is an artifact, not a per-session scratch
+    * value. Within a session the loaded result is memoized as before
+    * (the application id scopes entries to the live SparkContext).
+    */
   def trained(spark: SparkSession, docs: DataFrame, key: String,
               nMerges: Int = 8): (Seq[Merge], DataFrame) =
-    // the application id scopes the entry to the live SparkContext — a
-    // later session in the same JVM must retrain, not inherit
-    // checkpointed state bound to a stopped context
     memo.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}#$key#$nMerges",
-      train(docs, nMerges))
+      s"${spark.sparkContext.applicationId}#$key#$nMerges", {
+        val dir = s"${Artifact.root(key)}/bpe_m$nMerges"
+        Artifact.ensure(spark, dir,
+          s"bpe v1 m=$nMerges fp=" +
+            Artifact.fingerprint(docs, col("doc_id"), col("text"))) {
+          val (m, st) = train(docs, nMerges)
+          mergeTable(spark, m).coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/merges")
+          st.write.mode("overwrite").parquet(s"$dir/state")
+        }
+        val m = spark.read.parquet(s"$dir/merges")
+          .orderBy(col("merge_rank")).collect()
+          .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSeq
+        (m, spark.read.parquet(s"$dir/state"))
+      })
 
   /** The learned merge table as a DataFrame (merge_rank, lhs, rhs,
     * pair_n) — rank order IS the application order.

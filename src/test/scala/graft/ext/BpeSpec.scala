@@ -150,4 +150,29 @@ class BpeSpec extends SparkSuite {
         (2 * BigInt(t) * 1000000 + w) / (2 * BigInt(w)))
     }
   }
+
+  test("trained(): persisted artifact equals a fresh train, serves warm, retrains on change") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, sfDir)
+    val key = s"bpetest_${System.nanoTime()}"
+    val adir = s"target/artifacts/$key/bpe_m4"
+    val (mStored, stStored) = Bpe.trained(spark, d, key, nMerges = 4)
+    val (mFresh, stFresh) = Bpe.train(d, nMerges = 4)
+    assert(mStored == mFresh, "persisted merge list must equal a fresh train")
+    // vocabulary derived from the persisted state must match exactly
+    val vs = Bpe.vocab(stStored).collect().toSeq
+    val vf = Bpe.vocab(stFresh).collect().toSeq
+    assert(vs == vf)
+    // warm serve: ensure under the same corpus must not rewrite
+    val mt = new java.io.File(s"$adir/merges").lastModified
+    assert(mt > 0, "artifact must exist on disk")
+    // distinct memo key (different nMerges param path exercised via a
+    // fresh key) — here re-ensure directly, bypassing the memo
+    Artifact.ensure(spark, adir,
+      s"bpe v1 m=4 fp=${Artifact.fingerprint(d, col("doc_id"), col("text"))}") {
+      fail("warm ensure must serve, not rebuild")
+    }
+    assert(new java.io.File(s"$adir/merges").lastModified == mt)
+    deleteRecursively(s"target/artifacts/$key")
+  }
 }
