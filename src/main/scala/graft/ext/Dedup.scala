@@ -913,8 +913,15 @@ object Dedup {
     */
   def dupSpanStats(docs: DataFrame, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val occ = docs.select(col("doc_id"), explode(positionalGramHashes(k)).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    // The gram table feeds BOTH the cross-document aggregate and the
+    // coverage join; without a checkpoint Catalyst plans two full
+    // gram-hash passes (split + per-pos slice/join/hash is the hot
+    // 90% of the query — r18 plan audit: two identical Generate
+    // subtrees over the documents scan). localCheckpoint materializes
+    // it once; both consumers then read the ~k-gram rows, not the
+    // string pipeline. Deterministic (pure function of the corpus), so
+    // results are unchanged.
+    val occ = positionalGramRows(docs, k).localCheckpoint()
     val crossDoc = occ.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select(col("h"))
@@ -935,19 +942,25 @@ object Dedup {
           col("n_tokens").cast("double"), 6).as("dup_fraction"))
   }
 
-  /** One positional k-gram hash per token position — `(pos, h)` structs,
-    * 1-based, empty for docs shorter than k tokens. The token array is
-    * bound once as a lambda variable (the [[shingles]] lesson) so `split`
-    * runs once per document, not once per gram. Shared by
-    * [[dupSpanStats]] and [[rewriteDupSpans]].
+  /** One positional k-gram hash per token position — `(doc_id, pos, h)`
+    * rows, 1-based, empty for docs shorter than k tokens. Explode the
+    * positions FIRST, hash in the projection after the Generate (the
+    * [[winnowFingerprints]] lesson): expressions inside a `transform`
+    * lambda run interpreted, and the per-gram slice/join/hash is the
+    * hot 90% of the substring family — in WholeStageCodegen the
+    * Generate loop evaluates the hash per position without
+    * re-materializing the token array. Identical hash values (same
+    * strings, same xxhash64), so downstream equality classes are
+    * unchanged. Shared by [[dupSpanStats]] and [[rewriteDupSpans]].
     */
-  private def positionalGramHashes(k: Int): Column =
-    element_at(transform(array(split(col("text"), " ")), toks =>
-      when(size(toks) < k,
-          array().cast("array<struct<pos:int,h:bigint>>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - lit(k - 1)), i =>
-          struct(i.cast("int").as("pos"),
-            xxhash64(array_join(slice(toks, i, lit(k)), " ")).as("h"))))), 1)
+  private def positionalGramRows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= k,
+            sequence(lit(1), size(col("toks")) - lit(k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(array_join(slice(col("toks"), col("pos"), lit(k)), " ")).as("h"))
 
   /** ExactSubstr REWRITE (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better" — the removal step, where
@@ -976,13 +989,26 @@ object Dedup {
     * text_rewrite)`.
     */
   def rewriteDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val occ = docs.select(col("doc_id"), explode(positionalGramHashes(k)).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    // Same single-materialization discipline as [[dupSpanStats]]: the
+    // gram table feeds the keeper aggregate AND the drop join — one
+    // gram-hash pass, not two.
+    val occ = positionalGramRows(docs, k).localCheckpoint()
+    // argmin(doc_id, pos) PACKED into one long: `min(struct(...))` has
+    // no mutable-buffer form, so Catalyst plans the whole gram stream
+    // through SortAggregate (two in-partition sorts, r18 plan audit).
+    // doc_id occupies the high bits, pos (int, 1-based) the low 31, so
+    // the long min IS the lexicographic struct min while the aggregate
+    // stays a codegen HashAggregate with map-side partials. Domain
+    // bound (documented, not data-dependent): doc_id < 2^32 and
+    // 0 < pos < 2^31 — pos is an int position, and the packing keeps
+    // doc_id * 2^31 + pos inside a signed long for every fixture and
+    // any realistic per-corpus id space.
+    val packed = shiftleft(col("doc_id"), 31) + col("pos")
     val keepers = occ.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
-        min(struct(col("doc_id"), col("pos"))).as("keep"))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("h"), col("keep.doc_id").as("kd"), col("keep.pos").as("kp"))
+      .agg(min(packed).as("kpk"), max(col("doc_id")).as("mx"))
+      .filter(shiftright(col("kpk"), 31) =!= col("mx"))
+      .select(col("h"), shiftright(col("kpk"), 31).as("kd"),
+        col("kpk").bitwiseAND(lit((1L << 31) - 1)).cast("int").as("kp"))
     val drops = occ.join(keepers, Seq("h"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tpos"),
@@ -1028,7 +1054,19 @@ object Dedup {
     *
     * Output: `(doc_id, pos, h)`, one row per selected fingerprint.
     */
-  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    winnowSelected(docs, k, w).distinct()
+
+  /** The winnowing selection BEFORE the distinct — one row per valid
+    * window start, so a fingerprint chosen by several windows repeats.
+    * [[winnowFingerprints]] dedups on (doc_id, pos, h);
+    * [[winnowOverlapPairs]] only needs distinct (doc_id, h) and
+    * dedups on that directly — a distinct of a projection of a
+    * distinct is the distinct of the projection, and skipping the
+    * intermediate saves a full exchange+aggregate of the selection
+    * stream (r18, guide §2.4).
+    */
+  private def winnowSelected(docs: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Gram generation stays OUTSIDE higher-order-function lambdas:
     // expressions inside `transform` run interpreted (no codegen), and
@@ -1058,7 +1096,6 @@ object Dedup {
         min(struct(col("ord"), col("pos"), col("h"))).over(byPos.rowsBetween(0, w - 1)))
       .filter(col("pos") <= greatest(lit(1), col("n") - lit(w - 1)))
       .select(col("doc_id"), col("wsel.pos").as("pos"), col("wsel.h").as("h"))
-      .distinct()
   }
 
   /** Document-overlap pairs from shared winnowing fingerprints — the
@@ -1073,7 +1110,7 @@ object Dedup {
     */
   def winnowOverlapPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
                          maxBucket: Int = 64): DataFrame =
-    winnowFingerprints(docs, k, w)
+    winnowSelected(docs, k, w)
       .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("m"))
