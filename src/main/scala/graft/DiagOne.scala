@@ -19,7 +19,10 @@ object DiagOne {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        if (sys.env.contains("SPARK_GRAFT_DIAG_JOBS"))
+          println(s"[diagjob] ${j.jobId} ${j.properties.getProperty("callSite.short")}")
+        ()
       }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()

@@ -17,13 +17,64 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan-parallelism floor for the FACT tables (guide
+    * §2.5, input skew: "one huge unsplittable file … repartition
+    * immediately after the read"). The driver fixture ships each table
+    * as ONE single-row-group parquet file, which no split setting can
+    * open in parallel — a row group is assigned to exactly one task —
+    * so the whole scan STAGE, including the heavy per-row work
+    * whole-stage codegen fuses into it (gram hashing, media decode,
+    * decimal partial aggregation), runs on one core while the rest of
+    * the machine idles (measured: a10_cube ran 4 jobs / 6 tasks on 32
+    * cores). When the layout provably cannot reach the session's
+    * parallelism — fewer files than cores AND too few bytes for
+    * maxPartitionBytes to split further — redistribute rows once by a
+    * deterministic high-cardinality key: hash partitioning, so there
+    * is no sort-before-repartition pass and task retries are stable
+    * (no round-robin). On a real layout (≥cores files, or files big
+    * enough to split) the condition is false and NO exchange is added
+    * — at 100 TB this is the identity. Catalyst pushes predicates and
+    * column pruning through RepartitionByExpression, so PushedFilters/
+    * ReadSchema at the scan are unchanged. The decision (one listing +
+    * file stats) is memoized per (app, path, parallelism).
+    */
+  private val spreadMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def spread(s: SparkSession, dir: String, name: String,
+                     df: DataFrame, keyName: String): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    // test fixtures ship slimmer schemas (e.g. events without
+    // event_id) — a missing key column just skips the floor
+    if (!df.columns.contains(keyName)) return df
+    val narrow = spreadMemo.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}#$dir/$name#$p", {
+        val files = df.inputFiles
+        files.nonEmpty && files.length < p && {
+          val fs = new org.apache.hadoop.fs.Path(files.head)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val bytes = files.map { f =>
+            try fs.getFileStatus(new org.apache.hadoop.fs.Path(new java.net.URI(f))).getLen
+            catch { case _: Throwable => 0L }
+          }.sum
+          val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+          // even with perfect row-group alignment the scan cannot
+          // produce p splits from these bytes — the one case where an
+          // up-front redistribution is the only way to use the machine
+          math.max(files.length.toLong, bytes / maxSplit) < p
+        }
+      })
+    if (narrow) df.repartition(p, col(keyName)) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   =
+    spread(s, d, "orders", table(s, d, "orders"), "o_orderkey")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "lineitem", table(s, d, "lineitem"), "l_orderkey")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * read as a timestamp; sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader turns
@@ -33,7 +84,7 @@ object Tables {
     * on CAST, so both engines see identical instants.
     */
   def events(s: SparkSession, d: String): DataFrame =
-    normalizeEvents(table(s, d, "events"))
+    normalizeEvents(spread(s, d, "events", table(s, d, "events"), "event_id"))
 
   def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
@@ -46,8 +97,10 @@ object Tables {
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "documents", table(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "embeddings", table(s, d, "embeddings"), "vec_id")
 
   /** Decimal type wide enough for every fixture measure (prices < 1e6,
     * 2 fractional digits) while keeping sum results inside both Spark's

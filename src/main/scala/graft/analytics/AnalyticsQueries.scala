@@ -101,8 +101,12 @@ object AnalyticsQueries {
     // a11's engine-private approx_percentile: integer-grid histogram
     // bins (merge by addition at any parallelism), integral
     // interpolation, exact percentile + error bound riding along.
+    // a17 reads the RAW table (no scan-parallelism floor): the quantile
+    // pipeline materializes its own projected integer fact once and its
+    // many small jobs prefer the un-exchanged scan; at scale the floor
+    // is the identity so both forms are the same there
     "a17_histogram_quantiles" -> ((s, d) =>
-      Quantiles.histogramQuantiles(Tables.lineitem(s, d))
+      Quantiles.histogramQuantiles(Tables.table(s, d, "lineitem"))
         .orderBy(col("l_returnflag"), col("p"))),
 
     // Sketch-only serving shape of a17: the exact rider (a per-group
@@ -110,7 +114,7 @@ object AnalyticsQueries {
     // passes + a broadcast, near-flat in n. Fully integral, so it
     // hash-gates like the full report.
     "a17_histogram_serve" -> ((s, d) =>
-      Quantiles.histogramQuantileServe(Tables.lineitem(s, d))
+      Quantiles.histogramQuantileServe(Tables.table(s, d, "lineitem"))
         .drop("width_u")
         .orderBy(col("l_returnflag"), col("p"))),
 

@@ -123,7 +123,11 @@ object Quantiles {
   def histogramQuantileServe(lineitem: DataFrame, bins: Int = 256,
                              ps: Seq[(Int, Int)] = defaultPs): DataFrame = {
     require(bins > 0, s"bin count must be positive: $bins")
-    val cents = centsOf(lineitem)
+    // the projected integer fact — (group, cents), two narrow columns —
+    // feeds BOTH passes; materialized once so the second pass reads the
+    // 12-byte rows instead of re-running scan+project (and, on a
+    // narrow-layout input, the parallelism-floor exchange) per pass
+    val cents = centsOf(lineitem).localCheckpoint()
     // checkpointed like the full path: `ranges` feeds BOTH the binning
     // join and the sketch assembly — un-checkpointed, each broadcast
     // re-derived it from the raw data, making the "two-pass" serve
@@ -156,7 +160,10 @@ object Quantiles {
   def histogramQuantiles(lineitem: DataFrame, bins: Int = 256,
                          ps: Seq[(Int, Int)] = defaultPs): DataFrame = {
     require(bins > 0, s"bin count must be positive: $bins")
-    val cents = centsOf(lineitem)
+    // same single materialization of the projected integer fact as
+    // [[histogramQuantileServe]] — here it feeds THREE passes (ranges,
+    // bins, targeted-bin gather)
+    val cents = centsOf(lineitem).localCheckpoint()
     // tiny (per-group / per-(group, bin)) tables, referenced by several
     // branches below — checkpointed so no branch re-scans the raw data
     val ranges = rangesOf(cents).localCheckpoint()
