@@ -53,25 +53,35 @@ private[graft] object Artifact {
       val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).head()
       s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
     }
-    org.apache.spark.sql.graftbridge.bridge.deterministicFileKey(df) match {
-      case Some(planKey) =>
-        val files = df.inputFiles
-        if (files.isEmpty || files.length > 4096) compute()
-        else {
-          val conf = df.sparkSession.sparkContext.hadoopConfiguration
-          val listing = files.sorted.map { f =>
-            val p = new Path(f)
-            val st = p.getFileSystem(conf).getFileStatus(p)
-            s"$f:${st.getLen}:${st.getModificationTime}"
-          }.mkString("|")
-          val key = java.util.UUID.nameUUIDFromBytes(
-            (System.identityHashCode(df.sparkSession).toString + "§" + planKey + "§" +
-              cols.mkString(",") + "§" + listing).getBytes("UTF-8")).toString
-          fpMemo.getOrElseUpdate(key, compute())
-        }
+    deterministicMemoKey(df, cols.mkString(",")) match {
+      case Some(key) => fpMemo.getOrElseUpdate(key, compute())
       case None => compute()
     }
   }
+
+  /** The (session, canonical plan, tag, input file paths+sizes+mtimes)
+    * memo key behind [[fingerprint]]'s session memo, exposed for other
+    * deterministic per-input guards (e.g. [[MediaDedup]]'s id-headroom
+    * check): `Some(key)` exactly when a memo hit is provably the value
+    * a recompute would produce — the frame is a deterministic function
+    * of its input files and the file listing pins data identity.
+    */
+  private[ext] def deterministicMemoKey(df: DataFrame, tag: String): Option[String] =
+    org.apache.spark.sql.graftbridge.bridge.deterministicFileKey(df).flatMap { planKey =>
+      val files = df.inputFiles
+      if (files.isEmpty || files.length > 4096) None
+      else {
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        val listing = files.sorted.map { f =>
+          val p = new Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f:${st.getLen}:${st.getModificationTime}"
+        }.mkString("|")
+        Some(java.util.UUID.nameUUIDFromBytes(
+          (System.identityHashCode(df.sparkSession).toString + "§" + planKey + "§" +
+            tag + "§" + listing).getBytes("UTF-8")).toString)
+      }
+    }
 
   // fingerprint memo: value strings are tiny; growth is bounded by
   // distinct (plan, file-set) pairs ever fingerprinted in the JVM
@@ -219,13 +229,32 @@ private[graft] object Artifact {
     * fingerprint inside `meta` costs one narrow input scan per ensure —
     * amortized over the many queries a built artifact serves.
     */
-  def ensure(spark: SparkSession, dir: String, meta: String)(build: => Unit): String = {
-    if (hasPendingMutation(spark, dir) || !readMeta(spark, dir).contains(meta)) {
-      build
-      endMutation(spark, dir)
-      writeMeta(spark, dir, meta)
+  def ensure(spark: SparkSession, dir: String, meta: String)(build: => Unit): String =
+    ensureLockFor(dir).synchronized {
+      if (hasPendingMutation(spark, dir) || !readMeta(spark, dir).contains(meta)) {
+        build
+        endMutation(spark, dir)
+        writeMeta(spark, dir, meta)
+      }
+      dir
     }
-    dir
+
+  /** Per-directory build lock (r18 advice): the parallel warm phase
+    * runs `ensure` chains concurrently, and chain/directory
+    * disjointness was a hand-maintained comment-level invariant — a
+    * future regrouping that lands two ensures of one dir in different
+    * chains would race build/endMutation/writeMeta and could corrupt an
+    * artifact silently. One JVM-wide lock object per normalized dir
+    * makes concurrent ensures of the same artifact serialize (the
+    * second call then sees the fresh meta and no-ops); distinct dirs
+    * stay fully parallel.
+    */
+  private val ensureLocks =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  private def ensureLockFor(dir: String): AnyRef = {
+    val key = new Path(dir).toString
+    ensureLocks.putIfAbsent(key, new Object)
+    ensureLocks(key)
   }
 
   // ------------------- generation ledger + logical deletion (shared

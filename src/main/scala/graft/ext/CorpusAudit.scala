@@ -78,9 +78,17 @@ object CorpusAudit {
     * so the result is collision-proof.
     */
   private[ext] def overlapCandidates(docs: DataFrame, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // hash-stable source id, not row_number over a global window: the
+    // partitionless window serializes the (dimension-sized) source
+    // table through ONE task and warns on every run; xxhash64 gives a
+    // deterministic distinct id with no sort and no single-partition
+    // stage. The id only feeds the min≠max multi-source test — a
+    // 64-bit collision between two of a corpus's handful of sources
+    // (~1e-19 at 10⁴ sources) could only DROP a candidate, and the
+    // exact string-keyed second stage never sees it; candidates remain
+    // collision-proof in the ADD direction as before.
     val sids = docs.select(col("source")).distinct()
-      .withColumn("sid", row_number().over(Window.orderBy(col("source"))))
+      .withColumn("sid", xxhash64(col("source")))
     gramKeys(docs, w)
       .join(broadcast(sids), Seq("source"))
       .groupBy(col("hk"))
@@ -119,7 +127,7 @@ object CorpusAudit {
     // broadcast hard cap is NOT the binding limit — a default-sized
     // driver OOMs building a 64M-row relation well before it (r9
     // advice), so the guard has to track the heap actually present.
-    val cand = overlapCandidates(docs, w).localCheckpoint()
+    val cand = overlapCandidates(docs, w).localCheckpoint(false) // lazy: count() below materializes
     // Sentinel: negative = auto-derive from heap; 0 and positive are
     // taken literally (0 = never broadcast) — overloading 0 as the
     // auto sentinel would silently re-enable broadcasting for a caller

@@ -701,28 +701,46 @@ object Dedup {
     // whole upstream pair-generation pipeline (e.g. LSH banding).
     val symWide = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it
     // Coalesce the superstep frames to an edge-count-sized width (narrow,
     // reads the already-materialized checkpoint blocks) so each round's
     // map stages don't pay 32 tasks to move a few thousand rows.
-    val p = compactPartitions(symWide.count(), symWide)
-    val sym = symWide.coalesce(p)
+    val nEdges = symWide.count()
+    // Empty graph: no nodes to label — skip the superstep loop (and its
+    // per-round driver actions) outright.
+    if (nEdges == 0)
+      return symWide.select(col("src").as("doc_id"), col("src").as("group_id"))
+    val p = compactPartitions(nEdges, symWide)
+    // Pre-partition the superstep inputs BY THEIR JOIN KEYS (guide
+    // §2.4, share one exchange): sym hash-partitioned by dst and lab by
+    // id make the per-round neighbor join exchange-free, and the
+    // groupBy(src) output is itself hash(src=id, p), so the label-merge
+    // join is exchange-free too — one exchange per superstep instead of
+    // three (each exchange is a separate AQE stage job; on a
+    // many-round graph the rounds are pure sequential driver latency).
+    // localCheckpoint preserves outputPartitioning (LogicalRDD carries
+    // it), so the cached frames keep satisfying the join distribution.
+    val sym = symWide.repartition(p, col("dst")).localCheckpoint(false)
     // Label checkpoints are lazy: the convergence count is the action
     // that materializes each superstep (one job per superstep, not two).
-    var lab = sym.select(col("src").as("id")).distinct()
+    var lab = sym.select(col("src").as("id")).repartition(p, col("id"))
+      .distinct() // over hash(id, p): no second exchange
       .select(col("id"), col("id").as("label"))
-      .coalesce(p)
       .localCheckpoint(false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym.join(lab, sym("dst") === lab("id"))
+        .select(col("src"), col("label"))
+        // the round's ONE exchange, pinned to p so the aggregate output
+        // is hash(src=id, p) and the label-merge join below stays
+        // exchange-free against the hash(id, p) label frame
+        .repartition(p, col("src"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_min"))
       val next = lab.withColumnRenamed("label", "old")
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nbr_min"), col("old"))).as("label"))
-        .coalesce(p)
         .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
       lab = next.select(col("id"), col("label"))
@@ -921,7 +939,7 @@ object Dedup {
     // it once; both consumers then read the ~k-gram rows, not the
     // string pipeline. Deterministic (pure function of the corpus), so
     // results are unchanged.
-    val occ = positionalGramRows(docs, k).localCheckpoint()
+    val occ = pinGrams(positionalGramRows(docs, k), docs, k)
     val crossDoc = occ.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select(col("h"))
@@ -940,6 +958,36 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_fraction"))
+  }
+
+  /** Byte budget above which the positional gram table is NOT
+    * localCheckpointed (r18 verdict item 3): the gram stream is ~k×
+    * the corpus token count, and localCheckpoint pins it to executor
+    * local disk with NO lineage recovery — at 100 TB that is tens of
+    * TB of non-reliable storage and an executor loss kills the query.
+    * Below the budget (every fixture; any corpus where the pin is
+    * cheap) the single-materialization plan wins; above it the two
+    * consumers recompute the gram pass — two scans beat an
+    * unrecoverable multi-TB pin. Plan-time decision from the input
+    * FILE bytes (no job): gram-row bytes ≈ tokenized text bytes × k /
+    * compression, bounded here by fileBytes × k × 4.
+    */
+  private val GramPinBudgetBytes = 8L << 30
+  private def pinGrams(grams: DataFrame, docs: DataFrame, k: Int): DataFrame = {
+    val fileBytes =
+      try {
+        val files = docs.inputFiles
+        if (files.isEmpty) 0L
+        else {
+          val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+          files.map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          }.sum
+        }
+      } catch { case _: Throwable => Long.MaxValue } // unknown: don't pin
+    if (fileBytes * k * 4 <= GramPinBudgetBytes) grams.localCheckpoint()
+    else grams
   }
 
   /** One positional k-gram hash per token position — `(doc_id, pos, h)`
@@ -992,7 +1040,7 @@ object Dedup {
     // Same single-materialization discipline as [[dupSpanStats]]: the
     // gram table feeds the keeper aggregate AND the drop join — one
     // gram-hash pass, not two.
-    val occ = positionalGramRows(docs, k).localCheckpoint()
+    val occ = pinGrams(positionalGramRows(docs, k), docs, k)
     // argmin(doc_id, pos) PACKED into one long: `min(struct(...))` has
     // no mutable-buffer form, so Catalyst plans the whole gram stream
     // through SortAggregate (two in-partition sorts, r18 plan audit).
@@ -1006,6 +1054,15 @@ object Dedup {
     val packed = shiftleft(col("doc_id"), 31) + col("pos")
     val keepers = occ.groupBy(col("h"))
       .agg(min(packed).as("kpk"), max(col("doc_id")).as("mx"))
+      // enforce the pack's domain bound IN-PLAN (r18 advice): a
+      // negative or >= 2^32 doc_id silently corrupts keeper selection,
+      // so out-of-range corpora must fail loud. Rides the existing
+      // aggregate output (one test per distinct gram hash);
+      // shiftright(kpk,31) < 0 iff any packed value was negative.
+      .filter(coalesce(assert_true(
+        shiftright(col("kpk"), 31) >= 0 && col("mx") < lit(1L << 32),
+        lit("ExactSubstr packed argmin needs 0 <= doc_id < 2^32 — " +
+          "widen the pack for this corpus")), lit(true)))
       .filter(shiftright(col("kpk"), 31) =!= col("mx"))
       .select(col("h"), shiftright(col("kpk"), 31).as("kd"),
         col("kpk").bitwiseAND(lit((1L << 31) - 1)).cast("int").as("kp"))

@@ -270,7 +270,9 @@ object Release {
       .select(col("doc_id"))
     val surv = base.join(okIds, Seq("doc_id"), "left_semi")
       .join(deconIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // consumed twice: group-min fold + final semi
+      // lazy pin (r19): consumed twice (group-min fold + final semi);
+      // the first consuming job materializes — no dedicated job round
+      .localCheckpoint(false)
     val groups = MediaDedup.imageDupGroupsOver(
       MediaFeatures.features(spark, mediaDir)
         .filter(pmod(col("doc_id"), lit(10)) =!= 0)
