@@ -127,13 +127,19 @@ object Quantiles {
     // feeds BOTH passes; materialized once so the second pass reads the
     // 12-byte rows instead of re-running scan+project (and, on a
     // narrow-layout input, the parallelism-floor exchange) per pass
-    val cents = centsOf(lineitem).localCheckpoint()
-    // checkpointed like the full path: `ranges` feeds BOTH the binning
+    // lazy pins (r19): same single-materialization guarantee — the
+    // first consuming job computes and caches each frame — without a
+    // dedicated eager job round per checkpoint site. (Single-machine
+    // bench note, r18 advice: localCheckpoint is non-reliable storage;
+    // at a literal 100 TB the projected fact pin would be
+    // persist(MEMORY_AND_DISK) or a reliable checkpoint instead.)
+    val cents = centsOf(lineitem).localCheckpoint(false)
+    // pinned like the full path: `ranges` feeds BOTH the binning
     // join and the sketch assembly — un-checkpointed, each broadcast
     // re-derived it from the raw data, making the "two-pass" serve
     // path a silent three-pass one (the r12 100× point read ~7×, not
     // the event family's ~2-3×, for exactly this reason)
-    val ranges = rangesOf(cents).localCheckpoint()
+    val ranges = rangesOf(cents).localCheckpoint(false)
     assembleSketch(ranges, cumOf(cents, ranges, bins),
       ppTable(lineitem, ps), bins)
   }
@@ -163,11 +169,11 @@ object Quantiles {
     // same single materialization of the projected integer fact as
     // [[histogramQuantileServe]] — here it feeds THREE passes (ranges,
     // bins, targeted-bin gather)
-    val cents = centsOf(lineitem).localCheckpoint()
+    val cents = centsOf(lineitem).localCheckpoint(false)
     // tiny (per-group / per-(group, bin)) tables, referenced by several
-    // branches below — checkpointed so no branch re-scans the raw data
-    val ranges = rangesOf(cents).localCheckpoint()
-    val cum = cumOf(cents, ranges, bins).localCheckpoint()
+    // branches below — pinned (lazily) so no branch re-scans the raw data
+    val ranges = rangesOf(cents).localCheckpoint(false)
+    val cum = cumOf(cents, ranges, bins).localCheckpoint(false)
     val pp = ppTable(lineitem, ps)
     val sketch = assembleSketch(ranges, cum, pp, bins)
     // one target row per (group, p, side): the rank, its bin in the

@@ -701,9 +701,36 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** Session memo for the tiny driver-side quantizer tables (r19): the
+    * recall report and every sim_* serve re-collected the same
+    * centroid/codebook parquet per call (2 driver jobs each). Keyed on
+    * (session, path, file listing sizes+mtimes) — a rebuilt index
+    * rewrites its files and re-keys, so a hit is exactly the recollect.
+    */
+  private val driverTableMemo =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  private def memoizedLoad[A <: AnyRef](spark: SparkSession, path: String,
+                                        tag: String)(load: => A): A = {
+    val key =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val listing = fs.listStatus(p).map(st =>
+            s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString("|")
+        Some(s"${System.identityHashCode(spark)}#$tag#$path#$listing")
+      } catch { case _: Throwable => None }
+    key match {
+      case Some(k) => driverTableMemo.getOrElseUpdate(k, load).asInstanceOf[A]
+      case None => load
+    }
+  }
+
   private def loadCentroids(spark: SparkSession, path: String): Array[(Long, Array[Float])] =
-    spark.read.parquet(path).orderBy("cell_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    memoizedLoad(spark, path, "centroids") {
+      spark.read.parquet(path).orderBy("cell_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    }
 
   private def writeCodebook(spark: SparkSession,
                             codebook: Array[Array[Array[Float]]],
@@ -716,7 +743,9 @@ object AnnIndex {
   }
 
   private def loadCodebook(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
-    spark.read.parquet(path).orderBy("sub", "code").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
-      .groupBy(_._1).toArray.sortBy(_._1).map(_._2.map(_._2))
+    memoizedLoad(spark, path, "codebook") {
+      spark.read.parquet(path).orderBy("sub", "code").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+        .groupBy(_._1).toArray.sortBy(_._1).map(_._2.map(_._2))
+    }
 }

@@ -1778,7 +1778,7 @@ object Dedup {
     Artifact.requireKind(spark, dir, s"containment v2 w=$w dfCap=$dfCap fp=")
     val bSets = batch
       .select(col("doc_id").as("new_id"), shingleHashes(col("text"), w).as("b_sh"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy pin: the Bloom fold below materializes
     val bPosting = bSets.select(col("new_id"), explode(col("b_sh")).as("shh"))
     val bBloom = bPosting
       .agg(graft.functions.native.bloom_agg(col("shh"), 1L << 20, 1L << 23))

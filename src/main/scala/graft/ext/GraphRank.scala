@@ -48,13 +48,21 @@ object GraphRank {
     * graph `(a_id, b_id, jaccard)`: returns `(id, p)`.
     */
   def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    // lazy checkpoints (r19): the iteration count is FIXED (no
+    // convergence action per round), so no superstep needs its own
+    // eager materialization job — the single deg.count() below pins
+    // edges+deg, and the query's final action materializes the whole
+    // rank cascade (each round cached at its checkpoint barrier, plan
+    // depth still truncated per round). Same arithmetic, ~5 fewer
+    // sequential driver job rounds per serve.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"),
         round(col("jaccard"), 9).as("w"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"),
         round(col("jaccard"), 9).as("w")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = edges.groupBy(col("src"))
       .agg(sum(col("w").cast(Fixed)).cast("double").as("wdeg"))
+      .localCheckpoint(false)
     val n = deg.count()
     val tele = 0.15 * (1.0 / n)
     var rank = deg.select(col("src").as("id"), lit(1.0 / n).as("p"))
@@ -68,7 +76,7 @@ object GraphRank {
         .agg(round(lit(tele) + lit(0.85) * sum(col("term")).cast("double"), 9)
           .as("p"))
         .select(col("dst").as("id"), col("p"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rank
   }

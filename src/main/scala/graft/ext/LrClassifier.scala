@@ -323,7 +323,7 @@ object LrClassifier {
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("vc"))
     val v = counts.orderBy(col("vc").desc, col("token")).limit(256)
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy pin: first consumer materializes
     val consts = v.agg(
       (coalesce(sum(col("vc")), lit(0L)) + count(lit(1)) + 1L).as("d"))
     val w = broadcast(spark.read.parquet(s"$dir/weights"))
