@@ -30,6 +30,56 @@ object StreamQueries {
     p.toString
   }
 
+  // tuned-session cache: one clone per (parent session, partition
+  // count). Clones share the SparkContext and differ only in
+  // spark.sql.shuffle.partitions; reusing them keeps the per-app
+  // session count bounded.
+  private val tunedSessions =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), SparkSession]
+
+  private def bytesUnder(s: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue } // unknown ⇒ don't shrink
+
+  /** Session for a streaming run, with the state/shuffle partition
+    * count derived from the stream's input bytes (guide §2.2 applied to
+    * streaming, which has NO AQE to do it automatically). Rationale: a
+    * stateful micro-batch pays one state-store instance — open, commit,
+    * delta file, maintenance — per `spark.sql.shuffle.partitions`,
+    * EVERY batch, regardless of data volume; measured on the fixture
+    * (DiagStream2) the stateful `addBatch` is ~0.65 s at 8 state
+    * partitions vs ~1.8 s at 32 for identical input. Batch queries are
+    * protected by AQE coalescing to `advisoryPartitionSizeInBytes`;
+    * this applies the SAME sizing rule at stream start:
+    * partitions = clamp(inputBytes / advisory, 1, configured).
+    * Scale-adaptive, not a local constant: once the input exceeds
+    * advisory × configured (any real workload — at 100 TB/day the clamp
+    * is always `configured`), the tuned session IS the parent session;
+    * only provably tiny inputs shrink, and a listing failure falls back
+    * to the parent. Correctness: every streaming aggregate in this file
+    * is partitioning-invariant (mergeable sketches, additive counts,
+    * keyed dedup), and each invocation runs against a FRESH checkpoint,
+    * so no checkpoint ever sees two different state partition counts.
+    */
+  private[graft] def streamSession(s: SparkSession, inputPaths: String*): SparkSession = {
+    val configured = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val bytes = inputPaths.map(bytesUnder(s, _)).foldLeft(0L)((a, b) =>
+      if (a + b < 0) Long.MaxValue else a + b) // saturating sum
+    val p = math.min(configured.toLong,
+      math.max(1L, (bytes + advisory - 1) / advisory)).toInt
+    if (p >= configured) s
+    else tunedSessions.getOrElseUpdate((System.identityHashCode(s), p), {
+      val c = s.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", p.toString)
+      c
+    })
+  }
+
   // decontamination-sketch memo: the adaptively-sized benchmark Bloom,
   // keyed on (app, fixture, w) + the benchmark slice's content
   // fingerprint — a mutated fixture re-sizes and re-builds; an
@@ -170,10 +220,11 @@ object StreamQueries {
           .delete(rootPath, true)
         IncrementalIngest.init(s, seed, root)
         wire.write.mode("overwrite").parquet(spool)
-        val wireStream = StreamSources.open(s,
+        val ss = streamSession(s, spool, root)
+        val wireStream = StreamSources.open(ss,
           FileSourceConfig(spool, "parquet", wire.schema))
         val ckpt = scratchDir("graft-curated-ckpt")
-        val q = CuratedIngest.start(s, KafkaWireSource(wireStream, CuratedValueSchema),
+        val q = CuratedIngest.start(ss, KafkaWireSource(wireStream, CuratedValueSchema),
           ckpt, root, lmDir, maxMeanNll = 3.40625)
         q.awaitTermination()
         writeMarker(s, root, fp)
@@ -221,8 +272,9 @@ object StreamQueries {
             MediaFeatures.ensure(s,
               docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
             arrivals.write.mode("overwrite").parquet(spool)
+            val ss = streamSession(s, spool, root)
             val ckpt = scratchDir("graft-media-ingest-ckpt")
-            val q = MediaIngest.start(s,
+            val q = MediaIngest.start(ss,
               FileSourceConfig(spool, "parquet", arrivals.schema), ckpt, root)
             q.awaitTermination()
             writeMarker(s, root, fp)
@@ -469,8 +521,9 @@ object StreamQueries {
     // batching-invariant, so the final table hash-equals the batch
     // formula replay — decode certification THROUGH the streaming
     // path.
-    "stream_media_gate" -> ((s, d) => {
-      val spool = graft.ext.Multimodal.ensureMediaGateSpool(s, d)
+    "stream_media_gate" -> ((s0, d) => {
+      val spool = graft.ext.Multimodal.ensureMediaGateSpool(s0, d)
+      val s = streamSession(s0, spool)
       val out = scratchDir("graft-media-sink")
       val ckpt = scratchDir("graft-media-ckpt")
       import org.apache.spark.sql.types._
@@ -491,7 +544,9 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(out)
+      // serve from the PARENT session: the post-stream batch reads get
+      // AQE's own partition sizing, not the stream's state-store tuning
+      s0.read.parquet(out)
         .groupBy(col("width"))
         .agg(count(lit(1)).as("n_docs"), sum(col("r_sum")).as("total_r"))
         .orderBy(col("width"))
@@ -514,20 +569,22 @@ object StreamQueries {
     // + the mod-65536 content-identity rule) and the stored features
     // from the generative formulas, so a hash match certifies the
     // whole streamed decode→gate→dedup→append chain.
-    "stream_media_corpus" -> ((s, d) => {
-      val (root, spool, schema) = ensureMediaIngest(s, d)
+    "stream_media_corpus" -> ((s0, d) => {
+      val (root, spool, schema) = ensureMediaIngest(s0, d)
+      val s = streamSession(s0, spool, root)
       val ckpt = scratchDir("graft-media-corpus-ckpt")
       val q = MediaIngest.start(s, FileSourceConfig(spool, "parquet", schema),
         ckpt, root)
       q.awaitTermination()
-      graft.ext.MediaFeatures.features(s, root)
+      graft.ext.MediaFeatures.features(s0, root)
         .select(col("doc_id"), col("img_w"), col("img_h"), col("dhash"),
           col("a_frames"), col("a_fp"), col("v_frames"))
         .orderBy(col("doc_id"))
     }),
 
     // §2.9: incremental file-source micro-batching; complete-mode agg.
-    "stream_daily_counts" -> ((s, d) => {
+    "stream_daily_counts" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       val name = s"stream_daily_counts_${counter.incrementAndGet()}"
       val q = eventsStream(s, d)
         .groupBy(col("event_type"))
@@ -549,7 +606,8 @@ object StreamQueries {
     // sink then equals the batch DISTINCT aggregate, which is what the
     // oracle checks. Only count is aggregated (which duplicate survives
     // is arbitrary for non-key columns).
-    "stream_dedup_counts" -> ((s, d) => {
+    "stream_dedup_counts" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       // FILE sink, not memory: the deduped stream is event-sized, and a
       // memory sink materializes every row on the driver — measured as
       // a driver OOM at the 100× fixture. A parquet sink keeps the
@@ -570,7 +628,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(out)
+      s0.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
@@ -581,7 +639,8 @@ object StreamQueries {
     // every window — append under AvailableNow would hold back the last
     // watermark-open window, which is exactly the semantics the
     // SessionsSpec late-data tests pin).
-    "stream_windowed_counts" -> ((s, d) => {
+    "stream_windowed_counts" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       val name = s"stream_windowed_counts_${counter.incrementAndGet()}"
       val q = eventsStream(s, d)
         .withWatermark("ts", "1 hour")
@@ -605,7 +664,8 @@ object StreamQueries {
     // enrichment (the dim is re-read per batch by Spark; broadcast keeps
     // the stream side unshuffled, so at 100 TB/day the only stateful
     // shuffle is the final aggregation).
-    "stream_enrich_counts" -> ((s, d) => {
+    "stream_enrich_counts" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       val name = s"stream_enrich_counts_${counter.incrementAndGet()}"
       val dim = broadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -663,15 +723,16 @@ object StreamQueries {
     // lifecycle reset. Transport stays fully distributed: wire rows are
     // shaped in-plan, spooled to parquet, and streamed via the file
     // source — only the network fetch is substituted vs a real broker.
-    "stream_curated_corpus" -> ((s, d) => {
-      val (root, spool, lmDir, wireSchema) = ensureCurated(s, d)
+    "stream_curated_corpus" -> ((s0, d) => {
+      val (root, spool, lmDir, wireSchema) = ensureCurated(s0, d)
+      val s = streamSession(s0, spool, root)
       val wireStream = StreamSources.open(s,
         FileSourceConfig(spool, "parquet", wireSchema))
       val ckpt = scratchDir("graft-curated-ckpt")
       val q = CuratedIngest.start(s, KafkaWireSource(wireStream, CuratedValueSchema),
         ckpt, root, lmDir, maxMeanNll = 3.40625)
       q.awaitTermination()
-      IncrementalIngest.corpus(s, root).orderBy(col("doc_id"))
+      IncrementalIngest.corpus(s0, root).orderBy(col("doc_id"))
     }),
 
     // §2.9 + the sketch family: bounded-memory approximate distinct in
@@ -684,7 +745,8 @@ object StreamQueries {
     // complete-mode table hash-matches the batch oracle: same md5
     // 60-bit hashes, same k-th order statistic, same half-up integral
     // estimate as a9_kmv_distinct.
-    "stream_kmv_daily" -> ((s, d) => {
+    "stream_kmv_daily" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       val name = s"stream_kmv_daily_${counter.incrementAndGet()}"
       val q = kmvDailyAgg(s, d)
         .writeStream
@@ -708,11 +770,12 @@ object StreamQueries {
     // Driver memory stays flat, per-batch sink I/O is O(days touched
     // by the batch), and the final table provably equals the
     // complete-mode one: same oracle, hash-compared.
-    "stream_kmv_update" -> ((s, d) => {
+    "stream_kmv_update" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       val store = scratchDir("graft-kmv-upsert")
       val ckpt = scratchDir("graft-kmv-upsert-ckpt")
       upsertStart(kmvDailyAgg(s, d), store, ckpt).awaitTermination()
-      kmvServe(upsertSnapshot(s, store, Seq("date")))
+      kmvServe(upsertSnapshot(s0, store, Seq("date")))
     }),
 
     // §2.9 + the quantile-sketch family in a STREAM: per-day p50/p95
@@ -728,7 +791,8 @@ object StreamQueries {
     // (the fixture's domain): integral division on negatives truncates
     // in Spark but floors in DuckDB, so the sign guard is part of the
     // replayed semantics.
-    "stream_value_quantiles" -> ((s, d) => {
+    "stream_value_quantiles" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       val name = s"stream_value_quantiles_${counter.incrementAndGet()}"
       val q = valueBinsAgg(s, d)
         .writeStream
@@ -748,11 +812,12 @@ object StreamQueries {
     // the same integral quantiles. State per batch emission is O(bins
     // touched), driver stays flat, result hash-equals the
     // complete-mode twin (same oracle).
-    "stream_quantiles_update" -> ((s, d) => {
+    "stream_quantiles_update" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       val store = scratchDir("graft-quant-upsert")
       val ckpt = scratchDir("graft-quant-upsert-ckpt")
       upsertStart(valueBinsAgg(s, d), store, ckpt).awaitTermination()
-      quantileServe(s, upsertSnapshot(s, store, Seq("date", "bin")))
+      quantileServe(s0, upsertSnapshot(s0, store, Seq("date", "bin")))
     }),
 
     // Third streaming sketch — per-key FREQUENCIES: a per-day
@@ -763,11 +828,12 @@ object StreamQueries {
     // top-10 candidate keys; estimates (and the overestimate-only
     // invariant) hash-match the full batch SQL replay of the sketch,
     // cell for cell.
-    "stream_cms_update" -> ((s, d) => {
+    "stream_cms_update" -> ((s0, d) => {
+      val s = streamSession(s0, s"$d/events.parquet")
       val store = scratchDir("graft-cms-upsert")
       val ckpt = scratchDir("graft-cms-upsert-ckpt")
       upsertStart(cmsDailyCellsAgg(s, d), store, ckpt).awaitTermination()
-      cmsServe(s, d, upsertSnapshot(s, store, Seq("date", "row_i", "bucket")))
+      cmsServe(s0, d, upsertSnapshot(s0, store, Seq("date", "row_i", "bucket")))
     }),
 
     // Decontamination AT INGEST TIME: the benchmark's fixed-size Bloom
@@ -779,13 +845,14 @@ object StreamQueries {
     // manual manifest. Per-doc deterministic gate ⇒ the final corpus
     // is batching-invariant, so it hash-matches the batch
     // decontamination answer (same oracle as `decontaminate_bloom`).
-    "stream_decon_corpus" -> ((s, d) => {
+    "stream_decon_corpus" -> ((s0, d) => {
       // The sketch is a static batch-side ARTIFACT — built once per
       // (benchmark fingerprint, w) via the session memo (the LM/NB
       // serving-memo discipline) and served to every invocation; its
       // cardinality-measurement pass + Bloom build are a cold build
       // cost, charged to Warm/build_sec, not to the timed gate.
-      val sk = deconSketch(s, d)
+      val sk = deconSketch(s0, d)
+      val s = streamSession(s0, s"$d/documents.parquet")
       val out = scratchDir("graft-decon-sink")
       val ckpt = scratchDir("graft-decon-ckpt")
       val corpus = documentsStream(s, d)
@@ -803,7 +870,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(out).orderBy(col("doc_id"))
+      s0.read.parquet(out).orderBy(col("doc_id"))
     }),
 
     // §2.9 stateful: flatMapGroupsWithState gap-sessionization. Run here
