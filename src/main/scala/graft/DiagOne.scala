@@ -21,13 +21,31 @@ object DiagOne {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (sys.env.contains("SPARK_GRAFT_DIAG_JOBS"))
-          println(s"[diagjob] ${j.jobId} ${j.properties.getProperty("callSite.short")}")
+          println(s"[diagjob] ${j.jobId} " +
+            s"${j.stageInfos.lastOption.map(_.name).getOrElse("?").take(120)}")
         ()
       }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()
       }
     })
+    // per-ACTION attribution: every eager action (count/collect/
+    // checkpoint/write) fires this with its QueryExecution — the
+    // construct-phase storm decomposed by call, not by job id
+    if (sys.env.contains("SPARK_GRAFT_DIAG_ACTIONS"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val head = qe.analyzed.treeString.linesIterator
+              .take(3).mkString(" | ").take(200)
+            println(f"[diagact] $funcName ${durationNs / 1e9}%.3f $head")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
     args.foreach { name =>
       (1 to 2).foreach { i =>
         jobs.set(0); stages.set(0); tasks.set(0)

@@ -251,12 +251,18 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag"), col("date"))
     }),
 
-    // A8: top-K via the custom typed Aggregator — same result set as
-    // the W1 window formulation, computed inside groupBy.agg with
-    // bounded per-mapper state (k rows per group per partial).
+    // A8: top-K via the custom aggregate — same result set as the W1
+    // window formulation, computed inside groupBy.agg with bounded
+    // per-mapper state (k rows per group per partial). r19: the typed
+    // TopKAggregator (ObjectHashAggregate — encoder round-trip per
+    // row on a boxed Seq) is replaced by its codegen-native
+    // DeclarativeAggregate twin over k packed long slots
+    // (topk_packed_agg), which plans as a whole-stage HashAggregate;
+    // same ordering contract, equality spec-pinned in
+    // TopKAggregatorSpec.
     "a8_topk_aggregator" -> ((s, d) => {
-      val topk = udaf(graft.functions.TopKAggregator(3),
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      val topk = (m: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+        graft.functions.native.topk_packed_agg(m, i, 3)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("date"),
           col("l_partkey"))

@@ -694,7 +694,62 @@ object Dedup {
     math.max(1, math.min(cap, (rows >> 20).toInt + 1))
   }
 
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Edge-count gate for the driver-local CC fast path: ≤ 2²⁰ edges is
+    * ~16 MB collected — the "collect the small side" regime a broadcast
+    * join already accepts (guide §3.1/§5). Above it, the distributed
+    * engines run unchanged (a 100 TB corpus's pair graph lands there).
+    */
+  private[ext] val LocalCcMaxEdges: Int = 1 << 20
+
+  /** Driver-local connected components over a bounded pair list — the
+    * shared fast path of [[duplicateGroups]] and
+    * [[starContractionGroups]], generalizing [[applyDedupLocal]]'s
+    * union-find. At fixture scale the iterative engines cost pure
+    * sequential driver rounds (per-superstep plan→RDD, convergence
+    * counts, broadcast-submission jobs — ~80 ms each, DiagJobs); an
+    * edge list PROVABLY under the gate — the bounded collect itself is
+    * the proof (`limit(gate+1)`) — is cheaper to union-find locally.
+    * Returns None when the graph exceeds the gate, else the exact
+    * (doc_id, group_id = component-min) labeling of every endpoint of
+    * the pair graph — the iterative engines' documented output
+    * contract (equality spec-pinned in DedupSpec).
+    */
+  private[ext] def localComponents(pairs: DataFrame): Option[DataFrame] = {
+    val idType = pairs.schema.fields.find(_.name == "a_id").map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    val edges = pairs
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .limit(LocalCcMaxEdges + 1).collect()
+    if (edges.length > LocalCcMaxEdges) None
+    else {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // root = min id
+      }
+      val nodes = edges.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      import pairs.sparkSession.implicits._
+      val out = nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "group_id")
+      Some(out.select(col("doc_id").cast(idType).as("doc_id"),
+        col("group_id").cast(idType).as("group_id")))
+    }
+  }
+
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    localComponents(pairs)
+      .getOrElse(duplicateGroupsDistributed(pairs, maxIter))
+
+  /** The distributed label-propagation engine behind [[duplicateGroups]]
+    * — runs when the pair graph exceeds [[LocalCcMaxEdges]].
+    */
+  private[ext] def duplicateGroupsDistributed(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     // Materialize the (small) edge list once — every superstep joins it,
     // and without the checkpoint each iteration would recompute the
@@ -770,7 +825,14 @@ object Dedup {
     * [[duplicateGroups]]: (doc_id, group_id = component min) for every
     * node of the pair graph.
     */
-  def starContractionGroups(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def starContractionGroups(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    localComponents(pairs)
+      .getOrElse(starContractionGroupsDistributed(pairs, maxIter))
+
+  /** The distributed star-contraction engine behind
+    * [[starContractionGroups]] — runs above [[LocalCcMaxEdges]].
+    */
+  private[ext] def starContractionGroupsDistributed(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Each half-step works on undirected neighborhoods: symmetrize, take
     // the per-node min m = min(N(u) ∪ {u}) with one window, re-point.

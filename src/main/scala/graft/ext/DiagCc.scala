@@ -30,11 +30,11 @@ object DiagCc {
     println(s"[cc] pairs=${pairs.count()} reps=${reps.count()}")
     (1 to 3).foreach { r =>
       jobs.set(0); var t0 = System.nanoTime()
-      val a = Dedup.duplicateGroups(pairs)
+      val a = Dedup.duplicateGroupsDistributed(pairs)
       val na = a.count()
       println(f"[cc] run$r label  ${(System.nanoTime() - t0) / 1e9}%.3f s jobs=${jobs.get} rows=$na")
       jobs.set(0); t0 = System.nanoTime()
-      val b = Dedup.starContractionGroups(pairs)
+      val b = Dedup.starContractionGroupsDistributed(pairs)
       val nb = b.count()
       println(f"[cc] run$r star   ${(System.nanoTime() - t0) / 1e9}%.3f s jobs=${jobs.get} rows=$nb")
       if (r == 1) {

@@ -1673,6 +1673,104 @@ case class WavResampleNn(child: Expression, factor: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bounded top-K as a DECLARATIVE aggregate over k packed long slots —
+  * the codegen-native twin of [[TopKAggregator]] (same ordering
+  * contract: measure descending, id ascending on ties; same
+  * `array<struct<_1,_2>>` output). The typed Aggregator plans as
+  * ObjectHashAggregate: every input row pays an encoder
+  * deserialize → Scala insertion → serialize round-trip on a boxed
+  * Seq[(Long, Long)]. Here the buffer is k primitive LongType slots
+  * (sorted descending, Long.MinValue = empty), so the aggregate plans
+  * as a whole-stage-codegen HashAggregate with a fixed-width mutable
+  * UnsafeRow buffer:
+  *
+  *  - packed rank value: `(measure << 32) | (0xFFFFFFFF − id)` — one
+  *    long comparison = (measure desc, id asc). Domain (enforced
+  *    IN-PLAN, fail-loud per the r18 packed-argmin advice):
+  *    0 ≤ measure < 2³¹ and 0 ≤ id < 2³².
+  *  - update: slotₜ' = greatest(slotₜ, least(slotₜ₋₁, p)) — the O(k)
+  *    branch-free insertion. NULL measure/id rows are skipped.
+  *  - merge: the t-th largest of two sorted-desc k-lists is
+  *    greatest(aₜ, bₜ, least(aᵢ, bⱼ) for i+j = t) — valid because one
+  *    (measure, id) pair reaches exactly one partial, so cross-side
+  *    duplicates cannot occur; MinValue padding loses every least().
+  *  - evaluate: drop the MinValue sentinels, unpack.
+  */
+case class TopKPackedAgg(measure: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
+  require(k > 0 && k <= 64, "k must be in [1, 64]")
+  import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayFilter,
+    ArrayTransform, AttributeReference, BitwiseAnd, Cast, CreateArray,
+    CreateNamedStruct, GreaterThanOrEqual, Greatest, If, IsNull,
+    LambdaFunction, Least, LessThan, LessThanOrEqual, Literal,
+    NamedLambdaVariable, Not, Or, RaiseError, EqualTo, ShiftLeft,
+    ShiftRightUnsigned, Subtract}
+
+  override def children: Seq[Expression] = Seq(measure, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", LongType, nullable = false),
+    StructField("_2", LongType, nullable = false))), containsNull = false)
+
+  private val slots: Seq[AttributeReference] =
+    (1 to k).map(i => AttributeReference(s"top$i", LongType, nullable = false)())
+  override val aggBufferAttributes: Seq[AttributeReference] = slots
+  override lazy val initialValues: Seq[Expression] =
+    Seq.fill(k)(Literal(Long.MinValue))
+
+  private val Sentinel = Literal(Long.MinValue)
+  // packed rank (nullable: a NULL input row is a no-op); the domain is
+  // asserted in-plan — out-of-range corpora fail loud, never corrupt
+  private lazy val packed: Expression = {
+    val domainOk = And(
+      And(GreaterThanOrEqual(measure, Literal(0L)),
+        LessThan(measure, Literal(1L << 31))),
+      And(GreaterThanOrEqual(id, Literal(0L)),
+        LessThanOrEqual(id, Literal(0xFFFFFFFFL))))
+    val pack = Add(ShiftLeft(measure, Literal(32)),
+      Subtract(Literal(0xFFFFFFFFL), id))
+    If(Or(IsNull(measure), IsNull(id)), Literal.create(null, LongType),
+      If(domainOk, pack,
+        Cast(RaiseError(Literal(
+          "topk_packed_agg domain: need 0 <= measure < 2^31 and 0 <= id < 2^32")),
+          LongType)))
+  }
+
+  override lazy val updateExpressions: Seq[Expression] =
+    slots.zipWithIndex.map { case (s, t) =>
+      val cand = if (t == 0) packed else Least(Seq(slots(t - 1), packed))
+      If(IsNull(packed), s, Greatest(Seq(s, cand)))
+    }
+
+  override lazy val mergeExpressions: Seq[Expression] =
+    (1 to k).map { t =>
+      val cands: Seq[Expression] =
+        Seq(slots(t - 1).left, slots(t - 1).right) ++
+          (1 until t).map(i =>
+            Least(Seq(slots(i - 1).left, slots(t - i - 1).right)))
+      if (cands.size == 1) cands.head else Greatest(cands)
+    }
+
+  override lazy val evaluateExpression: Expression = {
+    val fv = NamedLambdaVariable("p", LongType, nullable = false)
+    val tv = NamedLambdaVariable("q", LongType, nullable = false)
+    val filtered = ArrayFilter(CreateArray(slots),
+      LambdaFunction(Not(EqualTo(fv, Sentinel)), Seq(fv)))
+    ArrayTransform(filtered, LambdaFunction(
+      CreateNamedStruct(Seq(
+        Literal("_1"), ShiftRightUnsigned(tv, Literal(32)),
+        Literal("_2"),
+        Subtract(Literal(0xFFFFFFFFL), BitwiseAnd(tv, Literal(0xFFFFFFFFL))))),
+      Seq(tv)))
+  }
+
+  override def prettyName: String = "topk_packed_agg"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(measure = newChildren(0), id = newChildren(1))
+}
+
 /** Column-facing API for the native expressions. */
 object native {
   private def toCol(e: Expression): Column = bridge.toColumn(e)
@@ -1832,6 +1930,15 @@ object native {
     * input cardinality). Insertion is idempotent — callers need no
     * `distinct()` pass first.
     */
+  /** Bounded top-K (measure desc, id asc) as a codegen-native
+    * DeclarativeAggregate over k packed long slots — see
+    * [[TopKPackedAgg]]. Output `array<struct<_1 measure, _2 id>>`,
+    * identical to the typed [[TopKAggregator]] contract. Domain
+    * (asserted in-plan): 0 ≤ measure < 2³¹, 0 ≤ id < 2³².
+    */
+  def topk_packed_agg(measure: Column, id: Column, k: Int): Column =
+    toCol(TopKPackedAgg(ex(measure), ex(id), k).toAggregateExpression())
+
   def bloom_agg(hashes: Column, expectedItems: Long, numBits: Long): Column =
     toCol(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
       ex(hashes), ex(org.apache.spark.sql.functions.lit(expectedItems)),

@@ -90,6 +90,35 @@ class DedupSpec extends SparkSuite {
     assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("localComponents fast path ≡ both distributed CC engines") {
+    // long chain (diameter 6), a star, a triangle with a cross edge,
+    // reversed-order edges, and a self-loop — every shape the engines
+    // must agree on
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (20L, 25L), (20L, 24L), (20L, 23L),
+      (31L, 32L), (32L, 33L), (33L, 31L), (33L, 30L),
+      (42L, 41L), // reversed order: min is on the b side
+      (50L, 50L)  // self-loop labels itself
+    ).toDF("a_id", "b_id")
+    val local = Dedup.localComponents(pairs).get
+      .as[(Long, Long)].collect().toMap
+    val lp = Dedup.duplicateGroupsDistributed(pairs)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.starContractionGroupsDistributed(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(local == lp, s"union-find vs label propagation: $local vs $lp")
+    assert(local.view.filterKeys(_ != 50L).toMap ==
+      star.view.filterKeys(_ != 50L).toMap,
+      s"union-find vs star contraction: $local vs $star")
+    assert(local(16L) == 10L && local(25L) == 20L && local(30L) == 30L &&
+      local(41L) == 41L && local(42L) == 41L && local(50L) == 50L)
+    // empty graph: empty labeling, same schema
+    val empty = Dedup.localComponents(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).get
+    assert(empty.columns.toSeq == Seq("doc_id", "group_id") && empty.isEmpty)
+  }
+
   test("duplicateGroups over LSH pairs: dup cluster {1,2,3} labels to 1") {
     val groups = Dedup.duplicateGroups(Dedup.minhashPairs(docs, minJaccard = 0.5))
       .as[(Long, Long)].collect().toMap
