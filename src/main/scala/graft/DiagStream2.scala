@@ -20,10 +20,19 @@ object DiagStream2 {
       println(f"[ds2] run$i construct(stream)=${(t1 - t0) / 1e9}%.3f serve=${(t2 - t1) / 1e9}%.3f")
       spark.streams.active.foreach(_.stop())
     }
-    // decomposed: the streaming write alone, then snapshot+serve alone
+    // decomposed: the streaming write alone, then snapshot+serve alone.
+    // DS2_P mirrors the production streamSession tuning (state/shuffle
+    // partition count for the stream run); unset = session default.
+    val sp = sys.env.get("DS2_P") match {
+      case Some(p) =>
+        val c = spark.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", p)
+        c
+      case None => spark
+    }
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      val ev = spark.readStream
+      val ev = sp.readStream
         .schema(spark.read.parquet(s"$d/events.parquet").schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)

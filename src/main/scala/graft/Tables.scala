@@ -86,10 +86,23 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   =
-    spread(s, d, "orders", table(s, d, "orders"), "o_orderkey")
-  def lineitem(s: SparkSession, d: String): DataFrame =
-    spread(s, d, "lineitem", table(s, d, "lineitem"), "l_orderkey")
+  /** `wantSpread = false` skips the parallelism floor for callers whose
+    * FIRST operation is a different-key exchange (as-of joins, keyless
+    * range bucketing): there the floor's one redistribution is pure
+    * added shuffle — measured back-to-back at 32c: asof_join_orders
+    * 0.68 s without vs 1.09 s with, range_join_keyless_interval 0.68 vs
+    * 0.92 — while scan-then-aggregate callers keep it (a10_cube 0.86
+    * with vs 1.28 without, j2 1.00 vs 1.55). At scale both forms are
+    * identical (the floor is already the identity there).
+    */
+  def orders(s: SparkSession, d: String, wantSpread: Boolean = true): DataFrame = {
+    val t = table(s, d, "orders")
+    if (wantSpread) spread(s, d, "orders", t, "o_orderkey") else t
+  }
+  def lineitem(s: SparkSession, d: String, wantSpread: Boolean = true): DataFrame = {
+    val t = table(s, d, "lineitem")
+    if (wantSpread) spread(s, d, "lineitem", t, "l_orderkey") else t
+  }
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * read as a timestamp; sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader turns
@@ -98,8 +111,11 @@ object Tables {
     * DuckDB reads the same column as TIMESTAMP_NS and truncates to µs
     * on CAST, so both engines see identical instants.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    normalizeEvents(spread(s, d, "events", table(s, d, "events"), "event_id"))
+  def events(s: SparkSession, d: String, wantSpread: Boolean = true): DataFrame = {
+    val t = table(s, d, "events")
+    normalizeEvents(
+      if (wantSpread) spread(s, d, "events", t, "event_id") else t)
+  }
 
   def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {

@@ -326,10 +326,13 @@ object AnalyticsQueries {
     // at or before the event time (composed union+window — one shuffle,
     // flat state; oracle uses DuckDB's native ASOF JOIN).
     "asof_join_orders" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      // spread=false: the as-of join immediately re-partitions both
+      // sides by (user/cust, time) — the floor's exchange is pure cost
+      // here (Tables.scala wantSpread note, A/B-measured)
+      val ev = Tables.events(s, d, wantSpread = false)
         .select(col("event_id"), col("user_id"),
           date_trunc("second", col("ts")).as("ts"))
-      val ord = Tables.orders(s, d)
+      val ord = Tables.orders(s, d, wantSpread = false)
         .groupBy(col("o_custkey"), col("o_orderdate").as("ot"))
         .agg(max(col("o_orderkey")).as("o_orderkey"))
         .select(col("o_custkey"), col("ot"), col("o_orderkey"))
@@ -344,10 +347,13 @@ object AnalyticsQueries {
     // co-partitioned sorted sides instead of union+window). Same oracle
     // as asof_join_orders: both formulations must match DuckDB ASOF.
     "asof_join_native" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      // spread=false: the as-of join immediately re-partitions both
+      // sides by (user/cust, time) — the floor's exchange is pure cost
+      // here (Tables.scala wantSpread note, A/B-measured)
+      val ev = Tables.events(s, d, wantSpread = false)
         .select(col("event_id"), col("user_id"),
           date_trunc("second", col("ts")).as("ts"))
-      val ord = Tables.orders(s, d)
+      val ord = Tables.orders(s, d, wantSpread = false)
         .groupBy(col("o_custkey"), col("o_orderdate").as("ot"))
         .agg(max(col("o_orderkey")).as("o_orderkey"))
         .select(col("o_custkey"), col("ot"), col("o_orderkey"))
@@ -361,10 +367,13 @@ object AnalyticsQueries {
     // history → fact side untouched: no exchange, no sort). Same oracle
     // again: all three as-of formulations must agree with DuckDB ASOF.
     "asof_join_broadcast" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      // spread=false: the as-of join immediately re-partitions both
+      // sides by (user/cust, time) — the floor's exchange is pure cost
+      // here (Tables.scala wantSpread note, A/B-measured)
+      val ev = Tables.events(s, d, wantSpread = false)
         .select(col("event_id"), col("user_id"),
           date_trunc("second", col("ts")).as("ts"))
-      val ord = Tables.orders(s, d)
+      val ord = Tables.orders(s, d, wantSpread = false)
         .groupBy(col("o_custkey"), col("o_orderdate").as("ot"))
         .agg(max(col("o_orderkey")).as("o_orderkey"))
         .select(col("o_custkey"), col("ot"), col("o_orderkey"))
@@ -462,12 +471,14 @@ object AnalyticsQueries {
     // composition is load-bearing (a naive plan is a nested-loop
     // product over |months| × |lineitem|).
     "range_join_keyless_interval" -> ((s, d) => {
-      val months = Tables.orders(s, d)
+      // spread=false: both sides re-shuffle immediately (distinct /
+      // interval bucketing) — floor exchange is pure cost (A/B-measured)
+      val months = Tables.orders(s, d, wantSpread = false)
         .select(date_trunc("month", col("o_orderdate")).as("m"))
         .distinct()
         .select(unix_timestamp(col("m")).as("t0"),
           col("m").cast("date").cast("string").as("month_start"))
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d, wantSpread = false)
         .select(unix_timestamp(date_trunc("second", col("l_shipdate"))).as("st"))
       RangeJoin.joinKeyless(months, li, "t0", "st", 30L * 86400)
         .groupBy(col("month_start"))
