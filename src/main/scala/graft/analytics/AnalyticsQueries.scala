@@ -70,8 +70,13 @@ object AnalyticsQueries {
     // Daily retention cohorts over events: first-activity day per user
     // × day offset, active count + retained share. The engagement
     // report of the reference's analytics family, exact end to end.
+    // spread=false (this and the 3 below): first op re-shuffles by its
+    // own key (user groupBy / window / distinct / date groupBy) — the
+    // floor's redistribution is pure cost, A/B min-of-3 measured at 32c:
+    // a13 0.98 vs 1.53, a14 0.47 vs 0.69, u2 0.50 vs 0.79, r4 0.45 vs
+    // 0.57 (Tables.scala wantSpread note; a9/w5 measured and kept ON)
     "a13_retention_cohorts" -> ((s, d) =>
-      Kpis.retentionCohorts(Tables.events(s, d))
+      Kpis.retentionCohorts(Tables.events(s, d, wantSpread = false))
         .withColumn("cohort", col("cohort").cast("string"))
         .orderBy(col("cohort"), col("day_offset"))),
 
@@ -79,22 +84,27 @@ object AnalyticsQueries {
     // conditional-min aggregate, strict earliest-occurrence ordering,
     // then one global roll-up row per step.
     "a14_event_funnel" -> ((s, d) =>
-      Kpis.eventFunnel(Tables.events(s, d)).orderBy(col("step"))),
+      Kpis.eventFunnel(Tables.events(s, d, wantSpread = false))
+        .orderBy(col("step"))),
 
     // K-step funnel with windowed ordering: signup → view → click →
     // purchase, each step within 7 days of the previous anchor. One
     // shuffle (per-user sorted step lists), sequential anchor chain as
     // in-row array expressions.
+    // spread=false: first op is a window exchange by user_id — the
+    // floor's event_id redistribution is pure cost here (A/B min-of-3:
+    // 0.83 s without vs 1.11 with; Tables.scala wantSpread note)
     "a15_funnel_windowed" -> ((s, d) =>
-      Kpis.funnelWindowed(Tables.events(s, d),
+      Kpis.funnelWindowed(Tables.events(s, d, wantSpread = false),
         steps = Seq("signup", "view", "click", "purchase"), maxGapDays = 7)
         .orderBy(col("step"))),
 
     // Batch sessionization (offline twin of the streaming session
     // windows): 30-min-gap sessions per user, one shuffle, epoch-micro
     // integer timestamps so the compare has no formatting grid.
+    // spread=false: same first-op-window-by-user shape as a15
     "a16_user_sessions" -> ((s, d) =>
-      Kpis.userSessions(Tables.events(s, d))
+      Kpis.userSessions(Tables.events(s, d, wantSpread = false))
         .orderBy(col("user_id"), col("session_seq"))),
 
     // Deterministic mergeable quantile sketch — the hash-green twin of
@@ -386,7 +396,7 @@ object AnalyticsQueries {
     // R4: pivot — the inverse of the R1 unpivot (long → wide), explicit
     // value list so the output schema is static.
     "r4_pivot_counts" -> ((s, d) =>
-      Tables.events(s, d)
+      Tables.events(s, d, wantSpread = false)
         .select(to_date(col("ts")).cast("string").as("date"), col("event_type"))
         .groupBy(col("date"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
@@ -440,9 +450,9 @@ object AnalyticsQueries {
 
     // U2/U3 (§2.6 completeness): intersect and except on key sets.
     "u2_intersect_except" -> ((s, d) => {
-      val purchasers = Tables.events(s, d)
+      val purchasers = Tables.events(s, d, wantSpread = false)
         .filter(col("event_type") === "purchase").select(col("user_id"))
-      val clickers = Tables.events(s, d)
+      val clickers = Tables.events(s, d, wantSpread = false)
         .filter(col("event_type") === "click").select(col("user_id"))
       purchasers.intersect(clickers).withColumn("op", lit("both"))
         .unionByName(purchasers.except(clickers).withColumn("op", lit("purchase_only")))
