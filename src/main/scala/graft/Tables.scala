@@ -128,10 +128,14 @@ object Tables {
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, d, "documents", table(s, d, "documents"), "doc_id")
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, d, "embeddings", table(s, d, "embeddings"), "vec_id")
+  def documents(s: SparkSession, d: String, wantSpread: Boolean = true): DataFrame = {
+    val t = table(s, d, "documents")
+    if (wantSpread) spread(s, d, "documents", t, "doc_id") else t
+  }
+  def embeddings(s: SparkSession, d: String, wantSpread: Boolean = true): DataFrame = {
+    val t = table(s, d, "embeddings")
+    if (wantSpread) spread(s, d, "embeddings", t, "vec_id") else t
+  }
 
   /** Decimal type wide enough for every fixture measure (prices < 1e6,
     * 2 fractional digits) while keeping sum results inside both Spark's

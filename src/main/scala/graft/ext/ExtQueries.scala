@@ -134,8 +134,11 @@ object ExtQueries {
     // buckets + exact micro-unit cosine, so the DuckDB oracle replays
     // candidate generation and scoring bit-for-bit (the float-plane
     // kernel stays as the at-scale twin in cosineNearDupPairs).
+    // spread=false: first op is the SRP-bucket explode → groupBy(bucket)
+    // exchange — floor redistribution is pure cost (A/B min-of-3 1.13 s
+    // without vs 1.28 with; Tables.scala wantSpread note)
     "dedup_embed_cosine" -> ((s, d) =>
-      Similarity.cosineNearDupPairsExact(Tables.embeddings(s, d))
+      Similarity.cosineNearDupPairsExact(Tables.embeddings(s, d, wantSpread = false))
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))),
 
     // Exact brute-force cosine top-k (baseline ANN path). rank cast to
@@ -1096,8 +1099,11 @@ object ExtQueries {
     // PMI collocations: the phrase-mining signal for multi-word vocab
     // units. Two count passes + vocab joins the planner sizes itself;
     // integer counts and one pinned ratio keep it hash-verifiable.
+    // spread=false: first op is the token explode → groupBy(token)
+    // exchange (A/B min-of-3: 0.83 s without vs 1.16 with)
     "text_pmi_collocations" -> ((s, d) =>
-      TextAnalysis.pmiCollocations(Tables.documents(s, d), minCount = 5, k = 30)),
+      TextAnalysis.pmiCollocations(Tables.documents(s, d, wantSpread = false),
+        minCount = 5, k = 30)),
 
     // SQ8 embedding quantization report — the 4x storage-compression
     // stage next to PQ's 32x: per-dim min/max broadcast back over one
