@@ -190,7 +190,7 @@ object Quantiles {
       .select(col("l_returnflag"), col("p"), col("side"),
         col("s.bin").as("bin"),
         (col("s.r") - (col("s.cum") - col("s.cnt"))).as("off"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy pin, two consumers (semi + stats join)
     // rank ONLY the targeted bins: semi-join down to ≤ 2·|ps| bins per
     // group (~n/B rows each), sort within (group, bin), pick offsets
     val withBin = cents.join(broadcast(ranges), Seq("l_returnflag"))
