@@ -319,18 +319,47 @@ object LrClassifier {
     // (the occurrence sum regrouped — the oracle mirrors this shape),
     // student margin as the usual micro-unit fold. Halves the at-scale
     // cost vs running teacherNll and predict() as separate passes.
-    val counts = seed
-      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("vc"))
+    // ONE corpus tokenize pass (r19): the per-(doc, token) counts feed
+    // the doc-length fold, the per-doc score join, and — pinned — the
+    // teacher vocab too (the seed vocab is tc's seed slice
+    // re-aggregated: Σ per-doc occurrence counts ≡ the occurrence
+    // count, so `counts` is value-identical either way). Without the
+    // pin the tc subtree is recomputed per consumer, so the gate
+    // follows the ExactSubstr byte-budget discipline: below the budget
+    // the single materialization wins (fixture: 2.2 tokenize passes →
+    // 1); above it (a 100 TB corpus would pin a token-scale frame to
+    // non-reliable executor disk) keep the recompute shape with the
+    // separate seed pass.
+    val tcRaw = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val docBytes =
+      try {
+        val files = docs.inputFiles
+        if (files.isEmpty) Long.MaxValue
+        else {
+          val conf = spark.sparkContext.hadoopConfiguration
+          files.map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          }.sum
+        }
+      } catch { case _: Throwable => Long.MaxValue } // unknown: don't pin
+    val pinTc = docBytes <= (8L << 30)
+    val tc = if (pinTc) tcRaw.localCheckpoint(false) else tcRaw
+    val counts =
+      if (pinTc)
+        tc.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+          .groupBy(col("token")).agg(sum(col("c")).as("vc"))
+      else seed
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("vc"))
     val v = counts.orderBy(col("vc").desc, col("token")).limit(256)
       .localCheckpoint(false) // lazy pin: first consumer materializes
     val consts = v.agg(
       (coalesce(sum(col("vc")), lit(0L)) + count(lit(1)) + 1L).as("d"))
     val w = broadcast(spark.read.parquet(s"$dir/weights"))
     val b = spark.read.parquet(s"$dir/bias").head().getLong(0)
-    val tc = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
     val docLen = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("l"))
     val perDoc = tc
       .join(docLen, Seq("doc_id"))
